@@ -13,12 +13,18 @@ final case class Q(
     oracle: Option[String])
 
 object Q {
+  def apply(name: String, oracle: String)(
+      fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, Some(oracle))
+
+  def rowsOnly(name: String)(fn: (SparkSession, String) => DataFrame): Q =
+    Q(name, fn, None)
+
   /** Exact money arithmetic: cast the 2-decimal doubles to decimal so sums
     * and products are associative/exact, identical in Spark and DuckDB.
-    * (Test money columns are generated with 2 decimals — verified in
-    * SURVEY.md §4.)
+    * (Test money columns are generated with 2 decimals — SURVEY.md §4.)
     */
-  def dec(c: Column): Column = c.cast("decimal(12,2)")
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Exact decimal aggregate → stable double output, rounded. */
   def money(c: Column, scale: Int = 2): Column = round(c.cast("double"), scale)
