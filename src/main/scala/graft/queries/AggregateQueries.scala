@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryFamily, Tables}
+
+/** §2.3 Aggregate library.
+  *
+  * Re-expresses the reference's aggregation surface
+  * (reference: presto-main/src/main/java/com/facebook/presto/operator/
+  * aggregation/ — ~200 classes incl.
+  * ApproximateCountDistinctAggregation.java:1,
+  * ApproximateLongPercentileAggregations.java:1, ChecksumAggregationFunction
+  * .java:1) with Spark built-ins. All are hash aggregates with map-side
+  * partial aggregation for free.
+  *
+  * Spark's skewness/kurtosis are population moments while DuckDB's are
+  * sample-corrected — the oracles spell out the population formulas
+  * explicitly so both engines compute the same statistic.
+  */
+object AggregateQueries extends QueryFamily {
+
+  val q45 = Q(
+    "q45_stat_aggs",
+    """WITH mu AS (SELECT c_mktsegment AS seg, avg(c_acctbal) AS m FROM customer GROUP BY 1)
+      |SELECT c_mktsegment AS seg,
+      | round(stddev_samp(c_acctbal), 4) AS sd_samp,
+      | round(stddev_pop(c_acctbal), 4) AS sd_pop,
+      | round(var_samp(c_acctbal), 4) AS v_samp,
+      | round(var_pop(c_acctbal), 4) AS v_pop,
+      | round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS cor,
+      | round(covar_pop(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_pop,
+      | round(covar_samp(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS cov_samp,
+      | round(avg(pow(c_acctbal - m, 3)) / pow(avg(pow(c_acctbal - m, 2)), 1.5), 4) AS skew,
+      | round(avg(pow(c_acctbal - m, 4)) / pow(avg(pow(c_acctbal - m, 2)), 2) - 3, 4) AS kurt
+      |FROM customer JOIN mu ON c_mktsegment = mu.seg
+      |GROUP BY c_mktsegment
+      |ORDER BY seg""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).groupBy(col("c_mktsegment").as("seg"))
+      .agg(
+        round(stddev_samp(col("c_acctbal")), 4).as("sd_samp"),
+        round(stddev_pop(col("c_acctbal")), 4).as("sd_pop"),
+        round(var_samp(col("c_acctbal")), 4).as("v_samp"),
+        round(var_pop(col("c_acctbal")), 4).as("v_pop"),
+        round(corr(col("c_acctbal"), col("c_custkey").cast("double")), 6).as("cor"),
+        round(covar_pop(col("c_acctbal"), col("c_custkey").cast("double")), 4).as("cov_pop"),
+        round(covar_samp(col("c_acctbal"), col("c_custkey").cast("double")), 4).as("cov_samp"),
+        round(skewness(col("c_acctbal")), 4).as("skew"),
+        round(kurtosis(col("c_acctbal")), 4).as("kurt"))
+      .orderBy("seg")
+  }
+
+  val q46 = Q(
+    "q46_minmax_by",
+    """SELECT o_orderpriority,
+      | max_by(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 100000 + o_orderkey) AS biggest_order,
+      | min_by(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 100000 + o_orderkey) AS smallest_order,
+      | round(max(o_totalprice), 2) AS max_price,
+      | round(min(o_totalprice), 2) AS min_price,
+      | min(o_orderkey) AS any_order
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    // max_by/min_by need a unique comparator for determinism: price ties
+    // broken by orderkey via exact decimal arithmetic (orderkey < 100000).
+    val cmp = col("o_totalprice").cast("decimal(18,2)") * 100000 + col("o_orderkey")
+    Tables.orders(s, d).groupBy(col("o_orderpriority"))
+      .agg(
+        max_by(col("o_orderkey"), cmp).as("biggest_order"),
+        min_by(col("o_orderkey"), cmp).as("smallest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        min(col("o_orderkey")).as("any_order"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q47 = Q(
+    "q47_count_if_bool",
+    """SELECT l_returnflag,
+      | CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_highdisc,
+      | bool_and(l_quantity > 0) AS all_pos,
+      | bool_or(l_tax > 0.07) AS any_hightax,
+      | CAST(count_if(l_quantity >= 25 AND l_discount = 0) AS BIGINT) AS n_full_price_bulk
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_highdisc"),
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_tax") > 0.07).as("any_hightax"),
+        count_if(col("l_quantity") >= 25 && col("l_discount") === 0).as("n_full_price_bulk"))
+      .orderBy("l_returnflag")
+  }
+
+  val q48 = Q(
+    "q48_array_agg",
+    """SELECT s_nationkey,
+      | list(s_suppkey ORDER BY s_suppkey) AS suppliers,
+      | list_sort(list_distinct(list(s_suppkey % 7))) AS key_mods,
+      | CAST(len(list(s_suppkey ORDER BY s_suppkey)) AS INTEGER) AS n
+      |FROM supplier
+      |GROUP BY s_nationkey
+      |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(
+        sort_array(collect_list(col("s_suppkey"))).as("suppliers"),
+        array_sort(collect_set(col("s_suppkey") % 7)).as("key_mods"),
+        size(collect_list(col("s_suppkey"))).as("n"))
+      .orderBy("s_nationkey")
+  }
+
+  // Sketch estimates are engine-specific (HLL/KLL implementations differ)
+  // → rows-only; exact companions are q11_distinct and q50_percentiles.
+  val q49 = Q.rowsOnly("q49_approx_sketches") { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val q50 = Q(
+    "q50_percentiles",
+    """SELECT l_returnflag,
+      | round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+      | round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+      | round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 4) AS p75,
+      | round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 4) AS price_p90
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("price_p90"))
+      .orderBy("l_returnflag")
+  }
+
+  val q51 = Q(
+    "q51_histogram_map_agg",
+    """WITH h AS (
+      |  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT pri,
+      | list(st ORDER BY st) AS hist_keys,
+      | list(n ORDER BY st) AS hist_vals,
+      | CAST(len(list(st)) AS INTEGER) AS n_buckets
+      |FROM h GROUP BY pri
+      |ORDER BY pri""".stripMargin) { (s, d) =>
+    // histogram(x) → MAP(value, count); projected as sorted key/value
+    // arrays for an engine-neutral oracle (same trick as q42).
+    val h = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+      .agg(count(lit(1)).as("n"))
+    h.groupBy(col("pri"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("st"), col("n"))))).as("m"))
+      .select(col("pri"),
+        map_keys(col("m")).as("hist_keys"),
+        map_values(col("m")).as("hist_vals"),
+        size(col("m")).as("n_buckets"))
+      .orderBy("pri")
+  }
+
+  val q52 = Q(
+    "q52_checksum_agg",
+    """SELECT l_returnflag,
+      | CAST(sum(CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || l_returnflag), 1, 7) AS BIGINT)) AS BIGINT) AS checksum,
+      | count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    // Order-independent content checksum (reference:
+    // ChecksumAggregationFunction.java:1): sum of a 28-bit md5-derived
+    // value per row — associative, so map-side partials compose, and the
+    // sum of ≤2^35 rows still fits a BIGINT.
+    val rowHash = conv(substring(md5(concat_ws("|",
+      col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"),
+      col("l_returnflag"))), 1, 7), 16, 10).cast("long")
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(sum(rowHash).cast("long").as("checksum"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52)
+}

@@ -1,0 +1,352 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryFamily, Tables}
+
+/** §2.2 Scalar function library.
+  *
+  * The reference ships a large scalar-function surface
+  * (reference: presto-main/src/main/java/com/facebook/presto/operator/scalar/
+  * StringFunctions.java:1, MathFunctions.java:1, DateTimeFunctions.java:1,
+  * JsonFunctions.java:1, UrlFunctions.java:1, and the .rst files under
+  * presto-docs/src/main/sphinx/functions/). Everything here maps to
+  * codegen'd Spark built-ins — zero UDFs, so the whole projection stays
+  * inside WholeStageCodegen.
+  *
+  * Oracle discipline: transcendental outputs rounded to 6 decimals (libm
+  * low-order bits differ across engines); integer-width casts aligned
+  * (DuckDB year() is BIGINT, Spark's is INT, etc.).
+  */
+object FunctionQueries extends QueryFamily {
+
+  val q32 = Q(
+    "q32_string_funcs",
+    """SELECT p_partkey,
+      | CAST(length(p_name) AS INTEGER) AS name_len,
+      | lower(p_type) AS lo, upper(p_name) AS up,
+      | trim('  ' || p_name || ' ') AS trimmed,
+      | substr(p_name, 3, 6) AS sub,
+      | p_name || '|' || p_brand AS joined,
+      | replace(p_name, 'a', '@') AS repl,
+      | reverse(p_brand) AS rev,
+      | lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+      | CAST(strpos(p_name, 'e') AS INTEGER) AS pos_e,
+      | split_part(p_name, ' ', 2) AS word2,
+      | starts_with(p_name, 'small') AS is_small,
+      | ends_with(p_name, 'bolt') AS is_bolt
+      |FROM part WHERE p_partkey < 300
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        length(col("p_name")).as("name_len"),
+        lower(col("p_type")).as("lo"), upper(col("p_name")).as("up"),
+        trim(concat(lit("  "), col("p_name"), lit(" "))).as("trimmed"),
+        substring(col("p_name"), 3, 6).as("sub"),
+        concat(col("p_name"), lit("|"), col("p_brand")).as("joined"),
+        regexp_replace(col("p_name"), "a", "@").as("repl"),
+        reverse(col("p_brand")).as("rev"),
+        lpad(col("p_brand"), 12, "*").as("lp"), rpad(col("p_brand"), 12, "*").as("rp"),
+        locate("e", col("p_name")).as("pos_e"),
+        expr("split_part(p_name, ' ', 2)").as("word2"),
+        col("p_name").startsWith("small").as("is_small"),
+        col("p_name").endsWith("bolt").as("is_bolt"))
+      .orderBy("p_partkey")
+  }
+
+  val q33 = Q(
+    "q33_math_funcs",
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_quantity - 25) AS a,
+      | CAST(ceil(l_quantity / 7) AS BIGINT) AS c,
+      | CAST(floor(l_quantity / 7) AS BIGINT) AS f,
+      | round(l_extendedprice / 7, 2) AS r,
+      | sqrt(l_quantity) AS sq,
+      | round(exp(l_discount), 6) AS ex,
+      | round(ln(l_quantity + 1), 6) AS lg,
+      | round(log10(l_extendedprice), 6) AS l10,
+      | round(power(l_quantity, 1.5), 6) AS pw,
+      | CAST(l_linenumber % 3 AS INTEGER) AS md,
+      | CAST(sign(l_discount - 0.04) AS INTEGER) AS sg,
+      | round(sin(l_quantity), 6) AS sn, round(cos(l_quantity), 6) AS cs
+      |FROM lineitem WHERE l_orderkey < 150
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 150)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("a"),
+        ceil(col("l_quantity") / 7).as("c"),
+        floor(col("l_quantity") / 7).as("f"),
+        round(col("l_extendedprice") / 7, 2).as("r"),
+        sqrt(col("l_quantity")).as("sq"),
+        round(exp(col("l_discount")), 6).as("ex"),
+        round(log(col("l_quantity") + 1), 6).as("lg"),
+        round(log10(col("l_extendedprice")), 6).as("l10"),
+        round(pow(col("l_quantity"), 1.5), 6).as("pw"),
+        (col("l_linenumber") % 3).as("md"),
+        signum(col("l_discount") - 0.04).cast("int").as("sg"),
+        round(sin(col("l_quantity")), 6).as("sn"),
+        round(cos(col("l_quantity")), 6).as("cs"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val q34 = Q(
+    "q34_datetime_funcs",
+    """SELECT o_orderkey,
+      | CAST(year(o_orderdate) AS INTEGER) AS y,
+      | CAST(month(o_orderdate) AS INTEGER) AS mo,
+      | CAST(day(o_orderdate) AS INTEGER) AS dy,
+      | CAST(quarter(o_orderdate) AS INTEGER) AS qt,
+      | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
+      | CAST(CAST(o_orderdate AS DATE) + 30 AS DATE) AS plus30,
+      | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      | last_day(CAST(o_orderdate AS DATE)) AS month_end
+      |FROM orders WHERE o_orderkey < 300
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dy"),
+        quarter(col("o_orderdate")).as("qt"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        last_day(col("o_orderdate").cast("date")).as("month_end"))
+      .orderBy("o_orderkey")
+  }
+
+  val q35 = Q(
+    "q35_regexp_funcs",
+    """SELECT doc_id,
+      | regexp_matches(text, 'data [a-z]+ row') AS has_pat,
+      | regexp_extract(text, '([a-z]+) query', 1) AS before_query,
+      | substr(regexp_replace(text, '[aeiou]', '_', 'g'), 1, 40) AS devoweled,
+      | CAST(len(regexp_extract_all(text, '(scan|merge)', 1)) AS INTEGER) AS n_scan_merge
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        col("text").rlike("data [a-z]+ row").as("has_pat"),
+        regexp_extract(col("text"), "([a-z]+) query", 1).as("before_query"),
+        substring(regexp_replace(col("text"), "[aeiou]", "_"), 1, 40).as("devoweled"),
+        expr("size(regexp_extract_all(text, '(scan|merge)', 1))").as("n_scan_merge"))
+      .orderBy("doc_id")
+  }
+
+  val q36 = Q(
+    "q36_conditional_funcs",
+    """SELECT c_custkey,
+      | coalesce(nullif(c_mktsegment, 'BUILDING'), 'RESIDENTIAL') AS seg,
+      | CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS bal_band,
+      | least(c_acctbal, 1000.0) AS capped,
+      | greatest(c_acctbal, 0.0) AS floored,
+      | CASE WHEN c_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+      |FROM customer WHERE c_custkey < 300
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") < 300)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("RESIDENTIAL")).as("seg"),
+        when(col("c_acctbal") < 0, "debt").when(col("c_acctbal") < 5000, "low").otherwise("high").as("bal_band"),
+        least(col("c_acctbal"), lit(1000.0)).as("capped"),
+        greatest(col("c_acctbal"), lit(0.0)).as("floored"),
+        when(col("c_nationkey") % 2 === 0, "even").otherwise("odd").as("parity"))
+      .orderBy("c_custkey")
+  }
+
+  val q37 = Q(
+    "q37_array_funcs",
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      | list_contains(string_split(text, ' '), 'data') AS has_data,
+      | list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_distinct,
+      | string_split(text, ' ')[2:4] AS w2to4,
+      | string_split(text, ' ')[3] AS w3,
+      | CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS max_wlen,
+      | CAST(list_min(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS min_wlen,
+      | list_has_any(string_split(text, ' '), ['spark', 'flink']) AS mentions_engine
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        array_contains(words, "data").as("has_data"),
+        slice(array_sort(array_distinct(words)), 1, 5).as("first_distinct"),
+        slice(words, 2, 3).as("w2to4"),
+        element_at(words, 3).as("w3"),
+        array_max(transform(words, w => length(w))).as("max_wlen"),
+        array_min(transform(words, w => length(w))).as("min_wlen"),
+        arrays_overlap(words, array(lit("spark"), lit("flink"))).as("mentions_engine"))
+      .orderBy("doc_id")
+  }
+
+  val q38 = Q(
+    "q38_lambda_funcs",
+    """SELECT doc_id,
+      | list_transform(string_split(text, ' '), w -> CAST(length(w) AS INTEGER))[1:8] AS wlens,
+      | list_filter(string_split(text, ' '), w -> length(w) > 5)[1:5] AS longwords,
+      | CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars,
+      | CAST(len(list_filter(string_split(text, ' '), w -> w = 'data')) AS INTEGER) AS n_data
+      |FROM documents WHERE doc_id < 100
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val words = split(col("text"), " ")
+    Tables.documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        slice(transform(words, w => length(w)), 1, 8).as("wlens"),
+        slice(filter(words, w => length(w) > 5), 1, 5).as("longwords"),
+        aggregate(transform(words, w => length(w)), lit(0L), (acc, x) => acc + x).as("total_chars"),
+        size(filter(words, w => w === "data")).as("n_data"))
+      .orderBy("doc_id")
+  }
+
+  val q39 = Q(
+    "q39_json_funcs",
+    """SELECT event_id,
+      | json_extract_string(props, '$.k') AS k_str,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      | json_extract_string(props, '$.missing') AS missing,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
+      |FROM events WHERE event_id < 300
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("missing"),
+        (get_json_object(col("props"), "$.k").cast("int") * 2).as("k_doubled"))
+      .orderBy("event_id")
+  }
+
+  val q40 = Q(
+    "q40_bitwise_funcs",
+    """SELECT event_id,
+      | event_id & user_id AS b_and,
+      | event_id | user_id AS b_or,
+      | xor(event_id, user_id) AS b_xor,
+      | user_id << 3 AS shl,
+      | event_id >> 2 AS shr,
+      | ~event_id AS b_not
+      |FROM events WHERE event_id < 300
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(col("user_id")).as("b_and"),
+        col("event_id").bitwiseOR(col("user_id")).as("b_or"),
+        col("event_id").bitwiseXOR(col("user_id")).as("b_xor"),
+        shiftleft(col("user_id"), 3).as("shl"),
+        shiftright(col("event_id"), 2).as("shr"),
+        expr("~event_id").as("b_not"))
+      .orderBy("event_id")
+  }
+
+  val q41 = Q(
+    "q41_conversion",
+    """SELECT p_partkey,
+      | CAST(p_partkey AS VARCHAR) AS key_str,
+      | CAST(CAST(p_partkey AS VARCHAR) AS BIGINT) AS roundtrip,
+      | CAST('3.25' AS DOUBLE) + p_size AS parsed_plus,
+      | CAST(CAST(floor(p_retailprice) AS BIGINT) AS INTEGER) AS price_floor,
+      | try_cast(p_brand AS INTEGER) AS bad_int,
+      | try_cast(substr(p_brand, 7) AS INTEGER) AS brand_num,
+      | CAST('1999-06-01' AS DATE) AS fixed_date,
+      | try_cast('not-a-date' AS DATE) AS bad_date
+      |FROM part WHERE p_partkey < 300
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        col("p_partkey").cast("string").as("key_str"),
+        col("p_partkey").cast("string").cast("long").as("roundtrip"),
+        (lit("3.25").cast("double") + col("p_size")).as("parsed_plus"),
+        floor(col("p_retailprice")).cast("int").as("price_floor"),
+        expr("try_cast(p_brand AS INT)").as("bad_int"),
+        expr("try_cast(substr(p_brand, 7) AS INT)").as("brand_num"),
+        lit("1999-06-01").cast("date").as("fixed_date"),
+        expr("try_cast('not-a-date' AS DATE)").as("bad_date"))
+      .orderBy("p_partkey")
+  }
+
+  val q42 = Q(
+    "q42_map_funcs",
+    """WITH per AS (
+      |  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT rf,
+      | list(ls ORDER BY ls) AS statuses,
+      | list(n ORDER BY ls) AS counts,
+      | CAST(len(list(ls ORDER BY ls)) AS INTEGER) AS map_size,
+      | max(CASE WHEN ls = 'F' THEN n END) AS f_count
+      |FROM per GROUP BY rf
+      |ORDER BY rf""".stripMargin) { (s, d) =>
+    // Build a real MapType per group (map_from_entries over sorted
+    // entries), then project it back out as sorted key/value arrays so
+    // the oracle can hash it (DuckDB MAP vs Spark MAP arrow layouts
+    // differ; the arrays are engine-neutral).
+    val per = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+      .agg(count(lit(1)).as("n"))
+    per.groupBy(col("rf"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("ls"), col("n"))))).as("m"))
+      .select(col("rf"),
+        map_keys(col("m")).as("statuses"),
+        map_values(col("m")).as("counts"),
+        size(col("m")).as("map_size"),
+        element_at(col("m"), "F").as("f_count"))
+      .orderBy("rf")
+  }
+
+  val q43 = Q(
+    "q43_url_funcs",
+    """SELECT p_partkey, url,
+      | regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      | regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+      | regexp_extract(url, '\?(.*)$', 1) AS query,
+      | regexp_extract(url, '[?&]size=([^&]*)', 1) AS size_param,
+      | regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+      |FROM (SELECT p_partkey,
+      |        'https://parts.example.com/catalog/' || replace(p_name, ' ', '-')
+      |          || '?size=' || CAST(p_size AS VARCHAR) || '&brand=' || replace(p_brand, '#', '') AS url
+      |      FROM part WHERE p_partkey < 300)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    val url = concat(lit("https://parts.example.com/catalog/"),
+      regexp_replace(col("p_name"), " ", "-"),
+      lit("?size="), col("p_size").cast("string"),
+      lit("&brand="), regexp_replace(col("p_brand"), "#", ""))
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), url.as("url"))
+      .select(col("p_partkey"), col("url"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("size")).as("size_param"),
+        parse_url(col("url"), lit("PROTOCOL")).as("protocol"))
+      .orderBy("p_partkey")
+  }
+
+  val q44 = Q(
+    "q44_binary_funcs",
+    """SELECT p_partkey,
+      | md5(p_name) AS name_md5,
+      | sha256(p_name) AS name_sha256,
+      | lower(hex(p_name::BLOB)) AS name_hex,
+      | to_base64(p_name::BLOB) AS name_b64,
+      | CAST(octet_length(p_name::BLOB) AS INTEGER) AS n_bytes,
+      | substr(md5(p_name || '#' || p_brand), 1, 8) AS combined_prefix
+      |FROM part WHERE p_partkey < 300
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        md5(col("p_name").cast("binary")).as("name_md5"),
+        sha2(col("p_name").cast("binary"), 256).as("name_sha256"),
+        lower(hex(col("p_name").cast("binary"))).as("name_hex"),
+        base64(col("p_name").cast("binary")).as("name_b64"),
+        length(col("p_name").cast("binary")).as("n_bytes"),
+        substring(md5(concat(col("p_name"), lit("#"), col("p_brand")).cast("binary")), 1, 8).as("combined_prefix"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+}
