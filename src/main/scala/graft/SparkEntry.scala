@@ -10,7 +10,7 @@ import graft.queries._
   */
 object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
-    RelationalQueries, FunctionQueries, AggregateQueries)
+    RelationalQueries, FunctionQueries, AggregateQueries, PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash / SimHash / random-hyperplane sketches as pure column
+  * expressions (reference semantics: presto-main/src/main/java/com/facebook/
+  * presto/operator/aggregation/ApproximateSetAggregation.java:1 for the
+  * sketch-style aggregation surface; the dedup application follows the
+  * MinHash-LSH banding scheme of Broder '97 / MMDS ch.3).
+  *
+  * All hashes derive from xxhash64 with literal seeds — deterministic
+  * across runs and executors, no RNG state to ship.
+  */
+object Sketches {
+
+  /** k-permutation MinHash signature (array<bigint>, length k) over a
+    * string-array column. sig[i] = min over elements of xxhash64(elem, i).
+    */
+  def minhashSignature(setCol: String, k: Int = 32): Column =
+    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($setCol, e -> xxhash64(e, i))))")
+
+  /** LSH band keys for a minhash signature column: hash of each
+    * contiguous band of `rowsPerBand` signature slots. array<bigint>,
+    * length k / rowsPerBand.
+    */
+  def bandKeys(sigCol: String, k: Int = 32, rowsPerBand: Int = 4): Column = {
+    val nBands = k / rowsPerBand
+    // chained xxhash64 rather than a polynomial fold: stays in [Long]
+    // without wraparound (ANSI mode rejects long overflow)
+    expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
+      s"aggregate(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), cast(b as bigint), (a, x) -> xxhash64(a, x)))")
+  }
+
+  /** Estimated Jaccard similarity from two equal-length signatures:
+    * fraction of agreeing slots.
+    */
+  def estJaccard(sigA: String, sigB: String, k: Int = 32): Column =
+    expr(s"aggregate(zip_with($sigA, $sigB, (x, y) -> if(x = y, 1, 0)), 0, (a, v) -> a + v)") / lit(k.toDouble)
+
+  /** 64-bit SimHash of a string-array column: bit b is set when the
+    * majority of element hashes have bit b set (±1 vote per element).
+    */
+  def simhash(setCol: String, hashesCol: String = null): Column = {
+    val hashes = Option(hashesCol).getOrElse(s"transform($setCol, w -> xxhash64(w))")
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, 63), b ->
+         |    if(aggregate($hashes, 0, (a, h) -> a + if((shiftright(h, b) & 1L) = 1L, 1, -1)) > 0,
+         |       shiftleft(1L, b), 0L)),
+         |  0L, (acc, x) -> acc | x)""".stripMargin)
+  }
+
+  /** The 16-bit chunks of a simhash (for hamming-bucket candidate
+    * generation: two hashes within hamming distance 3 share at least one
+    * of 4 chunks by pigeonhole).
+    */
+  def simhashChunks(hashCol: String): Column =
+    expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, j * 16) & 65535L)")
+
+  /** Random-hyperplane LSH bucket id over a double-array column: bit i is
+    * the sign of the projection onto a deterministic ±1 hyperplane derived
+    * from xxhash64(i, j). Buckets cluster by cosine direction (Charikar '02).
+    */
+  def hyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${nBits - 1}), i ->
+         |    if(aggregate(
+         |         zip_with($vecCol,
+         |                  transform(sequence(0, ${dim - 1}), j -> if((xxhash64(i, j) & 1L) = 1L, 1.0D, -1.0D)),
+         |                  (x, h) -> x * h),
+         |         cast(0.0 as double), (a, v) -> a + v) > 0D,
+         |       shiftleft(1L, i), 0L)),
+         |  0L, (acc, x) -> acc | x)""".stripMargin)
+}

@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators
+  * (SURVEY.md §2.6). Everything is built from codegen'd Spark built-ins
+  * and higher-order functions — no UDFs — so these stay inside
+  * WholeStageCodegen and scale linearly with the corpus.
+  */
+object Text {
+
+  /** Canonical form for dedup: lowercase, trimmed, whitespace collapsed. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Words of the normalized text. */
+  def words(c: Column): Column = split(normText(c), " ")
+
+  /** Word n-gram shingles over an existing array column (by name).
+    * expr-based because the lambda needs positional element access.
+    */
+  def shingles(wordsCol: String, n: Int = 3): Column = {
+    val parts = (0 until n).map(k => s"element_at($wordsCol, i + $k)").mkString(", ")
+    expr(s"transform(sequence(1, greatest(size($wordsCol) - ${n - 1}, 0)), i -> concat_ws(' ', $parts))")
+  }
+
+  /** Count of words (with repetition) that appear in a fixed vocabulary. */
+  def vocabHits(wordsCol: String, vocab: Seq[String]): Column = {
+    val list = vocab.map(w => s"'$w'").mkString(", ")
+    expr(s"size(filter($wordsCol, x -> x IN ($list)))")
+  }
+
+  /** Per-language stopword lists for the language-ID heuristic.
+    * Tiny on purpose: broadcastable as literals into codegen.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "une"),
+    "zh" -> Seq("de5", "shi4", "zai4")) // romanized placeholders
+
+  /** Polynomial rolling-hash fingerprint of a words array: md5-derived
+    * 32-bit value per word folded as acc*131 + x (mod 1e9+7). Stable
+    * across engines (md5 is standard; arithmetic stays < 2^38).
+    */
+  def fingerprint(wordsCol: String): Column =
+    expr(s"aggregate(transform($wordsCol, w -> cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint)), " +
+      "0L, (a, x) -> (a * 131L + x) % 1000000007L)")
+}

