@@ -10,7 +10,8 @@ import graft.queries._
   */
 object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
-    RelationalQueries, FunctionQueries, AggregateQueries, PipelineQueries)
+    RelationalQueries, FunctionQueries, AggregateQueries, PipelineQueries,
+    EventQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

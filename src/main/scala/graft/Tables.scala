@@ -26,7 +26,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV, not `/`: nanos epochs (~1.7e18) exceed double's 2^53
+      // mantissa, so float division would corrupt low-order micros
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

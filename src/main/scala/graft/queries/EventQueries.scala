@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryFamily, Tables}
+import graft.streaming.EventStreams
+
+/** §2.5 Event-time analytics (tumbling / session / hopping windows).
+  * Batch-equivalent oracles; the same transforms run under Structured
+  * Streaming with watermarks in StreamingSpec.
+  */
+object EventQueries extends QueryFamily {
+
+  val q53 = Q(
+    "q53_event_tumbling",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws, event_type,
+      | count(*) AS n,
+      | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    EventStreams.tumblingAgg(Tables.events(s, d), "1 hour")
+      .orderBy("ws", "event_type")
+  }
+
+  val q54 = Q(
+    "q54_event_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, event_id, ts,
+      |   CASE WHEN prev_ts IS NULL
+      |          OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+      |        THEN 1 ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, ts,
+      |   sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM y)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      | min(ts) AS session_start, max(ts) AS session_end,
+      | CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+      |FROM z
+      |GROUP BY 1, 2
+      |ORDER BY user_id, session_id""".stripMargin) { (s, d) =>
+    EventStreams.sessionize(Tables.events(s, d), gapMinutes = 30)
+      .orderBy("user_id", "session_id")
+  }
+
+  val q55 = Q(
+    "q55_event_hopping",
+    """WITH w AS (
+      |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+      |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE]) AS ws,
+      |         event_type
+      |  FROM events)
+      |SELECT CAST(ws AS TIMESTAMP) AS ws, event_type, count(*) AS n
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY ws, event_type""".stripMargin) { (s, d) =>
+    EventStreams.hoppingAgg(Tables.events(s, d), "1 hour", "30 minutes")
+      .orderBy("ws", "event_type")
+  }
+
+  val all: Seq[Q] = Seq(q53, q54, q55)
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the events table (SURVEY.md §2.5) — the
+  * Spark answer to the reference's realtime connector surface
+  * (reference: presto-kafka/src/main/java/com/facebook/presto/kafka/
+  * KafkaConnector.java:1).
+  *
+  * Each transform takes a DataFrame and works identically on a batch
+  * scan and a streaming source: the batch path is the oracle-checked
+  * correctness surface (q53–q55), the streaming path reuses the same
+  * functions under a watermark (see StreamingSpec).
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type. On a stream, pair with
+    * withWatermark("ts", ...) — state is bounded by watermark horizon.
+    */
+  def tumblingAgg(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2).as("total_value"))
+      .select(col("win.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+
+  /** Hopping (sliding) windows: width `width`, advancing every `slide`.
+    * Each event lands in width/slide windows — Spark's window() does the
+    * replication; state on a stream stays bounded by the watermark.
+    */
+  def hoppingAgg(events: DataFrame, width: String = "1 hour", slide: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("ws"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization (batch form): a session breaks after
+    * `gapMinutes` of user inactivity. Window-function formulation — one
+    * shuffle on user_id, no self-join. The streaming twin uses
+    * session_window (see [[sessionWindowStream]]).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapSec = gapMinutes * 60L
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull
+          || unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_sec"))
+  }
+
+  /** Streaming sessionization via Spark's native session_window — the
+    * state-store-backed equivalent of [[sessionize]] for unbounded input.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("win.start").as("session_start"),
+        col("win.end").as("session_end"), col("n_events"))
+}

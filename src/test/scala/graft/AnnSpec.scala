@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Recall and exactness checks for the similarity-search operators. */
+class AnnSpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sfDir)
+
+  test("brute-force knn: a vector's nearest neighbour set never contains itself") {
+    val res = Ann.bruteKnn(embs, embs.filter(col("vec_id") < 5), k = 3).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("cid")))
+    assert(res.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 3))
+  }
+
+  test("brute-force knn ranks by descending similarity") {
+    val res = Ann.bruteKnn(embs, embs.filter(col("vec_id") === 0), k = 10).collect()
+      .sortBy(_.getAs[Int]("rn"))
+    val sims = res.map(_.getAs[Double]("sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("multi-probe LSH knn reaches ≥30% recall@5 vs brute force") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnn(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Ann.lshKnn(embs, queries, k = 5, nBits = 4).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, f"recall@5 = $recall%.2f")
+  }
+
+  test("cosine dup pairs: an identical planted vector scores 1.0") {
+    import spark.implicits._
+    val v = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
+    val planted = embs.select("vec_id", "embedding", "label")
+      .unionAll(Seq((9000L, v, 0)).toDF("vec_id", "embedding", "label"))
+    val pairs = Ann.cosineDupPairs(planted, threshold = 0.999)
+      .filter(col("vb") === 9000).collect()
+    assert(pairs.length == 1 && pairs.head.getAs[Long]("va") == 0L
+      && pairs.head.getAs[Double]("sim") == 1.0)
+  }
+}

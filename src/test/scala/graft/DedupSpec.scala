@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Planted-duplicate tests for the dedup family. */
+class DedupSpec extends SparkSpec {
+
+  private def docsWithPlants = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // plant: 9001 = exact copy of doc 0 (re-spaced), 9002 = near-copy of
+    // doc 1 (one word changed), 9003 = unrelated
+    val d0 = base.filter(col("doc_id") === 0).head().getString(1)
+    val d1 = base.filter(col("doc_id") === 1).head().getString(1)
+    val near = d1.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 5) "REPLACED" else w }.mkString(" ")
+    base.unionAll(Seq(
+      (9001L, "  " + d0.toUpperCase + "  "),
+      (9002L, near),
+      (9003L, "totally unrelated text about nothing at all whatsoever")
+    ).toDF("doc_id", "text"))
+  }
+
+  test("exact dedup groups the normalized exact copy with its source") {
+    val groups = Dedup.exactGroups(docsWithPlants)
+    val dupGroups = groups.filter(col("n_copies") > 1).collect()
+    assert(dupGroups.length == 1)
+    assert(dupGroups.head.getAs[Long]("canonical_id") == 0L)
+    assert(dupGroups.head.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard finds the planted near-copy above 0.8") {
+    val pairs = Dedup.jaccardPairs(docsWithPlants, threshold = 0.8)
+      .filter(col("doc_b") === 9002).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L),
+      s"pair (1, 9002) missing from ${pairs.mkString(",")}")
+  }
+
+  test("minhash LSH surfaces the planted pairs as candidates") {
+    val cands = Dedup.minhashCandidates(docsWithPlants)
+      .filter(col("doc_b") >= 9001).collect()
+    val found = cands.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(found.contains((0L, 9001L)), s"exact copy not a candidate: $found")
+    assert(found.contains((1L, 9002L)), s"near copy not a candidate: $found")
+    assert(!found.exists(_._2 == 9003L), s"unrelated doc surfaced: $found")
+  }
+
+  test("simhash puts the exact copy at hamming 0 and excludes unrelated docs") {
+    val cands = Dedup.simhashCandidates(docsWithPlants, maxHamming = 3)
+      .filter(col("doc_b") >= 9001).collect()
+    val h = cands.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Int]("hamming")).toMap
+    assert(h.get((0L, 9001L)).contains(0), s"exact copy hamming != 0: $h")
+    assert(!h.keySet.exists(_._2 == 9003L), s"unrelated doc surfaced: $h")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Source/sink round-trips (§2.4): csv, json, orc, parquet — schema and
+  * values must survive; partitioned writes must prune on read (covered
+  * in PlanSpec).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def nationSorted = Tables.nation(spark, sfDir).orderBy("n_nationkey")
+
+  test("parquet round-trip preserves schema and rows") {
+    val dir = tmp("rt_parquet")
+    nationSorted.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.schema == nationSorted.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationSorted.collect().toSeq)
+  }
+
+  test("orc round-trip preserves schema and rows") {
+    val dir = tmp("rt_orc")
+    nationSorted.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == nationSorted.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationSorted.collect().toSeq)
+  }
+
+  test("csv round-trip with header + explicit schema preserves rows") {
+    val dir = tmp("rt_csv")
+    nationSorted.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").schema(nationSorted.schema).csv(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationSorted.collect().toSeq)
+  }
+
+  test("json round-trip with explicit schema preserves rows") {
+    val dir = tmp("rt_json")
+    nationSorted.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(nationSorted.schema).json(dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nationSorted.collect().toSeq)
+  }
+
+  test("timestamps survive a parquet round-trip at micros precision") {
+    val dir = tmp("rt_ts")
+    val ev = Tables.events(spark, sfDir).orderBy("event_id")
+    ev.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.orderBy("event_id").collect().toSeq == ev.collect().toSeq)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming specs (§2.5): the batch transforms of
+  * EventStreams run unchanged on a stream; watermarks bound state.
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+
+  private def sampleEvents: Seq[Ev] = {
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    (0 until 100).map { i =>
+      Ev(i.toLong, new Timestamp(t0 + i * 90L * 1000), i % 7,
+        if (i % 2 == 0) "click" else "view", i.toDouble / 4)
+    }
+  }
+
+  test("tumbling agg over MemoryStream + watermark equals the batch result") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(sampleEvents)
+    val query = EventStreams.tumblingAgg(stream.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("tumbling_test")
+        .orderBy("ws", "event_type").collect().toSeq
+      val batch = EventStreams.tumblingAgg(sampleEvents.toDF())
+        .orderBy("ws", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("session_window stream closes sessions at the gap") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    // user 1: two bursts 2 hours apart → 2 sessions; user 2: one burst
+    val evs = Seq(
+      Ev(1, new Timestamp(t0), 1, "click", 1.0),
+      Ev(2, new Timestamp(t0 + 60 * 1000), 1, "click", 1.0),
+      Ev(3, new Timestamp(t0 + 2 * 3600 * 1000), 1, "click", 1.0),
+      Ev(4, new Timestamp(t0 + 30 * 1000), 2, "view", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(evs)
+    val query = EventStreams.sessionWindowStream(stream.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      query.processAllAvailable()
+      val out = spark.table("session_test").collect()
+      assert(out.count(_.getAs[Long]("user_id") == 1L) == 2, out.mkString(","))
+      assert(out.count(_.getAs[Long]("user_id") == 2L) == 1, out.mkString(","))
+    } finally query.stop()
+  }
+
+  test("batch sessionize splits a user at the inactivity gap") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val evs = Seq(
+      Ev(1, new Timestamp(t0), 1, "click", 1.0),
+      Ev(2, new Timestamp(t0 + 60 * 1000), 1, "click", 1.0),
+      Ev(3, new Timestamp(t0 + 2 * 3600 * 1000), 1, "click", 1.0))
+    val sessions = EventStreams.sessionize(evs.toDF()).collect()
+    assert(sessions.length == 2)
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+}
