@@ -11,7 +11,7 @@ import graft.queries._
 object SparkEntry {
   private val families: Seq[QueryFamily] = Seq(
     RelationalQueries, FunctionQueries, AggregateQueries, PipelineQueries,
-    EventQueries)
+    EventQueries, TpchQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

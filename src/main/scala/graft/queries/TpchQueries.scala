@@ -1,0 +1,414 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, QueryFamily, Tables}
+
+/** §2.8 TPC-H suite forms (the reference's own benchmark queries).
+  *
+  * The reference ships TPC-H q01–q22 as its canonical test queries
+  * (reference: presto-benchto-benchmarks/src/main/resources/sql/presto/
+  * tpch/q07.sql:1 … q22.sql:1). q01/q03/q04/q05/q06/q17/q18 forms are
+  * already covered by q02–q06/q17/q18 in RelationalQueries; this family
+  * adds the remaining shapes expressible against the reduced test schema:
+  * Q7 Q8 Q9 Q10 Q12 Q13 Q14 Q15 Q19 Q21 Q22. Q2/Q11/Q16/Q20 need the
+  * `partsupp` table, which the synthetic schema omits — documented as
+  * unexpressible in SURVEY.md §2.8. Columns the schema lacks
+  * (l_shipmode, l_commitdate/receiptdate, p_container, c_phone) are
+  * substituted by semantically-equivalent predicates on existing columns,
+  * preserving each query's operator shape (join graph, correlation
+  * pattern, disjunctive filters, conditional aggregation).
+  *
+  * Scale notes: nation/region are bounded (25/5 rows) → explicit
+  * broadcast. customer/supplier/part/orders/lineitem all scale with SF →
+  * shuffle hash/sort-merge joins on their keys, AQE picks per-stage; the
+  * multi-join queries keep the dimensional reduction (filter first, join
+  * up the size chain) so partial aggregation and join pruning hold at
+  * 100 TB.
+  */
+object TpchQueries extends QueryFamily {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+  private def frac(c: Column) = c.cast("decimal(3,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+  private def money(c: Column) = round(c.cast("double"), 2)
+  private def vol(df: DataFrame): Column =
+    dec(df("l_extendedprice")) * (one - frac(df("l_discount")))
+
+  private val DEC_EXT = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val ONE_MINUS_DISC =
+    "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+  private val VOLUME = s"$DEC_EXT * $ONE_MINUS_DISC"
+
+  /** TPC-H Q7 — volume shipping between two nations, by ship year. */
+  val q72 = Q(
+    "q72_tpch_q7",
+    s"""SELECT supp_nation, cust_nation, l_year,
+       | round(CAST(sum(volume) AS DOUBLE), 2) AS revenue
+       |FROM (
+       | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INTEGER) AS l_year, $VOLUME AS volume
+       | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |  AND c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+       |) shipping
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+        || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(money(sum(vol(li))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 — national market share within a region, by order year. */
+  val q73 = Q(
+    "q73_tpch_q8",
+    s"""SELECT o_year,
+       | round(CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |      / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+       |FROM (
+       | SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  $VOLUME AS volume, n2.n_name AS nation
+       | FROM part, supplier, lineitem, orders, customer,
+       |      nation n1, nation n2, region
+       | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+       |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |  AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+       |  AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+       |  AND p_type = 'ECONOMY'
+       |) all_nations
+       |GROUP BY o_year
+       |ORDER BY o_year""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate").between(
+        lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+    val n1 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_rkey"))
+    val n2 = Tables.nation(s, d).select(
+      col("n_nationkey").as("n2_key"), col("n_name").as("nation"))
+    val america = Tables.region(s, d).filter(col("r_name") === "AMERICA")
+    li.join(part, col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+      .join(broadcast(america), col("n1_rkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("nation") === "NATION_3", vol(li))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          / sum(vol(li)).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9 — product-type profit, by supplier nation and year.
+    * Adapted: no partsupp table → unit cost proxied as 10% of
+    * p_retailprice (keeps the part⋈lineitem⋈supplier⋈orders⋈nation
+    * join graph and the profit-expression shape).
+    */
+  val q74 = Q(
+    "q74_tpch_q9",
+    s"""SELECT nation, o_year, round(CAST(sum(amount) AS DOUBLE), 2) AS sum_profit
+       |FROM (
+       | SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  $VOLUME - CAST(p_retailprice AS DECIMAL(18,2))
+       |    * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(3,2)) AS amount
+       | FROM part, supplier, lineitem, orders, nation
+       | WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+       |  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%red%'
+       |) profit
+       |GROUP BY nation, o_year
+       |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val part = Tables.part(s, d).filter(col("p_name").like("%red%"))
+    li.join(part, col("p_partkey") === col("l_partkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("amount",
+        vol(li) - dec(col("p_retailprice")) * dec(col("l_quantity"))
+          * lit(0.1).cast("decimal(3,2)"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(money(sum(col("amount"))).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q10 — returned-item report: top 20 customers by lost revenue. */
+  val q75 = Q(
+    "q75_tpch_q10",
+    s"""SELECT c_custkey, c_name,
+       | round(CAST(sum($VOLUME) AS DOUBLE), 2) AS revenue,
+       | c_acctbal, n_name
+       |FROM lineitem, orders, customer, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       | AND o_orderdate >= TIMESTAMP '1996-10-01'
+       | AND o_orderdate < TIMESTAMP '1997-01-01'
+       | AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(money(sum(vol(li))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 — shipping-priority classification.
+    * Adapted: no l_shipmode/commitdate/receiptdate → classify by
+    * l_returnflag with a ship-year filter (keeps the join + conditional
+    * two-way count aggregation shape).
+    */
+  val q76 = Q(
+    "q76_tpch_q12",
+    """SELECT l_returnflag,
+      | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      | AND l_shipdate >= TIMESTAMP '1997-01-01'
+      | AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(hi, 1).otherwise(0)).cast("bigint").as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).cast("bigint").as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q13 — customer order-count distribution (outer join with
+    * join-time filter, double aggregation). Adapted: no o_comment →
+    * join filter excludes urgent orders instead.
+    */
+  val q77 = Q(
+    "q77_tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      | SELECT c_custkey, count(o_orderkey) AS c_count
+      | FROM customer LEFT OUTER JOIN orders
+      |  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      | GROUP BY c_custkey
+      |) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d),
+        col("c_custkey") === col("o_custkey")
+          && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 — promotion revenue share for a month. */
+  val q78 = Q(
+    "q78_tpch_q14",
+    s"""SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN $VOLUME
+       |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |      / CAST(sum($VOLUME) AS DOUBLE), 6) AS promo_revenue
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       | AND l_shipdate >= TIMESTAMP '1996-09-01'
+       | AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+    li.join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0)
+        * sum(when(col("p_type") === "PROMO", vol(li))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+        / sum(vol(li)).cast("double"), 6).as("promo_revenue"))
+  }
+
+  /** TPC-H Q15 — top supplier by quarter revenue (CTE + scalar-subquery
+    * max, equality on the exact decimal sum before rounding).
+    */
+  val q79 = Q(
+    "q79_tpch_q15",
+    s"""WITH revenue0 AS (
+       | SELECT l_suppkey AS supplier_no, sum($VOLUME) AS total_rev
+       | FROM lineitem
+       | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01'
+       | GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name,
+       | round(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+       |FROM supplier, revenue0
+       |WHERE s_suppkey = supplier_no
+       | AND total_rev = (SELECT max(total_rev) FROM revenue0)
+       |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val revenue0 = li.groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(vol(li)).as("total_rev"))
+    val maxRev = revenue0.agg(max(col("total_rev")).as("max_rev"))
+    revenue0
+      .join(broadcast(maxRev), col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("supplier_no"))
+      .select(col("s_suppkey"), col("s_name"),
+        money(col("total_rev")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q19 — disjunctive brand/size/quantity predicate join.
+    * Adapted: no p_container/l_shipmode/l_shipinstruct → the three
+    * disjunct arms keep brand + quantity band + size band.
+    */
+  val q80 = Q(
+    "q80_tpch_q19",
+    s"""SELECT round(CAST(sum($VOLUME) AS DOUBLE), 2) AS revenue
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey
+       | AND ((p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+       |       AND p_size BETWEEN 1 AND 5)
+       |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+       |       AND p_size BETWEEN 1 AND 10)
+       |   OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+       |       AND p_size BETWEEN 1 AND 15))""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val arm1 = col("p_brand") === "Brand#12" &&
+      col("l_quantity").between(1, 11) && col("p_size").between(1, 5)
+    val arm2 = col("p_brand") === "Brand#23" &&
+      col("l_quantity").between(10, 20) && col("p_size").between(1, 10)
+    val arm3 = col("p_brand") === "Brand#3" &&
+      col("l_quantity").between(20, 30) && col("p_size").between(1, 15)
+    li.join(Tables.part(s, d), col("p_partkey") === col("l_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(money(sum(vol(li))).as("revenue"))
+  }
+
+  /** TPC-H Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS
+    * correlated on the same fact table). Adapted: no commit/receipt
+    * dates → "late" = shipped more than 90 days after the order date.
+    */
+  val q81 = Q(
+    "q81_tpch_q21",
+    """WITH late AS (
+      | SELECT l_orderkey, l_suppkey
+      | FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      | WHERE o_orderstatus = 'F'
+      |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |SELECT s_name, count(*) AS numwait
+      |FROM late l1
+      | JOIN supplier ON s_suppkey = l1.l_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_5', 'NATION_6', 'NATION_7')
+      | AND EXISTS (SELECT 1 FROM lineitem l2
+      |             WHERE l2.l_orderkey = l1.l_orderkey
+      |              AND l2.l_suppkey <> l1.l_suppkey)
+      | AND NOT EXISTS (SELECT 1 FROM late l3
+      |                 WHERE l3.l_orderkey = l1.l_orderkey
+      |                  AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val late = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o2_orderkey"), col("l_suppkey").as("o2_suppkey"))
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    late
+      .join(others, col("o2_orderkey") === col("l_orderkey")
+        && col("o2_suppkey") =!= col("l_suppkey"), "left_semi")
+      .join(lateOthers, col("o3_orderkey") === col("l_orderkey")
+        && col("o3_suppkey") =!= col("l_suppkey"), "left_anti")
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .filter(col("n_name").isin("NATION_5", "NATION_6", "NATION_7"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 — global sales opportunity (scalar subquery threshold +
+    * anti join on orders). Adapted: no c_phone → country code derived
+    * from c_nationkey; and since every synthetic customer has orders,
+    * the anti join excludes customers with any HIGH-VALUE order
+    * (o_totalprice > 300k) rather than any order at all — same
+    * correlated-NOT-EXISTS shape, non-degenerate selectivity.
+    */
+  val q82 = Q(
+    "q82_tpch_q22",
+    """SELECT cntrycode, count(*) AS numcust,
+      | round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+      |FROM (
+      | SELECT CAST(c_nationkey % 7 AS INTEGER) AS cntrycode, c_acctbal, c_custkey
+      | FROM customer
+      | WHERE c_nationkey % 7 IN (1, 2, 3, 4, 5)
+      |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0.0 AND c_nationkey % 7 IN (1, 2, 3, 4, 5))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin) { (s, d) =>
+    val codes = Seq(1, 2, 3, 4, 5)
+    val cust = Tables.customer(s, d)
+      .withColumn("cntrycode", (col("c_nationkey") % 7).cast("int"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val threshold = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg(col("c_acctbal")).as("avg_bal"))
+    cust
+      .join(broadcast(threshold), col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("cntrycode"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        money(sum(dec(col("c_acctbal")))).as("totacctbal"))
+      .orderBy("cntrycode")
+  }
+
+  val all: Seq[Q] =
+    Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+}
