@@ -14,6 +14,7 @@ object GraftSession {
       : SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cores]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

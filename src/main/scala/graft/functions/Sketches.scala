@@ -16,8 +16,13 @@ object Sketches {
 
   /** k-permutation MinHash signature (array<bigint>, length k) over a
     * string-array column. sig[i] = min over elements of xxhash64(elem, i).
+    * Native codegen'd kernel; `minhashSignatureHof` is the bit-identical
+    * HOF formulation kept as its parity oracle (SketchParitySpec).
     */
   def minhashSignature(setCol: String, k: Int = 32): Column =
+    graft.plans.NativeFunctions.minhashSig(col(setCol), k)
+
+  def minhashSignatureHof(setCol: String, k: Int = 32): Column =
     expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($setCol, e -> xxhash64(e, i))))")
 
   /** LSH band keys for a minhash signature column: hash of each
@@ -40,8 +45,13 @@ object Sketches {
 
   /** 64-bit SimHash of a string-array column: bit b is set when the
     * majority of element hashes have bit b set (±1 vote per element).
+    * Native codegen'd kernel; `simhashHof` is the bit-identical HOF
+    * formulation kept as its parity oracle (SketchParitySpec).
     */
-  def simhash(setCol: String, hashesCol: String = null): Column = {
+  def simhash(setCol: String): Column =
+    graft.plans.NativeFunctions.simhash64(col(setCol))
+
+  def simhashHof(setCol: String, hashesCol: String = null): Column = {
     val hashes = Option(hashesCol).getOrElse(s"transform($setCol, w -> xxhash64(w))")
     expr(
       s"""aggregate(

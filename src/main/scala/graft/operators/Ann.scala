@@ -18,15 +18,22 @@ import graft.functions.Sketches
 object Ann {
 
   /** Exact cosine similarity between two double-array columns (by name):
-    * single-pass fused dot/norms via zip_with + aggregate — stays in
-    * codegen, no UDF.
+    * native codegen'd kernel (graft.plans.CosineSim) — one fused
+    * dot+norms loop per pair, no interpreted lambdas.
     */
   def cosine(a: String, b: String): org.apache.spark.sql.Column =
+    graft.plans.NativeFunctions.cosineSim(col(a), col(b))
+
+  /** HOF formulation of the same kernel — kept as the parity oracle for
+    * the native expression (AnnSpec asserts equality).
+    */
+  def cosineHof(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)") /
       (sqrt(expr(s"aggregate($a, 0.0D, (acc, x) -> acc + x * x)")) *
         sqrt(expr(s"aggregate($b, 0.0D, (acc, x) -> acc + x * x)")))
 
-  private def asDouble(c: String) = expr(s"transform($c, x -> cast(x as double))")
+  // native Cast (codegen'd), not a transform() lambda
+  private def asDouble(c: String) = col(c).cast("array<double>")
 
   /** Brute-force top-k cosine neighbours of each query vector.
     * The query set must be small (it is broadcast); the candidate corpus

@@ -26,12 +26,17 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
   /** Distinct (doc_id, shingle) pairs, with shingles appearing in more
-    * than `maxDf` documents dropped (hot-bucket cap).
+    * than `maxDf` documents dropped (hot-bucket cap). The shingle itself
+    * is carried as a 64-bit hash, not the string: the self-join and the
+    * df-count shuffle move 8-byte keys instead of ~20-byte strings, and
+    * key equality is a long compare (collision odds at 64 bits are
+    * ~n²/2⁶⁵ — negligible against corpus-level shingle counts).
     */
   def docShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 50): DataFrame = {
     val sh = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(col("doc_id"), explode(Text.shingles("w", n)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("s"))
       .distinct()
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
@@ -44,7 +49,12 @@ object Dedup {
     * sharing at least one (non-hot) shingle are ever compared.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double, n: Int = 3, maxDf: Int = 50): DataFrame = {
+    // The shingle index feeds four consumers (df-count, both join sides,
+    // per-doc sizes) — materialize it once rather than re-deriving the
+    // text→words→shingles pipeline per consumer. At warehouse scale this
+    // persist is a written shingle-index table.
     val sh = docShingles(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shared = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

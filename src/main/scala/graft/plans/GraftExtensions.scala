@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.Bridge
+
+/** Registers the graft native expressions as SQL functions
+  * (`graft_cosine`, `graft_minhash`, `graft_simhash`) via
+  * SparkSessionExtensions — installable either through
+  * `GraftSession.builder()` or with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` on any
+  * stock Spark cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (children: Seq[Expression]) => MinHashSig(children(0), children(1) match {
+        case Literal(k: Int, _) => k
+        case other => other.eval(null).asInstanceOf[Int]
+      })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
+  }
+}
+
+/** Column-level API over the native expressions (no SQL registration
+  * needed — usable on any session).
+  */
+object NativeFunctions {
+  private def col2expr(c: Column): Expression = Bridge.expression(c)
+
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.column(CosineSim(col2expr(a), col2expr(b)))
+
+  def minhashSig(arr: Column, k: Int): Column =
+    Bridge.column(MinHashSig(col2expr(arr), k))
+
+  def simhash64(arr: Column): Column =
+    Bridge.column(SimHash64(col2expr(arr)))
+}

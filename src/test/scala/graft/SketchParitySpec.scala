@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Sketches, Text}
+import graft.operators.Ann
+
+/** The native codegen kernels (graft.plans.VectorExprs) must be
+  * bit-identical to their HOF formulations — same hash chain, same fold
+  * order — so swapping them in changes nothing but speed.
+  */
+class SketchParitySpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sfDir).limit(200)
+    .select(col("doc_id"), Text.words(col("text")).as("w"))
+
+  test("native minhash signature == HOF minhash signature") {
+    val mismatches = docs
+      .select(Sketches.minhashSignature("w").as("native"),
+        Sketches.minhashSignatureHof("w").as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("native simhash == HOF simhash") {
+    val mismatches = docs
+      .select(Sketches.simhash("w").as("native"),
+        Sketches.simhashHof("w").as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("native cosine == HOF cosine (exact double equality)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+    val mismatches = a.join(b, col("ia") < col("ib")).limit(5000)
+      .select(Ann.cosine("ea", "eb").as("native"),
+        Ann.cosineHof("ea", "eb").as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_cosine is registered as a SQL function via extensions") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("sql minhash/simhash functions evaluate") {
+    import spark.implicits._
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a', 'b', 'c'), 8) AS s").as[Seq[Long]].head()
+    assert(sig.length === 8)
+    val sh = spark.sql(
+      "SELECT graft_simhash(array('a', 'b', 'c')) AS s").as[Long].head()
+    val shAgain = spark.sql(
+      "SELECT graft_simhash(array('a', 'b', 'c')) AS s").as[Long].head()
+    assert(sh === shAgain)
+  }
+}
