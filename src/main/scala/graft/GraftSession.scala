@@ -26,6 +26,10 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // saveAsTable target (bucketed-table demos, specs) — keep the
+      // warehouse out of the repo checkout
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()
