@@ -65,5 +65,37 @@ object EventQueries extends QueryFamily {
       .orderBy("ws", "event_type")
   }
 
-  val all: Seq[Q] = Seq(q53, q54, q55)
+  /** As-of join: each event picks up the latest order of the same
+    * customer known at event time (point-in-time feature attachment, no
+    * future leakage). Oracle: DuckDB's native ASOF LEFT JOIN over the
+    * same deduped snapshot.
+    */
+  val q56 = Q(
+    "q56_asof_join",
+    """WITH snap AS (
+      |  SELECT o_custkey, o_orderdate,
+      |   max(o_orderkey) AS o_orderkey,
+      |   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts,
+      | s.o_orderkey, s.o_orderdate, s.o_totalprice
+      |FROM events e ASOF LEFT JOIN snap s
+      |  ON e.user_id = s.o_custkey AND e.ts >= s.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    import graft.operators.AsOf
+    val snap = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(struct(col("o_orderkey"), col("o_totalprice"))).as("m"))
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("m.o_orderkey").as("o_orderkey"),
+        col("m.o_totalprice").as("o_totalprice"))
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    AsOf.join(ev, col("user_id"), col("ts"),
+        snap, col("o_custkey"), col("o_orderdate"))
+      .select("event_id", "user_id", "ts",
+        "o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56)
 }

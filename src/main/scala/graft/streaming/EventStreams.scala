@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input/state/output rows for the custom-state sessionizer (top level:
+  * Spark encoders can't handle inner classes).
+  */
+case class UserEvent(user_id: Long, ts: Timestamp)
+case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+case class SessionRow(user_id: Long, session_start: Timestamp,
+                      session_end: Timestamp, n_events: Long)
 
 /** Event-time analytics over the events table (SURVEY.md §2.5) — the
   * Spark answer to the reference's realtime connector surface
@@ -69,4 +80,52 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("win.start").as("session_start"),
         col("win.end").as("session_end"), col("n_events"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the shape
+    * to reach for when session logic outgrows session_window (per-session
+    * derived features, conditional splits, capped lengths). State per
+    * user is one open session; closed sessions emit immediately, the
+    * open one emits when the event-time timeout (session end + gap)
+    * passes the watermark. State is O(users), bounded by the watermark
+    * horizon — no per-event retention.
+    */
+  def statefulSessionize(events: DataFrame, gapMinutes: Int = 30,
+                         watermarkDelay: String = "10 minutes"): Dataset[SessionRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+          def emit(a: SessionAcc) = SessionRow(
+            user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n)
+          if (state.hasTimedOut) {
+            val out = emit(state.get)
+            state.remove()
+            Iterator.single(out)
+          } else {
+            val closed = Seq.newBuilder[SessionRow]
+            var acc = state.getOption
+            evs.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+              acc = acc match {
+                case Some(a) if t - a.endMs <= gapMs =>
+                  Some(SessionAcc(a.startMs, math.max(a.endMs, t), a.n + 1))
+                case Some(a) =>
+                  closed += emit(a)
+                  Some(SessionAcc(t, t, 1))
+                case None => Some(SessionAcc(t, t, 1))
+              }
+            }
+            acc.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, SessionRow}
 
 /** Structured Streaming specs (§2.5): the batch transforms of
   * EventStreams run unchanged on a stream; watermarks bound state.
@@ -61,6 +61,39 @@ class StreamingSpec extends SparkSpec {
       val out = spark.table("session_test").collect()
       assert(out.count(_.getAs[Long]("user_id") == 1L) == 2, out.mkString(","))
       assert(out.count(_.getAs[Long]("user_id") == 2L) == 1, out.mkString(","))
+    } finally query.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer: gap closes in-batch, timeout flushes the open session") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.statefulSessionize(
+        stream.toDF(), gapMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("stateful_session")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 burst of 3 + a post-gap event → first session
+      // closes within the batch
+      stream.addData(Seq(
+        Ev(1, new Timestamp(t0), 1, "click", 1.0),
+        Ev(2, new Timestamp(t0 + 60 * 1000), 1, "click", 1.0),
+        Ev(3, new Timestamp(t0 + 120 * 1000), 1, "click", 1.0),
+        Ev(4, new Timestamp(t0 + 2 * 3600 * 1000), 1, "click", 1.0)))
+      query.processAllAvailable()
+      val afterB1 = spark.table("stateful_session").as[SessionRow].collect()
+      assert(afterB1.length == 1 && afterB1.head.n_events == 3)
+      // batch 2 advances the max event time; batch 3 triggers the
+      // timeout once the watermark (maxTs - delay) passes session end+gap
+      stream.addData(Seq(Ev(5, new Timestamp(t0 + 4 * 3600 * 1000), 2, "view", 1.0)))
+      query.processAllAvailable()
+      stream.addData(Seq(Ev(6, new Timestamp(t0 + 5 * 3600 * 1000), 2, "view", 1.0)))
+      query.processAllAvailable()
+      val out = spark.table("stateful_session").as[SessionRow].collect()
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, out.mkString(","))
+      assert(u1(0).n_events == 3 && u1(1).n_events == 1)
     } finally query.stop()
   }
 
