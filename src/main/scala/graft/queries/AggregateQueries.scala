@@ -186,5 +186,25 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52)
+  /** Mergeable HLL sketches (reference: approx_set / merge /
+    * cardinality over HyperLogLog state — HyperLogLogFunctions.java:1):
+    * per-nation customer sketches union-merged up to region level
+    * without re-scanning rows — the distributed two-level rollup the
+    * sketch representation exists for. Rows-only for the driver
+    * (DuckDB has no HLL state); SketchAccuracySpec bounds the estimate
+    * against the exact count.
+    */
+  val q57 = Q.rowsOnly("q57_hll_sketch_union") { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
+      .groupBy(col("n_regionkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .cast("bigint").as("approx_customers"))
+      .orderBy("n_regionkey")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57)
 }

@@ -54,6 +54,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("UDF"), s"UDF found in optimized plan:\n$plan")
   }
 
+  test("q72 (TPC-H Q7) broadcasts both nation sides, shuffles the facts") {
+    val df = graft.queries.TpchQueries.q72.fn(spark, sfDir)
+    val plan = finalPlanString(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"nation dims not broadcast:\n$plan")
+  }
+
+  test("q75 (TPC-H Q10) pushes the returnflag filter into the lineitem scan") {
+    val df = graft.queries.TpchQueries.q75.fn(spark, sfDir)
+    val plan = planString(df)
+    assert(plan.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed:\n$plan")
+  }
+
+  test("native cosine kernel stays inside a codegen span (no CodegenFallback)") {
+    val df = graft.operators.Ann.cosineDupPairs(
+      Tables.embeddings(spark, sfDir), threshold = 0.4)
+    val plan = finalPlanString(df)
+    assert(plan.contains("graft_cosine"), s"native kernel absent:\n$plan")
+    // the operator evaluating graft_cosine must carry a codegen span id
+    // (the AQE dump repeats the subtree un-prefixed, so exists not forall)
+    val hot = plan.linesIterator.filter(_.contains("graft_cosine")).toSeq
+    assert(hot.exists(_.contains("*(")),
+      s"graft_cosine evaluated outside codegen:\n${hot.mkString("\n")}")
+  }
+
   test("partitioned parquet write is pruned on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Tables.orders(spark, sfDir)
