@@ -588,7 +588,94 @@ object RelationalQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
+  /** Multiset set ops (Presto INTERSECT ALL / EXCEPT ALL): bag
+    * semantics, occurrence counts = min / difference — distinct from
+    * q15/q16's set semantics. Output aggregated to (value, multiplicity)
+    * for a deterministic order.
+    */
+  val q58 = Q(
+    "q58_set_ops_all",
+    """WITH r AS (SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'R'),
+      |a AS (SELECT CAST(l_quantity AS INTEGER) AS qty FROM lineitem WHERE l_returnflag = 'A'),
+      |i AS (SELECT qty FROM r INTERSECT ALL SELECT qty FROM a),
+      |e AS (SELECT qty FROM r EXCEPT ALL SELECT qty FROM a)
+      |SELECT 'intersect_all' AS op, qty, count(*) AS n FROM i GROUP BY qty
+      |UNION ALL
+      |SELECT 'except_all' AS op, qty, count(*) AS n FROM e GROUP BY qty
+      |ORDER BY op, qty""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    def bag(flag: String) = li.filter(col("l_returnflag") === flag)
+      .select(col("l_quantity").cast("int").as("qty"))
+    val i = bag("R").intersectAll(bag("A"))
+      .groupBy(col("qty")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("qty"), col("n"))
+    val e = bag("R").exceptAll(bag("A"))
+      .groupBy(col("qty")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("qty"), col("n"))
+    i.unionAll(e).orderBy("op", "qty")
+  }
+
+  /** RANGE-framed window (value/time range, not row offsets): per
+    * customer, order count and spend inside a trailing 90-day window of
+    * each order. Spark rangeBetween needs a numeric sort key → epoch
+    * seconds; DuckDB frames over the timestamp directly.
+    */
+  val q59 = Q(
+    "q59_window_range_frame",
+    """SELECT o_custkey, o_orderkey,
+      | count(*) OVER w AS n_90d,
+      | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2) AS spend_90d
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+      |             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-90L * 86400, Window.currentRow)
+    Tables.orders(s, d).filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        count(lit(1)).over(w).as("n_90d"),
+        money(sum(dec(col("o_totalprice"))).over(w)).as("spend_90d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Correlated LATERAL subquery with per-row LIMIT (Presto
+    * LATERAL derived tables): top-2 nations by customer count within
+    * each region, decorrelated by Catalyst into a ranked join.
+    */
+  val q83 = Q(
+    "q83_lateral_topn",
+    """SELECT r.r_name, t.n_name, t.cnt
+      |FROM region r,
+      |LATERAL (
+      |  SELECT n.n_name, count(*) AS cnt
+      |  FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  GROUP BY n.n_name
+      |  ORDER BY cnt DESC, n.n_name
+      |  LIMIT 2
+      |) t
+      |ORDER BY r.r_name, t.cnt DESC, t.n_name""".stripMargin) { (s, d) =>
+    Tables.region(s, d).createOrReplaceTempView("graft_q83_region")
+    Tables.nation(s, d).createOrReplaceTempView("graft_q83_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_q83_customer")
+    s.sql("""
+      SELECT r.r_name, t.n_name, t.cnt
+      FROM graft_q83_region r,
+      LATERAL (
+        SELECT n.n_name, count(*) AS cnt
+        FROM graft_q83_nation n
+        JOIN graft_q83_customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY cnt DESC, n.n_name
+        LIMIT 2
+      ) t
+      ORDER BY r.r_name, t.cnt DESC, t.n_name""")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31)
+    q25, q26, q27, q28, q29, q30, q31, q58, q59, q83)
 }
