@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Spherical-geometry subset of the reference's geospatial toolkit
+  * (reference: presto-geospatial-toolkit/src/main/java/com/facebook/
+  * presto/geospatial/SphericalGeographyUtils.java:1,
+  * Rectangle.java:1). Scope: point geography — great-circle distance
+  * and bounding-box predicates — composed entirely from codegen'd
+  * built-in math functions (no custom expression needed; the brief's
+  * preference order says compose first). Full ESRI geometry types,
+  * KdbTree spatial partitioning and rtree indexing are out of scope —
+  * at Spark scale, spatial partitioning would be a Dataset bucketing
+  * concern, not an expression concern.
+  */
+object Geo {
+
+  private val EarthRadiusKm = 6371.0088
+
+  /** Great-circle distance in km between two (lat, lon) points in
+    * degrees — Vincenty sphere (atan2) formulation, not haversine:
+    * haversine is catastrophically ill-conditioned near antipodal
+    * points (asin'(√a) → ∞ as a → 1, so a last-ulp difference between
+    * engines amplifies into metres), while the atan2 form keeps both
+    * arguments well-scaled at every angle, so cross-engine trig ulp
+    * noise stays at nanometre level.
+    */
+  def stDistanceKm(lat1: Column, lon1: Column,
+                   lat2: Column, lon2: Column): Column = {
+    val p1 = radians(lat1); val p2 = radians(lat2)
+    val dLon = radians(lon2 - lon1)
+    val y = sqrt(
+      pow(cos(p2) * sin(dLon), 2) +
+        pow(cos(p1) * sin(p2) - sin(p1) * cos(p2) * cos(dLon), 2))
+    val x = sin(p1) * sin(p2) + cos(p1) * cos(p2) * cos(dLon)
+    lit(EarthRadiusKm) * atan2(y, x)
+  }
+
+  /** Axis-aligned bounding-box containment (Rectangle.contains). */
+  def bboxContains(minLat: Column, minLon: Column,
+                   maxLat: Column, maxLon: Column,
+                   lat: Column, lon: Column): Column =
+    lat >= minLat && lat <= maxLat && lon >= minLon && lon <= maxLon
+
+  /** Deterministic synthetic point for a key column: lat in [-60, 60),
+    * lon in [-180, 180), md5-derived (md5 is engine-portable, so the
+    * DuckDB oracle reproduces the same points) — the test tables carry
+    * no coordinates, so geo queries map keys to stable points.
+    */
+  def pointFor(key: Column, salt: Int): (Column, Column) = {
+    val h = conv(substring(md5(concat_ws("|", key.cast("string"), lit(salt))),
+      1, 12), 16, 10).cast("long")
+    val lat = ((h % 120000L).cast("double") / 1000.0) - 60.0
+    val lon = (((h / 120000L) % 360000L).cast("double") / 1000.0) - 180.0
+    (lat, lon)
+  }
+}

@@ -348,5 +348,65 @@ object FunctionQueries extends QueryFamily {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+  /** Geospatial subset (reference: presto-geospatial-toolkit
+    * SphericalGeographyUtils.java:1): great-circle distance + bbox
+    * containment over deterministic md5-derived points (the tables have
+    * no coordinates). floor'd km so libm-vs-Math trig ulp differences
+    * can't flip a rounded digit.
+    */
+  val q84 = Q(
+    "q84_geo_distance",
+    """WITH c AS (
+      | SELECT c_custkey, c_nationkey,
+      |  (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS lat,
+      |  (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lon
+      | FROM customer),
+      |n AS (
+      | SELECT n_nationkey, n_name,
+      |  (CAST(CAST('0x' || substr(md5(CAST(n_nationkey AS VARCHAR) || '|' || '11'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS clat,
+      |  (CAST((CAST('0x' || substr(md5(CAST(n_nationkey AS VARCHAR) || '|' || '11'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS clon
+      | FROM nation),
+      |d AS (
+      | SELECT n_name,
+      |  6371.0088 * atan2(
+      |    sqrt(pow(cos(radians(clat)) * sin(radians(clon - lon)), 2) +
+      |         pow(cos(radians(lat)) * sin(radians(clat))
+      |             - sin(radians(lat)) * cos(radians(clat)) * cos(radians(clon - lon)), 2)),
+      |    sin(radians(lat)) * sin(radians(clat))
+      |      + cos(radians(lat)) * cos(radians(clat)) * cos(radians(clon - lon))) AS dist_km,
+      |  CASE WHEN lat >= -30 AND lat <= 30 AND lon >= -90 AND lon <= 90 THEN 1 ELSE 0 END AS in_box
+      | FROM c JOIN n ON c.c_nationkey = n.n_nationkey)
+      |SELECT n_name, count(*) AS n_cust,
+      | CAST(sum(CASE WHEN dist_km <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_within_5000km,
+      | CAST(floor(avg(dist_km)) AS BIGINT) AS avg_dist_km,
+      | CAST(sum(in_box) AS BIGINT) AS n_in_tropic_box
+      |FROM d
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    import graft.functions.Geo
+    val (lat, lon) = Geo.pointFor(col("c_custkey"), 7)
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        lat.as("lat"), lon.as("lon"))
+    val (clat, clon) = Geo.pointFor(col("n_nationkey"), 11)
+    val n = Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"),
+        clat.as("clat"), clon.as("clon"))
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("dist_km",
+        Geo.stDistanceKm(col("lat"), col("lon"), col("clat"), col("clon")))
+      .withColumn("in_box",
+        when(Geo.bboxContains(lit(-30), lit(-90), lit(30), lit(90),
+          col("lat"), col("lon")), 1).otherwise(0))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(when(col("dist_km") <= 5000, 1).otherwise(0)).cast("bigint")
+          .as("n_within_5000km"),
+        floor(avg(col("dist_km"))).cast("bigint").as("avg_dist_km"),
+        sum(col("in_box")).cast("bigint").as("n_in_tropic_box"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84)
 }
