@@ -52,7 +52,12 @@ object Geo {
     val h = conv(substring(md5(concat_ws("|", key.cast("string"), lit(salt))),
       1, 12), 16, 10).cast("long")
     val lat = ((h % 120000L).cast("double") / 1000.0) - 60.0
-    val lon = (((h / 120000L) % 360000L).cast("double") / 1000.0) - 180.0
+    // integer division, not bare `/`: Spark's `/` on longs is double
+    // division, which would leak a fractional remainder into the modulus
+    // (the DuckDB oracle uses `//`). Subtracting the remainder first makes
+    // the double quotient an exactly-representable integer (h < 2^48).
+    val hDiv = ((h - (h % 120000L)) / 120000L).cast("long")
+    val lon = ((hDiv % 360000L).cast("double") / 1000.0) - 180.0
     (lat, lon)
   }
 }

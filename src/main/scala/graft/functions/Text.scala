@@ -22,7 +22,11 @@ object Text {
     */
   def shingles(wordsCol: String, n: Int = 3): Column = {
     val parts = (0 until n).map(k => s"element_at($wordsCol, i + $k)").mkString(", ")
-    expr(s"transform(sequence(1, greatest(size($wordsCol) - ${n - 1}, 0)), i -> concat_ws(' ', $parts))")
+    // short-doc guard: below n words the sequence bound would be ≤ 0, and
+    // sequence(1, 0) steps DOWN to [1, 0] — element_at(words, 0) errors.
+    expr(s"CASE WHEN size($wordsCol) >= $n " +
+      s"THEN transform(sequence(1, size($wordsCol) - ${n - 1}), i -> concat_ws(' ', $parts)) " +
+      "ELSE array() END")
   }
 
   /** Count of words (with repetition) that appear in a fixed vocabulary. */

@@ -22,8 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSig(children(0), children(1) match {
-        case Literal(k: Int, _) => k
-        case other => other.eval(null).asInstanceOf[Int]
+        // accept any integral literal (an INT constant parses as
+        // IntegerType but a long literal / typed parameter is BIGINT)
+        case Literal(k: Number, _) => k.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_minhash(arr, k): k must be an integer literal, got $other")
       })))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash"),

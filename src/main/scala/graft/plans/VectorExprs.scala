@@ -43,12 +43,26 @@ case class CosineSim(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // null on dimension mismatch (not just null inputs)
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    // mismatched dimensions → null, matching the HOF formulation's
+    // zip_with null padding — dimension bugs surface instead of
+    // silently scoring a truncated prefix
+    if (x.numElements() != y.numElements()) null
+    else CosineSim.compute(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.CosineSim.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.CosineSim.compute($a, $b);
+      }
+    """)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

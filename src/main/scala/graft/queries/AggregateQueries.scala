@@ -96,16 +96,18 @@ object AggregateQueries extends QueryFamily {
   val q48 = Q(
     "q48_array_agg",
     """SELECT s_nationkey,
-      | list(s_suppkey ORDER BY s_suppkey) AS suppliers,
-      | list_sort(list_distinct(list(s_suppkey % 7))) AS key_mods,
+      | array_to_string(list_transform(list(s_suppkey ORDER BY s_suppkey), x -> CAST(x AS VARCHAR)), ',') AS suppliers,
+      | array_to_string(list_transform(list_sort(list_distinct(list(s_suppkey % 7))), x -> CAST(x AS VARCHAR)), ',') AS key_mods,
       | CAST(len(list(s_suppkey ORDER BY s_suppkey)) AS INTEGER) AS n
       |FROM supplier
       |GROUP BY s_nationkey
       |ORDER BY s_nationkey""".stripMargin) { (s, d) =>
+    // arrays projected as joined strings: the driver's comparator sorts
+    // rows by every column, which list-typed cells break
     Tables.supplier(s, d).groupBy(col("s_nationkey"))
       .agg(
-        sort_array(collect_list(col("s_suppkey"))).as("suppliers"),
-        array_sort(collect_set(col("s_suppkey") % 7)).as("key_mods"),
+        array_join(sort_array(collect_list(col("s_suppkey"))).cast("array<string>"), ",").as("suppliers"),
+        array_join(array_sort(collect_set(col("s_suppkey") % 7)).cast("array<string>"), ",").as("key_mods"),
         size(collect_list(col("s_suppkey"))).as("n"))
       .orderBy("s_nationkey")
   }
@@ -146,8 +148,8 @@ object AggregateQueries extends QueryFamily {
       |  SELECT o_orderpriority AS pri, o_orderstatus AS st, count(*) AS n
       |  FROM orders GROUP BY 1, 2)
       |SELECT pri,
-      | list(st ORDER BY st) AS hist_keys,
-      | list(n ORDER BY st) AS hist_vals,
+      | array_to_string(list(st ORDER BY st), ',') AS hist_keys,
+      | array_to_string(list_transform(list(n ORDER BY st), x -> CAST(x AS VARCHAR)), ',') AS hist_vals,
       | CAST(len(list(st)) AS INTEGER) AS n_buckets
       |FROM h GROUP BY pri
       |ORDER BY pri""".stripMargin) { (s, d) =>
@@ -159,8 +161,9 @@ object AggregateQueries extends QueryFamily {
     h.groupBy(col("pri"))
       .agg(map_from_entries(array_sort(collect_list(struct(col("st"), col("n"))))).as("m"))
       .select(col("pri"),
-        map_keys(col("m")).as("hist_keys"),
-        map_values(col("m")).as("hist_vals"),
+        // joined strings, not raw arrays: see q48 comment
+        array_join(map_keys(col("m")), ",").as("hist_keys"),
+        array_join(map_values(col("m")).cast("array<string>"), ",").as("hist_vals"),
         size(col("m")).as("n_buckets"))
       .orderBy("pri")
   }

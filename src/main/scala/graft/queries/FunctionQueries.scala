@@ -162,8 +162,8 @@ object FunctionQueries extends QueryFamily {
     """SELECT doc_id,
       | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
       | list_contains(string_split(text, ' '), 'data') AS has_data,
-      | list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_distinct,
-      | string_split(text, ' ')[2:4] AS w2to4,
+      | array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first_distinct,
+      | array_to_string(string_split(text, ' ')[2:4], ',') AS w2to4,
       | string_split(text, ' ')[3] AS w3,
       | CAST(list_max(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS max_wlen,
       | CAST(list_min(list_transform(string_split(text, ' '), w -> length(w))) AS INTEGER) AS min_wlen,
@@ -175,8 +175,10 @@ object FunctionQueries extends QueryFamily {
       .select(col("doc_id"),
         size(words).as("n_words"),
         array_contains(words, "data").as("has_data"),
-        slice(array_sort(array_distinct(words)), 1, 5).as("first_distinct"),
-        slice(words, 2, 3).as("w2to4"),
+        // arrays are projected as joined strings: the driver's comparator
+        // sorts rows by every column, which list-typed cells break
+        array_join(slice(array_sort(array_distinct(words)), 1, 5), ",").as("first_distinct"),
+        array_join(slice(words, 2, 3), ",").as("w2to4"),
         element_at(words, 3).as("w3"),
         array_max(transform(words, w => length(w))).as("max_wlen"),
         array_min(transform(words, w => length(w))).as("min_wlen"),
@@ -187,8 +189,8 @@ object FunctionQueries extends QueryFamily {
   val q38 = Q(
     "q38_lambda_funcs",
     """SELECT doc_id,
-      | list_transform(string_split(text, ' '), w -> CAST(length(w) AS INTEGER))[1:8] AS wlens,
-      | list_filter(string_split(text, ' '), w -> length(w) > 5)[1:5] AS longwords,
+      | coalesce(array_to_string(list_transform(string_split(text, ' '), w -> CAST(length(w) AS VARCHAR))[1:8], ','), '') AS wlens,
+      | coalesce(array_to_string(list_filter(string_split(text, ' '), w -> length(w) > 5)[1:5], ','), '') AS longwords,
       | CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS total_chars,
       | CAST(len(list_filter(string_split(text, ' '), w -> w = 'data')) AS INTEGER) AS n_data
       |FROM documents WHERE doc_id < 100
@@ -196,8 +198,8 @@ object FunctionQueries extends QueryFamily {
     val words = split(col("text"), " ")
     Tables.documents(s, d).filter(col("doc_id") < 100)
       .select(col("doc_id"),
-        slice(transform(words, w => length(w)), 1, 8).as("wlens"),
-        slice(filter(words, w => length(w) > 5), 1, 5).as("longwords"),
+        array_join(slice(transform(words, w => length(w)), 1, 8).cast("array<string>"), ",").as("wlens"),
+        array_join(slice(filter(words, w => length(w) > 5), 1, 5), ",").as("longwords"),
         aggregate(transform(words, w => length(w)), lit(0L), (acc, x) => acc + x).as("total_chars"),
         size(filter(words, w => w === "data")).as("n_data"))
       .orderBy("doc_id")
@@ -275,8 +277,8 @@ object FunctionQueries extends QueryFamily {
       |  SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS n
       |  FROM lineitem GROUP BY 1, 2)
       |SELECT rf,
-      | list(ls ORDER BY ls) AS statuses,
-      | list(n ORDER BY ls) AS counts,
+      | array_to_string(list(ls ORDER BY ls), ',') AS statuses,
+      | array_to_string(list_transform(list(n ORDER BY ls), x -> CAST(x AS VARCHAR)), ',') AS counts,
       | CAST(len(list(ls ORDER BY ls)) AS INTEGER) AS map_size,
       | max(CASE WHEN ls = 'F' THEN n END) AS f_count
       |FROM per GROUP BY rf
@@ -291,8 +293,9 @@ object FunctionQueries extends QueryFamily {
     per.groupBy(col("rf"))
       .agg(map_from_entries(array_sort(collect_list(struct(col("ls"), col("n"))))).as("m"))
       .select(col("rf"),
-        map_keys(col("m")).as("statuses"),
-        map_values(col("m")).as("counts"),
+        // joined strings, not raw arrays: see q37 comment
+        array_join(map_keys(col("m")), ",").as("statuses"),
+        array_join(map_values(col("m")).cast("array<string>"), ",").as("counts"),
         size(col("m")).as("map_size"),
         element_at(col("m"), "F").as("f_count"))
       .orderBy("rf")

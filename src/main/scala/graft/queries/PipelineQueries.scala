@@ -200,9 +200,9 @@ object PipelineQueries extends QueryFamily {
     "q70_multimodal_meta",
     """SELECT doc_id,
       | CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
-      | CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte,
+      | CAST(('0x' || substr(hex(text::BLOB), 1, 2)) AS INTEGER) AS first_byte,
       | CAST(octet_length(text::BLOB) % 64 + 1 AS INTEGER) AS fake_width,
-      | CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER) AS fake_height,
+      | CAST(CAST(('0x' || substr(hex(text::BLOB), 1, 2)) AS INTEGER) % 64 + 1 AS INTEGER) AS fake_height,
       | CAST(octet_length(text::BLOB) % 10 + 1 AS INTEGER) AS fake_frames
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>

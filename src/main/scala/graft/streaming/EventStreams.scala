@@ -83,11 +83,16 @@ object EventStreams {
 
   /** Custom-state sessionization via flatMapGroupsWithState — the shape
     * to reach for when session logic outgrows session_window (per-session
-    * derived features, conditional splits, capped lengths). State per
-    * user is one open session; closed sessions emit immediately, the
-    * open one emits when the event-time timeout (session end + gap)
-    * passes the watermark. State is O(users), bounded by the watermark
-    * horizon — no per-event retention.
+    * derived features, conditional splits, capped lengths).
+    *
+    * State per user is the list of sessions not yet finalized by the
+    * watermark. A session only emits once the watermark passes
+    * session_end + gap — until then a late-but-admitted event may still
+    * extend it (or bridge two of them), so emitting earlier would produce
+    * overlapping duplicates in Append mode. A late event that lands
+    * before a session's start lowers session_start (min-merge), it never
+    * spawns a second overlapping session. State is O(users × sessions
+    * inside the watermark horizon) — no per-event retention.
     */
   def statefulSessionize(events: DataFrame, gapMinutes: Int = 30,
                          watermarkDelay: String = "10 minutes"): Dataset[SessionRow] = {
@@ -98,34 +103,32 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .as[UserEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAcc, SessionRow](
+      .flatMapGroupsWithState[List[SessionAcc], SessionRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, evs: Iterator[UserEvent], state: GroupState[SessionAcc]) =>
+        (user: Long, evs: Iterator[UserEvent], state: GroupState[List[SessionAcc]]) =>
           def emit(a: SessionAcc) = SessionRow(
             user, new Timestamp(a.startMs), new Timestamp(a.endMs), a.n)
-          if (state.hasTimedOut) {
-            val out = emit(state.get)
-            state.remove()
-            Iterator.single(out)
-          } else {
-            val closed = Seq.newBuilder[SessionRow]
-            var acc = state.getOption
-            evs.map(_.ts.getTime).toSeq.sorted.foreach { t =>
-              acc = acc match {
-                case Some(a) if t - a.endMs <= gapMs =>
-                  Some(SessionAcc(a.startMs, math.max(a.endMs, t), a.n + 1))
-                case Some(a) =>
-                  closed += emit(a)
-                  Some(SessionAcc(t, t, 1))
-                case None => Some(SessionAcc(t, t, 1))
-              }
+          // fold each event into every session within gap reach (an event
+          // can bridge two sessions into one); otherwise open a new one
+          var sessions = state.getOption.getOrElse(Nil)
+          evs.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            val (near, far) = sessions.partition(a =>
+              t >= a.startMs - gapMs && t <= a.endMs + gapMs)
+            val merged = near.foldLeft(SessionAcc(t, t, 1)) { (m, a) =>
+              SessionAcc(math.min(m.startMs, a.startMs),
+                math.max(m.endMs, a.endMs), m.n + a.n)
             }
-            acc.foreach { a =>
-              state.update(a)
-              state.setTimeoutTimestamp(a.endMs + gapMs)
-            }
-            closed.result().iterator
+            sessions = merged :: far
           }
+          // finalize everything the watermark has passed; hold the rest
+          val wm = state.getCurrentWatermarkMs()
+          val (done, pending) = sessions.partition(_.endMs + gapMs <= wm)
+          if (pending.isEmpty) state.remove()
+          else {
+            state.update(pending)
+            state.setTimeoutTimestamp(pending.map(_.endMs + gapMs).min)
+          }
+          done.sortBy(_.startMs).map(emit).iterator
       }
   }
 }
