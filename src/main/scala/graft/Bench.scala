@@ -27,12 +27,15 @@ object Bench {
             name -> Left("err")
         }
       }
+    // Keep the JSON line compact (3-decimal seconds): the driver captures
+    // only the tail of stdout, and a full-precision line overflows it.
+    def fmt(v: Double): String = f"$v%.3f"
     val qs = results.map {
-      case (k, Right(v)) => s""""$k":$v"""
+      case (k, Right(v)) => s""""$k":${fmt(v)}"""
       case (k, Left(_))  => s""""$k":"err""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

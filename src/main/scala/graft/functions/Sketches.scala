@@ -61,6 +61,68 @@ object Sketches {
          |  0L, (acc, x) -> acc | x)""".stripMargin)
   }
 
+  // ---- SQL-replayable (oracle-able) sketch family ----------------------
+  // md5-derived 60-bit base hashes + affine slot mixing mod 2^31−1: every
+  // step is portable SQL, so the DuckDB oracle replays the whole pipeline
+  // (graft.plans.Affine holds the shared constants).
+
+  /** Per-element 60-bit md5-derived hashes, as array<bigint>. Built-ins
+    * only (md5/conv/substr are codegen'd; the per-document transform
+    * lambda is fine off the pair hot path). Full 60 bits — simhash needs
+    * every bit to carry signal.
+    */
+  def md5Hashes(setCol: String): Column =
+    expr(s"transform($setCol, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))")
+
+  /** [[md5Hashes]] reduced mod P — the input domain of the affine
+    * minhash mixing (keeps a·h + b inside 2^62).
+    */
+  def md5HashesModP(setCol: String): Column =
+    expr(s"transform($setCol, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % ${graft.plans.Affine.P}L)")
+
+  /** Affine MinHash signature over pre-hashed elements (native kernel). */
+  def minhashAffine(hashesCol: String, k: Int = 32): Column =
+    graft.plans.NativeFunctions.minhashAffine(col(hashesCol), k)
+
+  /** HOF formulation of [[minhashAffine]] — parity oracle for the kernel. */
+  def minhashAffineHof(hashesCol: String, k: Int = 32): Column = {
+    val as = (0 until k).map(graft.plans.Affine.a).mkString(", ")
+    val bs = (0 until k).map(graft.plans.Affine.b).mkString(", ")
+    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($hashesCol, h -> " +
+      s"(element_at(array($as), cast(i as int) + 1) * h + element_at(array($bs), cast(i as int) + 1)) % ${graft.plans.Affine.P}L)))")
+  }
+
+  /** Majority-vote SimHash over the low `bits` bits of pre-hashed
+    * elements (native kernel).
+    */
+  def simhashBits(hashesCol: String, bits: Int = 60): Column =
+    graft.plans.NativeFunctions.simhashBits(col(hashesCol), bits)
+
+  /** HOF formulation of [[simhashBits]] — parity oracle for the kernel. */
+  def simhashBitsHof(hashesCol: String, bits: Int = 60): Column =
+    expr(
+      s"""aggregate(
+         |  transform(sequence(0, ${bits - 1}), b ->
+         |    if(2 * size(filter($hashesCol, h -> (shiftright(h, cast(b as int)) & 1L) = 1L)) > size($hashesCol),
+         |       shiftleft(1L, cast(b as int)), 0L)),
+         |  0L, (acc, x) -> acc | x)""".stripMargin)
+
+  /** Band keys of an affine minhash signature as joined strings (string
+    * equality is portable; no second hash needed): one key per band of
+    * `rowsPerBand` slots.
+    */
+  def affineBandKeys(sigCol: String, k: Int = 32, rowsPerBand: Int = 4): Column = {
+    val nBands = k / rowsPerBand
+    expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
+      s"concat_ws(',', transform(slice($sigCol, cast(b as int) * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string))))")
+  }
+
+  /** The 15-bit chunks of a 60-bit simhash (hamming-bucket candidate
+    * generation, pigeonhole over 4 chunks).
+    */
+  def simhash60Chunks(hashCol: String): Column =
+    expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, cast(j as int) * 15) & 32767L)")
+
   /** The 16-bit chunks of a simhash (for hamming-bucket candidate
     * generation: two hashes within hamming distance 3 share at least one
     * of 4 chunks by pigeonhole).

@@ -80,12 +80,17 @@ object Dedup {
     // Sign over 3-gram shingles (same feature set as jaccardPairs) — word
     // sets are too coarse: a shared vocabulary makes all word-Jaccards
     // high, while shingle-Jaccard discriminates documents.
+    // md5+affine sketch family (not xxhash64): every step is portable
+    // SQL, so the DuckDB oracle replays this pipeline end to end.
     val sigs = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(col("doc_id"), Text.shingles("w").as("sh"))
-      .select(col("doc_id"), Sketches.minhashSignature("sh", k).as("sig"))
+      .filter(size(col("sh")) > 0) // no shingles → no similarity evidence
+      .select(col("doc_id"), Sketches.md5HashesModP("sh").as("hs"))
+      .select(col("doc_id"), Sketches.minhashAffine("hs", k).as("sig"))
     val bands = sigs
-      .select(col("doc_id"), col("sig"), posexplode(Sketches.bandKeys("sig", k, rowsPerBand)))
+      .select(col("doc_id"), col("sig"),
+        posexplode(Sketches.affineBandKeys("sig", k, rowsPerBand)))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
     val bounded = bands.withColumn("bucket_n",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
@@ -102,16 +107,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
-  /** SimHash near-duplicate candidates: 64-bit sketch, bucketed on its
-    * four 16-bit chunks (pigeonhole: hamming ≤ 3 ⟹ some chunk equal),
-    * verified by exact hamming distance.
+  /** SimHash near-duplicate candidates: 60-bit md5+affine sketch (SQL-
+    * replayable — see [[minhashCandidates]]), bucketed on its four 15-bit
+    * chunks (pigeonhole: hamming ≤ 3 ⟹ some chunk equal), verified by
+    * exact hamming distance.
     */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"), Sketches.simhash("w").as("sh"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), Sketches.md5Hashes("w").as("hs"))
+      .select(col("doc_id"), Sketches.simhashBits("hs", 60).as("sh"))
     val chunks = hashed
-      .select(col("doc_id"), col("sh"), posexplode(Sketches.simhashChunks("sh")))
+      .select(col("doc_id"), col("sh"), posexplode(Sketches.simhash60Chunks("sh")))
       .select(col("doc_id"), col("sh"), col("pos").as("chunk"), col("col").as("ckey"))
     chunks.as("a")
       .join(chunks.as("b"),

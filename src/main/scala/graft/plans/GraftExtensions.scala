@@ -49,4 +49,10 @@ object NativeFunctions {
 
   def simhash64(arr: Column): Column =
     Bridge.column(SimHash64(col2expr(arr)))
+
+  def minhashAffine(hashes: Column, k: Int): Column =
+    Bridge.column(MinHashAffine(col2expr(hashes), k))
+
+  def simhashBits(hashes: Column, bits: Int): Column =
+    Bridge.column(SimHashBits(col2expr(hashes), bits))
 }

@@ -153,6 +153,116 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Deterministic affine-permutation constants for the ORACLE-ABLE sketch
+  * family (MinHashAffine / SimHashBits). Unlike the xxhash64 kernels
+  * above, every step of this scheme is expressible in portable SQL
+  * (md5 → 60-bit int → affine mix mod 2^31−1), so the DuckDB oracle can
+  * replay the whole dedup pipeline — the driver's strongest check.
+  * The xxhash64 kernels remain the faster non-oracled variant.
+  */
+object Affine {
+  /** Mersenne prime 2^31 − 1: (a·h + b) % P stays within 2^62 for
+    * h, a < P, so the mix needs no modmul tricks in SQL or Java.
+    */
+  val P = 2147483647L
+  /** Knuth multiplicative constant spreads slot indices; +1 keeps a ≠ 0. */
+  def a(i: Int): Long = (2654435761L * (i + 1)) % (P - 1) + 1
+  def b(i: Int): Long = (2654435761L * 40503L * (i + 1)) % P
+}
+
+/** sig[i] = min over h in the input array<bigint> (pre-reduced mod P) of
+  * (a_i·h + b_i) mod P — the SQL-replayable MinHash. Empty input → k
+  * null slots.
+  */
+case class MinHashAffine(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_affine requires an array<bigint> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash_affine"
+
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashAffine.compute(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.MinHashAffine.compute($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashAffine =
+    copy(child = newChild)
+}
+
+object MinHashAffine {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < k) {
+      val a = Affine.a(i); val b = Affine.b(i)
+      var j = 0
+      while (j < n) {
+        val h = (a * arr.getLong(j) + b) % Affine.P
+        if (h < mins(i)) mins(i) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Majority-vote SimHash over the low `bits` bits of pre-hashed
+  * array<bigint> elements — the SQL-replayable SimHash (60 bits: the
+  * md5-derived base hash carries 15 hex digits). Tie → bit unset,
+  * matching 2·count > n in SQL.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash_bits requires an array<bigint> input, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_bits"
+
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashBits.compute(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.SimHashBits.compute($a, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+object SimHashBits {
+  def compute(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      j += 1
+    }
+    var res = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * counts(b) > n) res |= (1L << b)
+      b += 1
+    }
+    res
+  }
+}
+
 object SimHash64 {
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()

@@ -59,12 +59,58 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_a", "doc_b")
   }
 
-  val q62 = Q.rowsOnly("q62_dedup_minhash") { (s, d) =>
+  // 60-bit md5-derived element hash — the base of the SQL-replayable
+  // sketch family (graft.plans.Affine mirrors this in the native
+  // kernels). Minhash reduces it mod 2^31−1 for the affine mixing;
+  // simhash keeps all 60 bits (every bit must carry signal).
+  private val H0 = "CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)"
+  private val H0P = s"$H0 % 2147483647"
+
+  // the k=32 affine slot minima, generated from the same constants the
+  // native MinHashAffine kernel uses
+  private val SIG = (0 until 32).map { i =>
+    s"list_min(list_transform(hs, h -> (${graft.plans.Affine.a(i)} * h + ${graft.plans.Affine.b(i)}) % 2147483647))"
+  }.mkString("[", ", ", "]")
+
+  val q62 = Q(
+    "q62_dedup_minhash",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |s AS (SELECT doc_id, $SHINGLES AS sh FROM d),
+       |hs AS (SELECT doc_id, list_transform(sh, x -> $H0P) AS hs FROM s WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, $SIG AS sig FROM hs),
+       |bands AS (SELECT doc_id, sig, band,
+       |   array_to_string(list_transform(sig[band*4+1 : band*4+4], x -> CAST(x AS VARCHAR)), ',') AS bkey
+       | FROM sig, (SELECT unnest(range(8)) AS band) t),
+       |bn AS (SELECT band, bkey, count(*) AS n FROM bands GROUP BY 1, 2),
+       |bounded AS (SELECT bands.doc_id, bands.sig, bands.band, bands.bkey
+       | FROM bands JOIN bn USING (band, bkey) WHERE bn.n <= 20),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       | FROM bounded a JOIN bounded b
+       |   ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       | round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
+       |FROM pairs
+       |WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.minhashCandidates(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
   }
 
-  val q63 = Q.rowsOnly("q63_dedup_simhash") { (s, d) =>
+  val q63 = Q(
+    "q63_dedup_simhash",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |hs AS (SELECT doc_id, list_transform(w, x -> $H0) AS hs FROM d WHERE len(w) > 0),
+       |fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), b ->
+       |   CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) > len(hs)
+       |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh FROM hs),
+       |chunks AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ckey
+       | FROM fp, (SELECT unnest(range(4)) AS chunk) t),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+       | FROM chunks a JOIN chunks b
+       |   ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 6)
       .orderBy("doc_a", "doc_b")
   }
