@@ -27,12 +27,14 @@ object Bench {
             name -> Left("err")
         }
       }
-    // Keep the JSON line compact (3-decimal seconds): the driver captures
-    // only the tail of stdout, and a full-precision line overflows it.
+    // Keep the JSON line compact (qNN keys, 3-decimal seconds): the driver
+    // captures only the tail of stdout, and a full-names line risks
+    // overflowing it (the r2 line was cut mid-stream and parsed as null).
     def fmt(v: Double): String = f"$v%.3f"
+    def key(k: String): String = k.takeWhile(_ != '_')
     val qs = results.map {
-      case (k, Right(v)) => s""""$k":${fmt(v)}"""
-      case (k, Left(_))  => s""""$k":"err""""
+      case (k, Right(v)) => s""""${key(k)}":${fmt(v)}"""
+      case (k, Left(_))  => s""""${key(k)}":"err""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

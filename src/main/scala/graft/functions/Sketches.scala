@@ -130,9 +130,34 @@ object Sketches {
   def simhashChunks(hashCol: String): Column =
     expr(s"transform(sequence(0, 3), j -> shiftright($hashCol, j * 16) & 65535L)")
 
-  /** Random-hyperplane LSH bucket id over a double-array column: bit i is
-    * the sign of the projection onto a deterministic ±1 hyperplane derived
-    * from xxhash64(i, j). Buckets cluster by cosine direction (Charikar '02).
+  /** Deterministic ±1 hyperplane components for the SQL-replayable LSH
+    * bucketing: sign(i, j) = parity of (a_i·(j+1) + b_i) mod P, from the
+    * same Affine constants as the minhash family. Generated in Scala and
+    * embedded as literals on BOTH engines, so the DuckDB oracle replays
+    * the exact bucketing.
+    */
+  def hyperplaneSigns(nBits: Int, dim: Int): Seq[Seq[Int]] =
+    (0 until nBits).map { i =>
+      (0 until dim).map { j =>
+        val v = (graft.plans.Affine.a(i) * (j + 1) + graft.plans.Affine.b(i)) % graft.plans.Affine.P
+        if (v % 2 == 1) 1 else -1
+      }
+    }
+
+  /** Random-hyperplane LSH bucket id over a double-array column, using
+    * [[hyperplaneSigns]] literal hyperplanes (Charikar '02 — buckets
+    * cluster by cosine direction). bit i = sign(projection onto plane i).
+    */
+  def affineHyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column = {
+    val terms = hyperplaneSigns(nBits, dim).zipWithIndex.map { case (hp, i) =>
+      val arr = hp.map(s => s"${s}.0D").mkString(", ")
+      s"if(aggregate(zip_with($vecCol, array($arr), (x, h) -> x * h), 0.0D, (a, v) -> a + v) > 0D, ${1L << i}L, 0L)"
+    }
+    expr(terms.mkString("(", " + ", ")"))
+  }
+
+  /** xxhash64-derived variant of [[affineHyperplaneBucket]] (not SQL-
+    * replayable; kept as the non-oracled fast path).
     */
   def hyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column =
     expr(

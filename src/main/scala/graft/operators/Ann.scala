@@ -60,11 +60,11 @@ object Ann {
   def lshKnn(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 4): DataFrame = {
     val dim = 64
     val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
-      .withColumn("bucket", Sketches.hyperplaneBucket("ce", nBits, dim))
+      .withColumn("bucket", Sketches.affineHyperplaneBucket("ce", nBits, dim))
     val probes = expr(
       s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
     val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
-      .withColumn("bucket", Sketches.hyperplaneBucket("qe", nBits, dim))
+      .withColumn("bucket", Sketches.affineHyperplaneBucket("qe", nBits, dim))
       .select(col("qid"), col("qe"), explode(probes).as("bucket")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     c.join(q, Seq("bucket")).filter(col("qid") =!= col("cid"))

@@ -132,7 +132,31 @@ object PipelineQueries extends QueryFamily {
       .orderBy("qid", "rn")
   }
 
-  val q65 = Q.rowsOnly("q65_embedding_knn_lsh") { (s, d) =>
+  // The LSH hyperplanes are literal ±1 arrays generated from the shared
+  // Affine constants — embedded identically on both engines, so the
+  // oracle replays bucketing + probing + ranking end to end.
+  private val q65Oracle: String = {
+    val nBits = 4
+    val hps = graft.functions.Sketches.hyperplaneSigns(nBits, dim = 64)
+    val bucketExpr = hps.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN list_dot_product(emb, [${hp.map(s => s"$s.0").mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until nBits).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM b WHERE vec_id < 10),
+       |probes AS (SELECT qid, qe, unnest([$probeList]) AS bucket FROM q),
+       |cand AS (SELECT p.qid, p.qe, c.vec_id AS cid, c.emb AS ce
+       |         FROM probes p JOIN b c USING (bucket) WHERE p.qid <> c.vec_id),
+       |rk AS (SELECT qid, cid, round(list_cosine_similarity(qe, ce), 4) AS sim,
+       |         CAST(row_number() OVER (PARTITION BY qid
+       |           ORDER BY round(list_cosine_similarity(qe, ce), 4) DESC, cid) AS INTEGER) AS rn
+       |       FROM cand)
+       |SELECT qid, cid, sim, rn FROM rk WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
+  val q65 = Q("q65_embedding_knn_lsh", q65Oracle) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     Ann.lshKnn(embs, embs.filter(col("vec_id") < 10), k = 5, nBits = 4)
       .orderBy("qid", "rn")
