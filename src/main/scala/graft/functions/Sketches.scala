@@ -156,6 +156,75 @@ object Sketches {
     expr(terms.mkString("(", " + ", ")"))
   }
 
+  // ---- SQL-replayable HyperLogLog (m = 2^p registers) ------------------
+  // Flajolet '07 HLL over the md5-derived 60-bit hash: bucket = h mod m,
+  // rank = trailing zeros of (h div m) + 1, register = max rank. The
+  // harmonic sum is kept in exact integer form (sum of 2^(K - r), K =
+  // 61 - p, max 2^61 < Long.Max) so Spark and DuckDB agree bit-for-bit;
+  // the only float op is the final numerator / S division (IEEE-exact
+  // on both engines). Reference semantics:
+  // presto-main/src/main/java/com/facebook/presto/operator/aggregation/
+  // ApproximateCountDistinctAggregation.java:1 (approx_distinct).
+
+  /** alpha_m * m^2 * 2^K — the HLL estimator numerator, embedded as the
+    * same double literal on both engines (Double.toString round-trips).
+    */
+  def hllNumerator(p: Int): Double = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1 + 1.079 / m.toDouble)
+    }
+    alpha * m.toDouble * m.toDouble * math.pow(2.0, 61 - p)
+  }
+
+  /** 60-bit md5-derived hash of a value (rendered via cast-to-string). */
+  def hllHash(valueSql: String): Column =
+    expr(s"cast(conv(substr(md5(cast(($valueSql) as string)), 1, 15), 16, 10) as bigint)")
+
+  /** Rank (trailing zeros + 1) of the non-bucket hash bits `wCol`;
+    * w = 0 → K (all 60 − p bits zero). round(log2(w & −w)) is exact:
+    * w & −w is a power of two and log2 errs ≪ 0.5 ulp of an integer.
+    */
+  def hllRho(wCol: String, p: Int): Column =
+    expr(s"if($wCol = 0, ${61 - p}, cast(round(log2($wCol & -$wCol)) as int) + 1)")
+
+  /** Exact-integer harmonic sum over the present registers `rCol` of a
+    * group: S = Σ 2^(K − r) + (m − #present) · 2^K. Estimate =
+    * floor(hllNumerator / S).
+    */
+  def hllHarmonicSum(rCol: String, p: Int): Column = {
+    val k = 61 - p
+    expr(s"sum(shiftleft(1L, $k - $rCol)) + (${1 << p} - count(1)) * ${1L << k}L")
+  }
+
+  /** HLL estimate from the harmonic sum and present-bucket count, with
+    * the linear-counting small-range correction (Flajolet '07 §4): when
+    * raw ≤ 2.5·m and some buckets are empty, estimate m·ln(m/V) instead.
+    * Branch + arithmetic are IEEE-identical across engines; ln's ≤1-ulp
+    * engine variance is 9 orders of magnitude below the closest integer
+    * boundary of m·ln(m/V) (min distance 3.8e-4 at p=8), so floor() is
+    * stable. Mirrored in SQL by [[hllEstimateDuckSql]].
+    */
+  def hllEstimate(hsumCol: String, nbCol: String, p: Int): Column = {
+    val m = 1 << p
+    val num = hllNumerator(p)
+    expr(s"cast(floor(if(cast($num as double) / $hsumCol <= ${2.5 * m}D and $nbCol < $m, " +
+      s"$m * ln(cast($m as double) / ($m - $nbCol)), " +
+      s"cast($num as double) / $hsumCol)) as bigint)")
+  }
+
+  /** DuckDB rendering of [[hllEstimate]] — same literals, same ops. */
+  def hllEstimateDuckSql(hsumCol: String, nbCol: String, p: Int): String = {
+    val m = 1 << p
+    val num = hllNumerator(p)
+    s"CAST(floor(CASE WHEN CAST($num AS DOUBLE) / $hsumCol <= ${2.5 * m} AND $nbCol < $m " +
+      s"THEN $m * ln(CAST($m AS DOUBLE) / ($m - $nbCol)) " +
+      s"ELSE CAST($num AS DOUBLE) / $hsumCol END) AS BIGINT)"
+  }
+
   /** xxhash64-derived variant of [[affineHyperplaneBucket]] (not SQL-
     * replayable; kept as the non-oracled fast path).
     */

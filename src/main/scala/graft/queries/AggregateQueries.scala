@@ -114,12 +114,48 @@ object AggregateQueries extends QueryFamily {
 
   // Sketch estimates are engine-specific (HLL/KLL implementations differ)
   // → rows-only; exact companions are q11_distinct and q50_percentiles.
-  val q49 = Q.rowsOnly("q49_approx_sketches") { (s, d) =>
-    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"))
+  // SQL-replayable HLL (Sketches §HyperLogLog): p = 8 → 256 registers,
+  // ~6.5% standard error; exact-count companion column in the same row.
+  // Spark's own HLL (approx_count_distinct) stays covered by
+  // SketchAccuracySpec — its sketch hash is not replayable in DuckDB.
+  private val q49P = 8
+
+  val q49 = Q(
+    "q49_approx_sketches",
+    s"""WITH h AS (SELECT l_returnflag,
+       |  CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM lineitem),
+       |b AS (SELECT l_returnflag, h % 256 AS bucket, h // 256 AS w FROM h),
+       |rho AS (SELECT l_returnflag, bucket,
+       |  CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(w & (-w))) AS INTEGER) + 1 END AS rho
+       | FROM b),
+       |reg AS (SELECT l_returnflag, bucket, max(rho) AS r FROM rho GROUP BY 1, 2),
+       |s AS (SELECT l_returnflag,
+       |  CAST(sum(CAST(1 AS BIGINT) << (53 - r)) + (256 - count(*)) * 9007199254740992 AS BIGINT) AS hsum,
+       |  count(*) AS nb
+       | FROM reg GROUP BY 1),
+       |ex AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts FROM lineitem GROUP BY 1)
+       |SELECT s.l_returnflag,
+       | ${graft.functions.Sketches.hllEstimateDuckSql("hsum", "nb", q49P)} AS hll_parts,
+       | exact_parts
+       |FROM s JOIN ex USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.functions.Sketches
+    val li = Tables.lineitem(s, d)
+    val reg = li
+      .select(col("l_returnflag"), Sketches.hllHash("l_partkey").as("h"))
+      .select(col("l_returnflag"), expr(s"h % ${1 << q49P}").as("bucket"),
+        expr(s"h div ${1 << q49P}").as("w"))
+      .select(col("l_returnflag"), col("bucket"), Sketches.hllRho("w", q49P).as("rho"))
+      .groupBy(col("l_returnflag"), col("bucket")).agg(max("rho").as("r"))
+    val sums = reg.groupBy(col("l_returnflag"))
+      .agg(Sketches.hllHarmonicSum("r", q49P).as("hsum"), count(lit(1)).as("nb"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sums.join(exact, "l_returnflag")
+      .select(col("l_returnflag"),
+        Sketches.hllEstimate("hsum", "nb", q49P).as("hll_parts"),
+        col("exact_parts"))
       .orderBy("l_returnflag")
   }
 
@@ -197,15 +233,60 @@ object AggregateQueries extends QueryFamily {
     * (DuckDB has no HLL state); SketchAccuracySpec bounds the estimate
     * against the exact count.
     */
-  val q57 = Q.rowsOnly("q57_hll_sketch_union") { (s, d) =>
-    Tables.customer(s, d)
+  // Mergeable-sketch rollup, SQL-replayable: per-nation HLL registers
+  // (p = 6 → 64 registers) are union-merged to the region by taking the
+  // slotwise max — the defining property of HLL merge (Presto
+  // merge(approx_set(…)) analog). The estimate is derived only AFTER the
+  // merge, so the oracle checks true sketch mergeability, not just a
+  // direct region-level count. Spark's Datasketches-backed
+  // hll_sketch_agg/hll_union_agg path stays covered by SketchAccuracySpec.
+  private val q57P = 6
+
+  val q57 = Q(
+    "q57_hll_sketch_union",
+    s"""WITH h AS (SELECT n_regionkey, n_nationkey,
+       |  CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM customer JOIN nation ON c_nationkey = n_nationkey),
+       |b AS (SELECT n_regionkey, n_nationkey, h % 64 AS bucket, h // 64 AS w FROM h),
+       |rho AS (SELECT n_regionkey, n_nationkey, bucket,
+       |  CASE WHEN w = 0 THEN 55 ELSE CAST(round(log2(w & (-w))) AS INTEGER) + 1 END AS rho
+       | FROM b),
+       |nat AS (SELECT n_regionkey, n_nationkey, bucket, max(rho) AS r
+       | FROM rho GROUP BY 1, 2, 3),
+       |merged AS (SELECT n_regionkey, bucket, max(r) AS r FROM nat GROUP BY 1, 2),
+       |s AS (SELECT n_regionkey,
+       |  CAST(sum(CAST(1 AS BIGINT) << (55 - r)) + (64 - count(*)) * 36028797018963968 AS BIGINT) AS hsum,
+       |  count(*) AS nb
+       | FROM merged GROUP BY 1),
+       |ex AS (SELECT n_regionkey, count(DISTINCT c_custkey) AS exact_customers
+       | FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+       |SELECT s.n_regionkey,
+       | ${graft.functions.Sketches.hllEstimateDuckSql("hsum", "nb", q57P)} AS hll_customers,
+       | exact_customers
+       |FROM s JOIN ex USING (n_regionkey)
+       |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+    import graft.functions.Sketches
+    val joined = Tables.customer(s, d)
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("n_regionkey"), col("n_nationkey"))
-      .agg(hll_sketch_agg(col("c_custkey")).as("sk"))
-      .groupBy(col("n_regionkey"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-        .cast("bigint").as("approx_customers"))
+    val natRegs = joined
+      .select(col("n_regionkey"), col("n_nationkey"), Sketches.hllHash("c_custkey").as("h"))
+      .select(col("n_regionkey"), col("n_nationkey"),
+        expr(s"h % ${1 << q57P}").as("bucket"), expr(s"h div ${1 << q57P}").as("w"))
+      .select(col("n_regionkey"), col("n_nationkey"), col("bucket"),
+        Sketches.hllRho("w", q57P).as("rho"))
+      .groupBy(col("n_regionkey"), col("n_nationkey"), col("bucket"))
+      .agg(max("rho").as("r")) // per-nation sketch registers
+    val merged = natRegs.groupBy(col("n_regionkey"), col("bucket"))
+      .agg(max("r").as("r")) // sketch union = slotwise max
+    val sums = merged.groupBy(col("n_regionkey"))
+      .agg(Sketches.hllHarmonicSum("r", q57P).as("hsum"), count(lit(1)).as("nb"))
+    val exact = joined.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+    sums.join(exact, "n_regionkey")
+      .select(col("n_regionkey"),
+        Sketches.hllEstimate("hsum", "nb", q57P).as("hll_customers"),
+        col("exact_customers"))
       .orderBy("n_regionkey")
   }
 
