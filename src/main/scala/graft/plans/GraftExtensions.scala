@@ -32,6 +32,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hdr_quantile"),
+      new ExpressionInfo(classOf[HdrQuantileAgg].getName, "graft_hdr_quantile"),
+      (children: Seq[Expression]) => HdrQuantileAgg(children(0), children(1) match {
+        case Literal(v: Number, _) => v.doubleValue
+        // SQL decimal literals (e.g. 0.5) arrive as Spark Decimal, which
+        // is not a java.lang.Number
+        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_hdr_quantile(col, q): q must be a numeric literal, got $other")
+      }).toAggregateExpression()))
   }
 }
 
@@ -55,4 +66,7 @@ object NativeFunctions {
 
   def simhashBits(hashes: Column, bits: Int): Column =
     Bridge.column(SimHashBits(col2expr(hashes), bits))
+
+  def hdrQuantile(c: Column, q: Double): Column =
+    Bridge.column(HdrQuantileAgg(col2expr(c), q).toAggregateExpression())
 }

@@ -290,5 +290,54 @@ object AggregateQueries extends QueryFamily {
       .orderBy("n_regionkey")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57)
+  // Mergeable HDR-histogram quantile sketch (graft.plans.HdrQuantileAgg):
+  // money quantiles over exact integer cents. The oracle replays the
+  // log-linear bucketing + rank walk in SQL — every step is integer
+  // arithmetic, so the sketch estimate (not just some statistic of it)
+  // hash-matches. Both engines compute rank = ceil(q·n) in DOUBLE.
+  private def hdrMidpointDuck(b: String): String =
+    s"CASE WHEN $b < 8 THEN CAST($b AS DOUBLE) " +
+      s"ELSE (8 + $b % 8) * (CAST(1 AS BIGINT) << (CAST($b // 8 AS INTEGER) - 3)) " +
+      s"+ (CAST(1 AS BIGINT) << (CAST($b // 8 AS INTEGER) - 3)) * 0.5 END"
+
+  private def hdrPickDuck(q: Double, name: String): String =
+    s"""$name AS (SELECT l_returnflag, min(bucket) AS b FROM cum
+       | WHERE cum >= greatest(1, ceil(CAST($q AS DOUBLE) * total)) GROUP BY 1)"""
+      .stripMargin
+
+  val q85 = Q(
+    "q85_hdr_quantile",
+    s"""WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+       |b AS (SELECT l_returnflag,
+       |  CASE WHEN c < 8 THEN c
+       |       ELSE 8 * CAST(floor(log2(c)) AS BIGINT)
+       |            + (c >> (CAST(floor(log2(c)) AS INTEGER) - 3)) - 8 END AS bucket
+       | FROM c),
+       |cnt AS (SELECT l_returnflag, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+       |cum AS (SELECT l_returnflag, bucket, n,
+       |   sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+       |   sum(n) OVER (PARTITION BY l_returnflag) AS total
+       | FROM cnt),
+       |${hdrPickDuck(0.5, "p50")},
+       |${hdrPickDuck(0.9, "p90")},
+       |n AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows FROM lineitem GROUP BY 1)
+       |SELECT n.l_returnflag,
+       | round(${hdrMidpointDuck("p50.b")} / 100, 6) AS p50_price,
+       | round(${hdrMidpointDuck("p90.b")} / 100, 6) AS p90_price,
+       | n_rows
+       |FROM n JOIN p50 USING (l_returnflag) JOIN p90 USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents.as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(NativeFunctions.hdrQuantile(col("c"), 0.5) / 100, 6).as("p50_price"),
+        round(NativeFunctions.hdrQuantile(col("c"), 0.9) / 100, 6).as("p90_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85)
 }
