@@ -74,6 +74,71 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
 
+  /** IVF (inverted-file) coarse quantizer: deterministic spherical
+    * k-means (init = the `c` lowest vec_ids, `iters` Lloyd rounds with
+    * cosine assignment — cosine is scale-invariant, so centroids need no
+    * renormalization). The fitted centroids are a MODEL (c × dim doubles,
+    * like MLlib's KMeansModel): collecting them to the driver is the one
+    * sanctioned collect in the operator layer. At 100 TB the assignment
+    * (`cluster` column) is a persisted bucketed table — the IVF index —
+    * and queries touch only nprobe clusters.
+    */
+  def ivfFit(corpus: DataFrame, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
+    var cents: Seq[(Int, Seq[Double])] = vecs.filter(col("vec_id") < c)
+      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+      .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("cid", "ce"))
+      val assigned = vecs.join(centDf)
+        .withColumn("sim", cosine("ve", "ce"))
+        .groupBy(col("vec_id"), col("ve"))
+        .agg(max(struct(col("sim"), col("cid"))).as("best"))
+        .select(col("best.cid").as("cid"), col("ve"))
+      cents = assigned
+        .select(col("cid"), posexplode(col("ve")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
+        .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** IVF-bucketed approximate top-k: corpus vectors are assigned to
+    * their nearest centroid once (the persisted index at scale); each
+    * query scans only its `nprobe` closest clusters. Complements lshKnn
+    * — IVF adapts to the data distribution where LSH is data-oblivious.
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(ivfFit(corpus, c, iters).toDF("cid", "ce"))
+    val assigned = corpus.select(col("vec_id").as("cvid"), asDouble("embedding").as("cve"))
+      .join(centDf)
+      .withColumn("sim", cosine("cve", "ce"))
+      .groupBy(col("cvid"), col("cve"))
+      .agg(max(struct(col("sim"), col("cid"))).as("best"))
+      .select(col("cvid"), col("cve"), col("best.cid").as("cluster"))
+    val qprobes = broadcast(
+      queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+        .join(centDf)
+        .withColumn("csim", cosine("qe", "ce"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("qe"), col("cid").as("cluster")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cvid"))
+    assigned.join(qprobes, Seq("cluster")).filter(col("qid") =!= col("cvid"))
+      .withColumn("sim", round(cosine("qe", "cve"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cvid").as("cid"), col("sim"), col("rn"))
+  }
+
   /** All embedding pairs with cosine ≥ threshold. Exact at test scale;
     * at corpus scale the LSH bucket join (lshKnn's bucketing) is the
     * candidate generator and this is the verifier.

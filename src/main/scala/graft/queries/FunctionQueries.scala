@@ -411,5 +411,37 @@ object FunctionQueries extends QueryFamily {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84)
+  // Presto ROW type surface (reference: presto-common ROW type +
+  // presto-docs RowType semantics) → Spark StructType: construction,
+  // field access, equality, and lexicographic struct ordering inside a
+  // window aggregate. Output is scalarized (driver compare can't sort
+  // struct columns).
+  val q86 = Q(
+    "q86_struct_funcs",
+    """WITH s AS (SELECT c_custkey, c_mktsegment,
+      |  struct_pack(bal := round(c_acctbal, 2), key := c_custkey) AS s
+      | FROM customer),
+      |m AS (SELECT c_custkey, c_mktsegment, s,
+      |  max(s) OVER (PARTITION BY c_mktsegment) AS seg_max FROM s)
+      |SELECT c_custkey, c_mktsegment,
+      | (s).bal AS bal,
+      | s = seg_max AS is_seg_max,
+      | (seg_max).bal AS seg_max_bal,
+      | (seg_max).key AS seg_max_key
+      |FROM m ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_mktsegment"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        struct(round(col("c_acctbal"), 2).as("bal"), col("c_custkey").as("key")).as("s"))
+      .withColumn("seg_max", max(col("s")).over(w))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("s.bal").as("bal"),
+        (col("s") === col("seg_max")).as("is_seg_max"),
+        col("seg_max.bal").as("seg_max_bal"),
+        col("seg_max.key").as("seg_max_key"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86)
 }

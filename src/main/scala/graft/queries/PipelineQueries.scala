@@ -293,5 +293,15 @@ object PipelineQueries extends QueryFamily {
       .orderBy("va", "vb")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+  // IVF ANN: data-adaptive counterpart of q65's LSH buckets. Centroids
+  // are float averages (sum order varies by partitioning), so the
+  // candidate set is not bit-replayable in DuckDB → rows-only here;
+  // AnnSpec holds recall ≥ 50% vs brute force.
+  val q87 = Q.rowsOnly("q87_ivf_ann") { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.ivfKnn(embs, embs.filter(col("vec_id") < 10), k = 5, c = 16, nprobe = 4)
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87)
 }

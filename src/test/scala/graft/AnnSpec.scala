@@ -32,6 +32,23 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 = $recall%.2f")
   }
 
+  test("IVF knn reaches ≥50% recall@5 vs brute force and returns k rows per query") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnn(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Ann.ivfKnn(embs, queries, k = 5, c = 8, nprobe = 3).collect()
+    assert(approx.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    val approxSet = approx.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approxSet).size.toDouble / exact.size
+    assert(recall >= 0.5, f"recall@5 = $recall%.2f")
+  }
+
+  test("IVF fit returns c centroids of the input dimension") {
+    val cents = Ann.ivfFit(embs, c = 4, iters = 1)
+    assert(cents.map(_._1) == Seq(0, 1, 2, 3))
+    assert(cents.forall(_._2.length == 64))
+  }
+
   test("cosine dup pairs: an identical planted vector scores 1.0") {
     import spark.implicits._
     val v = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
