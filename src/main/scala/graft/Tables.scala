@@ -30,6 +30,22 @@ object Tables {
       // mantissa, so float division would corrupt low-order micros
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** The corpus tables feed CPU-heavy per-row pipelines (shingling,
+    * sketch hashing, vector kernels). A small parquet file is a single
+    * row group — one task would do all that work while the rest of the
+    * cluster idles — so rebalance up to the session's shuffle
+    * parallelism when the scan has fewer partitions. At warehouse scale
+    * the scan already has ≥ that many partitions and this is a no-op;
+    * the round-robin shuffle moves only the raw corpus rows, far
+    * smaller than the downstream shingle/candidate explosion.
+    */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def documents(s: SparkSession, d: String): DataFrame =
+    rebalanced(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    rebalanced(load(s, d, "embeddings"))
 }

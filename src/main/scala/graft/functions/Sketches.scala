@@ -66,18 +66,29 @@ object Sketches {
   // step is portable SQL, so the DuckDB oracle replays the whole pipeline
   // (graft.plans.Affine holds the shared constants).
 
-  /** Per-element 60-bit md5-derived hashes, as array<bigint>. Built-ins
-    * only (md5/conv/substr are codegen'd; the per-document transform
-    * lambda is fine off the pair hot path). Full 60 bits — simhash needs
-    * every bit to carry signal.
+  /** Per-element 60-bit md5-derived hashes, as array<bigint>. Native
+    * codegen'd kernel (graft.plans.Md5Hash60) — the corpus-side hashing
+    * runs once per shingle, and the interpreted HOF md5→hex→conv chain
+    * was the dominant cost of the minhash/simhash pipelines. Full 60
+    * bits — simhash needs every bit to carry signal.
     */
   def md5Hashes(setCol: String): Column =
-    expr(s"transform($setCol, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))")
+    graft.plans.NativeFunctions.md5Hash60(col(setCol))
 
   /** [[md5Hashes]] reduced mod P — the input domain of the affine
     * minhash mixing (keeps a·h + b inside 2^62).
     */
   def md5HashesModP(setCol: String): Column =
+    graft.plans.NativeFunctions.md5Hash60(col(setCol), graft.plans.Affine.P)
+
+  /** HOF formulations of [[md5Hashes]]/[[md5HashesModP]] — parity
+    * oracles for the native kernel (SketchParitySpec), and the exact
+    * shape the DuckDB oracle replays.
+    */
+  def md5HashesHof(setCol: String): Column =
+    expr(s"transform($setCol, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint))")
+
+  def md5HashesModPHof(setCol: String): Column =
     expr(s"transform($setCol, x -> cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % ${graft.plans.Affine.P}L)")
 
   /** Affine MinHash signature over pre-hashed elements (native kernel). */

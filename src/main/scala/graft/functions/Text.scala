@@ -20,13 +20,18 @@ object Text {
   /** Word n-gram shingles over an existing array column (by name).
     * expr-based because the lambda needs positional element access.
     */
-  def shingles(wordsCol: String, n: Int = 3): Column = {
+  def shingles(wordsCol: String, n: Int = 3): Column = expr(shinglesSql(wordsCol, n))
+
+  /** SQL-fragment form of [[shingles]] (composable inside larger exprs,
+    * e.g. the parity oracles for the fused native shingle-hash kernel).
+    */
+  def shinglesSql(wordsCol: String, n: Int = 3): String = {
     val parts = (0 until n).map(k => s"element_at($wordsCol, i + $k)").mkString(", ")
     // short-doc guard: below n words the sequence bound would be ≤ 0, and
     // sequence(1, 0) steps DOWN to [1, 0] — element_at(words, 0) errors.
-    expr(s"CASE WHEN size($wordsCol) >= $n " +
+    s"CASE WHEN size($wordsCol) >= $n " +
       s"THEN transform(sequence(1, size($wordsCol) - ${n - 1}), i -> concat_ws(' ', $parts)) " +
-      "ELSE array() END")
+      "ELSE array() END"
   }
 
   /** Count of words (with repetition) that appear in a fixed vocabulary. */

@@ -33,10 +33,12 @@ object Dedup {
     * ~n²/2⁶⁵ — negligible against corpus-level shingle counts).
     */
   def docShingles(docs: DataFrame, n: Int = 3, maxDf: Int = 50): DataFrame = {
+    // fused shingle+xxhash64 kernel == xxhash64(concat_ws(' ', window))
+    // (SketchParitySpec) — no shingle strings are ever materialized
     val sh = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"), explode(Text.shingles("w", n)).as("s"))
-      .select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .select(col("doc_id"),
+        explode(graft.plans.NativeFunctions.shingleHashes(col("w"), n, "xx")).as("s"))
       .distinct()
     val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("s"))
@@ -84,25 +86,40 @@ object Dedup {
     // SQL, so the DuckDB oracle replays this pipeline end to end.
     val sigs = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"), Text.shingles("w").as("sh"))
-      .filter(size(col("sh")) > 0) // no shingles → no similarity evidence
-      .select(col("doc_id"), Sketches.md5HashesModP("sh").as("hs"))
+      .select(col("doc_id"), graft.plans.NativeFunctions
+        .shingleHashes(col("w"), 3, "md5", graft.plans.Affine.P).as("hs"))
+      .filter(size(col("hs")) > 0) // no shingles → no similarity evidence
       .select(col("doc_id"), Sketches.minhashAffine("hs", k).as("sig"))
+    // Band bucket key = the band's signature slots as plain long columns
+    // (explode + element_at are codegen'd; the earlier string band keys
+    // were built by nested interpreted lambdas and dominated the query).
+    val nBands = k / rowsPerBand
+    val slotCols = (0 until rowsPerBand).map(j =>
+      element_at(col("sig"), col("band") * rowsPerBand + j + 1).as(s"k$j"))
+    val keyNames = (0 until rowsPerBand).map(j => s"k$j")
     val bands = sigs
-      .select(col("doc_id"), col("sig"),
-        posexplode(Sketches.affineBandKeys("sig", k, rowsPerBand)))
-      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bkey"))
+      .select(col("doc_id"), col("sig"), explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .select(Seq(col("doc_id"), col("sig"), col("band")) ++ slotCols: _*)
+    // Materialize the banded index once: both sides of the self-join (and
+    // the hot-bucket window) would otherwise re-derive the whole
+    // text→shingles→md5→signature pipeline. At warehouse scale this is
+    // the persisted LSH index table.
+    val bucketCols = col("band") +: keyNames.map(col)
     val bounded = bands.withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(bucketCols: _*)))
       .filter(col("bucket_n") <= maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bounded.as("a")
       .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+        ("band" +: keyNames).map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-      .withColumn("est_jaccard", round(Sketches.estJaccard("sig_a", "sig_b", k), 6))
+      .withColumn("est_jaccard",
+        round(graft.plans.NativeFunctions.slotAgree(col("sig_a"), col("sig_b"))
+          / lit(k.toDouble), 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }

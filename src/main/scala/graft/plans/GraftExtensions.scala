@@ -69,4 +69,13 @@ object NativeFunctions {
 
   def hdrQuantile(c: Column, q: Double): Column =
     Bridge.column(HdrQuantileAgg(col2expr(c), q).toAggregateExpression())
+
+  def md5Hash60(arr: Column, mod: Long = 0L): Column =
+    Bridge.column(Md5Hash60(col2expr(arr), mod))
+
+  def shingleHashes(words: Column, n: Int, algo: String, mod: Long = 0L): Column =
+    Bridge.column(ShingleHashes(col2expr(words), n, algo, mod))
+
+  def slotAgree(a: Column, b: Column): Column =
+    Bridge.column(SlotAgreement(col2expr(a), col2expr(b)))
 }

@@ -153,6 +153,191 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** 60-bit md5-prefix hashes of an array<string>, optionally reduced mod
+  * `mod`: bit-identical to the HOF formulation
+  * `transform(arr, x -> conv(substr(md5(x), 1, 15), 16, 10) [% mod])`
+  * (15 hex chars = the top 60 bits of the digest = first 8 bytes >>> 4),
+  * but with no per-element hex render/reparse and no interpreted lambda —
+  * one digest + shift per element inside WholeStageCodegen.
+  */
+case class Md5Hash60(child: Expression, mod: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_md5_60 requires an array<string> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_md5_60"
+
+  override protected def nullSafeEval(v: Any): Any =
+    Md5Hash60.compute(v.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.Md5Hash60.compute($a, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Hash60 =
+    copy(child = newChild)
+}
+
+object Md5Hash60 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(arr: ArrayData, mod: Long): ArrayData = {
+    val md = digests.get()
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 8 digest bytes big-endian, top 60 bits (= 15 hex digits)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (d(j) & 0xffL); j += 1 }
+      h = h >>> 4
+      out(i) = if (mod > 0) h % mod else h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Number of equal slots between two equal-length array<bigint>
+  * signatures (the minhash agreement count; est. Jaccard = agree / k).
+  * Runs once per candidate pair — the HOF aggregate(zip_with(...))
+  * formulation is interpreted and was a dominant per-pair cost.
+  * Null slots never agree (SQL `if(x = y, 1, 0)` yields 0 for NULL=NULL),
+  * keeping bit-parity with the HOF formulation.
+  */
+case class SlotAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_slot_agree requires two array<bigint> inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_slot_agree"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SlotAgreement.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.SlotAgreement.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SlotAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object SlotAgreement {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+}
+
+/** Fused word-n-gram shingle hashes: hash of each length-`n` window of
+  * the input array<string>, joined by a single space — bit-identical to
+  * hashing `concat_ws(' ', w[i..i+n-1])` but with no shingle-string
+  * materialization and no interpreted lambda. The shingle pipelines'
+  * dominant cost was exactly that per-window concat in an interpreted
+  * HOF (~100 µs/shingle); this kernel is one rolling digest per window.
+  *
+  * `algo` selects the hash family: MD5_60 (top 60 bits of md5, the
+  * SQL-replayable family) or XX64 (xxhash64 seed 42, Spark-native).
+  * `mod` > 0 reduces md5 hashes mod `mod` (the affine-minhash domain);
+  * ignored for XX64.
+  */
+case class ShingleHashes(child: Expression, n: Int, algo: String, mod: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_hashes requires an array<string> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.asInstanceOf[ArrayData], n, algo == "md5", mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"""graft.plans.ShingleHashes.compute($a, $n, ${algo == "md5"}, ${mod}L)""")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(words: ArrayData, n: Int, md5: Boolean, mod: Long): ArrayData = {
+    val nw = words.numElements()
+    val count = math.max(0, nw - n + 1)
+    val out = new Array[Long](count)
+    if (count == 0) return new GenericArrayData(out)
+    // resolve each word's bytes once; windows overlap n times
+    val bytes = new Array[Array[Byte]](nw)
+    var i = 0
+    while (i < nw) { bytes(i) = words.getUTF8String(i).getBytes; i += 1 }
+    val md = if (md5) digests.get() else null
+    var w = 0
+    while (w < count) {
+      if (md5) {
+        md.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) md.update(' '.toByte)
+          md.update(bytes(w + j))
+          j += 1
+        }
+        val d = md.digest()
+        var h = 0L
+        var j2 = 0
+        while (j2 < 8) { h = (h << 8) | (d(j2) & 0xffL); j2 += 1 }
+        h = h >>> 4
+        out(w) = if (mod > 0) h % mod else h
+      } else {
+        // assemble the shingle bytes once, xxhash64 with Spark's seed 42
+        var len = n - 1
+        var j = 0
+        while (j < n) { len += bytes(w + j).length; j += 1 }
+        val buf = new Array[Byte](len)
+        var off = 0
+        j = 0
+        while (j < n) {
+          if (j > 0) { buf(off) = ' '.toByte; off += 1 }
+          val b = bytes(w + j)
+          System.arraycopy(b, 0, buf, off, b.length)
+          off += b.length
+          j += 1
+        }
+        out(w) = XXH64.hashUnsafeBytes(
+          buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      }
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Deterministic affine-permutation constants for the ORACLE-ABLE sketch
   * family (MinHashAffine / SimHashBits). Unlike the xxhash64 kernels
   * above, every step of this scheme is expressible in portable SQL

@@ -32,6 +32,29 @@ class SketchParitySpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("native md5-60 hashes == HOF conv(substr(md5)) chain, plain and mod P") {
+    val mismatches = docs
+      .select(Sketches.md5Hashes("w").as("n1"), Sketches.md5HashesHof("w").as("h1"),
+        Sketches.md5HashesModP("w").as("n2"), Sketches.md5HashesModPHof("w").as("h2"))
+      .filter(not(col("n1") <=> col("h1")) || not(col("n2") <=> col("h2")))
+      .count()
+    assert(mismatches === 0)
+  }
+
+  test("fused shingle hashes == hash of concat_ws shingle strings (md5 and xx64)") {
+    import graft.plans.NativeFunctions
+    val mismatches = docs
+      .select(
+        NativeFunctions.shingleHashes(col("w"), 3, "md5", graft.plans.Affine.P).as("n1"),
+        expr(s"transform(${Text.shinglesSql("w", 3)}, x -> " +
+          s"cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint) % ${graft.plans.Affine.P}L)").as("h1"),
+        NativeFunctions.shingleHashes(col("w"), 3, "xx").as("n2"),
+        expr(s"transform(${Text.shinglesSql("w", 3)}, x -> xxhash64(x))").as("h2"))
+      .filter(not(col("n1") <=> col("h1")) || not(col("n2") <=> col("h2")))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("native cosine == HOF cosine (exact double equality)") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
