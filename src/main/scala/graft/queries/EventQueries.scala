@@ -97,5 +97,25 @@ object EventQueries extends QueryFamily {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56)
+  // Batch face of the stream-stream interval join (EventStreams
+  // .clickToPurchase): same function runs on two watermarked streams in
+  // StreamingSpec; here the DuckDB oracle checks the time-range join
+  // semantics exactly.
+  val q88 = Q(
+    "q88_interval_join",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      | c.ts AS click_ts, p.ts AS purchase_ts
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    EventStreams.clickToPurchase(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), "1 hour")
+      .orderBy("click_id", "purchase_id")
+  }
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q88)
 }

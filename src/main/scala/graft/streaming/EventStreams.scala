@@ -131,4 +131,30 @@ object EventStreams {
           done.sortBy(_.startMs).map(emit).iterator
       }
   }
+
+  /** Stream-stream interval join: each click pairs with the same user's
+    * purchases landing within (0, maxDelay] after it. Works identically
+    * on batch frames (the q88 oracle path) and on two watermarked
+    * streams — the time-range predicate is what lets Spark bound the
+    * join state to the interval + watermark horizon on both sides
+    * (without it, stream-stream state would grow forever).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+                      maxDelay: String = "1 hour",
+                      streaming: Boolean = false): DataFrame = {
+    val c0 = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p0 = purchases.select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id"))
+    val (c, p) =
+      if (streaming) (c0.withWatermark("click_ts", maxDelay),
+        p0.withWatermark("purchase_ts", maxDelay))
+      else (c0, p0)
+    c.join(p,
+      col("user_id") === col("p_user")
+        && col("purchase_ts") > col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
 }

@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch interval join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(id: Long, offsetMin: Long, user: Long, typ: String) =
+      Ev(id, new Timestamp(t0 + offsetMin * 60000), user, typ, 1.0)
+    val cs = Seq(ev(1, 0, 1, "click"), ev(2, 10, 2, "click"), ev(3, 0, 3, "click"))
+    val ps = Seq(
+      ev(101, 30, 1, "purchase"),  // in range for click 1
+      ev(102, 65, 1, "purchase"),  // 65 min after click 1 → out of range
+      ev(103, 20, 2, "purchase"),  // in range for click 2
+      ev(104, 200, 3, "purchase")) // far out of range
+    clicks.addData(cs)
+    purchases.addData(ps)
+    val query = EventStreams.clickToPurchase(
+        clicks.toDF(), purchases.toDF(), "1 hour", streaming = true)
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("interval_join_test")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(streamed == Set((1L, 101L), (2L, 103L)))
+      val batch = EventStreams.clickToPurchase(cs.toDF(), ps.toDF(), "1 hour")
+        .select("click_id", "purchase_id").as[(Long, Long)].collect().toSet
+      assert(batch == streamed)
+    } finally query.stop()
+  }
+
   test("session_window stream closes sessions at the gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
