@@ -25,22 +25,12 @@ object Sketches {
   def minhashSignatureHof(setCol: String, k: Int = 32): Column =
     expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform($setCol, e -> xxhash64(e, i))))")
 
-  /** LSH band keys for a minhash signature column: hash of each
-    * contiguous band of `rowsPerBand` signature slots. array<bigint>,
-    * length k / rowsPerBand.
-    */
-  def bandKeys(sigCol: String, k: Int = 32, rowsPerBand: Int = 4): Column = {
-    val nBands = k / rowsPerBand
-    // chained xxhash64 rather than a polynomial fold: stays in [Long]
-    // without wraparound (ANSI mode rejects long overflow)
-    expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
-      s"aggregate(slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), cast(b as bigint), (a, x) -> xxhash64(a, x)))")
-  }
-
   /** Estimated Jaccard similarity from two equal-length signatures:
-    * fraction of agreeing slots.
+    * fraction of agreeing slots. HOF formulation — parity oracle for the
+    * native SlotAgreement kernel that the dedup pipeline uses
+    * (SketchParitySpec).
     */
-  def estJaccard(sigA: String, sigB: String, k: Int = 32): Column =
+  def estJaccardHof(sigA: String, sigB: String, k: Int = 32): Column =
     expr(s"aggregate(zip_with($sigA, $sigB, (x, y) -> if(x = y, 1, 0)), 0, (a, v) -> a + v)") / lit(k.toDouble)
 
   /** 64-bit SimHash of a string-array column: bit b is set when the
@@ -118,16 +108,6 @@ object Sketches {
          |       shiftleft(1L, cast(b as int)), 0L)),
          |  0L, (acc, x) -> acc | x)""".stripMargin)
 
-  /** Band keys of an affine minhash signature as joined strings (string
-    * equality is portable; no second hash needed): one key per band of
-    * `rowsPerBand` slots.
-    */
-  def affineBandKeys(sigCol: String, k: Int = 32, rowsPerBand: Int = 4): Column = {
-    val nBands = k / rowsPerBand
-    expr(s"transform(sequence(0, ${nBands - 1}), b -> " +
-      s"concat_ws(',', transform(slice($sigCol, cast(b as int) * $rowsPerBand + 1, $rowsPerBand), x -> cast(x as string))))")
-  }
-
   /** The 15-bit chunks of a 60-bit simhash (hamming-bucket candidate
     * generation, pigeonhole over 4 chunks).
     */
@@ -156,10 +136,16 @@ object Sketches {
     }
 
   /** Random-hyperplane LSH bucket id over a double-array column, using
-    * [[hyperplaneSigns]] literal hyperplanes (Charikar '02 — buckets
+    * [[hyperplaneSigns]]-derived ±1 hyperplanes (Charikar '02 — buckets
     * cluster by cosine direction). bit i = sign(projection onto plane i).
+    * Native codegen'd kernel (graft.plans.HyperplaneBucket) — runs once
+    * per corpus vector; [[affineHyperplaneBucketHof]] is the
+    * bit-identical HOF parity oracle.
     */
-  def affineHyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column = {
+  def affineHyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column =
+    graft.plans.NativeFunctions.hyperplaneBucket(col(vecCol), nBits)
+
+  def affineHyperplaneBucketHof(vecCol: String, nBits: Int = 4, dim: Int = 64): Column = {
     val terms = hyperplaneSigns(nBits, dim).zipWithIndex.map { case (hp, i) =>
       val arr = hp.map(s => s"${s}.0D").mkString(", ")
       s"if(aggregate(zip_with($vecCol, array($arr), (x, h) -> x * h), 0.0D, (a, v) -> a + v) > 0D, ${1L << i}L, 0L)"
@@ -236,18 +222,5 @@ object Sketches {
       s"ELSE CAST($num AS DOUBLE) / $hsumCol END) AS BIGINT)"
   }
 
-  /** xxhash64-derived variant of [[affineHyperplaneBucket]] (not SQL-
-    * replayable; kept as the non-oracled fast path).
-    */
-  def hyperplaneBucket(vecCol: String, nBits: Int = 4, dim: Int = 64): Column =
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, ${nBits - 1}), i ->
-         |    if(aggregate(
-         |         zip_with($vecCol,
-         |                  transform(sequence(0, ${dim - 1}), j -> if((xxhash64(i, j) & 1L) = 1L, 1.0D, -1.0D)),
-         |                  (x, h) -> x * h),
-         |         cast(0.0 as double), (a, v) -> a + v) > 0D,
-         |       shiftleft(1L, i), 0L)),
-         |  0L, (acc, x) -> acc | x)""".stripMargin)
+  
 }

@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_st_contains"),
+      new ExpressionInfo(classOf[StContains].getName, "graft_st_contains"),
+      (children: Seq[Expression]) =>
+        StContains(children(0), children(1), children(2), children(3))))
+    ext.injectFunction((
       FunctionIdentifier("graft_hdr_quantile"),
       new ExpressionInfo(classOf[HdrQuantileAgg].getName, "graft_hdr_quantile"),
       (children: Seq[Expression]) => HdrQuantileAgg(children(0), children(1) match {
@@ -78,4 +83,11 @@ object NativeFunctions {
 
   def slotAgree(a: Column, b: Column): Column =
     Bridge.column(SlotAgreement(col2expr(a), col2expr(b)))
+
+  def hyperplaneBucket(vec: Column, nBits: Int): Column =
+    Bridge.column(HyperplaneBucket(col2expr(vec), nBits))
+
+  def stContains(polyLats: Column, polyLons: Column, lat: Column, lon: Column): Column =
+    Bridge.column(StContains(col2expr(polyLats), col2expr(polyLons),
+      col2expr(lat), col2expr(lon)))
 }

@@ -249,6 +249,54 @@ object SlotAgreement {
   }
 }
 
+/** Random-hyperplane LSH bucket id over an array<double> vector: bit i
+  * is the sign of the projection onto the deterministic ±1 hyperplane
+  * derived from the Affine constants (same signs as
+  * Sketches.hyperplaneSigns, which the DuckDB oracle embeds as
+  * literals). Bit-identical to the HOF formulation: the projection is
+  * the same left-fold acc + x·(±1.0) in element order.
+  */
+case class HyperplaneBucket(child: Expression, nBits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_bucket requires an array<double> input, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bucket"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HyperplaneBucket.compute(v.asInstanceOf[ArrayData], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.HyperplaneBucket.compute($a, $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+object HyperplaneBucket {
+  def sign(i: Int, j: Int): Double = {
+    val v = (Affine.a(i) * (j + 1) + Affine.b(i)) % Affine.P
+    if (v % 2 == 1) 1.0 else -1.0
+  }
+
+  def compute(vec: ArrayData, nBits: Int): Long = {
+    val dim = vec.numElements()
+    var bucket = 0L
+    var i = 0
+    while (i < nBits) {
+      var acc = 0.0
+      var j = 0
+      while (j < dim) { acc += vec.getDouble(j) * sign(i, j); j += 1 }
+      if (acc > 0) bucket += (1L << i)
+      i += 1
+    }
+    bucket
+  }
+}
+
 /** Fused word-n-gram shingle hashes: hash of each length-`n` window of
   * the input array<string>, joined by a single space — bit-identical to
   * hashing `concat_ws(' ', w[i..i+n-1])` but with no shingle-string

@@ -443,5 +443,62 @@ object FunctionQueries extends QueryFamily {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86)
+  // Point-in-polygon (reference presto-geospatial ST_Contains, point
+  // case): native ray-casting kernel over the md5-derived customer
+  // points; the oracle unrolls the same per-edge crossing terms from the
+  // same vertex literals (see graft.plans.StContains.duckSql).
+  private val q89Poly: Seq[(Double, Double)] = Seq( // (lat, lon) pentagon
+    (10.0, -30.0), (45.0, -10.0), (30.0, 40.0), (-15.0, 35.0), (-35.0, -5.0))
+
+  val q89 = Q(
+    "q89_geo_contains",
+    s"""WITH c AS (
+       | SELECT c_custkey, c_nationkey,
+       |  (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS lat,
+       |  (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lon
+       | FROM customer)
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       | CAST(sum(CASE WHEN ${graft.plans.StContains.duckSql(q89Poly, "lat", "lon")}
+       |          THEN 1 ELSE 0 END) AS BIGINT) AS n_inside
+       |FROM c JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    import graft.functions.Geo
+    import graft.plans.NativeFunctions
+    val (lat, lon) = Geo.pointFor(col("c_custkey"), 7)
+    val polyLats = array(q89Poly.map(v => lit(v._1)): _*)
+    val polyLons = array(q89Poly.map(v => lit(v._2)): _*)
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), lat.as("lat"), lon.as("lon"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(when(NativeFunctions.stContains(polyLats, polyLons, col("lat"), col("lon")), 1)
+          .otherwise(0)).as("n_inside"))
+      .orderBy("n_name")
+  }
+
+  // String-similarity functions (string.rst: levenshtein_distance,
+  // hamming_distance). Hamming is composed from codegen'd built-ins —
+  // equal-length check + per-position compare — since Spark lacks it.
+  val q91 = Q(
+    "q91_string_distance",
+    """SELECT p_partkey,
+      | CAST(levenshtein(p_name, p_type) AS INTEGER) AS lev_nt,
+      | CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev_bt,
+      | CAST(len(list_filter(range(1, length(p_brand) + 1),
+      |      i -> substr(p_brand, i, 1) <> substr(reverse(p_brand), i, 1))) AS INTEGER) AS hamming_rev
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev_nt"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev_bt"),
+        expr("size(filter(sequence(1, length(p_brand)), " +
+          "i -> substr(p_brand, i, 1) != substr(reverse(p_brand), i, 1)))")
+          .cast("int").as("hamming_rev"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91)
 }

@@ -303,5 +303,24 @@ object PipelineQueries extends QueryFamily {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87)
+  // 1→N frame sampling over binary payloads (Multimodal.sampleFrames):
+  // the oracle replays the deterministic decode stub + range unnest.
+  val q90 = Q(
+    "q90_multimodal_frames",
+    """WITH m AS (SELECT doc_id,
+      |  CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+      |  CAST(('0x' || substr(hex(text::BLOB), 1, 2)) AS INTEGER) AS first_byte
+      | FROM documents),
+      |f AS (SELECT doc_id, first_byte, n_bytes % 10 + 1 AS n_frames FROM m)
+      |SELECT doc_id, CAST(u AS INTEGER) AS frame_idx,
+      | CAST((first_byte * 31 + u * 17) % 997 AS INTEGER) AS frame_hash,
+      | CAST(n_frames AS INTEGER) AS n_frames
+      |FROM f, unnest(range(0, n_frames, 2)) AS t(u)
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    Multimodal.sampleFrames(s, Tables.documents(s, d), step = 2)
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90)
 }

@@ -49,4 +49,32 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions(_.map(decodeStub))
   }
+
+  /** One sampled video frame's features. */
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_hash: Int,
+                            n_frames: Int)
+
+  /** Frame sampling over "video" payloads: every `step`-th frame of each
+    * payload becomes a row (the 1→N shape of real frame extraction).
+    * Decoding runs in fixed-size batches inside each partition — the
+    * shape a real codec wants (amortized init, bounded batch memory);
+    * the per-frame feature is a deterministic stub (codecs unavailable
+    * here) so the fan-out is oracle-checkable in SQL.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   step: Int = 2, batchSize: Int = 64): Dataset[FrameRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // per-batch codec init would go here
+        batch.iterator.flatMap { r =>
+          val f = decodeStub(r)
+          (0 until f.fake_frames by step).map { idx =>
+            FrameRow(r.doc_id, idx, (f.first_byte * 31 + idx * 17) % 997,
+              f.fake_frames)
+          }
+        }
+      })
+  }
 }

@@ -55,6 +55,29 @@ class SketchParitySpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("native slot agreement and hyperplane bucket == their HOF formulations") {
+    import graft.plans.NativeFunctions
+    val sigs = docs
+      .select(col("doc_id"), graft.plans.NativeFunctions
+        .shingleHashes(col("w"), 3, "md5", graft.plans.Affine.P).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), Sketches.minhashAffine("hs", 32).as("sig"))
+    val a = sigs.select(col("doc_id").as("ia"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("ib"), col("sig").as("sb"))
+    val sigMismatch = a.join(b, col("ia") < col("ib")).limit(3000)
+      .select((NativeFunctions.slotAgree(col("sa"), col("sb")) / 32.0d).as("native"),
+        Sketches.estJaccardHof("sa", "sb", 32).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(sigMismatch === 0)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>").as("emb"))
+    val hpMismatch = e
+      .select(Sketches.affineHyperplaneBucket("emb", 4, 64).as("native"),
+        Sketches.affineHyperplaneBucketHof("emb", 4, 64).as("hof"))
+      .filter(not(col("native") <=> col("hof"))).count()
+    assert(hpMismatch === 0)
+  }
+
   test("native cosine == HOF cosine (exact double equality)") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
