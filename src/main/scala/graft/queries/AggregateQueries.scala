@@ -339,5 +339,26 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85)
+  // Bitwise aggregates (Presto bitwise_and_agg/bitwise_or_agg + the
+  // xor-reduce the checksum agg already uses).
+  val q92 = Q(
+    "q92_bit_aggs",
+    """SELECT l_returnflag,
+      | CAST(bit_and(l_orderkey) AS BIGINT) AS band,
+      | CAST(bit_or(l_orderkey) AS BIGINT) AS bor,
+      | CAST(bit_xor(l_orderkey) AS BIGINT) AS bxor,
+      | CAST(bit_and(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qand
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_orderkey)").as("band"),
+        expr("bit_or(l_orderkey)").as("bor"),
+        expr("bit_xor(l_orderkey)").as("bxor"),
+        expr("bit_and(cast(l_quantity as bigint))").as("qand"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92)
 }

@@ -322,5 +322,55 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id", "frame_idx")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90)
+  // End-to-end training-data pipeline composition: exact-dedup to
+  // canonical docs → English-only (same argmax as q66) → quality gate
+  // (same score as q67) → token stats. One declarative plan — Catalyst
+  // sees the whole flow, so the dedup groupBy, the language filter, and
+  // the projection all pipeline without materialization barriers.
+  val q93 = Q(
+    "q93_pipeline_e2e",
+    s"""WITH canon AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, md5($NORM) AS h FROM documents) GROUP BY h),
+       |d AS (SELECT doc_id, $NORM AS n, $WORDS AS w
+       |      FROM documents JOIN canon USING (doc_id)),
+       |hits AS (
+       |  SELECT doc_id, n, w, CAST(len(w) AS INTEGER) AS n_words,
+       |${Text.stopwords.map { case (lang, ws) =>
+          s"   CAST(len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS h_$lang"
+        }.mkString(",\n")}
+       |  FROM d),
+       |lang AS (SELECT *, CASE $langCases ELSE 'und' END AS predicted FROM hits),
+       |q AS (SELECT doc_id, n_words,
+       |   round(0.4 * least(n_words / 200.0, 1.0)
+       |     + 0.3 * round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6)
+       |     + 0.3 * (1.0 - round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6)), 4) AS quality
+       | FROM lang WHERE predicted = 'en')
+       |SELECT doc_id, n_words, quality
+       |FROM q WHERE quality >= 0.3
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val canon = Dedup.exactGroups(docs).select(col("canonical_id").as("doc_id"))
+    val base = docs.join(canon, "doc_id")
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(Seq(col("doc_id"), col("w"), size(col("w")).as("n_words")) ++
+        Text.stopwords.map { case (lang, ws) =>
+          Text.vocabHits("w", ws).as(s"h_$lang")
+        }: _*)
+    base
+      .withColumn("predicted", expr(s"CASE $langCases ELSE 'und' END"))
+      .filter(col("predicted") === "en")
+      .withColumn("stop_ratio",
+        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double") / size(col("w")), 6))
+      .withColumn("short_ratio",
+        round(expr("size(filter(w, x -> length(x) < 3))").cast("double") / size(col("w")), 6))
+      .withColumn("quality",
+        round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
+          + lit(0.3) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("short_ratio")), 4))
+      .filter(col("quality") >= 0.3)
+      .select(col("doc_id"), col("n_words"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93)
 }
