@@ -86,7 +86,10 @@ object Ann {
   def ivfFit(corpus: DataFrame, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // each Lloyd round scans the vectors once per assignment — cache the
+    // casted working set instead of re-reading+casting per iteration
     val vecs = corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Seq[Double])] = vecs.filter(col("vec_id") < c)
       .orderBy("vec_id").as[(Long, Seq[Double])].collect()
       .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
@@ -104,6 +107,7 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
+    vecs.unpersist()
     cents
   }
 

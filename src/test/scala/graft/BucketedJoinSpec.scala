@@ -33,4 +33,34 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("persisted ANN index: bucketed-by-bucket corpus scans without a shuffle") {
+    import graft.functions.Sketches
+    // the LSH corpus index as it would be persisted at warehouse scale:
+    // vectors bucketed by their hyperplane bucket id
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("ve"))
+      .withColumn("bucket", Sketches.affineHyperplaneBucket("ve", 4, 64))
+      .write.mode("overwrite")
+      .bucketBy(8, "bucket").saveAsTable("ann_index_b")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probes = spark.table("ann_index_b")
+        .filter(col("vec_id") < 5).select(col("vec_id").as("qid"), col("bucket"))
+        .groupBy("bucket").agg(min("qid").as("qid"))
+      val cand = spark.table("ann_index_b").join(probes, Seq("bucket"))
+      assert(cand.count() > 0)
+      val plan = cand.queryExecution.executedPlan.toString
+      // the corpus (index) side must come straight off the bucketed scan;
+      // only the small probe side may exchange
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(plan.split("SortMergeJoin")(1).count(_ == '\n') > 0)
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"corpus side of the index join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS ann_index_b")
+    }
+  }
 }
