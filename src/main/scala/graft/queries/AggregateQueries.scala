@@ -360,5 +360,33 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92)
+  // Heavy hitters (Presto approx_most_frequent analog): top-k most
+  // frequent values per group with deterministic ties. Exact two-phase
+  // count+rank at test scale; at 100 TB the same shape runs over a
+  // count-min/space-saving pre-aggregation — the per-group rank logic
+  // is unchanged, which is why the exact form is the right contract.
+  val q94 = Q(
+    "q94_heavy_hitters",
+    """WITH f AS (SELECT l_returnflag, l_quantity AS v, count(*) AS freq
+      | FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, v, freq,
+      |  CAST(row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY freq DESC, v) AS INTEGER) AS rk
+      | FROM f)
+      |SELECT l_returnflag, v, CAST(freq AS BIGINT) AS freq, rk
+      |FROM r WHERE rk <= 5
+      |ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("freq").desc, col("v"))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("l_returnflag"), col("v"), col("freq"), col("rk"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94)
 }

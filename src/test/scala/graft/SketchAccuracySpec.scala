@@ -60,6 +60,18 @@ class SketchAccuracySpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx tracks exact percentile within 2% of the value") {
+    val li = Tables.lineitem(spark, sfDir)
+    for (q <- Seq(0.5, 0.9)) {
+      val row = li.agg(
+        expr(s"percentile_approx(l_extendedprice, cast($q as double), 10000)").as("approx"),
+        expr(s"percentile(l_extendedprice, cast($q as double))").as("exact")).head
+      val (approx, exact) = (row.getDouble(0), row.getDouble(1))
+      assert(math.abs(approx - exact) / exact <= 0.02,
+        s"q=$q: approx $approx vs exact $exact")
+    }
+  }
+
   test("HLL merge identity: per-nation registers max-merged == direct region registers") {
     val p = 6
     val joined = Tables.customer(spark, sfDir)
