@@ -388,5 +388,42 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag", "rk")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94)
+  // Linear-regression aggregates (Presto regr_slope/regr_intercept) +
+  // Shannon entropy (Presto entropy()) — entropy composed from counts
+  // since Spark has no built-in. Rounding scales chosen so cross-engine
+  // summation-order ulp noise stays far below the rounding grain.
+  val q95 = Q(
+    "q95_regression_aggs",
+    """WITH e AS (
+      | SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      | FROM lineitem GROUP BY 1),
+      |h AS (
+      | SELECT l_returnflag,
+      |  round(-sum(p * log2(p)), 6) AS qty_entropy
+      | FROM (SELECT l_returnflag,
+      |         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY l_returnflag) AS p
+      |       FROM lineitem GROUP BY l_returnflag, l_quantity)
+      | GROUP BY 1)
+      |SELECT l_returnflag, slope, icept, n, qty_entropy
+      |FROM e JOIN h USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val e = li.groupBy(col("l_returnflag")).agg(
+      round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+      round(expr("regr_intercept(l_extendedprice, l_quantity)"), 2).as("icept"),
+      expr("regr_count(l_extendedprice, l_quantity)").as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_returnflag"))
+    val h = li.groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+      .withColumn("p", col("c").cast("double") / sum(col("c")).over(w))
+      .groupBy(col("l_returnflag"))
+      .agg(round(-sum(col("p") * log2(col("p"))), 6).as("qty_entropy"))
+    e.join(h, "l_returnflag")
+      .select(col("l_returnflag"), col("slope"), col("icept"), col("n"), col("qty_entropy"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95)
 }

@@ -41,6 +41,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(id: Long, offsetMin: Long) =
+      Ev(id, new Timestamp(t0 + offsetMin * 60000), 1, "click", 1.0)
+    // event_id is the dedup key; id 1 repeats in the same batch and again
+    // in a later batch inside the watermark window
+    stream.addData(Seq(ev(1, 0), ev(1, 1), ev(2, 2)))
+    val query = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(Seq(ev(1, 5), ev(3, 6)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test")
+        .select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
