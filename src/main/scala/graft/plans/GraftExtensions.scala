@@ -33,6 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_slot_agree"),
+      new ExpressionInfo(classOf[SlotAgreement].getName, "graft_slot_agree"),
+      (children: Seq[Expression]) => SlotAgreement(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_st_contains"),
       new ExpressionInfo(classOf[StContains].getName, "graft_st_contains"),
       (children: Seq[Expression]) =>
