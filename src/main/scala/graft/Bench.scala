@@ -37,7 +37,14 @@ object Bench {
       case (k, Left(_))  => s""""${key(k)}":"err""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // belt-and-braces: the driver captures only the stdout tail, which
+    // truncated the r2 line mid-stream — keep a file copy too
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")),
+      line.getBytes)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

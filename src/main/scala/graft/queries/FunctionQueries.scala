@@ -500,5 +500,48 @@ object FunctionQueries extends QueryFamily {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91)
+  // IP-address functions (ipaddress.rst: ip_prefix, is_subnet_of) over
+  // synthetic deterministic IPv4s — parse, integer form, /12 network
+  // prefix, and subnet membership, all integer arithmetic.
+  val q96 = Q(
+    "q96_ip_funcs",
+    """WITH ips AS (
+      | SELECT c_custkey,
+      |  CAST(c_custkey % 223 + 1 AS VARCHAR) || '.' ||
+      |  CAST((c_custkey * 7) % 256 AS VARCHAR) || '.' ||
+      |  CAST((c_custkey * 13) % 256 AS VARCHAR) || '.' ||
+      |  CAST((c_custkey * 29) % 256 AS VARCHAR) AS ip
+      | FROM customer WHERE c_custkey < 500),
+      |p AS (SELECT c_custkey, ip,
+      |  CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+      |   + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+      |   + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+      |   + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum
+      | FROM ips)
+      |SELECT c_custkey, ip, ipnum,
+      | CAST(ipnum // 1048576 * 1048576 AS BIGINT) AS net12num,
+      | CAST((ipnum // 1048576 * 1048576) // 16777216 AS VARCHAR) || '.' ||
+      |  CAST(((ipnum // 1048576 * 1048576) // 65536) % 256 AS VARCHAR) || '.0.0/12' AS net12,
+      | ipnum // 16777216 = 10 AS in_10_slash_8
+      |FROM p
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val ip = concat_ws(".",
+      (col("c_custkey") % 223 + 1).cast("string"),
+      ((col("c_custkey") * 7) % 256).cast("string"),
+      ((col("c_custkey") * 13) % 256).cast("string"),
+      ((col("c_custkey") * 29) % 256).cast("string"))
+    val oct = (i: Int) => element_at(split(col("ip"), "\\."), i).cast("long")
+    Tables.customer(s, d).filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), ip.as("ip"))
+      .withColumn("ipnum",
+        oct(1) * 16777216L + oct(2) * 65536L + oct(3) * 256L + oct(4))
+      .withColumn("net12num", expr("ipnum div 1048576 * 1048576"))
+      .select(col("c_custkey"), col("ip"), col("ipnum"), col("net12num"),
+        concat(expr("cast(net12num div 16777216 as string)"), lit("."),
+          expr("cast((net12num div 65536) % 256 as string)"), lit(".0.0/12")).as("net12"),
+        expr("ipnum div 16777216 = 10").as("in_10_slash_8"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96)
 }
