@@ -543,5 +543,28 @@ object FunctionQueries extends QueryFamily {
       .orderBy("c_custkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96)
+  // Datetime formatting (Presto format_datetime/date_format): numeric
+  // patterns only — day/month NAMES are locale-dependent and would
+  // couple the oracle to ICU tables.
+  val q97 = Q(
+    "q97_datetime_format",
+    """SELECT event_id,
+      | strftime(ts, '%Y-%m') AS ym,
+      | strftime(ts, '%Y-%m-%d') AS ymd,
+      | strftime(ts, '%H:%M:%S') AS hms,
+      | strftime(ts, '%Y-%m-%dT%H:%M') AS iso_min,
+      | CAST(strftime(ts, '%j') AS INTEGER) AS doy
+      |FROM events WHERE event_id < 500
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM").as("ym"),
+        date_format(col("ts"), "yyyy-MM-dd").as("ymd"),
+        date_format(col("ts"), "HH:mm:ss").as("hms"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm").as("iso_min"),
+        date_format(col("ts"), "DDD").cast("int").as("doy"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97)
 }
