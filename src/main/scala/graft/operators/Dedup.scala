@@ -77,29 +77,41 @@ object Dedup {
     * The band join is the scale path — candidates are bounded by bucket
     * occupancy, capped at `maxBucket` docs per (band, key).
     */
-  def minhashCandidates(docs: DataFrame, k: Int = 32, rowsPerBand: Int = 4,
-                        maxBucket: Int = 20, minEstJaccard: Double = 0.5): DataFrame = {
-    // Sign over 3-gram shingles (same feature set as jaccardPairs) — word
-    // sets are too coarse: a shared vocabulary makes all word-Jaccards
-    // high, while shingle-Jaccard discriminates documents.
-    // md5+affine sketch family (not xxhash64): every step is portable
-    // SQL, so the DuckDB oracle replays this pipeline end to end.
-    val sigs = docs
+  /** The per-document MinHash signature table — the unit that gets
+    * persisted as the dedup index at warehouse scale. md5+affine sketch
+    * family (not xxhash64): every step is portable SQL, so the DuckDB
+    * oracle replays the pipeline end to end. Signs over 3-gram shingles
+    * (same feature set as jaccardPairs) — word sets are too coarse: a
+    * shared vocabulary makes all word-Jaccards high, while
+    * shingle-Jaccard discriminates documents.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 32): DataFrame =
+    docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(col("doc_id"), graft.plans.NativeFunctions
         .shingleHashes(col("w"), 3, "md5", graft.plans.Affine.P).as("hs"))
       .filter(size(col("hs")) > 0) // no shingles → no similarity evidence
       .select(col("doc_id"), Sketches.minhashAffine("hs", k).as("sig"))
-    // Band bucket key = the band's signature slots as plain long columns
-    // (explode + element_at are codegen'd; the earlier string band keys
-    // were built by nested interpreted lambdas and dominated the query).
+
+  /** Banded form of a signature table: one row per (doc, band) with the
+    * band's signature slots as plain long key columns k0..k{r−1}
+    * (explode + element_at are codegen'd; string band keys built by
+    * nested interpreted lambdas dominated the query before). This is
+    * the LSH index layout — persisted bucketed by (band, k*) at scale.
+    */
+  def minhashBands(sigs: DataFrame, k: Int = 32, rowsPerBand: Int = 4): DataFrame = {
     val nBands = k / rowsPerBand
     val slotCols = (0 until rowsPerBand).map(j =>
       element_at(col("sig"), col("band") * rowsPerBand + j + 1).as(s"k$j"))
-    val keyNames = (0 until rowsPerBand).map(j => s"k$j")
-    val bands = sigs
+    sigs
       .select(col("doc_id"), col("sig"), explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
       .select(Seq(col("doc_id"), col("sig"), col("band")) ++ slotCols: _*)
+  }
+
+  def minhashCandidates(docs: DataFrame, k: Int = 32, rowsPerBand: Int = 4,
+                        maxBucket: Int = 20, minEstJaccard: Double = 0.5): DataFrame = {
+    val keyNames = (0 until rowsPerBand).map(j => s"k$j")
+    val bands = minhashBands(minhashSignatures(docs, k), k, rowsPerBand)
     // Materialize the banded index once: both sides of the self-join (and
     // the hot-bucket window) would otherwise re-derive the whole
     // text→shingles→md5→signature pipeline. At warehouse scale this is
@@ -122,6 +134,31 @@ object Dedup {
           / lit(k.toDouble), 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** Incremental MinHash dedup: candidates between a NEW batch and an
+    * EXISTING banded signature index ([[minhashBands]] output, persisted
+    * at scale) — the continuous-ingestion path. Only the new batch is
+    * signed; the corpus side is a plain scan of the index (bucketed by
+    * (band, k*) in a warehouse, so this join is co-located). No
+    * self-join, no recompute of historical signatures.
+    */
+  def minhashCandidatesAgainst(newDocs: DataFrame, index: DataFrame,
+                               k: Int = 32, rowsPerBand: Int = 4,
+                               minEstJaccard: Double = 0.5): DataFrame = {
+    val keyNames = (0 until rowsPerBand).map(j => s"k$j")
+    val newBands = minhashBands(minhashSignatures(newDocs, k), k, rowsPerBand)
+    newBands.as("n")
+      .join(index.as("o"),
+        ("band" +: keyNames).map(c => col(s"n.$c") === col(s"o.$c")).reduce(_ && _))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"),
+        col("n.sig").as("sig_n"), col("o.sig").as("sig_o"))
+      .distinct()
+      .withColumn("est_jaccard",
+        round(graft.plans.NativeFunctions.slotAgree(col("sig_n"), col("sig_o"))
+          / lit(k.toDouble), 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("new_id"), col("old_id"), col("est_jaccard"))
   }
 
   /** SimHash near-duplicate candidates: 60-bit md5+affine sketch (SQL-

@@ -46,6 +46,23 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists(_._2 == 9003L), s"unrelated doc surfaced: $found")
   }
 
+  test("incremental minhash finds a new near-dup against the existing index only") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val index = Dedup.minhashBands(Dedup.minhashSignatures(corpus))
+    val d1 = corpus.filter(col("doc_id") === 1).head().getString(1)
+    val near = d1.split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 5) "REPLACED" else w }.mkString(" ")
+    val newBatch = Seq(
+      (9100L, near),
+      (9101L, "fresh unrelated text with no duplicate in the corpus whatsoever")
+    ).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidatesAgainst(newBatch, index).collect()
+    assert(cands.exists(r =>
+      r.getAs[Long]("new_id") == 9100L && r.getAs[Long]("old_id") == 1L))
+    assert(!cands.exists(_.getAs[Long]("new_id") == 9101L))
+  }
+
   test("simhash puts the exact copy at hamming 0 and excludes unrelated docs") {
     val cands = Dedup.simhashCandidates(docsWithPlants, maxHamming = 3)
       .filter(col("doc_b") >= 9001).collect()
