@@ -566,5 +566,37 @@ object FunctionQueries extends QueryFamily {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97)
+  // DECIMAL arithmetic (decimal.rst): exact add/sub/mul/div with the
+  // result scale PINNED by explicit casts after every op — Spark and
+  // DuckDB disagree on implicit precision/scale propagation, so the
+  // portable contract is the explicitly-cast one. Output rendered as
+  // strings to also pin textual scale.
+  val q98 = Q(
+    "q98_decimal_arith",
+    """SELECT l_orderkey, l_linenumber,
+      | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) AS d_add,
+      | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) AS d_sub,
+      | CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)) AS VARCHAR) AS d_mul,
+      | round(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) / CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE), 6) AS d_div,
+      | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS VARCHAR) AS d_round1,
+      | CAST(CAST(floor(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,0)) AS VARCHAR) AS d_trunc0
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    def dec(c: String) = col(c).cast("decimal(18,2)")
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (dec("l_extendedprice") + dec("l_tax")).cast("string").as("d_add"),
+        (dec("l_extendedprice") - dec("l_discount")).cast("string").as("d_sub"),
+        (dec("l_extendedprice") * dec("l_quantity")).cast("decimal(28,4)").cast("string").as("d_mul"),
+        // decimal/decimal scale rules differ between engines at the final
+        // digit — the portable contract is IEEE double division + round
+        round(dec("l_extendedprice").cast("double") / dec("l_quantity").cast("double"), 6).as("d_div"),
+        round(dec("l_extendedprice"), 1).cast("string").as("d_round1"),
+        // floor, not a down-scale cast: Spark rounds HALF_UP on decimal
+        // scale reduction while DuckDB truncates
+        floor(dec("l_extendedprice")).cast("decimal(18,0)").cast("string").as("d_trunc0"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98)
 }
