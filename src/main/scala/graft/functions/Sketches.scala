@@ -222,5 +222,46 @@ object Sketches {
       s"ELSE CAST($num AS DOUBLE) / $hsumCol END) AS BIGINT)"
   }
 
-  
+  // ---- KMV / theta-sketch estimate family ------------------------------
+  // Derivations over the bottom-k sketch state (graft.plans.KmvSketchAgg):
+  // arrays of ≤ k sorted 60-bit hashes. Every op is portable (HOFs on
+  // tiny arrays), so the DuckDB oracle replays estimates bit-for-bit.
+
+  /** 2^60 as an exact double literal — the hash-domain size of the
+    * md5-derived 60-bit hash family.
+    */
+  val KmvDomain = "1152921504606846976.0D"
+
+  /** Distinct estimate from a bottom-k sketch: exact size when the
+    * sketch never filled (fewer than k distinct values seen); else the
+    * KMV estimator (k−1)/θ with θ = kth-smallest-hash / 2^60. The
+    * (k−1)·2^60 product is exact in double (small mantissa × power of
+    * two) so both engines compute the identical IEEE quotient.
+    */
+  def kmvEstimate(skCol: String, k: Int): Column =
+    expr(s"if(size($skCol) < $k, cast(size($skCol) as bigint), " +
+      s"cast(floor(${(k - 1).toDouble}D * $KmvDomain / cast(element_at($skCol, $k) as double)) as bigint))")
+
+  /** DuckDB rendering of [[kmvEstimate]] — same literals, same ops. */
+  def kmvEstimateDuckSql(skCol: String, k: Int): String =
+    s"CASE WHEN len($skCol) < $k THEN len($skCol) " +
+      s"ELSE CAST(floor(${(k - 1).toDouble} * 1152921504606846976.0 / CAST($skCol[$k] AS DOUBLE)) AS BIGINT) END"
+
+  /** Estimated Jaccard similarity of the sets behind two bottom-k
+    * sketches (the setdigest `jaccard_index` analog): over the k
+    * smallest hashes of the union, the fraction present in BOTH input
+    * sketches (Beyer '07 §4).
+    */
+  def kmvJaccard(aCol: String, bCol: String, k: Int): Column = {
+    val u = s"slice(array_sort(array_distinct(concat($aCol, $bCol))), 1, $k)"
+    expr(s"round(size(filter($u, h -> array_contains($aCol, h) and array_contains($bCol, h))) " +
+      s"/ cast(size($u) as double), 4)")
+  }
+
+  /** DuckDB rendering of [[kmvJaccard]] — same merge, same ops. */
+  def kmvJaccardDuckSql(aCol: String, bCol: String, k: Int): String = {
+    val u = s"list_sort(list_distinct(list_concat($aCol, $bCol)))[1:$k]"
+    s"round(len(list_filter($u, h -> list_contains($aCol, h) AND list_contains($bCol, h))) " +
+      s"/ CAST(len($u) AS DOUBLE), 4)"
+  }
 }

@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_hdr_quantile(col, q): q must be a numeric literal, got $other")
       }).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
+      (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
+        case Literal(k: Number, _) => k.intValue
+        case other => throw new IllegalArgumentException(
+          s"graft_kmv(col, k): k must be an integer literal, got $other")
+      }).toAggregateExpression()))
   }
 }
 
@@ -78,6 +86,9 @@ object NativeFunctions {
 
   def hdrQuantile(c: Column, q: Double): Column =
     Bridge.column(HdrQuantileAgg(col2expr(c), q).toAggregateExpression())
+
+  def kmvSketch(c: Column, k: Int): Column =
+    Bridge.column(KmvSketchAgg(col2expr(c), k).toAggregateExpression())
 
   def md5Hash60(arr: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Hash60(col2expr(arr), mod))

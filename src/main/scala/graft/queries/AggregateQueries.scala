@@ -425,5 +425,65 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95)
+  // KMV bottom-k theta sketch (graft.plans.KmvSketchAgg): per-priority
+  // distinct-customer sketches, a union rollup merged FROM SKETCH STATE
+  // ONLY (re-aggregating sketch elements is the lossless union merge),
+  // and per-group Jaccard vs the 1-URGENT set — the reference's
+  // sketch_theta / setdigest surface (sketch.rst, setdigest.rst). Every
+  // step is integer/IEEE-portable, so the oracle replays the whole
+  // sketch: DuckDB's bottom-k is just ORDER BY hash LIMIT k.
+  private val kmvK = 128
+
+  val q99 = Q(
+    "q99_kmv_theta",
+    s"""WITH d AS (SELECT DISTINCT o_orderpriority AS grp,
+       |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       | FROM orders),
+       |r AS (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM d),
+       |sk AS (SELECT grp, list(h ORDER BY h) AS sk FROM r WHERE rk <= $kmvK GROUP BY grp),
+       |ad AS (SELECT DISTINCT h FROM r WHERE rk <= $kmvK),
+       |ar AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM ad),
+       |ask AS (SELECT 'ALL' AS grp, list(h ORDER BY h) AS sk FROM ar WHERE rk <= $kmvK),
+       |sks AS (SELECT * FROM sk UNION ALL SELECT * FROM ask),
+       |ex AS (SELECT o_orderpriority AS grp, count(DISTINCT o_custkey) AS exact_distinct
+       |       FROM orders GROUP BY 1
+       |       UNION ALL
+       |       SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+       |u AS (SELECT sk AS usk FROM sks WHERE grp = '1-URGENT')
+       |SELECT s.grp,
+       | ${graft.functions.Sketches.kmvEstimateDuckSql("s.sk", kmvK)} AS est_distinct,
+       | ex.exact_distinct,
+       | ${graft.functions.Sketches.kmvJaccardDuckSql("s.sk", "u.usk", kmvK)} AS jacc_vs_urgent
+       |FROM sks s CROSS JOIN u JOIN ex ON s.grp = ex.grp
+       |ORDER BY s.grp""".stripMargin) { (s, d) =>
+    import graft.functions.Sketches
+    import graft.plans.NativeFunctions
+    val o = Tables.orders(s, d)
+    val hashed = o.select(col("o_orderpriority").as("grp"),
+      Sketches.hllHash("o_custkey").as("h"))
+    val perGroup = hashed.groupBy("grp")
+      .agg(NativeFunctions.kmvSketch(col("h"), kmvK).as("sk"))
+    // union rollup: the sketches' own elements re-aggregated — no second
+    // pass over the data, the production shape for a 100 TB daily→total
+    // distinct rollup
+    val allRow = perGroup.select(explode(col("sk")).as("h"))
+      .agg(NativeFunctions.kmvSketch(col("h"), kmvK).as("sk"))
+      .select(lit("ALL").as("grp"), col("sk"))
+    val sketches = perGroup.unionByName(allRow)
+    val exact = o.groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      .unionByName(o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        .select(lit("ALL").as("grp"), col("exact_distinct")))
+    val urgent = sketches.filter(col("grp") === "1-URGENT")
+      .select(col("sk").as("usk"))
+    sketches.crossJoin(broadcast(urgent))
+      .join(exact, "grp")
+      .select(col("grp"),
+        Sketches.kmvEstimate("sk", kmvK).as("est_distinct"),
+        col("exact_distinct"),
+        Sketches.kmvJaccard("sk", "usk", kmvK).as("jacc_vs_urgent"))
+      .orderBy("grp")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99)
 }
