@@ -598,5 +598,177 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98)
+  // Advanced array surface (array.rst part 2): all/any/none_match,
+  // array_average, array_cum_sum, array_duplicates, array_except/
+  // intersect/union, array_frequency, array_join, array_normalize,
+  // array_position (insertion-point form), array_remove, array_sum,
+  // flatten, ngrams, repeat, sequence, find_first. Set-typed results are
+  // scalarized in CANONICAL form (sorted-distinct, comma-joined) on both
+  // engines — array_except/union per-engine ordering never leaks into
+  // the contract. Arrays are per-order quantity lists (≤ 7 elements), so
+  // the interpreted HOF lambdas run on bounded data; the corpus-scale
+  // hot paths keep using the native kernels (§2.7).
+  val q100 = Q(
+    "q100_array_funcs2",
+    """WITH a AS (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS arr
+      | FROM lineitem GROUP BY 1 ORDER BY l_orderkey LIMIT 300)
+      |SELECT l_orderkey,
+      | CAST(len(arr) AS INTEGER) AS n_items,
+      | len(list_filter(arr, x -> x <= 0)) = 0 AS all_pos,
+      | len(list_filter(arr, x -> x >= 45)) > 0 AS any_ge45,
+      | len(list_filter(arr, x -> x > 100)) = 0 AS none_gt100,
+      | round(CAST(list_sum(arr) AS DOUBLE) / CAST(len(arr) AS DOUBLE), 4) AS avg_qty,
+      | CAST(list_sum(arr) AS BIGINT) AS sum_qty,
+      | COALESCE(array_to_string(list_transform(range(1, len(arr) + 1),
+      |   i -> CAST(CAST(list_sum(arr[1:i]) AS BIGINT) AS VARCHAR)), ','), '') AS cum_sum,
+      | COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+      |   list_filter(arr, x -> len(list_filter(arr, y -> y = x)) > 1))),
+      |   x -> CAST(x AS VARCHAR)), ','), '') AS dups,
+      | len(list_filter(arr, x -> len(list_filter(arr, y -> y = x)) > 1)) > 0 AS has_dups,
+      | COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+      |   list_filter(arr, x -> x > 10))), x -> CAST(x AS VARCHAR)), ','), '') AS except_le10,
+      | COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+      |   list_filter(arr, x -> x <= 10))), x -> CAST(x AS VARCHAR)), ','), '') AS inter_le10,
+      | COALESCE(array_to_string(list_transform(list_sort(list_distinct(
+      |   list_concat(arr, [5, 10, 15]))), x -> CAST(x AS VARCHAR)), ','), '') AS union_5_10_15,
+      | COALESCE(array_to_string(list_transform(list_sort(list_distinct(arr)),
+      |   v -> CAST(v AS VARCHAR) || ':' ||
+      |        CAST(len(list_filter(arr, y -> y = v)) AS VARCHAR)), ','), '') AS freq_str,
+      | CAST(CASE WHEN len(list_filter(arr, x -> x >= 25)) > 0
+      |   THEN len(list_filter(arr, x -> x < 25)) + 1 END AS INTEGER) AS pos_first_ge25,
+      | list_filter(arr, x -> x >= 25)[1] AS first_ge25,
+      | COALESCE(array_to_string(list_transform(list_filter(arr, x -> x <> list_max(arr)),
+      |   x -> CAST(x AS VARCHAR)), ','), '') AS removed_max,
+      | round(CAST(arr[1] AS DOUBLE) / CAST(list_sum(arr) AS DOUBLE), 4) AS l1_first,
+      | CAST(len(flatten([arr, arr])) AS INTEGER) AS flat_n,
+      | CASE WHEN len(arr) >= 2 THEN COALESCE(array_to_string(
+      |   list_transform(range(1, len(arr)),
+      |     i -> CAST(arr[CAST(i AS INTEGER)] AS VARCHAR) || '-' || CAST(arr[CAST(i AS INTEGER) + 1] AS VARCHAR)), ','), '')
+      |   ELSE '' END AS ngram2,
+      | COALESCE(array_to_string(list_transform(range(3),
+      |   i -> CAST(l_orderkey % 5 AS VARCHAR)), ','), '') AS rep3,
+      | COALESCE(array_to_string(list_transform(range(1, CAST(least(len(arr), 5) AS INTEGER) + 1),
+      |   i -> CAST(i AS VARCHAR)), ','), '') AS seq5
+      |FROM a
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val arrs = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("arr"))
+      .orderBy("l_orderkey").limit(300)
+    arrs.select(
+      col("l_orderkey"),
+      size(col("arr")).as("n_items"),
+      expr("size(filter(arr, x -> x <= 0)) = 0").as("all_pos"),
+      expr("size(filter(arr, x -> x >= 45)) > 0").as("any_ge45"),
+      expr("size(filter(arr, x -> x > 100)) = 0").as("none_gt100"),
+      expr("round(cast(aggregate(arr, 0L, (a, x) -> a + x) as double) / cast(size(arr) as double), 4)").as("avg_qty"),
+      expr("aggregate(arr, 0L, (a, x) -> a + x)").as("sum_qty"),
+      expr("array_join(transform(sequence(1, size(arr)), i -> cast(aggregate(slice(arr, 1, i), 0L, (a, x) -> a + x) as string)), ',')").as("cum_sum"),
+      expr("array_join(transform(array_sort(array_distinct(filter(arr, x -> size(filter(arr, y -> y = x)) > 1))), x -> cast(x as string)), ',')").as("dups"),
+      expr("size(filter(arr, x -> size(filter(arr, y -> y = x)) > 1)) > 0").as("has_dups"),
+      expr("array_join(transform(array_sort(array_distinct(filter(arr, x -> x > 10))), x -> cast(x as string)), ',')").as("except_le10"),
+      expr("array_join(transform(array_sort(array_distinct(filter(arr, x -> x <= 10))), x -> cast(x as string)), ',')").as("inter_le10"),
+      expr("array_join(transform(array_sort(array_distinct(concat(arr, array(5, 10, 15)))), x -> cast(x as string)), ',')").as("union_5_10_15"),
+      expr("array_join(transform(array_sort(array_distinct(arr)), v -> concat(cast(v as string), ':', cast(size(filter(arr, y -> y = v)) as string))), ',')").as("freq_str"),
+      expr("if(size(filter(arr, x -> x >= 25)) > 0, size(filter(arr, x -> x < 25)) + 1, cast(null as int))").as("pos_first_ge25"),
+      // try_: ANSI element_at errors on the empty-filter case
+      expr("try_element_at(filter(arr, x -> x >= 25), 1)").as("first_ge25"),
+      expr("array_join(transform(filter(arr, x -> x != array_max(arr)), x -> cast(x as string)), ',')").as("removed_max"),
+      expr("round(cast(element_at(arr, 1) as double) / cast(aggregate(arr, 0L, (a, x) -> a + x) as double), 4)").as("l1_first"),
+      expr("size(flatten(array(arr, arr)))").as("flat_n"),
+      expr("if(size(arr) >= 2, array_join(transform(sequence(1, size(arr) - 1), i -> concat(cast(element_at(arr, cast(i as int)) as string), '-', cast(element_at(arr, cast(i as int) + 1) as string))), ','), '')").as("ngram2"),
+      expr("array_join(array_repeat(cast(l_orderkey % 5 as string), 3), ',')").as("rep3"),
+      expr("array_join(transform(sequence(1, least(size(arr), 5)), i -> cast(i as string)), ',')").as("seq5"))
+      .orderBy("l_orderkey")
+  }
+
+  // Advanced map surface (map.rst part 2): map_concat, map_filter,
+  // transform_keys, transform_values, map_zip_with, map_subset,
+  // map_top_n, map_normalize, multimap_from_entries, and the
+  // all/any/no_keys_match + any/no_values_match predicates. The Spark
+  // side genuinely drives Spark's map functions (built from
+  // map_from_entries over per-order (linenumber → qty) pairs) and
+  // canonicalizes each result via sorted map_entries; the oracle replays
+  // the identical entry-list transforms with DuckDB list lambdas —
+  // map-typed columns never reach the compare (engines disagree on map
+  // ordering/hashing, the r2 q42 lesson).
+  val q101 = Q(
+    "q101_map_funcs2",
+    """WITH a0 AS (SELECT l_orderkey,
+      |  list(struct_pack(ln := l_linenumber, pk := l_partkey, v := CAST(l_quantity AS INTEGER))
+      |       ORDER BY l_linenumber, l_partkey, l_quantity) AS es0
+      | FROM lineitem GROUP BY 1 ORDER BY l_orderkey LIMIT 300),
+      |a AS (SELECT l_orderkey, list_transform(range(1, len(es0) + 1),
+      |  i -> struct_pack(k := CAST(i AS INTEGER), v := es0[CAST(i AS INTEGER)].v)) AS es
+      | FROM a0),
+      |b AS (SELECT l_orderkey, es,
+      |  CAST(list_sum(list_transform(es, e -> e.v)) AS BIGINT) AS sv FROM a)
+      |SELECT l_orderkey,
+      | COALESCE(array_to_string(list_transform(list_sort(list_concat(es, [{'k': 0, 'v': 99}])),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS concat_m,
+      | COALESCE(array_to_string(list_transform(list_sort(list_filter(es, e -> e.v >= 25)),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS filt_ge25,
+      | COALESCE(array_to_string(list_transform(list_sort(list_transform(es,
+      |   e -> struct_pack(k := e.k * 10, v := e.v))),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS tkeys,
+      | COALESCE(array_to_string(list_transform(list_sort(list_transform(es,
+      |   e -> struct_pack(k := e.k, v := e.v + 100))),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS tvals,
+      | COALESCE(array_to_string(list_transform(list_sort(list_transform(es,
+      |   e -> struct_pack(k := e.k, v := e.v * 3))),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS zip3v,
+      | COALESCE(array_to_string(list_transform(list_sort(list_filter(es, e -> e.k IN (1, 2))),
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(e.v AS VARCHAR)), ','), '') AS subset_12,
+      | COALESCE(array_to_string(list_transform(
+      |   list_sort(list_transform(es, e -> struct_pack(nv := -e.v, k := e.k)))[1:2],
+      |   e -> CAST(e.k AS VARCHAR) || '=' || CAST(-e.nv AS VARCHAR)), ','), '') AS top2,
+      | round(CAST(es[1].v AS DOUBLE) / CAST(sv AS DOUBLE), 4) AS norm_first,
+      | COALESCE(array_to_string(list_transform(
+      |   list_sort(list_distinct(list_transform(es, e -> e.v % 10))),
+      |   r -> CAST(r AS VARCHAR) || ':' || array_to_string(list_transform(
+      |     list_sort(list_filter(es, e -> e.v % 10 = r)), e -> CAST(e.k AS VARCHAR)), '|')),
+      |   ','), '') AS mmap,
+      | len(list_filter(es, e -> e.k % 2 = 0)) > 0 AS any_key_even,
+      | len(list_filter(es, e -> e.v <= 0)) = 0 AS all_val_pos,
+      | len(list_filter(es, e -> e.k > 10)) = 0 AS no_key_gt10
+      |FROM b
+      |ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    def canon(mapSql: String): org.apache.spark.sql.Column =
+      expr(s"array_join(transform(array_sort(map_entries($mapSql)), " +
+        "e -> concat(cast(e.key as string), '=', cast(e.value as string))), ',')")
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      // positional keys: l_linenumber is NOT unique per order in the
+      // synthetic data, and map keys must be — rank the deterministically
+      // sorted (linenumber, partkey, qty) triples instead
+      .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
+        col("l_partkey").as("pk"),
+        col("l_quantity").cast("int").as("v")))).as("es0"))
+      .orderBy("l_orderkey").limit(300)
+      .withColumn("es", expr(
+        "transform(sequence(1, size(es0)), i -> struct(cast(i as int) as k, element_at(es0, cast(i as int)).v as v))"))
+      .withColumn("m", expr("map_from_entries(es)"))
+      .withColumn("sv", expr("aggregate(map_values(m), 0L, (a, x) -> a + x)"))
+      .select(
+        col("l_orderkey"),
+        canon("map_concat(m, map(0, 99))").as("concat_m"),
+        canon("map_filter(m, (k, v) -> v >= 25)").as("filt_ge25"),
+        canon("transform_keys(m, (k, v) -> k * 10)").as("tkeys"),
+        canon("transform_values(m, (k, v) -> v + 100)").as("tvals"),
+        canon("map_zip_with(m, transform_values(m, (k, v) -> v * 2), (k, a, b) -> a + b)").as("zip3v"),
+        canon("map_filter(m, (k, v) -> k in (1, 2))").as("subset_12"),
+        expr("array_join(transform(slice(array_sort(transform(map_entries(m), " +
+          "e -> struct(-e.value as nv, e.key as k))), 1, 2), " +
+          "e -> concat(cast(e.k as string), '=', cast(-e.nv as string))), ',')").as("top2"),
+        expr("round(cast(element_at(map_values(m), 1) as double) / cast(sv as double), 4)").as("norm_first"),
+        expr("array_join(transform(array_sort(array_distinct(transform(map_entries(m), e -> e.value % 10))), " +
+          "r -> concat(cast(r as string), ':', array_join(transform(" +
+          "array_sort(filter(map_entries(m), e -> e.value % 10 = r)), e -> cast(e.key as string)), '|'))), ',')").as("mmap"),
+        expr("size(filter(map_keys(m), k -> k % 2 = 0)) > 0").as("any_key_even"),
+        expr("size(filter(map_values(m), v -> v <= 0)) = 0").as("all_val_pos"),
+        expr("size(filter(map_keys(m), k -> k > 10)) = 0").as("no_key_gt10"))
+      .orderBy("l_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101)
 }
