@@ -53,6 +53,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_hdr_quantile(col, q): q must be a numeric literal, got $other")
       }).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_hdr_quantiles"),
+      new ExpressionInfo(classOf[HdrQuantilesAgg].getName, "graft_hdr_quantiles"),
+      (children: Seq[Expression]) => HdrQuantilesAgg(children.head,
+        children.tail.map {
+          case Literal(v: Number, _) => v.doubleValue
+          case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_hdr_quantiles(col, q...): quantiles must be numeric literals, got $other")
+        }).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hdr_rank"),
+      new ExpressionInfo(classOf[HdrRankAgg].getName, "graft_hdr_rank"),
+      (children: Seq[Expression]) => HdrRankAgg(children(0), children(1) match {
+        case Literal(v: Number, _) => v.longValue
+        case other => throw new IllegalArgumentException(
+          s"graft_hdr_rank(col, v): v must be an integer literal, got $other")
+      }).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
@@ -89,6 +107,12 @@ object NativeFunctions {
 
   def kmvSketch(c: Column, k: Int): Column =
     Bridge.column(KmvSketchAgg(col2expr(c), k).toAggregateExpression())
+
+  def hdrQuantiles(c: Column, qs: Seq[Double]): Column =
+    Bridge.column(HdrQuantilesAgg(col2expr(c), qs).toAggregateExpression())
+
+  def hdrRank(c: Column, v: Long): Column =
+    Bridge.column(HdrRankAgg(col2expr(c), v).toAggregateExpression())
 
   def md5Hash60(arr: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Hash60(col2expr(arr), mod))

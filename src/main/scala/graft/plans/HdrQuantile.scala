@@ -109,6 +109,144 @@ case class HdrQuantileAgg(
     copy(child = newChildren.head)
 }
 
+/** values_at_quantiles (qdigest.rst/tdigest.rst surface): one sketch
+  * build, one buffer walk per requested quantile, array<double> out —
+  * the multi-quantile form that saves N−1 sketch builds over calling
+  * [[HdrQuantileAgg]] N times.
+  */
+case class HdrQuantilesAgg(
+    child: Expression,
+    qs: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with HdrBuffer {
+
+  require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+    s"quantiles must be in [0, 1], got $qs")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_hdr_quantiles"
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = total(buf)
+    if (n == 0) return null
+    val out = qs.map { q =>
+      val rank = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var res = HdrQuantileAgg.midpoint(HdrQuantileAgg.Slots - 1)
+      var done = false
+      while (i < HdrQuantileAgg.Slots && !done) {
+        cum += buf(i)
+        if (cum >= rank) { res = HdrQuantileAgg.midpoint(i); done = true }
+        i += 1
+      }
+      res
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HdrQuantilesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HdrQuantilesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HdrQuantilesAgg =
+    copy(child = newChildren.head)
+}
+
+/** quantile_at_value (qdigest.rst surface): the estimated rank of a
+  * value — fraction of inputs in buckets at or below the value's bucket.
+  * "At bucket resolution" is the sketch contract: every member of the
+  * value's own bucket counts as ≤ it, exactly as the oracle replays.
+  */
+case class HdrRankAgg(
+    child: Expression,
+    value: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with HdrBuffer {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_hdr_rank"
+
+  override def eval(buf: Array[Long]): Any = {
+    val n = total(buf)
+    if (n == 0) return null
+    val b = HdrQuantileAgg.bucketOf(value)
+    var cum = 0L
+    var i = 0
+    while (i <= b) { cum += buf(i); i += 1 }
+    cum.toDouble / n.toDouble
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HdrRankAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HdrRankAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HdrRankAgg =
+    copy(child = newChildren.head)
+}
+
+/** Shared HDR register-array buffer plumbing (update/merge/serde) for
+  * the quantile-family aggregates.
+  */
+trait HdrBuffer { self: TypedImperativeAggregate[Array[Long]] =>
+  def child: Expression
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an integral input, got $t")
+  }
+  def children: Seq[Expression] = Seq(child)
+  def nullable: Boolean = true
+
+  final def createAggregationBuffer(): Array[Long] =
+    new Array[Long](HdrQuantileAgg.Slots)
+
+  final def update(buf: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val c = v match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
+      }
+      buf(HdrQuantileAgg.bucketOf(c)) += 1
+    }
+    buf
+  }
+
+  final def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < HdrQuantileAgg.Slots) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  final protected def total(buf: Array[Long]): Long = {
+    var n = 0L
+    var i = 0
+    while (i < HdrQuantileAgg.Slots) { n += buf(i); i += 1 }
+    n
+  }
+
+  final def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(HdrQuantileAgg.Slots * 8)
+    var i = 0
+    while (i < HdrQuantileAgg.Slots) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  final def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](HdrQuantileAgg.Slots)
+    var i = 0
+    while (i < HdrQuantileAgg.Slots) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+}
+
 object HdrQuantileAgg {
   /** 8 sub-buckets × exponents 0–62 + the 8 exact small-value slots. */
   val Slots = 512

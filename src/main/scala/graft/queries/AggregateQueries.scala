@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryFamily, Tables}
+import graft.plans.HdrQuantileAgg
 
 /** §2.3 Aggregate library.
   *
@@ -485,5 +486,59 @@ object AggregateQueries extends QueryFamily {
       .orderBy("grp")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99)
+  // qdigest/tdigest API surface over the HDR sketch (qdigest.rst:
+  // values_at_quantiles, quantile_at_value; tdigest.rst mirrors both):
+  // one sketch build per group, multi-quantile walk (array out), plus
+  // the inverse rank query at a fixed value — all replayed exactly by
+  // the oracle from the same integer bucket walk as q85.
+  private val q102RankCents = 2000000L // quantile_at_value probe: $20k
+
+  val q102 = Q(
+    "q102_qdigest_api",
+    s"""WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+       |b AS (SELECT l_returnflag,
+       |  CASE WHEN c < 8 THEN c
+       |       ELSE 8 * CAST(floor(log2(c)) AS BIGINT)
+       |            + (c >> (CAST(floor(log2(c)) AS INTEGER) - 3)) - 8 END AS bucket
+       | FROM c),
+       |cnt AS (SELECT l_returnflag, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+       |cum AS (SELECT l_returnflag, bucket, n,
+       |   sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+       |   sum(n) OVER (PARTITION BY l_returnflag) AS total
+       | FROM cnt),
+       |${hdrPickDuck(0.25, "p25")},
+       |${hdrPickDuck(0.5, "p50")},
+       |${hdrPickDuck(0.75, "p75")},
+       |${hdrPickDuck(0.95, "p95")},
+       |rk AS (SELECT l_returnflag,
+       |   round(CAST(sum(n) FILTER (WHERE bucket <= ${HdrQuantileAgg.bucketOf(q102RankCents)}) AS DOUBLE)
+       |         / CAST(max(total) AS DOUBLE), 6) AS rank_at_20k
+       | FROM cum GROUP BY 1)
+       |SELECT p25.l_returnflag,
+       | round(${hdrMidpointDuck("p25.b")} / 100, 6) AS p25_price,
+       | round(${hdrMidpointDuck("p50.b")} / 100, 6) AS p50_price,
+       | round(${hdrMidpointDuck("p75.b")} / 100, 6) AS p75_price,
+       | round(${hdrMidpointDuck("p95.b")} / 100, 6) AS p95_price,
+       | rank_at_20k
+       |FROM p25 JOIN p50 USING (l_returnflag) JOIN p75 USING (l_returnflag)
+       | JOIN p95 USING (l_returnflag) JOIN rk USING (l_returnflag)
+       |ORDER BY p25.l_returnflag""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    val cents = expr("cast(round(l_extendedprice * 100) as bigint)")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), cents.as("c"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        NativeFunctions.hdrQuantiles(col("c"), Seq(0.25, 0.5, 0.75, 0.95)).as("vq"),
+        round(NativeFunctions.hdrRank(col("c"), q102RankCents), 6).as("rank_at_20k"))
+      .select(col("l_returnflag"),
+        round(expr("element_at(vq, 1)") / 100, 6).as("p25_price"),
+        round(expr("element_at(vq, 2)") / 100, 6).as("p50_price"),
+        round(expr("element_at(vq, 3)") / 100, 6).as("p75_price"),
+        round(expr("element_at(vq, 4)") / 100, 6).as("p95_price"),
+        col("rank_at_20k"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102)
 }

@@ -50,4 +50,30 @@ class HdrQuantileSpec extends SparkSpec {
       .agg(NativeFunctions.hdrQuantile(col("c"), 0.5)).head
     assert(r.isNullAt(0))
   }
+
+  test("values_at_quantiles agrees with per-quantile calls, in one walk") {
+    val multi = cents.agg(NativeFunctions.hdrQuantiles(col("c"), Seq(0.25, 0.5, 0.9)))
+      .head.getSeq[Double](0)
+    val singles = Seq(0.25, 0.5, 0.9).map(q =>
+      cents.agg(NativeFunctions.hdrQuantile(col("c"), q)).head.getDouble(0))
+    assert(multi === singles)
+  }
+
+  test("quantile_at_value inverts value_at_quantile at bucket resolution") {
+    val p50 = cents.agg(NativeFunctions.hdrQuantile(col("c"), 0.5)).head.getDouble(0)
+    val rank = cents.agg(NativeFunctions.hdrRank(col("c"), p50.toLong)).head.getDouble(0)
+    // rank of the p50 value must cover the 50th percentile, and not
+    // overshoot by more than one bucket's mass
+    assert(rank >= 0.5 - 1e-9 && rank <= 0.75, s"rank=$rank")
+  }
+
+  test("graft_hdr_quantiles / graft_hdr_rank registered as SQL functions") {
+    cents.createOrReplaceTempView("hdr_cents2")
+    val arr = spark.sql(
+      "SELECT graft_hdr_quantiles(c, 0.25, 0.5) FROM hdr_cents2").head.getSeq[Double](0)
+    assert(arr.length === 2 && arr(0) <= arr(1))
+    val rk = spark.sql(
+      "SELECT graft_hdr_rank(c, 2000000) FROM hdr_cents2").head.getDouble(0)
+    assert(rk > 0.0 && rk <= 1.0)
+  }
 }
