@@ -770,5 +770,105 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101)
+  // Geospatial polygon surface (geospatial.rst: ST_Envelope/ST_XMin
+  // family, ST_Centroid, ST_Area via the shoelace formula,
+  // ST_Intersects on envelopes, composed with q89's ray-casting
+  // ST_Contains). Per-nation: envelope + exact-decimal centroid over
+  // all customer points, and the shoelace area of the star polygon
+  // through the 5 lowest-custkey points ordered by angle around their
+  // mean — every float reduction is a FIXED-ORDER fold over a sorted
+  // array (never a parallel sum), which is what makes planar geometry
+  // cross-engine deterministic.
+  val q103 = Q(
+    "q103_geo_polygon",
+    s"""WITH c AS (
+       | SELECT c_custkey, c_nationkey,
+       |  (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS la,
+       |  (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lo
+       | FROM customer),
+       |env AS (SELECT c_nationkey,
+       |  min(la) AS env_min_lat, max(la) AS env_max_lat,
+       |  min(lo) AS env_min_lon, max(lo) AS env_max_lon,
+       |  sum(CAST(la AS DECIMAL(10,3))) AS sla, sum(CAST(lo AS DECIMAL(10,3))) AS slo,
+       |  count(*) AS n
+       | FROM c GROUP BY 1),
+       |r AS (SELECT c_nationkey, c_custkey, la, lo,
+       |  row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rk FROM c),
+       |five AS (SELECT c_nationkey,
+       |  list(struct_pack(ck := c_custkey, la := la, lo := lo) ORDER BY c_custkey) AS pts
+       | FROM r WHERE rk <= 5 GROUP BY 1),
+       |cent AS (SELECT c_nationkey, pts,
+       |  list_reduce(list_transform(pts, p -> p.la), (a, b) -> a + b) / len(pts) AS cy,
+       |  list_reduce(list_transform(pts, p -> p.lo), (a, b) -> a + b) / len(pts) AS cx
+       | FROM five),
+       |poly AS (SELECT c_nationkey,
+       |  list_sort(list_transform(pts, p -> struct_pack(
+       |    ang := round(atan2(p.la - cy, p.lo - cx), 6), ck := p.ck, la := p.la, lo := p.lo))) AS poly
+       | FROM cent),
+       |star AS (SELECT c_nationkey,
+       |  CAST(abs(list_reduce(list_transform(range(1, len(poly) + 1),
+       |    i -> CAST(round(poly[CAST(i AS INTEGER)].lo * 1000) AS BIGINT) * CAST(round(poly[CAST(i AS INTEGER) % len(poly) + 1].la * 1000) AS BIGINT)
+       |       - CAST(round(poly[CAST(i AS INTEGER) % len(poly) + 1].lo * 1000) AS BIGINT) * CAST(round(poly[CAST(i AS INTEGER)].la * 1000) AS BIGINT)),
+       |    (a, b) -> a + b)) AS DOUBLE) / 2000000.0 AS star_area
+       | FROM poly)
+       |SELECT n_name,
+       | round(CAST(sla AS DOUBLE) / n, 6) AS cent_lat,
+       | round(CAST(slo AS DOUBLE) / n, 6) AS cent_lon,
+       | env_min_lat, env_max_lat, env_min_lon, env_max_lon,
+       | round((env_max_lat - env_min_lat) * (env_max_lon - env_min_lon), 4) AS env_area,
+       | NOT (env_max_lat < ${q89Poly.map(_._1).min} OR env_min_lat > ${q89Poly.map(_._1).max}
+       |   OR env_max_lon < ${q89Poly.map(_._2).min} OR env_min_lon > ${q89Poly.map(_._2).max}) AS bbox_intersects_pentagon,
+       | ${graft.plans.StContains.duckSql(q89Poly,
+            "round(CAST(sla AS DOUBLE) / n, 6)", "round(CAST(slo AS DOUBLE) / n, 6)")} AS centroid_in_pentagon,
+       | star_area
+       |FROM env JOIN star USING (c_nationkey) JOIN nation ON c_nationkey = n_nationkey
+       |ORDER BY n_name""".stripMargin) { (s, d) =>
+    import graft.functions.Geo
+    import graft.plans.NativeFunctions
+    import org.apache.spark.sql.expressions.Window
+    val (lat, lon) = Geo.pointFor(col("c_custkey"), 7)
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), lat.as("la"), lon.as("lo"))
+    val env = pts.groupBy(col("c_nationkey")).agg(
+      min("la").as("env_min_lat"), max("la").as("env_max_lat"),
+      min("lo").as("env_min_lon"), max("lo").as("env_max_lon"),
+      sum(col("la").cast("decimal(10,3)")).as("sla"),
+      sum(col("lo").cast("decimal(10,3)")).as("slo"),
+      count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_custkey"))
+    val star = pts.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(struct(col("c_custkey").as("ck"),
+        col("la"), col("lo")))).as("pts"))
+      .withColumn("cy", expr("aggregate(pts, 0.0D, (a, p) -> a + p.la) / size(pts)"))
+      .withColumn("cx", expr("aggregate(pts, 0.0D, (a, p) -> a + p.lo) / size(pts)"))
+      .withColumn("poly", expr("array_sort(transform(pts, p -> struct(" +
+        "round(atan2(p.la - cy, p.lo - cx), 6) as ang, p.ck as ck, p.la as la, p.lo as lo)))"))
+      // exact integer micro-degree shoelace: coords have 3-decimal grain,
+      // so the cross products and their sum are exact BIGINTs — no float
+      // fold to land on a rounding boundary differently per engine
+      .select(col("c_nationkey"), expr(
+        "cast(abs(aggregate(transform(sequence(1, size(poly)), " +
+          "i -> cast(round(element_at(poly, cast(i as int)).lo * 1000) as bigint) * cast(round(element_at(poly, cast(i as int) % size(poly) + 1).la * 1000) as bigint) " +
+          "- cast(round(element_at(poly, cast(i as int) % size(poly) + 1).lo * 1000) as bigint) * cast(round(element_at(poly, cast(i as int)).la * 1000) as bigint)), " +
+          "0L, (a, x) -> a + x)) as double) / 2000000.0D").as("star_area"))
+    val pentLats = array(q89Poly.map(v => lit(v._1)): _*)
+    val pentLons = array(q89Poly.map(v => lit(v._2)): _*)
+    env.join(star, "c_nationkey")
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .withColumn("cent_lat", round(col("sla").cast("double") / col("n"), 6))
+      .withColumn("cent_lon", round(col("slo").cast("double") / col("n"), 6))
+      .select(col("n_name"), col("cent_lat"), col("cent_lon"),
+        col("env_min_lat"), col("env_max_lat"), col("env_min_lon"), col("env_max_lon"),
+        round((col("env_max_lat") - col("env_min_lat")) * (col("env_max_lon") - col("env_min_lon")), 4).as("env_area"),
+        (!(col("env_max_lat") < q89Poly.map(_._1).min || col("env_min_lat") > q89Poly.map(_._1).max ||
+          col("env_max_lon") < q89Poly.map(_._2).min || col("env_min_lon") > q89Poly.map(_._2).max))
+          .as("bbox_intersects_pentagon"),
+        NativeFunctions.stContains(pentLats, pentLons, col("cent_lat"), col("cent_lon"))
+          .as("centroid_in_pentagon"),
+        col("star_area"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103)
 }
