@@ -63,4 +63,43 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ann_index_b")
     }
   }
+
+  test("persisted minhash band index: incremental batch joins without shuffling the index side") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    // the signature index as persisted at warehouse scale: bucketed by
+    // the full band-bucket key, so a new batch joins straight into the
+    // index's layout — only the (small) batch side exchanges
+    Dedup.minhashBands(Dedup.minhashSignatures(corpus))
+      .write.mode("overwrite")
+      .bucketBy(8, "band", "k0", "k1", "k2", "k3")
+      .saveAsTable("minhash_index_b")
+    val batch = Seq((10L, base.replace("today", "tomorrow"))).toDF("doc_id", "text")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val keyNames = Seq("band", "k0", "k1", "k2", "k3")
+      val probeBands = Dedup.minhashBands(Dedup.minhashSignatures(batch))
+      val joined = spark.table("minhash_index_b").as("o")
+        .join(probeBands.as("n"),
+          keyNames.map(c => col(s"n.$c") === col(s"o.$c")).reduce(_ && _))
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges <= 1, s"index side of the band join must not shuffle:\n$plan")
+      // and the full incremental-dedup operator works against the
+      // persisted table, flagging the near-dup
+      val cand = Dedup.minhashCandidatesAgainst(batch, spark.table("minhash_index_b"))
+        .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(cand.contains((10L, 1L)) && !cand.exists(_._2 == 2L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS minhash_index_b")
+    }
+  }
 }
