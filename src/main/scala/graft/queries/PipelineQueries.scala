@@ -372,5 +372,32 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93)
+  // Chunked binary decode (Multimodal.chunkDecode): fixed-size chunks
+  // per payload, batched per partition; the oracle replays the rolling
+  // polynomial hash over each chunk's bytes from the hex expansion of
+  // the BLOB.
+  val q104 = Q(
+    "q104_multimodal_chunks",
+    """WITH m AS (SELECT doc_id, text::BLOB AS b, octet_length(text::BLOB) AS n
+      | FROM documents WHERE doc_id < 200),
+      |c AS (SELECT doc_id, b, n,
+      |  greatest(CAST(ceil(n / 32.0) AS INTEGER), 1) AS n_chunks FROM m),
+      |x AS (SELECT doc_id, b, n, n_chunks, CAST(u AS INTEGER) AS chunk_idx
+      | FROM c, unnest(range(0, n_chunks)) AS t(u))
+      |SELECT doc_id, chunk_idx,
+      | CAST(chunk_idx * 32 AS INTEGER) AS offset,
+      | CAST(greatest(least(32, n - chunk_idx * 32), 0) AS INTEGER) AS n_chunk_bytes,
+      | CASE WHEN least(32, n - chunk_idx * 32) <= 0 THEN 0 ELSE
+      |   list_reduce(list_transform(range(1, least(32, n - chunk_idx * 32) + 1),
+      |     j -> CAST(('0x' || substr(hex(b), (chunk_idx * 32 + CAST(j AS INTEGER) - 1) * 2 + 1, 2)) AS BIGINT)),
+      |     (a, x) -> (a * 31 + x) % 1000000007) END AS chunk_hash,
+      | CAST(n_chunks AS INTEGER) AS n_chunks
+      |FROM x
+      |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Multimodal.chunkDecode(s, Tables.documents(s, d).filter(col("doc_id") < 200))
+      .toDF()
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104)
 }

@@ -77,4 +77,40 @@ object Multimodal {
         }
       })
   }
+
+  /** One decoded chunk of a binary payload. */
+  final case class ChunkRow(doc_id: Long, chunk_idx: Int, offset: Int,
+                            n_chunk_bytes: Int, chunk_hash: Long, n_chunks: Int)
+
+  /** Chunked binary decode: each payload splits into fixed-size byte
+    * chunks (the audio-window / image-tile shape), processed in bounded
+    * batches per partition — the mapInPandas batch contract expressed in
+    * Scala: a real codec initializes once per batch, sees `batchSize`
+    * payloads of ≤ `chunkBytes` chunks, and memory stays bounded by
+    * batch × chunk, never by payload count. The per-chunk feature is a
+    * rolling polynomial hash over the chunk's bytes — deterministic and
+    * SQL-replayable, so the whole 1→N fan-out is oracle-checked.
+    */
+  def chunkDecode(spark: SparkSession, docs: DataFrame,
+                  chunkBytes: Int = 32, batchSize: Int = 64): Dataset[ChunkRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[MediaRow]
+      .mapPartitions(_.grouped(batchSize).flatMap { batch =>
+        // per-batch codec/buffer init would go here (amortized across
+        // the batch, bounded memory regardless of partition size)
+        batch.iterator.flatMap { r =>
+          val n = r.content.length
+          val nChunks = math.max(1, (n + chunkBytes - 1) / chunkBytes)
+          (0 until nChunks).map { ci =>
+            val off = ci * chunkBytes
+            val len = math.max(0, math.min(chunkBytes, n - off))
+            var h = 0L
+            var i = 0
+            while (i < len) { h = (h * 31 + (r.content(off + i) & 0xff)) % 1000000007L; i += 1 }
+            ChunkRow(r.doc_id, ci, off, len, h, nChunks)
+          }
+        }
+      })
+  }
 }
