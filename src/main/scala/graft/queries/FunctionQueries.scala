@@ -870,5 +870,158 @@ object FunctionQueries extends QueryFamily {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103)
+  // string.rst part 2: chr/codepoint, char-set ltrim/rtrim,
+  // replace_first, split-with-limit, split_to_map/split_to_multimap
+  // (canonicalized), strpos instance / strrpos / position, trail,
+  // to_utf8/from_utf8, key_sampling_percent. word_stem/normalize stay
+  // excluded (Porter/ICU tables couple the oracle to library versions).
+  val q105 = Q(
+    "q105_string_funcs2",
+    """WITH p AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+      |  p_name || ' ' || p_type || ' ' || p_brand AS s4,
+      |  'brand=' || p_brand || ',size=' || CAST(p_size AS VARCHAR) || ',type=' || p_type AS kv1,
+      |  'b=' || p_brand || ',s=' || CAST(p_size AS VARCHAR) || ',b=Brand#0' AS kv2
+      | FROM part WHERE p_partkey < 300)
+      |SELECT p_partkey,
+      | chr(ascii(p_name) + 1) AS next_chr,
+      | CAST(ascii(p_name) AS INTEGER) AS cp,
+      | ltrim(p_name, 'srb') AS ltrim_set,
+      | rtrim(p_name, 'te') AS rtrim_set,
+      | CASE WHEN position('a' IN p_name) > 0
+      |   THEN substr(p_name, 1, position('a' IN p_name) - 1) || '@' || substr(p_name, position('a' IN p_name) + 1)
+      |   ELSE p_name END AS repl_first,
+      | array_to_string(list_concat(string_split(s4, ' ')[1:2],
+      |   [array_to_string(string_split(s4, ' ')[3:], ' ')]), '|') AS split3,
+      | array_to_string(list_sort(list_transform(string_split(kv1, ','),
+      |   e -> string_split(e, '=')[1] || '=' || string_split(e, '=')[2])), ',') AS kv_map,
+      | array_to_string(list_transform(list_sort(list_distinct(
+      |   list_transform(string_split(kv2, ','), e -> string_split(e, '=')[1]))),
+      |   k -> k || ':' || array_to_string(list_transform(
+      |     list_filter(string_split(kv2, ','), e -> string_split(e, '=')[1] = k),
+      |     e -> string_split(e, '=')[2]), '|')), ',') AS kv_multimap,
+      | CAST(position('a' IN p_name) AS INTEGER) AS pos_a,
+      | CAST(CASE WHEN position('a' IN p_name) > 0 AND position('a' IN substr(p_name, position('a' IN p_name) + 1)) > 0
+      |   THEN position('a' IN p_name) + position('a' IN substr(p_name, position('a' IN p_name) + 1))
+      |   ELSE 0 END AS INTEGER) AS pos_a2,
+      | CAST(CASE WHEN position('a' IN reverse(p_name)) > 0
+      |   THEN length(p_name) - position('a' IN reverse(p_name)) + 1
+      |   ELSE 0 END AS INTEGER) AS rpos_a,
+      | right(p_name, 4) AS last4,
+      | lower(substr(hex(p_brand::BLOB), 1, 8)) AS utf8_hex8,
+      | decode(encode(p_name)) = p_name AS utf8_roundtrip,
+      | CAST(CAST('0x' || substr(md5(p_name), 1, 8) AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS sampling_pct
+      |FROM p
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .withColumn("s4", concat_ws(" ", col("p_name"), col("p_type"), col("p_brand")))
+      .withColumn("kv1", concat(lit("brand="), col("p_brand"), lit(",size="),
+        col("p_size").cast("string"), lit(",type="), col("p_type")))
+      .withColumn("kv2", concat(lit("b="), col("p_brand"), lit(",s="),
+        col("p_size").cast("string"), lit(",b=Brand#0")))
+      .select(
+        col("p_partkey"),
+        expr("char(ascii(p_name) + 1)").as("next_chr"),
+        expr("ascii(p_name)").as("cp"),
+        expr("trim(LEADING 'srb' FROM p_name)").as("ltrim_set"),
+        expr("trim(TRAILING 'te' FROM p_name)").as("rtrim_set"),
+        expr("if(locate('a', p_name) > 0, concat(substr(p_name, 1, locate('a', p_name) - 1), '@', substr(p_name, locate('a', p_name) + 1)), p_name)").as("repl_first"),
+        expr("array_join(split(s4, ' ', 3), '|')").as("split3"),
+        expr("array_join(transform(array_sort(map_entries(str_to_map(kv1, ',', '='))), e -> concat(e.key, '=', e.value)), ',')").as("kv_map"),
+        expr("array_join(transform(array_sort(array_distinct(transform(split(kv2, ','), e -> split_part(e, '=', 1)))), " +
+          "k -> concat(k, ':', array_join(transform(filter(split(kv2, ','), e -> split_part(e, '=', 1) = k), e -> split_part(e, '=', 2)), '|'))), ',')").as("kv_multimap"),
+        expr("locate('a', p_name)").as("pos_a"),
+        expr("if(locate('a', p_name) > 0, locate('a', p_name, locate('a', p_name) + 1), 0)").as("pos_a2"),
+        expr("if(locate('a', reverse(p_name)) > 0, length(p_name) - locate('a', reverse(p_name)) + 1, 0)").as("rpos_a"),
+        expr("right(p_name, 4)").as("last4"),
+        expr("lower(substr(hex(encode(p_brand, 'utf-8')), 1, 8))").as("utf8_hex8"),
+        expr("decode(encode(p_name, 'utf-8'), 'utf-8') = p_name").as("utf8_roundtrip"),
+        expr("cast(cast(conv(substr(md5(p_name), 1, 8), 16, 10) as bigint) % 10000 as double) / 10000.0").as("sampling_pct"))
+      .orderBy("p_partkey")
+  }
+
+  // math.rst part 2: cbrt, degrees/radians, e/pi, from_base/to_base,
+  // truncate, width_bucket, wilson_interval_lower/upper, normal_cdf
+  // (Abramowitz–Stegun 7.1.26 erf — the identical literal polynomial on
+  // both engines), inverse trig, cosh/tanh, is_finite/is_infinite/
+  // is_nan. random()/secure_random() stay excluded (nondeterministic by
+  // construction).
+  val q106 = Q(
+    "q106_math_funcs2",
+    s"""WITH l AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+       |  CASE WHEN l_discount = 0 THEN 'Infinity'::DOUBLE ELSE l_discount END AS v_inf,
+       |  CASE WHEN l_quantity = 25 THEN 'NaN'::DOUBLE ELSE 1.0 END AS v_nan,
+       |  substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 6) AS h6,
+       |  l_quantity / 50.0 AS ph
+       | FROM lineitem WHERE l_orderkey < 150),
+       |e AS (SELECT *,
+       |  (l_extendedprice / 7 - 5000.0) / (2000.0 * sqrt(2.0)) AS zz,
+       |  1.96 * 1.96 AS z2
+       | FROM l),
+       |f AS (SELECT *,
+       |  1.0 / (1.0 + 0.3275911 * abs(zz)) AS t FROM e),
+       |g AS (SELECT *,
+       |  1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t - 0.284496736) * t + 0.254829592) * t * exp(-zz * zz) AS erf_abs
+       | FROM f)
+       |SELECT l_orderkey, l_linenumber,
+       | round(cbrt(l_quantity), 6) AS cb,
+       | round(degrees(l_discount), 6) AS deg,
+       | round(radians(l_quantity), 6) AS rad,
+       | pi() AS pi_v, CAST(2.718281828459045 AS DOUBLE) AS e_v,
+       | CAST('0x' || h6 AS BIGINT) AS from_hex,
+       | printf('%x', CAST(l_orderkey * 7 + l_linenumber AS BIGINT)) AS to_hex,
+       | floor(l_extendedprice * 10) / 10 AS trunc1,
+       | CASE WHEN l_extendedprice < 0 THEN 0
+       |      WHEN l_extendedprice >= 100000 THEN 21
+       |      ELSE CAST(floor(l_extendedprice / 5000.0) AS BIGINT) + 1 END AS wb,
+       | round((ph + z2 / 100.0 - 1.96 * sqrt(ph * (1.0 - ph) / 50.0 + z2 / 10000.0)) / (1.0 + z2 / 50.0), 6) AS wilson_lo,
+       | round((ph + z2 / 100.0 + 1.96 * sqrt(ph * (1.0 - ph) / 50.0 + z2 / 10000.0)) / (1.0 + z2 / 50.0), 6) AS wilson_hi,
+       | round(0.5 * (1.0 + CASE WHEN zz < 0 THEN -erf_abs ELSE erf_abs END), 6) AS ncdf,
+       | round(acos(l_discount * 10 - 0.5), 6) AS ac,
+       | round(asin(l_discount * 10 - 0.5), 6) AS asn,
+       | round(atan(l_quantity), 6) AS at,
+       | round((exp(l_discount) + exp(-l_discount)) / 2, 6) AS ch,
+       | round((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6) AS th,
+       | isinf(v_inf) AS is_inf,
+       | isnan(v_nan) AS is_nan,
+       | NOT isinf(v_inf) AND NOT isnan(v_inf) AS is_fin
+       |FROM g
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d).filter(col("l_orderkey") < 150)
+      .withColumn("v_inf", when(col("l_discount") === 0, lit(Double.PositiveInfinity))
+        .otherwise(col("l_discount")))
+      .withColumn("v_nan", when(col("l_quantity") === 25, lit(Double.NaN)).otherwise(lit(1.0)))
+      .withColumn("h6", expr("substr(md5(cast(l_orderkey as string)), 1, 6)"))
+      .withColumn("ph", col("l_quantity") / 50.0)
+      .withColumn("zz", (col("l_extendedprice") / 7 - 5000.0) / (2000.0 * math.sqrt(2.0)))
+      .withColumn("z2", lit(1.96 * 1.96))
+      .withColumn("t", lit(1.0) / (lit(1.0) + lit(0.3275911) * abs(col("zz"))))
+      .withColumn("erf_abs", lit(1.0) -
+        (((((lit(1.061405429) * col("t") - 1.453152027) * col("t")) + 1.421413741) * col("t") - 0.284496736) * col("t") + 0.254829592) * col("t") * exp(-col("zz") * col("zz")))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(cbrt(col("l_quantity")), 6).as("cb"),
+        round(degrees(col("l_discount")), 6).as("deg"),
+        round(radians(col("l_quantity")), 6).as("rad"),
+        // Presto's e() is the Math.E constant; Spark's exp(1.0) lands one
+        // ulp above it, so pin the constant on both engines
+        expr("pi()").as("pi_v"), lit(math.E).as("e_v"),
+        expr("cast(conv(h6, 16, 10) as bigint)").as("from_hex"),
+        expr("lower(conv(cast(l_orderkey * 7 + l_linenumber as string), 10, 16))").as("to_hex"),
+        (floor(col("l_extendedprice") * 10) / 10).as("trunc1"),
+        expr("width_bucket(l_extendedprice, 0D, 100000D, 20)").as("wb"),
+        round((col("ph") + col("z2") / 100.0 - lit(1.96) * sqrt(col("ph") * (lit(1.0) - col("ph")) / 50.0 + col("z2") / 10000.0)) / (lit(1.0) + col("z2") / 50.0), 6).as("wilson_lo"),
+        round((col("ph") + col("z2") / 100.0 + lit(1.96) * sqrt(col("ph") * (lit(1.0) - col("ph")) / 50.0 + col("z2") / 10000.0)) / (lit(1.0) + col("z2") / 50.0), 6).as("wilson_hi"),
+        round(lit(0.5) * (lit(1.0) + when(col("zz") < 0, -col("erf_abs")).otherwise(col("erf_abs"))), 6).as("ncdf"),
+        round(acos(col("l_discount") * 10 - 0.5), 6).as("ac"),
+        round(asin(col("l_discount") * 10 - 0.5), 6).as("asn"),
+        round(atan(col("l_quantity")), 6).as("at"),
+        round(cosh(col("l_discount")), 6).as("ch"),
+        round(tanh(col("l_discount")), 6).as("th"),
+        (col("v_inf") === lit(Double.PositiveInfinity)).as("is_inf"),
+        isnan(col("v_nan")).as("is_nan"),
+        (col("v_inf") =!= lit(Double.PositiveInfinity) && !isnan(col("v_inf"))).as("is_fin"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106)
 }
