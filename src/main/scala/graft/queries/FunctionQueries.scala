@@ -1023,5 +1023,58 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106)
+  // json.rst part 2: json_array_length, json_array_get,
+  // json_array_contains, json_extract on nested paths, json_size (object
+  // key count), json_format/json_parse round-trip (minified), and
+  // is_json_scalar / validity checks — over a JSON document constructed
+  // identically on both engines from row data (integer and string fields
+  // only: float rendering inside JSON is engine-specific).
+  val q107 = Q(
+    "q107_json_funcs2",
+    """WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderstatus,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders WHERE o_orderkey < 300),
+      |j AS (SELECT o_orderkey,
+      |  '{"id": ' || o_orderkey || ', "tags": ["' || o_orderpriority || '","' || o_orderstatus ||
+      |  '"], "nested": {"p": ' || cents || ', "d": "' || o_orderstatus || '"}, "ok": true}' AS doc
+      | FROM o)
+      |SELECT o_orderkey,
+      | CAST(json_array_length(doc, '$.tags') AS INTEGER) AS tag_count,
+      | json_extract_string(doc, '$.tags[1]') AS tag2,
+      | json_extract_string(doc, '$.tags[0]') = '1-URGENT'
+      |   OR json_extract_string(doc, '$.tags[1]') = '1-URGENT' AS has_urgent,
+      | CAST(len(json_keys(doc)) AS INTEGER) AS n_keys,
+      | CAST(json_extract(doc, '$.nested') AS VARCHAR) AS nested_minified,
+      | CAST(json_extract_string(doc, '$.nested.p') AS BIGINT) AS nested_p,
+      | substr(CAST(json_extract(doc, '$.id') AS VARCHAR), 1, 1) NOT IN ('[', '{') AS id_is_scalar,
+      | substr(CAST(json_extract(doc, '$.tags') AS VARCHAR), 1, 1) NOT IN ('[', '{') AS tags_is_scalar,
+      | CAST(json_extract(doc, '$.ok') AS VARCHAR) AS ok_val,
+      | json_valid(doc) AS valid_good,
+      | json_valid('{oops') AS valid_bad
+      |FROM j
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d).filter(col("o_orderkey") < 300)
+      .withColumn("cents", expr("cast(round(o_totalprice * 100) as bigint)"))
+      .withColumn("doc", concat(
+        lit("{\"id\": "), col("o_orderkey"),
+        lit(", \"tags\": [\""), col("o_orderpriority"), lit("\",\""), col("o_orderstatus"),
+        lit("\"], \"nested\": {\"p\": "), col("cents"),
+        lit(", \"d\": \""), col("o_orderstatus"), lit("\"}, \"ok\": true}")))
+      .select(
+        col("o_orderkey"),
+        expr("json_array_length(get_json_object(doc, '$.tags'))").cast("int").as("tag_count"),
+        expr("get_json_object(doc, '$.tags[1]')").as("tag2"),
+        expr("get_json_object(doc, '$.tags[0]') = '1-URGENT' OR get_json_object(doc, '$.tags[1]') = '1-URGENT'").as("has_urgent"),
+        expr("size(json_object_keys(doc))").as("n_keys"),
+        expr("to_json(from_json(get_json_object(doc, '$.nested'), 'struct<p:bigint,d:string>'))").as("nested_minified"),
+        expr("cast(get_json_object(doc, '$.nested.p') as bigint)").as("nested_p"),
+        expr("substr(get_json_object(doc, '$.id'), 1, 1) NOT IN ('[', '{')").as("id_is_scalar"),
+        expr("substr(get_json_object(doc, '$.tags'), 1, 1) NOT IN ('[', '{')").as("tags_is_scalar"),
+        expr("get_json_object(doc, '$.ok')").as("ok_val"),
+        expr("get_json_object(doc, '$') IS NOT NULL").as("valid_good"),
+        expr("get_json_object('{oops', '$') IS NOT NULL").as("valid_bad"))
+      .orderBy("o_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107)
 }

@@ -54,4 +54,36 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.parquet(dir)
     assert(back.orderBy("event_id").collect().toSeq == ev.collect().toSeq)
   }
+
+  test("text source: one line per row, round-trip through write.text") {
+    val dir = tmp("rt_text")
+    val lines = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+      .select(regexp_replace(col("text"), "\n", " ").as("value"))
+    lines.write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir)
+    assert(back.schema.fieldNames.toSeq === Seq("value"))
+    assert(back.orderBy("value").collect().toSeq ===
+      lines.orderBy("value").collect().toSeq)
+  }
+
+  test("binaryFile source reads payload bytes + file metadata") {
+    val dir = tmp("rt_bin")
+    // write a couple of raw payload files (the media-ingestion shape)
+    val payloads = Tables.documents(spark, sfDir).filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("text").cast("binary").as("content"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    payloads.foreach { case (id, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, s"doc_$id.bin"), bytes)
+    }
+    val back = spark.read.format("binaryFile").load(dir)
+      .select(col("path"), col("length"), col("content"))
+    val rows = back.collect()
+    assert(rows.length === payloads.length)
+    val byName = rows.map(r => r.getString(0).split('/').last ->
+      ((r.getLong(1), r.getAs[Array[Byte]](2)))).toMap
+    payloads.foreach { case (id, bytes) =>
+      val (len, content) = byName(s"doc_$id.bin")
+      assert(len === bytes.length.toLong && content.toSeq === bytes.toSeq)
+    }
+  }
 }

@@ -41,6 +41,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static enrichment join: streaming events pick up broadcast dim attributes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // dim side is a static table broadcast to every micro-batch — the
+    // standard enrichment shape (no stream-stream state, no watermark
+    // requirement on the static side)
+    val dim = Tables.nation(spark, sfDir)
+      .select((col("n_nationkey") % 7).cast("long").as("user_id"), col("n_name"))
+      .groupBy("user_id").agg(min("n_name").as("n_name"))
+    val stream = MemoryStream[Ev]
+    stream.addData(sampleEvents.take(50))
+    val enriched = stream.toDF().join(broadcast(dim), Seq("user_id"), "left")
+    val query = enriched.writeStream.format("memory")
+      .queryName("enrich_test").outputMode("append").start()
+    try {
+      stream.addData(sampleEvents.drop(50))
+      query.processAllAvailable()
+      val streamed = spark.table("enrich_test")
+        .select("event_id", "user_id", "n_name")
+        .orderBy("event_id").collect().toSeq
+      val batch = sampleEvents.toDF().join(broadcast(dim), Seq("user_id"), "left")
+        .select("event_id", "user_id", "n_name")
+        .orderBy("event_id").collect().toSeq
+      assert(streamed === batch && streamed.size === 100)
+      assert(streamed.forall(r => !r.isNullAt(2)))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
