@@ -1076,5 +1076,43 @@ object FunctionQueries extends QueryFamily {
       .orderBy("o_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107)
+  // datetime.rst part 2: to_unixtime/from_unixtime, to_iso8601,
+  // date_parse round-trip, week_of_year, millisecond, AT TIME ZONE with
+  // a fixed offset (+05:30), month-unit date_add/date_diff. Day/month
+  // NAMES stay excluded with q97's rationale (locale-coupled). DuckDB
+  // footguns pinned: CAST(epoch(..) AS BIGINT) rounds (floor() first),
+  // and DuckDB millisecond() includes the seconds component (% 1000).
+  val q108 = Q(
+    "q108_datetime_funcs2",
+    """SELECT event_id,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS unix_s,
+      | strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS from_unix_str,
+      | strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+      | CAST(CAST(ts AS DATE) AS VARCHAR) AS iso_date,
+      | strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') = date_trunc('second', ts) AS parse_roundtrip,
+      | CAST(weekofyear(ts) AS INTEGER) AS woy,
+      | CAST(millisecond(ts) % 1000 AS INTEGER) AS ms,
+      | strftime(ts + INTERVAL 5 HOUR + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS ist_str,
+      | CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+      | CAST((year(ts) - 1995) * 12 + month(ts) - 1 AS INTEGER) AS months_since_1995
+      |FROM events WHERE event_id < 300
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 300)
+      .select(
+        col("event_id"),
+        unix_timestamp(col("ts")).as("unix_s"),
+        from_unixtime(unix_timestamp(col("ts"))).as("from_unix_str"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts"),
+        col("ts").cast("date").cast("string").as("iso_date"),
+        (to_timestamp(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          === date_trunc("second", col("ts"))).as("parse_roundtrip"),
+        weekofyear(col("ts")).as("woy"),
+        date_format(col("ts"), "SSS").cast("int").as("ms"),
+        date_format(expr("from_utc_timestamp(ts, '+05:30')"), "yyyy-MM-dd HH:mm:ss").as("ist_str"),
+        add_months(col("ts").cast("date"), 2).as("plus2m"),
+        ((year(col("ts")) - 1995) * 12 + month(col("ts")) - 1).as("months_since_1995"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108)
 }
