@@ -34,18 +34,36 @@ object Tables {
     * sketch hashing, vector kernels). A small parquet file is a single
     * row group — one task would do all that work while the rest of the
     * cluster idles — so rebalance up to the session's shuffle
-    * parallelism when the scan has fewer partitions. At warehouse scale
-    * the scan already has ≥ that many partitions and this is a no-op;
-    * the round-robin shuffle moves only the raw corpus rows, far
-    * smaller than the downstream shingle/candidate explosion.
+    * parallelism when the table is small. "Small" is decided from file
+    * bytes alone (one filesystem stat): anything under one scan split
+    * (`spark.sql.files.maxPartitionBytes`) cannot parallelize off the
+    * scan. No `.rdd` / physical-plan materialization at load time, and
+    * at warehouse scale (table ≫ one split) this is a no-op.
     */
-  private def rebalanced(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private def rebalanced(s: SparkSession, dir: String, name: String,
+                         prefilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val base = load(s, dir, name)
+    // filter BELOW the rebalance: the predicate reaches the parquet scan
+    // (pushdown) and only the surviving rows pay the round-robin shuffle
+    val df = prefilter.fold(base)(base.filter)
+    val conf = s.sessionState.conf
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes =
+      try path.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(path).getLength
+      catch { case _: Throwable => Long.MaxValue }
+    if (bytes < conf.filesMaxPartitionBytes) df.repartition(conf.numShufflePartitions)
+    else df
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
-    rebalanced(load(s, d, "documents"))
+    rebalanced(s, d, "documents", None)
+  /** Pre-filtered corpus load: the predicate is applied below the
+    * rebalance so it pushes to the scan — a caller that wants 200 docs
+    * must not shuffle the whole corpus first.
+    */
+  def documents(s: SparkSession, d: String, prefilter: org.apache.spark.sql.Column): DataFrame =
+    rebalanced(s, d, "documents", Some(prefilter))
   def embeddings(s: SparkSession, d: String): DataFrame =
-    rebalanced(load(s, d, "embeddings"))
+    rebalanced(s, d, "embeddings", None)
 }

@@ -143,14 +143,30 @@ object Ann {
       .select(col("qid"), col("cvid").as("cid"), col("sim"), col("rn"))
   }
 
-  /** All embedding pairs with cosine ≥ threshold. Exact at test scale;
-    * at corpus scale the LSH bucket join (lshKnn's bucketing) is the
-    * candidate generator and this is the verifier.
+  /** Embedding near-duplicate pairs with cosine ≥ threshold, found by
+    * LSH candidate generation + exact-cosine verification — never an
+    * all-pairs join. Candidates are pairs colliding under the same
+    * hyperplane bucketing lshKnn uses, with 1-bit multi-probe on one
+    * side (a pair whose sign vectors differ by ≤ 1 bit still collides);
+    * each candidate is then verified with the exact fused cosine
+    * kernel. Work is bounded by bucket occupancy — the equi-join shape
+    * that survives a 100× corpus, where `a.join(b, va < vb)` (a
+    * BroadcastNestedLoopJoin over corpus×corpus) is O(n²) dead.
+    * Fewer `nBits` → bigger buckets → higher recall and more work.
     */
-  def cosineDupPairs(embs: DataFrame, threshold: Double): DataFrame = {
-    val a = embs.select(col("vec_id").as("va"), asDouble("embedding").as("ea"))
-    val b = embs.select(col("vec_id").as("vb"), asDouble("embedding").as("eb"))
-    a.join(b, col("va") < col("vb"))
+  def cosineDupPairs(embs: DataFrame, threshold: Double, nBits: Int = 4): DataFrame = {
+    val dim = 64
+    val base = embs.select(col("vec_id"), asDouble("embedding").as("emb"))
+      .withColumn("bucket", Sketches.affineHyperplaneBucket("emb", nBits, dim))
+    // probe side: own bucket + every 1-bit flip; the other side stays in
+    // its home bucket — flips are symmetric, so each ≤1-bit pair is
+    // found in at least one orientation and `va < vb` keeps exactly one
+    val probes = expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
+    val a = base.select(col("vec_id").as("va"), col("emb").as("ea"), explode(probes).as("bucket"))
+    val b = base.select(col("vec_id").as("vb"), col("emb").as("eb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
+      .dropDuplicates("va", "vb") // a pair may collide in several probe buckets
       .withColumn("sim", round(cosine("ea", "eb"), 4))
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), col("sim"))

@@ -54,7 +54,11 @@ object Dedup {
     // The shingle index feeds four consumers (df-count, both join sides,
     // per-doc sizes) — materialize it once rather than re-deriving the
     // text→words→shingles pipeline per consumer. At warehouse scale this
-    // persist is a written shingle-index table.
+    // persist is a written shingle-index table. The index cache is
+    // released deterministically below: the (small, cap-bounded) pair
+    // table is materialized eagerly while the index is live, so callers
+    // get a self-contained cached frame and no index blocks leak across
+    // queries in a long-lived session.
     val sh = docShingles(docs, n, maxDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -62,13 +66,26 @@ object Dedup {
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    shared
+    val pairs = shared
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
         round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("shared"), col("na"), col("nb"), col("jaccard"))
+    materializeAndRelease(pairs, sh)
+  }
+
+  /** Compute `result` once (into its own cache) while `index` is live,
+    * then release the index blocks. The result cache is registered with
+    * the session CacheManager, so `spark.catalog.clearCache()` (or the
+    * caller's own unpersist) reclaims it — nothing is stranded.
+    */
+  private def materializeAndRelease(result: DataFrame, index: DataFrame): DataFrame = {
+    val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    index.unpersist()
+    out
   }
 
   /** MinHash+LSH near-duplicate candidates: k-slot signatures, banded
@@ -113,16 +130,22 @@ object Dedup {
     val keyNames = (0 until rowsPerBand).map(j => s"k$j")
     val bands = minhashBands(minhashSignatures(docs, k), k, rowsPerBand)
     // Materialize the banded index once: both sides of the self-join (and
-    // the hot-bucket window) would otherwise re-derive the whole
+    // the hot-bucket count) would otherwise re-derive the whole
     // text→shingles→md5→signature pipeline. At warehouse scale this is
-    // the persisted LSH index table.
-    val bucketCols = col("band") +: keyNames.map(col)
-    val bounded = bands.withColumn("bucket_n",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(bucketCols: _*)))
-      .filter(col("bucket_n") <= maxBucket)
+    // the persisted LSH index table. Released deterministically by
+    // materializeAndRelease once the candidate pairs exist.
+    val indexed = bands
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bounded.as("a")
+    // hot-bucket cap: aggregate bucket counts (few rows), broadcast, and
+    // anti-join — NOT a count().over(Window) on the full index, which
+    // would shuffle+sort every index row just to drop hot buckets
+    val bucketKeys = "band" +: keyNames
+    val hot = indexed.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(bucketKeys.map(col): _*)
+    val bounded = indexed.join(broadcast(hot), bucketKeys, "left_anti")
+    val pairs = bounded.as("a")
       .join(bounded.as("b"),
         ("band" +: keyNames).map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
           && col("a.doc_id") < col("b.doc_id"))
@@ -134,6 +157,7 @@ object Dedup {
           / lit(k.toDouble), 6))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    materializeAndRelease(pairs, indexed)
   }
 
   /** Incremental MinHash dedup: candidates between a NEW batch and an

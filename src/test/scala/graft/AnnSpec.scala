@@ -49,6 +49,13 @@ class AnnSpec extends SparkSpec {
     assert(cents.forall(_._2.length == 64))
   }
 
+  test("cosine dup pairs plan is a bucket equi-join — no nested-loop/cartesian over the corpus") {
+    val plan = Ann.cosineDupPairs(embs, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("cosine dup pairs: an identical planted vector scores 1.0") {
     import spark.implicits._
     val v = embs.filter(col("vec_id") === 0).head().getSeq[Float](1)
