@@ -570,5 +570,61 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag", "rk")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109)
+  // map_union / map_union_sum / multimap_agg (graft.functions.Maps):
+  // per-nation mktsegment→count maps are built as REAL map columns,
+  // then unioned to region level. Canonicalized to sorted "k=v" entry
+  // strings on both engines (DuckDB's map comparison semantics differ,
+  // the entry-list form is portable — the q101 convention).
+  val q110 = Q(
+    "q110_map_union",
+    """WITH cn AS (SELECT r_name AS region, n_name AS nation,
+      |  c_mktsegment AS seg, CAST(count(*) AS BIGINT) AS cnt
+      | FROM customer
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      | GROUP BY 1, 2, 3),
+      |u AS (SELECT region, seg, max(cnt) AS mx, CAST(sum(cnt) AS BIGINT) AS sm
+      | FROM cn GROUP BY 1, 2),
+      |f1 AS (SELECT region,
+      |  array_to_string(list_transform(list(struct_pack(k := seg, v := mx) ORDER BY seg),
+      |    e -> e.k || '=' || CAST(e.v AS VARCHAR)), ',') AS union_max,
+      |  array_to_string(list_transform(list(struct_pack(k := seg, v := sm) ORDER BY seg),
+      |    e -> e.k || '=' || CAST(e.v AS VARCHAR)), ',') AS union_sum
+      | FROM u GROUP BY 1),
+      |m AS (SELECT region, seg,
+      |  array_to_string(list(nation ORDER BY nation), '|') AS ns
+      | FROM cn GROUP BY 1, 2),
+      |f2 AS (SELECT region,
+      |  array_to_string(list(seg || ':' || ns ORDER BY seg), ',') AS mm
+      | FROM m GROUP BY 1)
+      |SELECT region, union_max, union_sum, mm
+      |FROM f1 JOIN f2 USING (region)
+      |ORDER BY region""".stripMargin) { (s, d) =>
+    import graft.functions.Maps
+    def canon(mapCol: String, render: String => String = v => v): org.apache.spark.sql.Column =
+      expr(s"array_join(transform(array_sort(map_entries($mapCol)), " +
+        s"e -> concat(e.key, '=', ${render("e.value")})), ',')")
+    val cn = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("cnt"))
+    // nation-level map column — the real map-typed input of the unions
+    val nmaps = cn.groupBy(col("region"), col("nation"))
+      .agg(map_from_entries(sort_array(collect_list(struct(col("seg"), col("cnt")))))
+        .as("m"))
+    val umax = Maps.mapUnionMax(nmaps, Seq("region"), "m", "u_max")
+    val usum = Maps.mapUnionSum(nmaps, Seq("region"), "m", "u_sum")
+    val mmap = Maps.multimapAgg(cn, Seq("region"), "seg", "nation", "mm0")
+    umax.join(usum, "region").join(mmap, "region")
+      .select(col("region"),
+        canon("u_max").as("union_max"),
+        canon("u_sum").as("union_sum"),
+        expr("array_join(transform(array_sort(map_entries(mm0)), " +
+          "e -> concat(e.key, ':', array_join(e.value, '|'))), ',')").as("mm"))
+      .orderBy("region")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110)
 }

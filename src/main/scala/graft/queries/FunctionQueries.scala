@@ -1114,5 +1114,109 @@ object FunctionQueries extends QueryFamily {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108)
+  // Bucketed spatial JOIN (graft.operators.SpatialJoin): 8 literal
+  // pentagons decomposed into grid cells, customer points equi-joined
+  // on cell id, exact ray-cast verification — the scalable form of
+  // q89's scalar ST_Contains (the KdbTree partitioned-join idea). The
+  // oracle replays the identical grid arithmetic and per-edge crossing
+  // terms from the same vertex literals; n_candidates pins the cell
+  // pruning itself, n_inside the verification.
+  private val q111Polys: Seq[(Int, Seq[(Double, Double)])] = (0 until 8).map { p =>
+    val clat = -42.0 + 12.0 * p
+    val clon = -160.0 + 41.0 * p
+    val r = 6.0 + 2.0 * p
+    val verts = (0 until 5).map { k =>
+      val th = math.toRadians(72.0 * k + 10.0 * p)
+      (math.rint((clat + r * math.cos(th)) * 1000) / 1000,
+        math.rint((clon + 1.4 * r * math.sin(th)) * 1000) / 1000)
+    }
+    (p, verts.toSeq)
+  }
+
+  private val q111Oracle: String = {
+    import graft.operators.SpatialJoin
+    val cellExpr = SpatialJoin.cellOfDuck("lat", "lon", 20.0)
+    val perPoly = q111Polys.map { case (pid, verts) =>
+      val cells = SpatialJoin.envelopeCells(verts, 20.0).mkString(", ")
+      s"""SELECT CAST($pid AS INTEGER) AS poly_id,
+         | CAST(count(*) AS BIGINT) AS n_candidates,
+         | CAST(coalesce(sum(CASE WHEN ${graft.plans.StContains.duckSql(verts, "lat", "lon")}
+         |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_inside
+         |FROM c WHERE $cellExpr IN ($cells)""".stripMargin
+    }
+    s"""WITH c AS (
+       | SELECT c_custkey,
+       |  (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS lat,
+       |  (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lon
+       | FROM customer)
+       |${perPoly.mkString("\nUNION ALL\n")}
+       |ORDER BY poly_id""".stripMargin
+  }
+
+  val q111 = Q("q111_spatial_join", q111Oracle) { (s, d) =>
+    import graft.functions.Geo
+    import graft.operators.SpatialJoin
+    import s.implicits._
+    val (lat, lon) = Geo.pointFor(col("c_custkey"), 7)
+    val pts = Tables.customer(s, d)
+      .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+    val agg = SpatialJoin.containsJoin(pts, q111Polys, cellDeg = 20.0)
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("cand"),
+        sum(when(col("inside"), 1L).otherwise(0L)).as("ins"))
+    // polygons whose cells hold no points still report a zero row
+    q111Polys.map(_._1).toDF("poly_id")
+      .join(agg, Seq("poly_id"), "left")
+      .select(col("poly_id"),
+        coalesce(col("cand"), lit(0L)).as("n_candidates"),
+        coalesce(col("ins"), lit(0L)).as("n_inside"))
+      .orderBy("poly_id")
+  }
+
+  // AT TIME ZONE / convert_timezone family (datetime.rst:28): UTC
+  // instants rendered as wall clocks in named zones (whole-hour,
+  // half-hour, and DST-observing offsets), zone offsets in minutes, and
+  // the to_utc inverse. The DuckDB side never touches the session
+  // TimeZone: `timezone('UTC', ts)` pins the instant, the second
+  // `timezone(zone, tstz)` extracts the wall clock — so the oracle is
+  // correct whatever TZ the driver's process runs in (Spark's session
+  // TZ is pinned UTC by GraftSession).
+  val q112 = Q(
+    "q112_datetime_tz",
+    """SELECT event_id,
+      | strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ny_wall,
+      | strftime(timezone('Asia/Tokyo', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+      | strftime(timezone('Asia/Kolkata', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+      | CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INTEGER) AS ny_hour,
+      | CAST(round((epoch(timezone('America/New_York', timezone('UTC', ts))) - epoch(ts)) / 60) AS INTEGER) AS ny_offset_min,
+      | CAST(round((epoch(timezone('Asia/Kolkata', timezone('UTC', ts))) - epoch(ts)) / 60) AS INTEGER) AS kolkata_offset_min,
+      | CAST(floor(epoch(ts)) AS BIGINT) AS utc_roundtrip_epoch
+      |FROM events
+      |WHERE event_id < 2000
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val wall = "yyyy-MM-dd HH:mm:ss"
+    def inZone(z: String) = from_utc_timestamp(col("ts"), z)
+    def offsetMin(z: String) =
+      round((unix_timestamp(inZone(z)) - unix_timestamp(col("ts"))) / 60.0)
+        .cast("int")
+    Tables.events(s, d)
+      .filter(col("event_id") < 2000)
+      .select(col("event_id"),
+        date_format(inZone("America/New_York"), wall).as("ny_wall"),
+        // convert_timezone is the three-arg general form; with a UTC
+        // source it coincides with from_utc_timestamp
+        date_format(convert_timezone(lit("UTC"), lit("Asia/Tokyo"), col("ts")), wall)
+          .as("tokyo_wall"),
+        date_format(inZone("Asia/Kolkata"), wall).as("kolkata_wall"),
+        hour(inZone("America/New_York")).as("ny_hour"),
+        offsetMin("America/New_York").as("ny_offset_min"),
+        offsetMin("Asia/Kolkata").as("kolkata_offset_min"),
+        // to_utc_timestamp inverts from_utc_timestamp: the round trip
+        // recovers the original instant
+        unix_timestamp(to_utc_timestamp(inZone("America/New_York"), "America/New_York"))
+          .as("utc_roundtrip_epoch"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112)
 }
