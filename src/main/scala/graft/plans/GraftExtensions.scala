@@ -44,14 +44,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_hdr_quantile"),
       new ExpressionInfo(classOf[HdrQuantileAgg].getName, "graft_hdr_quantile"),
-      (children: Seq[Expression]) => HdrQuantileAgg(children(0), children(1) match {
-        case Literal(v: Number, _) => v.doubleValue
-        // SQL decimal literals (e.g. 0.5) arrive as Spark Decimal, which
-        // is not a java.lang.Number
-        case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
-        case other => throw new IllegalArgumentException(
-          s"graft_hdr_quantile(col, q): q must be a numeric literal, got $other")
-      }).toAggregateExpression()))
+      (children: Seq[Expression]) => HdrQuantileAgg(children(0),
+        GraftExtensions.numLit(children(1), "graft_hdr_quantile", "q"),
+        bits = if (children.length > 2)
+          GraftExtensions.numLit(children(2), "graft_hdr_quantile", "bits").toInt
+        else 3).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hdr_quantile_w"),
+      new ExpressionInfo(classOf[HdrWeightedQuantileAgg].getName, "graft_hdr_quantile_w"),
+      (children: Seq[Expression]) => HdrWeightedQuantileAgg(children(0), children(1),
+        GraftExtensions.numLit(children(2), "graft_hdr_quantile_w", "q"),
+        bits = if (children.length > 3)
+          GraftExtensions.numLit(children(3), "graft_hdr_quantile_w", "bits").toInt
+        else 3).toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_hdr_quantiles"),
       new ExpressionInfo(classOf[HdrQuantilesAgg].getName, "graft_hdr_quantiles"),
@@ -93,6 +98,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
+object GraftExtensions {
+  /** Numeric-literal extractor for SQL-registration builders (SQL
+    * decimal literals like 0.5 arrive as Spark Decimal, not Number).
+    */
+  def numLit(e: Expression, fn: String, what: String): Double = e match {
+    case Literal(v: Number, _) => v.doubleValue
+    case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got $other")
+  }
+}
+
 /** Column-level API over the native expressions (no SQL registration
   * needed — usable on any session).
   */
@@ -114,8 +131,12 @@ object NativeFunctions {
   def simhashBits(hashes: Column, bits: Int): Column =
     Bridge.column(SimHashBits(col2expr(hashes), bits))
 
-  def hdrQuantile(c: Column, q: Double): Column =
-    Bridge.column(HdrQuantileAgg(col2expr(c), q).toAggregateExpression())
+  def hdrQuantile(c: Column, q: Double, bits: Int = 3): Column =
+    Bridge.column(HdrQuantileAgg(col2expr(c), q, bits).toAggregateExpression())
+
+  def hdrWeightedQuantile(c: Column, w: Column, q: Double, bits: Int = 3): Column =
+    Bridge.column(
+      HdrWeightedQuantileAgg(col2expr(c), col2expr(w), q, bits).toAggregateExpression())
 
   def kmvSketch(c: Column, k: Int): Column =
     Bridge.column(KmvSketchAgg(col2expr(c), k).toAggregateExpression())
@@ -123,11 +144,11 @@ object NativeFunctions {
   def approxMostFrequent(c: Column, capacity: Int, k: Int): Column =
     Bridge.column(SpaceSavingAgg(col2expr(c), capacity, k).toAggregateExpression())
 
-  def hdrQuantiles(c: Column, qs: Seq[Double]): Column =
-    Bridge.column(HdrQuantilesAgg(col2expr(c), qs).toAggregateExpression())
+  def hdrQuantiles(c: Column, qs: Seq[Double], bits: Int = 3): Column =
+    Bridge.column(HdrQuantilesAgg(col2expr(c), qs, bits).toAggregateExpression())
 
-  def hdrRank(c: Column, v: Long): Column =
-    Bridge.column(HdrRankAgg(col2expr(c), v).toAggregateExpression())
+  def hdrRank(c: Column, v: Long, bits: Int = 3): Column =
+    Bridge.column(HdrRankAgg(col2expr(c), v, bits).toAggregateExpression())
 
   def md5Hash60(arr: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Hash60(col2expr(arr), mod))

@@ -626,5 +626,59 @@ object AggregateQueries extends QueryFamily {
       .orderBy("region")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110)
+  // Parameterized-accuracy quantile sketch (the qdigest/tdigest
+  // user-chosen-accuracy knob): the same HDR sketch at bits=6 (4096
+  // slots, ≤0.78% relative error vs the default 6.25%) plus the
+  // WEIGHTED insert (qdigest weighted add / scale_qdigest surface) —
+  // median unit price weighted by line quantity. Oracle replays the
+  // 6-bit bucket walk and the weight-cumulative rank in integer SQL.
+  private def hdrBucket6(c: String): String =
+    s"CASE WHEN $c < 64 THEN $c " +
+      s"ELSE 64 * CAST(floor(log2($c)) AS BIGINT) " +
+      s"+ ($c >> (CAST(floor(log2($c)) AS INTEGER) - 6)) - 64 END"
+
+  private def hdrMid6(b: String): String =
+    s"CASE WHEN $b < 64 THEN CAST($b AS DOUBLE) " +
+      s"ELSE (64 + $b % 64) * (CAST(1 AS BIGINT) << (CAST($b // 64 AS INTEGER) - 6)) " +
+      s"+ (CAST(1 AS BIGINT) << (CAST($b // 64 AS INTEGER) - 6)) * 0.5 END"
+
+  val q113 = Q(
+    "q113_qdigest_resolution",
+    s"""WITH c AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+       |  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+       |b AS (SELECT l_returnflag, ${hdrBucket6("c")} AS bucket, w FROM c),
+       |cnt AS (SELECT l_returnflag, bucket, count(*) AS n, sum(w) AS wn FROM b GROUP BY 1, 2),
+       |cum AS (SELECT l_returnflag, bucket,
+       |   sum(n) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+       |   sum(n) OVER (PARTITION BY l_returnflag) AS total,
+       |   sum(wn) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS wcum,
+       |   sum(wn) OVER (PARTITION BY l_returnflag) AS wtotal
+       | FROM cnt),
+       |p50 AS (SELECT l_returnflag, min(bucket) AS b FROM cum
+       |  WHERE cum >= greatest(1, ceil(0.5 * total)) GROUP BY 1),
+       |p95 AS (SELECT l_returnflag, min(bucket) AS b FROM cum
+       |  WHERE cum >= greatest(1, ceil(0.95 * total)) GROUP BY 1),
+       |wp50 AS (SELECT l_returnflag, min(bucket) AS b FROM cum
+       |  WHERE wcum >= greatest(1, ceil(0.5 * wtotal)) GROUP BY 1)
+       |SELECT p50.l_returnflag,
+       | round(${hdrMid6("p50.b")} / 100, 6) AS p50_hi,
+       | round(${hdrMid6("p95.b")} / 100, 6) AS p95_hi,
+       | round(${hdrMid6("wp50.b")} / 100, 6) AS wp50_hi
+       |FROM p50 JOIN p95 USING (l_returnflag) JOIN wp50 USING (l_returnflag)
+       |ORDER BY p50.l_returnflag""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(NativeFunctions.hdrQuantile(col("c"), 0.5, bits = 6) / 100, 6).as("p50_hi"),
+        round(NativeFunctions.hdrQuantile(col("c"), 0.95, bits = 6) / 100, 6).as("p95_hi"),
+        round(NativeFunctions.hdrWeightedQuantile(col("c"), col("w"), 0.5, bits = 6) / 100, 6)
+          .as("wp50_hi"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113)
 }

@@ -67,6 +67,55 @@ class HdrQuantileSpec extends SparkSpec {
     assert(rank >= 0.5 - 1e-9 && rank <= 0.75, s"rank=$rank")
   }
 
+  test("resolution knob: bits=6 stays within 0.78% and beats bits=3's error") {
+    import spark.implicits._
+    // log-spread values stress the relative-error bound at every scale
+    val raw = (0 until 4000).map(i => math.round(math.exp(i / 250.0) * 100))
+    val vals = raw.toDF("c")
+    val sorted = raw.sorted
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      // the sketch estimates the rank statistic at ceil(q·n) — compare
+      // against exactly that (interpolated percentile() can fall outside
+      // the rank value's bucket and inflate the apparent error)
+      val exact = sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1).toDouble
+      val e3 = math.abs(vals.agg(NativeFunctions.hdrQuantile(col("c"), q, bits = 3))
+        .head.getDouble(0) - exact) / exact
+      val e6 = math.abs(vals.agg(NativeFunctions.hdrQuantile(col("c"), q, bits = 6))
+        .head.getDouble(0) - exact) / exact
+      assert(e6 <= 0.0078125, s"q=$q: 6-bit error $e6")
+      assert(e3 <= 0.0625, s"q=$q: 3-bit error $e3")
+      assert(e6 <= e3, s"q=$q: higher resolution must not be worse ($e6 vs $e3)")
+    }
+  }
+
+  test("weighted insert equals physically replicated rows; scaling weights is a no-op") {
+    import spark.implicits._
+    val weighted = Seq((100L, 3L), (200L, 1L), (50L, 6L)).toDF("c", "w")
+    val replicated = weighted
+      .select(col("c"), explode(expr("sequence(1, w)"))).select("c")
+    val a = weighted.agg(
+      NativeFunctions.hdrWeightedQuantile(col("c"), col("w"), 0.5)).head.getDouble(0)
+    val b = replicated.agg(
+      NativeFunctions.hdrQuantile(col("c"), 0.5)).head.getDouble(0)
+    assert(a === b)
+    // scale_qdigest: uniform weight scaling leaves every quantile fixed
+    val scaled = weighted.agg(NativeFunctions.hdrWeightedQuantile(
+      col("c"), col("w") * 1000L, 0.5)).head.getDouble(0)
+    assert(scaled === a)
+  }
+
+  test("graft_hdr_quantile accepts the bits argument in SQL; _w registered") {
+    cents.createOrReplaceTempView("hdr_cents3")
+    val hi = spark.sql(
+      "SELECT graft_hdr_quantile(c, 0.5, 6) FROM hdr_cents3").head.getDouble(0)
+    val viaCol = cents.agg(
+      NativeFunctions.hdrQuantile(col("c"), 0.5, bits = 6)).head.getDouble(0)
+    assert(hi === viaCol)
+    val w = spark.sql(
+      "SELECT graft_hdr_quantile_w(c, 2L, 0.5, 6) FROM hdr_cents3").head.getDouble(0)
+    assert(w === hi) // uniform weight changes nothing
+  }
+
   test("graft_hdr_quantiles / graft_hdr_rank registered as SQL functions") {
     cents.createOrReplaceTempView("hdr_cents2")
     val arr = spark.sql(
