@@ -680,5 +680,41 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113)
+  // Fixed-bucket numeric histogram (reference numeric_histogram,
+  // NumericHistogram.java:36). The reference's bin-merging algorithm is
+  // insertion-order dependent (unoracleable); graft's contract is the
+  // deterministic equi-width histogram over the group's [min, max]
+  // range — same bucket arithmetic on both engines, identical IEEE
+  // double ops → identical bucket assignment.
+  val q114 = Q(
+    "q114_numeric_histogram",
+    """WITH s AS (SELECT l_returnflag, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      | FROM lineitem GROUP BY 1),
+      |b AS (SELECT l.l_returnflag,
+      |  CAST(least(9, greatest(0, floor((l_extendedprice - lo) / ((hi - lo) / 10)))) AS INTEGER) AS bucket,
+      |  lo, hi
+      | FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag)
+      |SELECT l_returnflag, bucket,
+      | round(lo + bucket * ((hi - lo) / 10), 2) AS bucket_lo,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM b
+      |GROUP BY l_returnflag, bucket, lo, hi
+      |ORDER BY l_returnflag, bucket""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    li.join(broadcast(stats), "l_returnflag")
+      .withColumn("bucket",
+        least(lit(9), greatest(lit(0),
+          floor((col("l_extendedprice") - col("lo")) / ((col("hi") - col("lo")) / 10))))
+          .cast("int"))
+      .groupBy(col("l_returnflag"), col("bucket"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("bucket"),
+        round(col("lo") + col("bucket") * ((col("hi") - col("lo")) / 10), 2).as("bucket_lo"),
+        col("n"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114)
 }

@@ -1218,5 +1218,68 @@ object FunctionQueries extends QueryFamily {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112)
+  // JSONPath wildcard / nested-array extraction (json.rst part 3 —
+  // reference JsonFunctions.java:77 JsonPathType): each engine builds
+  // the same nested doc (integer-only fields, so the JSON text is
+  // render-identical), then extracts through the whole wildcard
+  // surface. Spark-first posture: `from_json` to a typed array + HOFs
+  // is the scalable path (one parse, codegen'd lambdas downstream);
+  // `get_json_object('$.items[*].qty')` exercises the string-JsonPath
+  // API itself — including its quirk of unwrapping single-element
+  // matches, which the oracle replicates conditionally.
+  val q115 = Q(
+    "q115_jsonpath_wildcard",
+    """WITH a AS (SELECT l_orderkey,
+      |  list(struct_pack(ln := CAST(l_linenumber AS INTEGER),
+      |                   qty := CAST(l_quantity AS INTEGER),
+      |                   cents := CAST(round(l_extendedprice * 100) AS BIGINT))
+      |       ORDER BY l_linenumber, l_partkey, l_quantity, l_extendedprice) AS items
+      | FROM lineitem GROUP BY 1 ORDER BY l_orderkey LIMIT 300),
+      |j AS (SELECT l_orderkey AS id,
+      |  to_json(struct_pack(id := l_orderkey, items := items)) AS doc, items FROM a),
+      |x AS (SELECT id, doc,
+      |  CAST(json_array_length(doc, '$.items') AS INTEGER) AS n_items FROM j)
+      |SELECT id, n_items,
+      | CAST(list_sum(list_transform(range(n_items),
+      |   i -> CAST(json_extract(doc, '$.items[' || i || '].cents') AS BIGINT))) AS BIGINT) AS sum_cents,
+      | CAST(list_max(list_transform(range(n_items),
+      |   i -> CAST(json_extract(doc, '$.items[' || i || '].qty') AS INTEGER))) AS INTEGER) AS max_qty,
+      | CAST(json_extract(doc, '$.items[0].qty') AS INTEGER) AS first_qty,
+      | CAST(json_extract(doc, '$.items[' || (n_items - 1) || '].qty') AS INTEGER) AS last_qty,
+      | CAST(len(list_filter(list_transform(range(n_items),
+      |   i -> CAST(json_extract(doc, '$.items[' || i || '].qty') AS INTEGER)),
+      |   q -> q > 25)) AS INTEGER) AS n_gt25,
+      | CASE WHEN n_items = 1 THEN CAST(json_extract(doc, '$.items[0].qty') AS VARCHAR)
+      |      ELSE '[' || array_to_string(list_transform(range(n_items),
+      |        i -> CAST(json_extract(doc, '$.items[' || i || '].qty') AS VARCHAR)), ',') || ']'
+      | END AS qty_path
+      |FROM x
+      |ORDER BY id""".stripMargin) { (s, d) =>
+    val itemsSchema = "struct<id: bigint, items: array<struct<ln: int, qty: int, cents: bigint>>>"
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber").cast("int").as("ln"),
+        col("l_partkey").as("pk"),
+        col("l_quantity").cast("int").as("qty"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents")))).as("its0"))
+      .orderBy("l_orderkey").limit(300)
+      // sorted by (ln, partkey, qty, cents) like the oracle's ORDER BY;
+      // drop the tiebreak column so the JSON carries only (ln, qty, cents)
+      .withColumn("items", expr("transform(its0, x -> struct(x.ln as ln, x.qty as qty, x.cents as cents))"))
+      .withColumn("doc", to_json(struct(col("l_orderkey").as("id"), col("items"))))
+      .withColumn("p", from_json(col("doc"), org.apache.spark.sql.types.DataType
+        .fromDDL(itemsSchema).asInstanceOf[org.apache.spark.sql.types.StructType]))
+      .select(col("l_orderkey").as("id"),
+        size(col("p.items")).as("n_items"),
+        expr("aggregate(transform(p.items, x -> x.cents), 0L, (a, x) -> a + x)").as("sum_cents"),
+        expr("array_max(transform(p.items, x -> x.qty))").as("max_qty"),
+        expr("p.items[0].qty").as("first_qty"),
+        expr("element_at(p.items, -1).qty").as("last_qty"),
+        expr("size(filter(p.items, x -> x.qty > 25))").as("n_gt25"),
+        get_json_object(col("doc"), "$.items[*].qty").as("qty_path"))
+      .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115)
 }
