@@ -1281,5 +1281,67 @@ object FunctionQueries extends QueryFamily {
       .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115)
+  // Probability-CDF family (math.rst: cauchy_cdf, laplace_cdf,
+  // weibull_cdf, poisson_cdf, binomial_cdf, inverse_normal_cdf). The
+  // closed-form CDFs share ONE formula string between the engines
+  // (Spark expr() and DuckDB accept the same text), so the arithmetic
+  // is structurally identical; the finite sums (poisson/binomial) use
+  // an explicit left-to-right fold on both sides; inverse_normal_cdf is
+  // the A&S 26.2.22 rational approximation — same polynomial, same
+  // order, both engines.
+  private val q116Cauchy = "0.5 + atan((x - 2.0) / 1.5) / pi()"
+  private val q116Laplace =
+    "CASE WHEN x < 2.0 THEN 0.5 * exp((x - 2.0) / 1.5) ELSE 1.0 - 0.5 * exp(-(x - 2.0) / 1.5) END"
+  private val q116Weibull = "1.0 - exp(-pow(x / 2.0, 1.5))"
+  private def q116InvNorm(p: String): String = {
+    def g(q: String) =
+      s"(sqrt(-2.0 * ln($q)) - (2.30753 + 0.27061 * sqrt(-2.0 * ln($q))) " +
+        s"/ (1.0 + 0.99229 * sqrt(-2.0 * ln($q)) + 0.04481 * (-2.0 * ln($q))))"
+    s"CASE WHEN $p < 0.5 THEN -${g(p)} ELSE ${g(s"1.0 - $p")} END"
+  }
+  // factorial() is INTEGER-typed in DuckDB while range()/sequence()
+  // elements arrive wider — the shared strings cast explicitly
+  private val q116PoissonTerm =
+    "exp(-3.0) * pow(3.0, i) / factorial(CAST(i AS INTEGER))"
+  private val q116BinomTerm =
+    "(factorial(10) / (factorial(CAST(i AS INTEGER)) * factorial(CAST(10 - i AS INTEGER)))) " +
+      "* pow(p, i) * pow(1.0 - p, 10 - i)"
+
+  val q116 = Q(
+    "q116_cdf_funcs",
+    s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+       |  l_extendedprice / 10000.0 AS x,
+       |  l_quantity / 60.0 AS p,
+       |  CAST(l_linenumber AS INTEGER) AS k
+       | FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400)
+       |SELECT l_orderkey, l_linenumber,
+       | round($q116Cauchy, 6) AS cauchy,
+       | round($q116Laplace, 6) AS laplace,
+       | round($q116Weibull, 6) AS weibull,
+       | round(${q116InvNorm("p")}, 6) AS inv_norm,
+       | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, k + 1),
+       |   i -> CAST($q116PoissonTerm AS DOUBLE))), (a, t) -> a + t), 6) AS poisson,
+       | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, k + 1),
+       |   i -> CAST($q116BinomTerm AS DOUBLE))), (a, t) -> a + t), 6) AS binom
+       |FROM b
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / 10000.0).as("x"),
+        (col("l_quantity") / 60.0).as("p"),
+        col("l_linenumber").cast("int").as("k"))
+      .orderBy("l_orderkey", "l_linenumber").limit(400)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(expr(q116Cauchy), 6).as("cauchy"),
+        round(expr(q116Laplace), 6).as("laplace"),
+        round(expr(q116Weibull), 6).as("weibull"),
+        round(expr(q116InvNorm("p")), 6).as("inv_norm"),
+        round(expr(s"aggregate(sequence(0, k), cast(0 as double), " +
+          s"(a, i) -> a + cast($q116PoissonTerm as double))"), 6).as("poisson"),
+        round(expr(s"aggregate(sequence(0, k), cast(0 as double), " +
+          s"(a, i) -> a + cast($q116BinomTerm as double))"), 6).as("binom"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116)
 }
