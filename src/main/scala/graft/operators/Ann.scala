@@ -143,6 +143,36 @@ object Ann {
       .select(col("qid"), col("cvid").as("cid"), col("sim"), col("rn"))
   }
 
+  /** The bucketed LSH corpus index: one row per vector with its
+    * hyperplane bucket id — the persisted layout (bucketed by `bucket`
+    * at warehouse scale) that [[lshKnn]] probes and
+    * [[lshDupsAgainst]] ingests into incrementally.
+    */
+  def lshIndex(corpus: DataFrame, nBits: Int = 4): DataFrame =
+    corpus.select(col("vec_id"), asDouble("embedding").as("emb"))
+      .withColumn("bucket", Sketches.affineHyperplaneBucket("emb", nBits, 64))
+
+  /** Incremental ANN ingestion (the continuous-ingestion shape, like
+    * Dedup.minhashCandidatesAgainst): a NEW batch of vectors probes the
+    * EXISTING bucketed index — own bucket + 1-bit flips — and each
+    * candidate is exact-cosine verified. Only the batch is hashed; the
+    * index side is a plain scan of its persisted layout (co-located on
+    * `bucket` in a warehouse). No recompute of historical vectors.
+    */
+  def lshDupsAgainst(newVecs: DataFrame, index: DataFrame, threshold: Double,
+                     nBits: Int = 4): DataFrame = {
+    val probes = expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
+    val n = lshIndex(newVecs, nBits)
+      .select(col("vec_id").as("new_id"), col("emb").as("ne"), explode(probes).as("bucket"))
+    n.join(index.select(col("vec_id").as("old_id"), col("emb").as("oe"), col("bucket")), Seq("bucket"))
+      .filter(col("new_id") =!= col("old_id"))
+      .dropDuplicates("new_id", "old_id")
+      .withColumn("sim", round(cosine("ne", "oe"), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs with cosine ≥ threshold, found by
     * LSH candidate generation + exact-cosine verification — never an
     * all-pairs join. Candidates are pairs colliding under the same

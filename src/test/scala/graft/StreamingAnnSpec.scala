@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Continuous ANN ingestion: vectors arrive as a stream; each
+  * micro-batch probes the ACCUMULATED bucketed LSH index
+  * (Ann.lshDupsAgainst) for near-duplicates, then merges into it via
+  * foreachBatch — the embedding twin of StreamingDedupSpec's corpus
+  * loop. At scale the index is a table bucketed by hyperplane bucket
+  * id, so a batch touches only its own probe buckets.
+  */
+case class Vec(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
+
+class StreamingAnnSpec extends SparkSpec {
+
+  test("foreachBatch incremental ANN flags an embedding near-dup across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val base = Tables.embeddings(spark, sfDir).limit(4)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val v0 = base.head._2
+    // near-dup: v0 with a small perturbation on one coordinate
+    val near = v0.updated(0, v0.head + 0.01f)
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+
+    val stream = MemoryStream[Vec]
+    var index: DataFrame = Ann.lshIndex(
+      Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding"))
+    val dups = collection.mutable.Set[(Long, Long)]()
+
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val vecs = batch.select("vec_id", "embedding")
+        dups ++= Ann.lshDupsAgainst(vecs, index, threshold = 0.999)
+          .select("new_id", "old_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        index = index.unionByName(Ann.lshIndex(vecs)).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      stream.addData(base.map { case (id, e) => Vec(id, e, t0) }.toSeq)
+      query.processAllAvailable()
+      stream.addData(Vec(9000L, near, t0))
+      query.processAllAvailable()
+      assert(dups.contains((9000L, base.head._1)), s"got $dups")
+    } finally query.stop()
+  }
+}
