@@ -716,5 +716,38 @@ object AggregateQueries extends QueryFamily {
       .orderBy("l_returnflag", "bucket")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114)
+  // Aggregate long tail (aggregate.rst): geometric_mean, the n-variant
+  // max_by/min_by (top-n/bottom-n arrays, deterministic ties via the
+  // sort key), string_agg over the distinct set. Tie order is pinned on
+  // both engines: top-n sorts (price DESC, key ASC) — Spark realizes
+  // the same order by sorting struct(price, -key) ascending + reverse.
+  val q117 = Q(
+    "q117_agg_misc",
+    """SELECT o_orderpriority,
+      | round(exp(avg(ln(o_totalprice))), 2) AS geo_mean,
+      | array_to_string(list_transform(list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey)[1:3],
+      |   x -> CAST(x AS VARCHAR)), '|') AS top3,
+      | array_to_string(list_transform(list(o_orderkey ORDER BY o_totalprice, o_orderkey)[1:3],
+      |   x -> CAST(x AS VARCHAR)), '|') AS bot3,
+      | array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(exp(avg(log(col("o_totalprice")))), 2).as("geo_mean"),
+        expr("array_join(transform(slice(reverse(array_sort(" +
+          "collect_list(struct(o_totalprice as p, -o_orderkey as nk)))), 1, 3), " +
+          "x -> cast(-x.nk as string)), '|')").as("top3"),
+        expr("array_join(transform(slice(array_sort(" +
+          "collect_list(struct(o_totalprice as p, o_orderkey as k))), 1, 3), " +
+          "x -> cast(x.k as string)), '|')").as("bot3"),
+        expr("array_join(array_sort(collect_set(o_orderstatus)), ',')").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117)
 }
