@@ -1343,5 +1343,52 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116)
+  // Sparse-vector cosine over MAP columns (math.rst
+  // cosine_similarity(map<k,double>, map<k,double>) — the sparse
+  // counterpart of the dense q64/q71 kernels): per-order part→quantity
+  // maps, consecutive orders compared. Dot product and norms stay in
+  // exact integer arithmetic (quantities are integral) — only the final
+  // division is floating point, so the oracle is bit-stable.
+  val q118 = Q(
+    "q118_sparse_cosine",
+    """WITH b0 AS (SELECT l_orderkey, l_partkey, CAST(sum(l_quantity) AS BIGINT) AS wq
+      | FROM lineitem GROUP BY 1, 2),
+      |e AS (SELECT l_orderkey, list(struct_pack(k := l_partkey, v := wq) ORDER BY l_partkey) AS es
+      | FROM b0 GROUP BY 1),
+      |p AS (SELECT a.l_orderkey AS order_a, b.l_orderkey AS order_b, a.es AS ea, b.es AS eb
+      | FROM e a JOIN e b ON b.l_orderkey = a.l_orderkey + 1
+      | ORDER BY order_a LIMIT 200),
+      |m AS (SELECT order_a, order_b,
+      |  CAST(list_sum(list_transform(ea, x -> x.v * coalesce(list_filter(eb, y -> y.k = x.k)[1].v, 0))) AS BIGINT) AS dot,
+      |  CAST(list_sum(list_transform(ea, x -> x.v * x.v)) AS BIGINT) AS na2,
+      |  CAST(list_sum(list_transform(eb, x -> x.v * x.v)) AS BIGINT) AS nb2,
+      |  CAST(len(list_filter(ea, x -> len(list_filter(eb, y -> y.k = x.k)) > 0)) AS INTEGER) AS n_common
+      | FROM p)
+      |SELECT order_a, order_b, dot, n_common,
+      | round(dot / (sqrt(na2) * sqrt(nb2)), 6) AS cos_sim
+      |FROM m
+      |ORDER BY order_a""".stripMargin) { (s, d) =>
+    val base = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("wq"))
+    val maps = base.groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_partkey").as("k"), col("wq").as("v"))))).as("m"))
+    maps.as("a")
+      .join(maps.as("b"), col("b.l_orderkey") === col("a.l_orderkey") + 1)
+      .select(col("a.l_orderkey").as("order_a"), col("b.l_orderkey").as("order_b"),
+        col("a.m").as("ma"), col("b.m").as("mb"))
+      .orderBy("order_a").limit(200)
+      .select(col("order_a"), col("order_b"),
+        expr("aggregate(map_values(map_zip_with(ma, mb, " +
+          "(k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), 0L, (a, v) -> a + v)").as("dot"),
+        expr("aggregate(map_values(ma), 0L, (a, v) -> a + v * v)").as("na2"),
+        expr("aggregate(map_values(mb), 0L, (a, v) -> a + v * v)").as("nb2"),
+        expr("size(map_filter(ma, (k, v) -> map_contains_key(mb, k)))").as("n_common"))
+      .select(col("order_a"), col("order_b"), col("dot"), col("n_common"),
+        round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cos_sim"))
+      .orderBy("order_a")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118)
 }
