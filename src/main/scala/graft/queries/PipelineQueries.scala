@@ -416,5 +416,92 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id", "chunk_idx")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104)
+  // Segment-level exact dedup (the line/paragraph-dedup pass of
+  // CCNet/RefinedWeb-style pipelines): each doc is chunked into fixed
+  // 20-word segments; segments repeated ACROSS the corpus are reported
+  // with their spread. One hash shuffle on the segment hash — the q60
+  // shape at sub-document granularity, which is what catches boilerplate
+  // and near-dup docs sharing most of their text.
+  val q119 = Q(
+    "q119_segment_dedup",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |s AS (SELECT doc_id, i AS seg_idx,
+       |   md5(array_to_string(w[CAST(i * 20 + 1 AS INTEGER) : CAST(i * 20 + 20 AS INTEGER)], ' ')) AS seg_hash
+       | FROM d, unnest(range(0, CAST(ceil(len(w) / 20.0) AS INTEGER))) AS t(i)),
+       |g AS (SELECT seg_hash, CAST(count(*) AS BIGINT) AS n_occ,
+       |   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |   min(doc_id) AS first_doc
+       | FROM s GROUP BY 1)
+       |SELECT seg_hash, n_occ, n_docs, first_doc
+       |FROM g WHERE n_occ > 1
+       |ORDER BY seg_hash""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, cast(ceil(size(w) / 20.0) as int) - 1), " +
+          "i -> md5(array_join(slice(w, i * 20 + 1, 20), ' ')))")))
+      .select(col("doc_id"), col("pos").as("seg_idx"), col("col").as("seg_hash"))
+      .groupBy(col("seg_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy("seg_hash")
+  }
+
+  // Gopher-style repetition quality signals (Rae et al. 2021, public
+  // rules; the repetition-filter pass of a training-data pipeline):
+  // fraction of characters in the most frequent word, most frequent
+  // word-2-gram fraction, duplicate-20-word-segment fraction, and the
+  // composed keep/drop gate. Pure per-row projection — no shuffle, no
+  // UDF; the in-array count trick (distinct × filter) is O(n·distinct)
+  // per doc, bounded by doc length on both engines.
+  val q120 = Q(
+    "q120_gopher_repetition",
+    s"""WITH d AS (SELECT doc_id, $NORM AS n, $WORDS AS w FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(w) AS n_words,
+       |  CAST(list_max(list_transform(list_distinct(w),
+       |    x -> len(list_filter(w, y -> y = x)) * length(x))) AS DOUBLE)
+       |    / length(replace(n, ' ', '')) AS top_word_char_frac,
+       |  CAST(list_max(list_transform(
+       |    list_distinct(list_transform(range(1, CAST(len(w) AS INTEGER)),
+       |      i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)])),
+       |    g -> len(list_filter(list_transform(range(1, CAST(len(w) AS INTEGER)),
+       |      i -> w[CAST(i AS INTEGER)] || ' ' || w[CAST(i + 1 AS INTEGER)]), h -> h = g))))
+       |    AS DOUBLE) / (len(w) - 1) AS top_2gram_frac,
+       |  1.0 - CAST(len(list_distinct(list_transform(
+       |      range(0, CAST(ceil(len(w) / 20.0) AS INTEGER)),
+       |      i -> array_to_string(w[CAST(i * 20 + 1 AS INTEGER) : CAST(i * 20 + 20 AS INTEGER)], ' ')))) AS DOUBLE)
+       |    / CAST(ceil(len(w) / 20.0) AS INTEGER) AS dup_seg_frac
+       | FROM d WHERE len(w) > 1)
+       |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       | round(top_word_char_frac, 6) AS top_word_char_frac,
+       | round(top_2gram_frac, 6) AS top_2gram_frac,
+       | round(dup_seg_frac, 6) AS dup_seg_frac,
+       | (top_word_char_frac <= 0.2 AND top_2gram_frac <= 0.2 AND dup_seg_frac <= 0.3) AS keep
+       |FROM m
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val grams = "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+    val segs = "transform(sequence(0, cast(ceil(size(w) / 20.0) as int) - 1), i -> array_join(slice(w, i * 20 + 1, 20), ' '))"
+    Tables.documents(s, d)
+      .select(col("doc_id"), Text.normText(col("text")).as("n"), Text.words(col("text")).as("w"))
+      .filter(size(col("w")) > 1)
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        (expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x)) * length(x)))")
+          .cast("double") / length(regexp_replace(col("n"), " ", ""))).as("top_word_char_frac"),
+        (expr(s"array_max(transform(array_distinct($grams), g -> size(filter($grams, h -> h = g))))")
+          .cast("double") / (size(col("w")) - 1)).as("top_2gram_frac"),
+        (lit(1.0) - expr(s"size(array_distinct($segs))").cast("double")
+          / expr("cast(ceil(size(w) / 20.0) as int)")).as("dup_seg_frac"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("top_word_char_frac"), 6).as("top_word_char_frac"),
+        round(col("top_2gram_frac"), 6).as("top_2gram_frac"),
+        round(col("dup_seg_frac"), 6).as("dup_seg_frac"),
+        (col("top_word_char_frac") <= 0.2 && col("top_2gram_frac") <= 0.2
+          && col("dup_seg_frac") <= 0.3).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120)
 }
