@@ -72,8 +72,9 @@ object PipelineQueries extends QueryFamily {
     s"list_min(list_transform(hs, h -> (${graft.plans.Affine.a(i)} * h + ${graft.plans.Affine.b(i)}) % 2147483647))"
   }.mkString("[", ", ", "]")
 
-  val q62 = Q(
-    "q62_dedup_minhash",
+  // shared by q62 (pair emission) and q121 (cluster closure over the
+  // same pairs)
+  private val q62PairsSql: String =
     s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
        |s AS (SELECT doc_id, $SHINGLES AS sh FROM d),
        |hs AS (SELECT doc_id, list_transform(sh, x -> $H0P) AS hs FROM s WHERE len(sh) > 0),
@@ -90,8 +91,11 @@ object PipelineQueries extends QueryFamily {
        |SELECT doc_a, doc_b,
        | round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
        |FROM pairs
-       |WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+       |WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5""".stripMargin
+
+  val q62 = Q(
+    "q62_dedup_minhash",
+    s"$q62PairsSql\nORDER BY doc_a, doc_b") { (s, d) =>
     Dedup.minhashCandidates(Tables.documents(s, d))
       .orderBy("doc_a", "doc_b")
   }
@@ -503,5 +507,31 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120)
+  // Dedup clustering (graft.operators.Components): connected components
+  // over the q62 minhash candidate pairs — the step that turns pair
+  // emission into dedup CLUSTERS with one canonical doc each. Spark
+  // side is iterative min-label propagation (diameter-bounded rounds of
+  // join+agg); the oracle computes the identical closure with a
+  // recursive CTE over the same replayed pairs.
+  val q121 = Q(
+    "q121_dedup_clusters",
+    s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($q62PairsSql)),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1)
+       |SELECT comp.id AS doc_id, cluster_id, cluster_size
+       |FROM comp JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Components
+    val pairs = Dedup.minhashCandidates(Tables.documents(s, d))
+      .select(col("doc_a"), col("doc_b"))
+    Components.dedupClusters(pairs).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121)
 }
