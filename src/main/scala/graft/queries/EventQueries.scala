@@ -117,5 +117,124 @@ object EventQueries extends QueryFamily {
       .orderBy("click_id", "purchase_id")
   }
 
-  val all: Seq[Q] = Seq(q53, q54, q55, q56, q88)
+  // IGNORE NULLS window navigation (Presto window.rst lag/lead/
+  // first/last_value IGNORE NULLS): forward-fill of a sparse metric —
+  // error events carry no value; each event sees the latest, the
+  // previous, and the first real reading. Realized with frame-bounded
+  // last/first(ignoreNulls) on BOTH engines so the semantics (and tie
+  // order) are pinned identically.
+  val q122 = Q(
+    "q122_window_ignore_nulls",
+    """WITH e AS (SELECT event_id, user_id, ts,
+      |  CASE WHEN event_type = 'error' THEN NULL ELSE round(value, 2) END AS v
+      | FROM events)
+      |SELECT event_id, user_id, v,
+      | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      | last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_nn,
+      | first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn
+      |FROM e
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val upToCur = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val upToPrev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(round(col("value"), 2)).as("v"))
+      .select(col("event_id"), col("user_id"), col("v"),
+        last(col("v"), ignoreNulls = true).over(upToCur).as("ffill"),
+        last(col("v"), ignoreNulls = true).over(upToPrev).as("prev_nn"),
+        first(col("v"), ignoreNulls = true).over(upToCur).as("first_nn"))
+      .orderBy("event_id")
+  }
+
+  // Time-series gap filling: a dense hour×type spine generated from the
+  // data's own bounds (sequence + explode — the Presto
+  // sequence()+UNNEST idiom), left-joined to the hourly aggregate,
+  // missing hours filled with zero, then a running total over the
+  // filled series. The spine join broadcasts (it is bounded by
+  // horizon×types, not by data volume).
+  val q123 = Q(
+    "q123_gap_fill",
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+      |h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+      |t AS (SELECT DISTINCT event_type FROM events),
+      |spine AS (SELECT hr, event_type FROM h, t),
+      |c AS (SELECT date_trunc('hour', ts) AS hr, event_type, CAST(count(*) AS BIGINT) AS n
+      | FROM events GROUP BY 1, 2)
+      |SELECT spine.hr AS hr, spine.event_type AS event_type,
+      | coalesce(n, 0) AS n,
+      | CAST(sum(coalesce(n, 0)) OVER (PARTITION BY spine.event_type ORDER BY spine.hr) AS BIGINT) AS running_n,
+      | (n IS NULL) AS was_gap
+      |FROM spine LEFT JOIN c ON spine.hr = c.hr AND spine.event_type = c.event_type
+      |ORDER BY event_type, hr""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi"))
+    val hours = bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = hours.crossJoin(broadcast(types))
+    val counts = ev.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("hr", "event_type"), "left")
+      .select(col("hr"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_filled"),
+        col("n").isNull.as("was_gap"))
+      .withColumn("running_n", sum(col("n_filled")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("hr"))))
+      .select(col("hr"), col("event_type"), col("n_filled").as("n"),
+        col("running_n"), col("was_gap"))
+      .orderBy("event_type", "hr")
+  }
+
+  // Ordered conversion funnel view → click → purchase: each stage's
+  // timestamp is the earliest event of that type AFTER the previous
+  // stage (conditional min-aggregation per stage — one shuffle per
+  // stage on user_id, no self-join fan-out). The staple
+  // product-analytics query shape.
+  val q124 = Q(
+    "q124_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(ts) AS t_click
+      | FROM events e JOIN v ON e.user_id = v.user_id
+      | WHERE event_type = 'click' AND ts > t_view GROUP BY 1),
+      |p AS (SELECT e.user_id AS user_id, min(ts) AS t_purchase
+      | FROM events e JOIN c ON e.user_id = c.user_id
+      | WHERE event_type = 'purchase' AND ts > t_click GROUP BY 1)
+      |SELECT v.user_id,
+      | (c.user_id IS NOT NULL) AS clicked,
+      | (p.user_id IS NOT NULL) AS purchased,
+      | CAST(CASE WHEN c.user_id IS NOT NULL
+      |      THEN floor(epoch(t_click)) - floor(epoch(t_view)) END AS BIGINT) AS sec_to_click,
+      | CAST(CASE WHEN p.user_id IS NOT NULL
+      |      THEN floor(epoch(t_purchase)) - floor(epoch(t_click)) END AS BIGINT) AS sec_to_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t_click").isNotNull.as("clicked"),
+        col("t_purchase").isNotNull.as("purchased"),
+        when(col("t_click").isNotNull,
+          unix_timestamp(col("t_click")) - unix_timestamp(col("t_view")))
+          .as("sec_to_click"),
+        when(col("t_purchase").isNotNull,
+          unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_click")))
+          .as("sec_to_purchase"))
+      .orderBy("user_id")
+  }
+
+  val all: Seq[Q] = Seq(q53, q54, q55, q56, q88, q122, q123, q124)
 }
