@@ -64,6 +64,55 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("multi-batch ingestion: every batch joins AND appends within the bucket layout, index side never shuffles") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val keyNames = Seq("band", "k0", "k1", "k2", "k3")
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val seed = Seq(
+      (1L, base),
+      (2L, "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    Dedup.minhashBands(Dedup.minhashSignatures(seed))
+      .write.mode("overwrite")
+      .bucketBy(8, "band", "k0", "k1", "k2", "k3")
+      .saveAsTable("minhash_multi_b")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val batches = Seq(
+        10L -> base.replace("today", "tomorrow"),
+        20L -> "fresh unrelated text mentioning shuffle partitions and codegen stages",
+        30L -> base.replace("quick", "swift"))
+      val found = collection.mutable.Set[(Long, Long)]()
+      batches.foreach { case (id, text) =>
+        val batch = Seq((id, text)).toDF("doc_id", "text")
+        val probeBands = Dedup.minhashBands(Dedup.minhashSignatures(batch))
+        val joined = spark.table("minhash_multi_b").as("o")
+          .join(probeBands.as("n"),
+            keyNames.map(c => col(s"n.$c") === col(s"o.$c")).reduce(_ && _))
+        joined.count()
+        val exchanges = "Exchange hashpartitioning".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).length
+        assert(exchanges <= 1, "index side shuffled during batch " + id)
+        found ++= Dedup.minhashCandidatesAgainst(batch, spark.table("minhash_multi_b"))
+          .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        // merge the batch into the index, preserving the bucket layout
+        probeBands.write.mode("append")
+          .bucketBy(8, "band", "k0", "k1", "k2", "k3")
+          .saveAsTable("minhash_multi_b")
+      }
+      // batch 1's near-dup matched the seed; batch 3's near-dup matched
+      // BOTH the seed and batch 1's doc — the accumulated index works
+      assert(found.contains((10L, 1L)), s"got $found")
+      assert(found.contains((30L, 1L)) && found.contains((30L, 10L)), s"got $found")
+      assert(!found.exists(p => p._1 == 20L || p._2 == 2L), s"got $found")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS minhash_multi_b")
+    }
+  }
+
   test("persisted minhash band index: incremental batch joins without shuffling the index side") {
     import spark.implicits._
     import graft.operators.Dedup
