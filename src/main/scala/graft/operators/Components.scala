@@ -47,11 +47,27 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // neighbor labels + own label, min per node
-      val msgs = sym.join(labels, sym("b") === labels("id"))
+      // min neighbor label per node (pre-aggregated BEFORE the join
+      // with own labels — less data through the join, and no
+      // Union-of-join plan, whose constraint propagation chokes on the
+      // duplicate attribute ids of an iterated self-referential plan)
+      val neigh = sym.join(labels, sym("b") === labels("id"))
         .select(sym("a").as("id"), col("cluster"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min(col("cluster")).as("cluster"))
+        .groupBy("id").agg(min(col("cluster")).as("ncl"))
+      val prop = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("ncl"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      // pointer jumping (path compression): cluster := cluster's
+      // cluster. Together with the neighbor step this halves the
+      // remaining path depth per round — O(log diameter) rounds total,
+      // so even adversarial long chains converge in ~log2(n) shuffles
+      // instead of n.
+      val next = prop.as("p")
+        .join(prop.select(col("id").as("cid"), col("cluster").as("cc")).as("q"),
+          col("p.cluster") === col("cid"), "left")
+        .select(col("p.id").as("id"),
+          coalesce(col("cc"), col("p.cluster")).as("cluster"))
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.cluster") =!= col("o.cluster"))

@@ -28,10 +28,12 @@ class ComponentsSpec extends SparkSpec {
       (7L, 7L, 2L), (8L, 7L, 2L)))
   }
 
-  test("a long chain still converges (diameter-bounded rounds)") {
+  test("a 40-node chain converges within 10 rounds (pointer jumping: log diameter)") {
     val n = 40
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
-    val comp = Components.connectedComponents(edges, maxIter = 50).collect()
+    // without path compression this chain needs ~39 rounds; maxIter=10
+    // only passes because pointer jumping halves the depth per round
+    val comp = Components.connectedComponents(edges, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((1 to n).forall(i => comp(i.toLong) == 1L))
   }

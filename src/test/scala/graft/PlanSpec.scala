@@ -33,6 +33,13 @@ class PlanSpec extends SparkSpec {
       s"scan reads more than the projected columns:\n$plan")
   }
 
+  test("prefiltered corpus load pushes the predicate to the scan, below the rebalance") {
+    val df = Tables.documents(spark, sfDir, col("doc_id") < 200)
+    val plan = planString(df)
+    assert(plan.contains("LessThan(doc_id,200)"),
+      s"doc_id predicate did not reach the parquet scan (it would run above the repartition):\n$plan")
+  }
+
   test("q05 star join broadcasts the dimension tables") {
     val df = RelationalQueries.q05.fn(spark, sfDir)
     val plan = planString(df)
