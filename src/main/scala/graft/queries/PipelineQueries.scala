@@ -533,5 +533,120 @@ object PipelineQueries extends QueryFamily {
     Components.dedupClusters(pairs).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121)
+  // PII redaction (the C4/RefinedWeb-style scrubbing pass): detect and
+  // replace email / phone-shaped spans. The corpus carries no real PII,
+  // so each doc is augmented with a deterministic synthetic contact
+  // string derived from doc_id — the REDACTION machinery (global
+  // regexp counts + ordered replacement chain) is what's exercised and
+  // hash-checked. Pure projection, zero shuffle.
+  val q125 = Q(
+    "q125_pii_redaction",
+    """WITH a AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+      |       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      | FROM documents),
+      |r AS (SELECT doc_id, aug,
+      |  CAST(len(regexp_extract_all(aug, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+      |  regexp_replace(regexp_replace(aug, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+      | FROM a)
+      |SELECT doc_id, n_emails, n_phones, md5(red) AS red_hash,
+      | CAST(length(aug) - length(red) AS INTEGER) AS chars_removed
+      |FROM r
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("aug"))
+      .select(col("doc_id"), col("aug"),
+        regexp_count(col("aug"), lit(emailRe)).cast("int").as("n_emails"),
+        regexp_count(col("aug"), lit(phoneRe)).cast("int").as("n_phones"),
+        regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("red"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("red")).as("red_hash"),
+        (length(col("aug")) - length(col("red"))).cast("int").as("chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  // Deterministic train/val/test split assignment: a content-independent
+  // hash of the doc id buckets every document reproducibly (90/5/5) —
+  // the split survives reprocessing, repartitioning and corpus growth
+  // (new docs never move old ones). The canonical "no random(), ever"
+  // pipeline rule.
+  val q126 = Q(
+    "q126_dataset_split",
+    s"""WITH s AS (SELECT doc_id, $WORDS AS w,
+       |  CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+       | FROM documents),
+       |t AS (SELECT doc_id, len(w) AS n_words,
+       |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+       | FROM s)
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       | CAST(sum(n_words) AS BIGINT) AS n_words,
+       | round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 4) AS doc_share
+       |FROM t GROUP BY split
+       |ORDER BY split""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val total = docs.count() // scalar; the oracle's scalar subquery twin
+    docs
+      .select(col("doc_id"), size(Text.words(col("text"))).as("n_words"),
+        (conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100).as("b"))
+      .withColumn("split",
+        when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"))
+      .select(col("split"), col("n_docs"), col("n_words"),
+        round(col("n_docs") / lit(total.toDouble), 4).as("doc_share"))
+      .orderBy("split")
+  }
+
+  // Stratified sampling for data mixing: per-language keep rates
+  // (downsample the dominant language, keep the rest) applied through a
+  // deterministic per-doc hash — the reproducible mixing step that
+  // follows language ID in a training-data pipeline. Reuses q66's exact
+  // argmax so the strata match the langid operator bit-for-bit.
+  val q127 = Q(
+    "q127_stratified_sample",
+    s"""WITH hits AS (
+       |  SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+       |${Text.stopwords.map { case (lang, ws) =>
+          s"   CAST(len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS h_$lang"
+        }.mkString(",\n")}
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+       |lang AS (SELECT doc_id, n_words, CASE $langCases ELSE 'und' END AS predicted FROM hits),
+       |rated AS (SELECT doc_id, n_words, predicted,
+       |  CASE WHEN predicted = 'en' THEN 500 ELSE 1000 END AS keep_permille,
+       |  CAST('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS h
+       | FROM lang)
+       |SELECT predicted, CAST(count(*) AS BIGINT) AS n_total,
+       | CAST(sum(CASE WHEN h < keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       | round(sum(CASE WHEN h < keep_permille THEN 1 ELSE 0 END)
+       |   / CAST(count(*) AS DOUBLE), 4) AS realized_rate
+       |FROM rated GROUP BY predicted
+       |ORDER BY predicted""".stripMargin) { (s, d) =>
+    val hits = Tables.documents(s, d)
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(Seq(col("doc_id"), size(col("w")).as("n_words")) ++
+        Text.stopwords.map { case (lang, ws) => Text.vocabHits("w", ws).as(s"h_$lang") }: _*)
+    hits
+      .withColumn("predicted", expr(s"CASE $langCases ELSE 'und' END"))
+      .withColumn("keep_permille", when(col("predicted") === "en", 500).otherwise(1000))
+      .withColumn("h",
+        conv(substring(md5(concat(lit("sample|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 1000)
+      .groupBy(col("predicted"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("h") < col("keep_permille"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col("predicted"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled") / col("n_total").cast("double"), 4).as("realized_rate"))
+      .orderBy("predicted")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127)
 }
