@@ -76,6 +76,40 @@ object Dedup {
     materializeAndRelease(pairs, sh)
   }
 
+  /** Benchmark decontamination (reference presto-docs string/array
+    * surface has no counterpart — brief-mandated pipeline op): flag
+    * training documents whose n-gram shingles overlap an evaluation set
+    * beyond `minOverlap`. The canonical pre-training hygiene pass: any
+    * training doc sharing a large shingle fraction with a benchmark doc
+    * leaks the benchmark into the training corpus.
+    *
+    * Scale design: the eval side is benchmark-sized (thousands of docs,
+    * not the corpus), so its shingle index is explicitly `broadcast` —
+    * the 100 TB training corpus streams map-side against it with NO
+    * shuffle of training shingles for the probe. The df cap (shared with
+    * [[docShingles]]) drops stop-shingles that would otherwise make
+    * every document "contaminated". One aggregation shuffle on train
+    * doc_id produces the per-doc overlap counts.
+    */
+  def decontaminate(docs: DataFrame, evalPred: org.apache.spark.sql.Column,
+                    minOverlap: Double, n: Int = 3, maxDf: Int = 50): DataFrame = {
+    val sh = docShingles(docs, n, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ev = sh.filter(evalPred).select(col("doc_id").as("eval_id"), col("s"))
+    val tr = sh.filter(!evalPred)
+    val sizes = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hits = tr.join(broadcast(ev), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    val out = hits.join(sizes, Seq("doc_id"))
+      .withColumn("overlap", round(col("n_shared") / col("n_sh").cast("double"), 6))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("doc_id").as("train_id"), col("n_shared"), col("n_eval_docs"),
+        col("n_sh"), col("overlap"))
+    materializeAndRelease(out, sh)
+  }
+
   /** Compute `result` once (into its own cache) while `index` is live,
     * then release the index blocks. The result cache is registered with
     * the session CacheManager, so `spark.catalog.clearCache()` (or the

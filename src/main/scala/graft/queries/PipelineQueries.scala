@@ -648,5 +648,35 @@ object PipelineQueries extends QueryFamily {
       .orderBy("predicted")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127)
+  // Benchmark decontamination: eval set = every 50th doc (stand-in for a
+  // held-out benchmark), training = the rest; a training doc is flagged
+  // when ≥5% of its (df-capped) 3-gram shingles appear in ANY eval doc.
+  // The Spark side joins 64-bit shingle hashes against a broadcast eval
+  // index (Dedup.decontaminate); the oracle replays with string shingles
+  // — identical counts modulo 64-bit collisions (q61 precedent).
+  val q128 = Q(
+    "q128_decontamination",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |shd AS (SELECT DISTINCT doc_id, s
+       |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
+       |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
+       |shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN ok USING (s)),
+       |ev AS (SELECT doc_id AS eval_id, s FROM shf WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, s FROM shf WHERE doc_id % 50 <> 0),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+       |hits AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared,
+       |           count(DISTINCT ev.eval_id) AS n_eval_docs
+       |         FROM tr JOIN ev USING (s) GROUP BY 1)
+       |SELECT h.doc_id AS train_id, CAST(n_shared AS BIGINT) AS n_shared,
+       | CAST(n_eval_docs AS BIGINT) AS n_eval_docs, CAST(n_sh AS BIGINT) AS n_sh,
+       | round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS overlap
+       |FROM hits h JOIN cnt c ON h.doc_id = c.doc_id
+       |WHERE round(CAST(n_shared AS DOUBLE) / n_sh, 6) >= 0.05
+       |ORDER BY train_id""".stripMargin) { (s, d) =>
+    Dedup.decontaminate(Tables.documents(s, d),
+        org.apache.spark.sql.functions.col("doc_id") % 50 === 0, minOverlap = 0.05)
+      .orderBy("train_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128)
 }

