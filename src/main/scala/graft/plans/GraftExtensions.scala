@@ -88,6 +88,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           intLit(children(2), "k")).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_word_stem"),
+      new ExpressionInfo(classOf[WordStem].getName, "graft_word_stem"),
+      (children: Seq[Expression]) => WordStem(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
@@ -149,6 +153,9 @@ object NativeFunctions {
 
   def hdrRank(c: Column, v: Long, bits: Int = 3): Column =
     Bridge.column(HdrRankAgg(col2expr(c), v, bits).toAggregateExpression())
+
+  def wordStem(c: Column): Column =
+    Bridge.column(WordStem(col2expr(c)))
 
   def md5Hash60(arr: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Hash60(col2expr(arr), mod))

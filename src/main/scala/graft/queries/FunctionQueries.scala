@@ -1390,5 +1390,67 @@ object FunctionQueries extends QueryFamily {
       .orderBy("order_a")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118)
+  // word_stem + soundex (reference string.rst:258 word_stem,
+  // presto-main/.../scalar/WordStemFunction.java:1; soundex in the
+  // teradata-compat layer). DuckDB ships neither function, so the
+  // oracle IS the expected table: a fixed vocabulary whose stems are
+  // hand-derived from the worked examples in Porter (1980) and whose
+  // soundex codes follow the standard American algorithm — the Spark
+  // side must reproduce every row computationally (graft_word_stem is
+  // a native codegen'd expression, soundex is the Spark built-in).
+  private val stemVocab: Seq[(String, String)] = Seq(
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+    "agreed" -> "agre", "plastered" -> "plaster", "bled" -> "bled",
+    "motoring" -> "motor", "sing" -> "sing", "conflated" -> "conflat",
+    "troubled" -> "troubl", "sized" -> "size", "hopping" -> "hop",
+    "tanned" -> "tan", "falling" -> "fall", "hissing" -> "hiss",
+    "fizzed" -> "fizz", "failing" -> "fail", "filing" -> "file",
+    "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+    "conditional" -> "condit", "rational" -> "ration",
+    "digitizer" -> "digit", "operator" -> "oper", "feudalism" -> "feudal",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "irritant" -> "irrit", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "activate" -> "activ",
+    "angularity" -> "angular", "homologous" -> "homolog",
+    "effective" -> "effect", "bowdlerize" -> "bowdler",
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controlling" -> "control", "roll" -> "roll",
+    "generalizations" -> "gener", "triplicate" -> "triplic",
+    "formative" -> "form", "formalize" -> "formal",
+    "formality" -> "formal", "electricity" -> "electr",
+    "hopeful" -> "hope", "goodness" -> "good",
+    "efficiency" -> "effici", "hesitancy" -> "hesit",
+    "differently" -> "differ", "analogously" -> "analog",
+    "namely" -> "name", "hopefulness" -> "hope",
+    "effectiveness" -> "effect", "callousness" -> "callous",
+    "sensitivity" -> "sensit", "sensibility" -> "sensibl")
+
+  private val soundexVocab: Seq[(String, String)] = Seq(
+    "Robert" -> "R163", "Rupert" -> "R163", "Honeyman" -> "H555",
+    "Jackson" -> "J250", "Washington" -> "W252", "Miller" -> "M460",
+    "Smith" -> "S530", "Smyth" -> "S530", "Lee" -> "L000",
+    "Gutierrez" -> "G362", "Tymczak" -> "T522", "Pfister" -> "P236")
+
+  val q129 = Q(
+    "q129_word_stem_soundex", {
+      val rows = (stemVocab.map { case (w, e) => s"('stem', '$w', '$e')" } ++
+        soundexVocab.map { case (w, e) => s"('soundex', '$w', '$e')" })
+        .mkString(",\n  ")
+      s"""SELECT kind, word, result FROM (VALUES
+         |  $rows) AS t(kind, word, result)
+         |ORDER BY kind, word""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    val st = stemVocab.map(_._1).toDF("word")
+      .select(lit("stem").as("kind"), col("word"),
+        graft.plans.NativeFunctions.wordStem(col("word")).as("result"))
+    val sx = soundexVocab.map(_._1).toDF("word")
+      .select(lit("soundex").as("kind"), col("word"),
+        soundex(col("word")).as("result"))
+    st.unionAll(sx).orderBy("kind", "word")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129)
 }

@@ -38,4 +38,37 @@ class TextSpec extends SparkSpec {
       .select(Text.vocabHits("w", Seq("the", "a")).as("h")).head().getInt(0)
     assert(n == 2)
   }
+
+  test("word_stem edge cases: short words, case folding, non-alpha") {
+    import graft.plans.WordStem
+    assert(WordStem.stem("") == "")
+    assert(WordStem.stem("a") == "a")
+    assert(WordStem.stem("by") == "by")
+    assert(WordStem.stem("sky") == "sky") // no vowel before y → 1c inert
+    // the expression lowercases before stemming
+    import spark.implicits._
+    val out = Seq("Caresses", "AGREED").toDF("word")
+      .select(graft.plans.NativeFunctions.wordStem(col("word")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("caress", "agre"))
+  }
+
+  test("word_stem stays codegen'd over the corpus word stream") {
+    val df = Tables.documents(spark, sfDir)
+      .select(explode(Text.words(col("text"))).as("w"))
+      .select(graft.plans.NativeFunctions.wordStem(col("w")).as("stem"))
+      .groupBy(col("stem")).count()
+    val n = df.collect().length
+    assert(n > 0 && n <= 100000)
+    // hot path inlines into WholeStageCodegen (doGenCode, no fallback);
+    // codegen spans print as "*(id) Op" only in the executed final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan.take(500))
+    // stems are never longer than their source words
+    val bad = Tables.documents(spark, sfDir)
+      .select(explode(Text.words(col("text"))).as("w"))
+      .select(col("w"), graft.plans.NativeFunctions.wordStem(col("w")).as("s"))
+      .filter(length(col("s")) > length(col("w"))).count()
+    assert(bad == 0)
+  }
 }
