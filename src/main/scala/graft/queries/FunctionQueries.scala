@@ -1452,5 +1452,47 @@ object FunctionQueries extends QueryFamily {
     st.unionAll(sx).orderBy("kind", "word")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129)
+  // ngrams (array.rst:282), split_to_map (string.rst:145), comparator
+  // array_sort (array.rst:140) and array_sort_desc (array.rst:170).
+  // DuckDB has no comparator lambda for list_sort — the by-(len,word)
+  // ordering is replayed there via a sortable "000len:word" encoding,
+  // so the Spark side genuinely exercises the comparator feature while
+  // the oracle stays portable. split_to_map round-trips a constructed
+  // "k:v;..." string through Spark's str_to_map and re-canonicalizes;
+  // the oracle states the expected canonical form directly.
+  val q130 = Q(
+    "q130_ngrams_sort_splitmap",
+    """WITH d AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      | FROM documents WHERE doc_id < 200)
+      |SELECT doc_id,
+      | CAST(greatest(len(w) - 1, 0) AS INTEGER) AS n_bigrams,
+      | array_to_string(list_transform(range(1, least(len(w) - 1, 3) + 1),
+      |   i -> w[i] || ' ' || w[i+1]), '|') AS bi3,
+      | array_to_string(list_transform(
+      |   list_sort(list_transform(w[1:5],
+      |     x -> lpad(CAST(len(x) AS VARCHAR), 3, '0') || ':' || x)),
+      |   e -> substr(e, 5)), ',') AS by_len5,
+      | array_to_string(list_sort(w[1:5], 'DESC'), ',') AS desc5,
+      | 'flag=' || CAST(doc_id % 2 AS VARCHAR) || ',id=' || CAST(doc_id AS VARCHAR)
+      |   || ',n=' || CAST(len(w) AS VARCHAR) AS kv
+      |FROM d
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        greatest(size(col("w")) - 1, lit(0)).cast("int").as("n_bigrams"),
+        expr(s"array_join(slice(${graft.functions.Text.shinglesSql("w", 2)}, 1, 3), '|')")
+          .as("bi3"),
+        expr("array_join(array_sort(slice(w, 1, 5), (x, y) -> " +
+          "CASE WHEN length(x) < length(y) THEN -1 WHEN length(x) > length(y) THEN 1 " +
+          "WHEN x < y THEN -1 WHEN x > y THEN 1 ELSE 0 END), ',')").as("by_len5"),
+        expr("array_join(sort_array(slice(w, 1, 5), false), ',')").as("desc5"),
+        expr("array_join(transform(array_sort(map_entries(str_to_map(" +
+          "concat('id:', doc_id, ';n:', size(w), ';flag:', doc_id % 2), ';', ':'))), " +
+          "e -> concat(e.key, '=', e.value)), ',')").as("kv"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130)
 }
