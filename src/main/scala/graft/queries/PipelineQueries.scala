@@ -678,5 +678,51 @@ object PipelineQueries extends QueryFamily {
       .orderBy("train_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128)
+  // Symmetric int8 embedding quantization — the compression step that
+  // makes a 100 TB float-embedding corpus a 25 TB int8 one (4× ANN
+  // index shrink for ~1e-3 cosine loss). Per-vector scale = 127/max|x|;
+  // rounding is spelled floor(x·scale + 0.5) on BOTH engines so no
+  // library half-rounding convention can diverge. The Spark side runs
+  // the reconstruction cosine through the native fused kernel
+  // (graft_cosine); error stats are exact maxima, rounded only at the
+  // output edge.
+  val q131 = Q(
+    "q131_embedding_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |          FROM embeddings WHERE vec_id < 100),
+      |m AS (SELECT vec_id, emb,
+      |        list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS maxabs
+      |      FROM e),
+      |s AS (SELECT vec_id, emb, 127.0 / maxabs AS scale FROM m WHERE maxabs > 0),
+      |qt AS (SELECT vec_id, emb, scale,
+      |         list_transform(emb, x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS q
+      |       FROM s),
+      |dq AS (SELECT vec_id, emb, q, list_transform(q, x -> x / scale) AS deq FROM qt)
+      |SELECT vec_id,
+      | CAST(list_aggregate(q, 'min') AS INTEGER) AS qmin,
+      | CAST(list_aggregate(q, 'max') AS INTEGER) AS qmax,
+      | round(list_dot_product(emb, deq)
+      |   / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(deq, deq))), 6)
+      |   AS cos_recon,
+      | round(list_aggregate(list_transform(range(1, len(emb) + 1),
+      |   i -> abs(emb[i] - deq[i])), 'max'), 6) AS max_abs_err
+      |FROM dq
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .withColumn("maxabs", expr("aggregate(emb, 0D, (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", lit(127.0) / col("maxabs"))
+      .withColumn("q", expr("transform(emb, x -> cast(floor(x * scale + 0.5d) as int))"))
+      .withColumn("deq", expr("transform(q, x -> x / scale)"))
+      .select(col("vec_id"),
+        expr("array_min(q)").as("qmin"), expr("array_max(q)").as("qmax"),
+        round(graft.plans.NativeFunctions.cosineSim(col("emb"), col("deq")), 6)
+          .as("cos_recon"),
+        round(expr("aggregate(zip_with(emb, deq, (a, b) -> abs(a - b)), 0D, " +
+          "(acc, x) -> greatest(acc, x))"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131)
 }
