@@ -1494,5 +1494,104 @@ object FunctionQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130)
+  // Array long tail (array.rst): array_has_duplicates, array_top_n,
+  // array_least_frequent, array_max_by / array_min_by (length lambda,
+  // ties pinned), combinations(·, 2), find_first_index, remove_nulls,
+  // trim_array. DuckDB lacks every one of these — the oracle replays
+  // the semantics with list lambdas (by-(len,word) orderings via the
+  // sortable length-prefix encoding, pair sets via range nesting).
+  val q132 = Q(
+    "q132_array_funcs3",
+    """WITH d AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      | FROM documents WHERE doc_id < 300),
+      |p AS (SELECT doc_id, w, w[1:8] AS w8, least(len(w), 8) AS m8,
+      |        list_transform(range(1, len(w) + 1),
+      |          i -> CASE WHEN len(w[i]) >= 6 THEN i ELSE NULL END) AS idxs
+      |      FROM d),
+      |lf AS (SELECT doc_id,
+      |         string_agg(word, ',' ORDER BY f ASC, word DESC) FILTER (rn <= 2) AS least2
+      |       FROM (SELECT doc_id, word, f,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY f ASC, word DESC) AS rn
+      |             FROM (SELECT doc_id, word, count(*) AS f
+      |                   FROM (SELECT doc_id, unnest(w) AS word FROM d) u
+      |                   GROUP BY doc_id, word) c)
+      |       GROUP BY doc_id)
+      |SELECT p.doc_id,
+      | len(w) != len(list_distinct(w)) AS has_dup,
+      | array_to_string(list_sort(w8, 'DESC')[1:3], ',') AS top3,
+      | lf.least2 AS least2,
+      | substr(list_sort(list_transform(w, x -> lpad(CAST(len(x) AS VARCHAR), 3, '0') || ':' || x), 'DESC')[1], 5) AS longest,
+      | substr(list_sort(list_transform(w, x -> lpad(CAST(len(x) AS VARCHAR), 3, '0') || ':' || x), 'ASC')[1], 5) AS shortest,
+      | CAST(m8 * (m8 - 1) / 2 AS INTEGER) AS n_pairs,
+      | array_to_string(flatten(list_transform(range(1, m8),
+      |   i -> list_transform(range(i + 1, m8 + 1), j -> w8[i] || '+' || w8[j])))[1:3], ',') AS pairs3,
+      | CAST(list_filter(idxs, x -> x IS NOT NULL)[1] AS INTEGER) AS ffi,
+      | CAST(len(list_filter(w8, x -> x != 'the')) AS INTEGER) AS n_nonnull,
+      | array_to_string(w8[1:greatest(m8 - 2, 0)], ',') AS trimmed
+      |FROM p JOIN lf ON p.doc_id = lf.doc_id
+      |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.{Arrays => A}
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("w"))
+      .withColumn("w8", expr("slice(w, 1, 8)"))
+      .withColumn("comb", A.combinations2("w8"))
+      .select(col("doc_id"),
+        A.hasDuplicates("w").as("has_dup"),
+        array_join(A.topN("w8", 3), ",").as("top3"),
+        array_join(A.leastFrequent("w", 2), ",").as("least2"),
+        A.maxBy("w", x => s"length($x)").as("longest"),
+        A.minBy("w", x => s"length($x)").as("shortest"),
+        size(col("comb")).cast("int").as("n_pairs"),
+        expr("array_join(transform(slice(comb, 1, 3), " +
+          "p -> concat(element_at(p, 1), '+', element_at(p, 2))), ',')").as("pairs3"),
+        A.findFirstIndex("w", x => s"length($x) >= 6").as("ffi"),
+        size(A.removeNulls("transform(w8, x -> nullif(x, 'the'))")).cast("int").as("n_nonnull"),
+        array_join(A.trimArray("w8", 2), ",").as("trimmed"))
+      .orderBy("doc_id")
+  }
+
+  // Map long tail (map.rst): map_top_n_keys, map_top_n_values,
+  // map_keys_by_top_n_values (value ties → higher key, per map.rst),
+  // map_remove_null_values. The per-doc word-frequency map is built
+  // row-locally; the oracle replays the orderings over the exploded
+  // frequency table with window functions.
+  val q133 = Q(
+    "q133_map_funcs3",
+    """WITH d AS (SELECT doc_id,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      | FROM documents WHERE doc_id < 300),
+      |f AS (SELECT doc_id, word, CAST(count(*) AS INTEGER) AS n
+      |      FROM (SELECT doc_id, unnest(w) AS word FROM d) u
+      |      GROUP BY doc_id, word),
+      |tk AS (SELECT doc_id,
+      |         string_agg(word, ',' ORDER BY word DESC) FILTER (rnk <= 3) AS topk3,
+      |         string_agg(CAST(n AS VARCHAR), ',' ORDER BY n DESC, word) FILTER (rnv <= 3) AS topv3,
+      |         string_agg(word, ',' ORDER BY n DESC, word DESC) FILTER (rnkv <= 3) AS keys_by_topv3,
+      |         CAST(count(*) FILTER (word != 'the') AS INTEGER) AS n_nonnull
+      |       FROM (SELECT doc_id, word, n,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY word DESC) AS rnk,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) AS rnv,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word DESC) AS rnkv
+      |             FROM f) r
+      |       GROUP BY doc_id)
+      |SELECT doc_id, topk3, topv3, keys_by_topv3, n_nonnull
+      |FROM tk
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.{Arrays => A}
+    Tables.documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("w"))
+      .withColumn("m", expr(
+        "map_from_entries(transform(array_distinct(w), x -> struct(x, size(filter(w, y -> y = x)))))"))
+      .select(col("doc_id"),
+        array_join(A.mapTopNKeys("m", 3), ",").as("topk3"),
+        array_join(A.mapTopNValues("m", 3).cast("array<string>"), ",").as("topv3"),
+        array_join(A.mapKeysByTopNValues("m", 3), ",").as("keys_by_topv3"),
+        size(map_keys(A.mapRemoveNullValues(
+          "map_from_entries(transform(map_entries(m), e -> struct(e.key, CASE WHEN e.key = 'the' THEN CAST(NULL AS INT) ELSE e.value END)))")))
+          .cast("int").as("n_nonnull"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133)
 }
