@@ -749,5 +749,85 @@ object AggregateQueries extends QueryFamily {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117)
+  // set_agg / set_union / any_value / bitwise_xor_agg (aggregate.rst;
+  // reference impls presto-main/.../aggregation/SetAggregationFunction
+  // and BitwiseXorAggregation). set_agg = distinct collect canonicalized
+  // sorted; set_union = distinct union of array inputs; any_value is
+  // "arbitrary" in the reference — graft pins min so results are
+  // reproducible under any partitioning (same determinism contract as
+  // Maps.mapUnionMax). All hash-aggregate with map-side partials; xor
+  // is commutative/associative so partial combine is exact.
+  val q134 = Q(
+    "q134_set_aggs",
+    """WITH d AS (SELECT doc_id, lang, source,
+      |  string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')[1:3] AS w3
+      | FROM documents),
+      |su AS (SELECT lang, string_agg(word, ',' ORDER BY word) AS set_union
+      |       FROM (SELECT DISTINCT lang, unnest(w3) AS word FROM d) u GROUP BY lang),
+      |sa AS (SELECT lang, string_agg(source, ',' ORDER BY source) AS set_sources,
+      |         CAST(min(mn) AS BIGINT) AS any_doc, CAST(xor_all AS BIGINT) AS xor_doc
+      |       FROM (SELECT lang, source, min(doc_id) AS mn FROM d GROUP BY lang, source) g
+      |       JOIN (SELECT lang, bit_xor(doc_id) AS xor_all FROM d GROUP BY lang) x
+      |         USING (lang)
+      |       GROUP BY lang, xor_all)
+      |SELECT sa.lang, set_sources, set_union, any_doc, xor_doc
+      |FROM sa JOIN su ON sa.lang = su.lang
+      |ORDER BY sa.lang""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.Text.words(col("text")).as("w"))
+      .withColumn("w3", expr("slice(w, 1, 3)"))
+      .groupBy(col("lang"))
+      .agg(
+        expr("array_join(array_sort(collect_set(source)), ',')").as("set_sources"),
+        expr("array_join(array_sort(array_distinct(flatten(collect_list(w3)))), ',')")
+          .as("set_union"),
+        min(col("doc_id")).as("any_doc"),
+        expr("bit_xor(doc_id)").as("xor_doc"))
+      .orderBy("lang")
+  }
+
+  // classification_precision/_recall/_fall_out/_miss_rate/_thresholds
+  // (aggregate.rst) over a deterministic predictor: x blends the
+  // outcome-correlated signal (value/100) with an event-id hash, y =
+  // value > 50. Ten buckets; arrays are fixed-length with NULL where a
+  // denominator is empty (pinned semantics — see operators/MlEval).
+  val q135 = Q(
+    "q135_classification_eval",
+    """WITH e AS (SELECT event_type,
+      |  CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS pos,
+      |  CAST(least(floor((least(value / 100.0, 1.0) * 0.7
+      |    + (event_id % 100) / 100.0 * 0.3) * 10), 9) AS INTEGER) AS bk
+      | FROM events),
+      |g AS (SELECT event_type, bk, sum(pos) AS pw, CAST(count(*) AS DOUBLE) AS tw
+      |      FROM e GROUP BY 1, 2),
+      |spine AS (SELECT event_type, r.range AS bk
+      |          FROM (SELECT DISTINCT event_type FROM events) d, range(0, 10) r),
+      |filled AS (SELECT s.event_type, CAST(s.bk AS INTEGER) AS bk,
+      |             coalesce(pw, 0) AS pw, coalesce(tw, 0) AS tw
+      |           FROM spine s LEFT JOIN g ON s.event_type = g.event_type AND s.bk = g.bk),
+      |c AS (SELECT event_type, bk, pw, tw,
+      |        sum(pw) OVER (PARTITION BY event_type ORDER BY bk DESC) AS cpos,
+      |        sum(tw) OVER (PARTITION BY event_type ORDER BY bk DESC) AS ctot,
+      |        sum(pw) OVER (PARTITION BY event_type) AS tpos,
+      |        sum(tw - pw) OVER (PARTITION BY event_type) AS tneg
+      |      FROM filled)
+      |SELECT event_type,
+      | list(CAST(round(bk / 10.0, 6) AS DOUBLE) ORDER BY bk) AS thresholds,
+      | list(CAST(CASE WHEN ctot > 0 THEN round(cpos / ctot, 6) END AS DOUBLE) ORDER BY bk) AS precision_a,
+      | list(CAST(CASE WHEN tpos > 0 THEN round(cpos / tpos, 6) END AS DOUBLE) ORDER BY bk) AS recall_a,
+      | list(CAST(CASE WHEN tneg > 0 THEN round((ctot - cpos) / tneg, 6) END AS DOUBLE) ORDER BY bk) AS fall_out_a,
+      | list(CAST(CASE WHEN tpos > 0 THEN round((tpos - cpos) / tpos, 6) END AS DOUBLE) ORDER BY bk) AS miss_rate_a
+      |FROM c GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    import graft.operators.MlEval
+    MlEval.classificationEval(Tables.events(s, d), "event_type",
+        col("value") > 50,
+        least(col("value") / 100.0, lit(1.0)) * 0.7
+          + (col("event_id") % 100) / 100.0 * 0.3,
+        buckets = 10)
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135)
 }
