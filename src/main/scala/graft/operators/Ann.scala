@@ -201,4 +201,124 @@ object Ann {
       .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), col("sim"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the compressed-index ANN path. Each
+  // vector is split into `m` contiguous subvectors; each subspace gets
+  // its own ksub-centroid codebook (k-means, L2); a vector is stored as
+  // m small integer codes (m·log2(ksub) bits — 64-dim float32 → 4 bytes
+  // at m=4/ksub=16, a 64× shrink). Search is asymmetric distance (ADC):
+  // per query, distances to every codebook centroid form an m×ksub
+  // lookup table (model-sized, broadcast); candidate distance is an
+  // equi-join of the code index against the table plus a (qid, vec)
+  // aggregation — the original vectors are never read at query time.
+  // ---------------------------------------------------------------------
+
+  /** Squared L2 over two double-array columns (PQ's metric). */
+  def l2sq(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
+
+  /** (vec_id, sub, sv): the m contiguous subvectors of each embedding. */
+  private def subvecs(df: DataFrame, m: Int, dim: Int): DataFrame = {
+    val sublen = dim / m
+    df.select(col("vec_id"), asDouble("embedding").as("ve"))
+      .select(col("vec_id"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(ve, s * $sublen + 1, $sublen) AS sv))")).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+  }
+
+  /** PQ codebooks: per-subspace k-means (deterministic init = the first
+    * ksub vectors by vec_id). All m subspaces train in the same Lloyd
+    * jobs; the model (m·ksub·dim/m doubles) collects to the driver like
+    * [[ivfFit]] — sanctioned, it IS the broadcastable model.
+    * Returns (sub, cid, ce).
+    */
+  def pqFit(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
+            dim: Int = 64): Seq[(Int, Int, Seq[Double])] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sv = subvecs(corpus, m, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val initIds = corpus.select(col("vec_id")).orderBy("vec_id").limit(ksub)
+      .as[Long].collect()
+    var cents: Seq[(Int, Int, Seq[Double])] = sv
+      .filter(col("vec_id").isin(initIds: _*))
+      .as[(Long, Int, Seq[Double])].collect().toSeq
+      .groupBy(_._2).toSeq.flatMap { case (sub, rows) =>
+        rows.sortBy(_._1).zipWithIndex.map { case ((_, _, v), i) => (sub, i, v) }
+      }
+    for (_ <- 1 to iters) {
+      val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
+      cents = sv.join(centDf, Seq("sub"))
+        .withColumn("d2", l2sq("sv", "ce"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("best"))
+        .select(col("sub"), col("best.cid").as("cid"), posexplode(col("best.sv")))
+        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("col")).as("v"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    }
+    sv.unpersist()
+    cents.sortBy(c => (c._1, c._2))
+  }
+
+  /** The compressed index: one row per (vec_id, sub) with its code —
+    * the persisted layout at scale (m small ints per vector; bucketed /
+    * sorted by (sub, code) it co-locates with the ADC join).
+    */
+  def pqEncode(corpus: DataFrame, cents: Seq[(Int, Int, Seq[Double])],
+               m: Int = 4, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
+    subvecs(corpus, m, dim).join(centDf, Seq("sub"))
+      .withColumn("d2", l2sq("sv", "ce"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+  }
+
+  /** ADC top-k: per-query m×ksub distance lookup tables (broadcast),
+    * equi-joined against the code index on (sub, code), summed per
+    * (qid, vec). Approximate distance = Σ_sub d²(q_sub, centroid(code));
+    * the raw corpus vectors are never scanned at query time.
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+            ksub: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = pqFit(corpus, m, ksub, iters, dim)
+    val index = pqEncode(corpus, cents, m, dim)
+    val centDf = broadcast(cents.toDF("sub", "code", "ce"))
+    val qtab = broadcast(
+      subvecs(queries, m, dim)
+        .withColumnRenamed("vec_id", "qid").withColumnRenamed("sv", "qsv")
+        .join(centDf, Seq("sub"))
+        .withColumn("d2", l2sq("qsv", "ce"))
+        .select(col("qid"), col("sub"), col("code"), col("d2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("cid"))
+    index.join(qtab, Seq("sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("d2")), 4).as("adist"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumnRenamed("vec_id", "cid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+  }
+
+  /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
+    * bounded-query posture as [[bruteKnn]]).
+    */
+  def bruteKnnL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+    c.join(q, col("qid") =!= col("cid"))
+      .withColumn("d2", round(l2sq("qe", "ce"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("d2"), col("rn"))
+  }
 }

@@ -724,5 +724,128 @@ object PipelineQueries extends QueryFamily {
       .orderBy("vec_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131)
+  // TF-IDF corpus weighting — the classic relevance/keyword-extraction
+  // pass over a training corpus. Shape at 100 TB: tf is one shuffle on
+  // (doc, term) with map-side combine; df re-aggregates the already-
+  // distinct tf pairs on term (second shuffle, vocab-sized output); the
+  // tf×df join shuffles on term (a broadcast would need the whole
+  // vocabulary on every executor — wrong at web scale); the top-k window
+  // shuffles back to doc. Both engines rank by the ROUNDED weight with a
+  // term tie-break so ordering is decided on identical values.
+  val q136 = Q(
+    "q136_tfidf",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM t WHERE term <> '' GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |wt AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS weight
+       |       FROM tf JOIN df USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) AS rk FROM wt)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       | weight, CAST(rk AS INTEGER) AS rk
+       |FROM r WHERE rk <= 3
+       |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
+    tf.join(dfTerm, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("weight"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  // Distribution drift between dataset splits — the QA step after
+  // splitting/mixing: are train/val/test language distributions
+  // exchangeable? Laplace-smoothed per-split language probabilities
+  // (exact integers until the final division), then KL(a‖b), KL(b‖a)
+  // and Jensen–Shannon divergence as ONE formula string evaluated
+  // verbatim by both engines (fixed-order 6-term sums — no float
+  // reassociation between engines). Scale: a single conditional-sum
+  // shuffle on split (3 rows out); the pair join is 3×3.
+  private val driftLangs: Seq[String] = Text.stopwords.map(_._1) :+ "und"
+  private def driftKl(p: String, q: String): String =
+    driftLangs.map(l => s"${p}_$l * ln(${p}_$l / ${q}_$l)").mkString(" + ")
+  private def driftJsd: String = {
+    val ha = driftLangs.map(l => s"a_$l * ln(2.0 * a_$l / (a_$l + b_$l))").mkString(" + ")
+    val hb = driftLangs.map(l => s"b_$l * ln(2.0 * b_$l / (a_$l + b_$l))").mkString(" + ")
+    s"0.5 * ($ha) + 0.5 * ($hb)"
+  }
+
+  val q137 = Q(
+    "q137_split_drift",
+    s"""WITH hits AS (
+       |  SELECT doc_id,
+       |${Text.stopwords.map { case (lang, ws) =>
+          s"   CAST(len(list_filter(w, x -> x IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS INTEGER) AS h_$lang"
+        }.mkString(",\n")},
+       |   CAST('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS b
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+       |lab AS (SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       |               CASE $langCases ELSE 'und' END AS lang FROM hits),
+       |cnt AS (SELECT split,
+       |${driftLangs.map(l => s"  sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS c_$l").mkString(",\n")},
+       |  count(*) AS c_tot FROM lab GROUP BY split),
+       |p AS (SELECT split,
+       |${driftLangs.map(l => s"  (c_$l + 1.0) / (c_tot + ${driftLangs.size}.0) AS p_$l").mkString(",\n")}
+       |  FROM cnt),
+       |pa AS (SELECT split AS split_a, ${driftLangs.map(l => s"p_$l AS a_$l").mkString(", ")} FROM p),
+       |pb AS (SELECT split AS split_b, ${driftLangs.map(l => s"p_$l AS b_$l").mkString(", ")} FROM p)
+       |SELECT split_a, split_b,
+       | round(${driftKl("a", "b")}, 6) AS kl_ab,
+       | round(${driftKl("b", "a")}, 6) AS kl_ba,
+       | round($driftJsd, 6) AS jsd
+       |FROM pa JOIN pb ON split_a < split_b
+       |ORDER BY split_a, split_b""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val hits = docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(Seq(col("doc_id")) ++
+        Text.stopwords.map { case (lang, ws) => Text.vocabHits("w", ws).as(s"h_$lang") } :+
+        (conv(substring(md5(concat(lit("split|"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long") % 100).as("b"): _*)
+    val lab = hits.select(
+      when(col("b") < 90, "train").when(col("b") < 95, "val").otherwise("test").as("split"),
+      expr(s"CASE $langCases ELSE 'und' END").as("lang"))
+    val cnt = lab.groupBy("split")
+      .agg(driftLangs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")).head,
+        driftLangs.map(l => sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l")).tail :+
+          count(lit(1)).as("c_tot"): _*)
+    val p = cnt.select(col("split") +:
+      driftLangs.map(l => ((col(s"c_$l") + lit(1.0)) / (col("c_tot") + lit(driftLangs.size.toDouble))).as(s"p_$l")): _*)
+    val pa = p.select(col("split").as("split_a") +: driftLangs.map(l => col(s"p_$l").as(s"a_$l")): _*)
+    val pb = p.select(col("split").as("split_b") +: driftLangs.map(l => col(s"p_$l").as(s"b_$l")): _*)
+    pa.join(pb, col("split_a") < col("split_b"))
+      .select(col("split_a"), col("split_b"),
+        round(expr(driftKl("a", "b")), 6).as("kl_ab"),
+        round(expr(driftKl("b", "a")), 6).as("kl_ba"),
+        round(expr(driftJsd), 6).as("jsd"))
+      .orderBy("split_a", "split_b")
+  }
+
+  // Product-quantization ANN (Ann.pqKnn): vectors stored as m=32 4-bit
+  // codes (32 subspaces × 16 centroids → 16 B/vector, a 16× shrink of
+  // 64-dim float32), search via broadcast ADC lookup tables + an
+  // equi-join on (sub, code) — the raw vectors are never scanned at
+  // query time. Codebooks are float k-means averages → not bit-
+  // replayable in DuckDB → rows-only; AnnSpec holds recall ≥40% vs
+  // exact L2 and the code-range/cardinality invariants.
+  val q138 = Q.rowsOnly("q138_pq_ann") { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.pqKnn(embs, embs.filter(col("vec_id") < 10), k = 5, m = 32, ksub = 16)
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138)
 }

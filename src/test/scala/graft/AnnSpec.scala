@@ -66,4 +66,35 @@ class AnnSpec extends SparkSpec {
     assert(pairs.length == 1 && pairs.head.getAs[Long]("va") == 0L
       && pairs.head.getAs[Double]("sim") == 1.0)
   }
+
+  test("PQ fit returns m×ksub codebooks; codes cover [0, ksub) and every vector gets m codes") {
+    val cents = Ann.pqFit(embs, m = 4, ksub = 8, iters = 1)
+    assert(cents.map(c => (c._1, c._2)).toSet ==
+      (for (s <- 0 until 4; c <- 0 until 8) yield (s, c)).toSet)
+    assert(cents.forall(_._3.length == 16)) // 64 / m
+    val codes = Ann.pqEncode(embs, cents, m = 4).collect()
+    val n = embs.count()
+    assert(codes.length == n * 4)
+    assert(codes.forall { r =>
+      val c = r.getAs[Int]("code"); c >= 0 && c < 8
+    })
+  }
+
+  test("PQ ADC knn reaches ≥40% recall@5 vs exact L2 and returns k rows per query") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnnL2(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Ann.pqKnn(embs, queries, k = 5, m = 32, ksub = 16).collect()
+    assert(approx.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    val approxSet = approx.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approxSet).size.toDouble / exact.size
+    assert(recall >= 0.4, f"recall@5 = $recall%.2f")
+  }
+
+  test("PQ ADC knn plan never joins the raw corpus vectors at query time (code equi-join only)") {
+    val plan = Ann.pqKnn(embs, embs.filter(col("vec_id") < 3), k = 3, m = 4, ksub = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
