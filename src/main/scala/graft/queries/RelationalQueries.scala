@@ -675,7 +675,43 @@ object RelationalQueries extends QueryFamily {
       ORDER BY r.r_name, t.cnt DESC, t.n_name""")
   }
 
+  // Z-order (Morton) clustering index — the multi-dimensional
+  // data-skipping layout (graft.operators.ZOrder; Delta/Iceberg
+  // OPTIMIZE ZORDER analog). The z-value interleaves quantized
+  // (quantity, partkey) bits with pure %-arithmetic shared verbatim by
+  // both engines; the query reports per-z-cell occupancy + per-cell
+  // (x, y) bounding boxes — the statistics a reader prunes with.
+  // ZOrderSpec writes the clustered layout and shows its per-file
+  // boxes are far tighter than a one-dimensional sort's.
+  val q139 = {
+    val zSql = graft.operators.ZOrder.zvalSql("x", "y", bits = 10)
+    Q(
+      "q139_zorder_cells",
+      s"""WITH p AS (SELECT
+         |  CAST('0x' || substr(md5('zx|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS x,
+         |  CAST('0x' || substr(md5('zy|' || CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 8) AS BIGINT) % 1024 AS y
+         |           FROM lineitem),
+         |z AS (SELECT x, y, $zSql AS zval FROM p)
+         |SELECT zval - (zval % 16384) AS cell, CAST(count(*) AS BIGINT) AS n,
+         | CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         | CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+         |FROM z GROUP BY 1
+         |ORDER BY cell""".stripMargin) { (s, d) =>
+      def k(salt: String) =
+        conv(substring(md5(concat(lit(s"$salt|"), col("l_orderkey").cast("string"),
+          lit("|"), col("l_linenumber").cast("string"))), 1, 8), 16, 10).cast("long") % 1024
+      Tables.lineitem(s, d)
+        .select(k("zx").as("x"), k("zy").as("y"))
+        .withColumn("zval", graft.operators.ZOrder.zval("x", "y", bits = 10))
+        .groupBy((col("zval") - (col("zval") % 16384)).as("cell"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("cell")
+    }
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q58, q59, q83)
+    q25, q26, q27, q28, q29, q30, q31, q58, q59, q83, q139)
 }
