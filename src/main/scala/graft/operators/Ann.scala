@@ -308,6 +308,71 @@ object Ann {
       .select(col("qid"), col("cid"), col("adist"), col("rn"))
   }
 
+  /** IVF-PQ: the composed billion-scale index layout (FAISS's default
+    * posture). The IVF coarse quantizer routes each vector to a cell;
+    * PQ codebooks are trained on the RESIDUAL (vector − cell centroid),
+    * which is far more compressible than the raw vector; queries probe
+    * `nprobe` cells and score candidates by ADC over the residual
+    * codes. Storage per vector: cell id + m codes. Query cost:
+    * nprobe/c of the index via the (cluster, sub, code) equi-join —
+    * raw vectors never read at query time.
+    */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int, c: Int = 8,
+               nprobe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = broadcast(ivfFit(corpus, c, iters = 2).toDF("cl", "cce"))
+    def assign(df: DataFrame, idCol: String): DataFrame =
+      df.select(col("vec_id").as(idCol), asDouble("embedding").as("ve"))
+        .join(coarse)
+        .withColumn("sim", graft.plans.NativeFunctions.cosineSim(col("ve"), col("cce")))
+        .groupBy(col(idCol), col("ve"))
+        .agg(max(struct(col("sim"), col("cl"), col("cce"))).as("best"))
+        .select(col(idCol), col("ve"), col("best.cl").as("cluster"),
+          expr("zip_with(ve, best.cce, (a, b) -> a - b)").as("resid"))
+    val corpusAssigned = assign(corpus, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val residDf = corpusAssigned.select(col("vec_id"), col("resid").as("embedding"))
+    val cents = pqFit(residDf, m, ksub, iters = 2, dim)
+    // code index: (cluster, sub, code) per vector — the persisted layout
+    val index = pqEncode(residDf, cents, m, dim)
+      .join(corpusAssigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    // each query probes its nprobe best cells with the residual vs THAT cell
+    val qranked = broadcast(
+      queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+        .join(coarse)
+        .withColumn("csim", graft.plans.NativeFunctions.cosineSim(col("qe"), col("cce")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cl"))))
+        .filter(col("rn") <= nprobe)
+        .select(col("qid"), col("cl").as("cluster"),
+          expr("zip_with(qe, cce, (a, b) -> a - b)").as("qresid")))
+    val centDf = broadcast(cents.toDF("sub", "code", "ce"))
+    val sublen = dim / m
+    val qtab = broadcast(
+      qranked.select(col("qid"), col("cluster"), explode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(qresid, s * $sublen + 1, $sublen) AS qsv))")).as("e"))
+        .select(col("qid"), col("cluster"), col("e.sub").as("sub"), col("e.qsv").as("qsv"))
+        .join(centDf, Seq("sub"))
+        .withColumn("d2", l2sq("qsv", "ce"))
+        .select(col("qid"), col("cluster"), col("sub"), col("code"), col("d2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("cid"))
+    val out = index.join(qtab, Seq("cluster", "sub", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("d2")), 4).as("adist"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumnRenamed("vec_id", "cid")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("adist"), col("rn"))
+    // materialize the (tiny, k-per-query) result eagerly so the working
+    // set's persist can be released before returning — no stranded
+    // blocks in a long-lived session (r3 VERDICT hygiene contract)
+    val materialized = out.localCheckpoint()
+    corpusAssigned.unpersist()
+    materialized
+  }
+
   /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
     * bounded-query posture as [[bruteKnn]]).
     */

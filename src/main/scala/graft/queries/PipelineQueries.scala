@@ -847,5 +847,100 @@ object PipelineQueries extends QueryFamily {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138)
+  // BM25 document scoring (Robertson–Spärck Jones; k1=1.2, b=0.75)
+  // against a literal query-term set — the retrieval-quality ranker a
+  // training pipeline uses for targeted corpus selection. Only rows for
+  // the ≤3 query terms survive the first filter (pushed to the scan),
+  // so every downstream shuffle is query-sized, not corpus-sized; df
+  // and avgdl are scalar/broadcast. The per-(doc,term) contribution is
+  // one formula string shared verbatim by both engines; ranking is on
+  // the ROUNDED score with a doc_id tie-break.
+  val q140 = {
+    val terms = Seq("hash", "join", "vector")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    Q(
+      "q140_bm25",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, round(sum($contrib), 6) AS score,
+         |         CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, score, n_terms, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+      val dl = words.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+      val ad = dl.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
+      val tf = words.select(col("doc_id"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      val sc = tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(ad))
+        .groupBy("doc_id")
+        .agg(round(sum(expr(contrib)), 6).as("score"), count(lit(1)).as("n_terms"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
+      sc.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("doc_id"), col("score"), col("n_terms"), col("rank"))
+        .orderBy("rank")
+    }
+  }
+
+  // Event debounce / thinning: keep only the EARLIEST event per
+  // (user, type, 5-minute tumbling bucket) and count what was
+  // suppressed — the rate-limiting pass in front of a feature or
+  // ingestion pipeline (sensor chatter, double-clicks, retry storms).
+  // One shuffle on the composite key; min(struct(ts, event_id, value))
+  // picks the kept row atomically (ties broken by event_id). The
+  // streaming face is the same plan over dropDuplicates under a
+  // watermark — StreamingSpec asserts stream == batch.
+  val q141 = Q(
+    "q141_event_debounce",
+    """WITH b AS (SELECT user_id, event_type,
+      |  make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS bucket,
+      |  ts, event_id FROM events),
+      |m AS (SELECT *, min(ts) OVER (PARTITION BY user_id, event_type, bucket) AS mts FROM b),
+      |k AS (SELECT user_id, event_type, bucket,
+      |        min(ts) AS first_ts,
+      |        min(event_id) FILTER (WHERE ts = mts) AS kept_id,
+      |        CAST(count(*) AS BIGINT) - 1 AS n_suppressed
+      |      FROM m GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, bucket, first_ts, kept_id, n_suppressed
+      |FROM k
+      |ORDER BY user_id, event_type, bucket""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bucket", window(col("ts"), "5 minutes").getField("start"))
+      .groupBy("user_id", "event_type", "bucket")
+      .agg(min(struct(col("ts"), col("event_id"))).as("first"),
+        (count(lit(1)) - 1).as("n_suppressed"))
+      .select(col("user_id"), col("event_type"), col("bucket"),
+        col("first.ts").as("first_ts"), col("first.event_id").as("kept_id"),
+        col("n_suppressed"))
+      .orderBy("user_id", "event_type", "bucket")
+  }
+
+  // IVF-PQ composed index (Ann.ivfPqKnn, the FAISS-default posture):
+  // coarse cells route the search, PQ codes over cell residuals carry
+  // it — cell id + m codes per vector, nprobe/c of the index touched
+  // per query, raw vectors never read at query time. Float k-means →
+  // rows-only; AnnSpec holds recall vs exact L2.
+  val q142 = Q.rowsOnly("q142_ivfpq_ann") { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.ivfPqKnn(embs, embs.filter(col("vec_id") < 10), k = 5)
+      .orderBy("qid", "rn")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142)
 }

@@ -91,6 +91,17 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, f"recall@5 = $recall%.2f")
   }
 
+  test("IVF-PQ knn reaches ≥30% recall@5 vs exact L2 with half the cells probed") {
+    val queries = embs.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnnL2(embs, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val approx = Ann.ivfPqKnn(embs, queries, k = 5, c = 8, nprobe = 4, m = 16).collect()
+    assert(approx.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+    val approxSet = approx.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    val recall = (exact & approxSet).size.toDouble / exact.size
+    assert(recall >= 0.3, f"recall@5 = $recall%.2f")
+  }
+
   test("PQ ADC knn plan never joins the raw corpus vectors at query time (code equi-join only)") {
     val plan = Ann.pqKnn(embs, embs.filter(col("vec_id") < 3), k = 3, m = 4, ksub = 8)
       .queryExecution.executedPlan.toString

@@ -94,6 +94,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming debounce (first event per key+bucket) matches the batch thinning") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    def thin(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("bucket", window(col("ts"), "5 minutes").getField("start"))
+      .dropDuplicates("user_id", "event_type", "bucket")
+    // dense chatter: same (user, type) repeats every 90 s, well inside
+    // the 5-minute bucket, so most events are suppressed. Events arrive
+    // in ts order (the debounce contract at ingestion), split across
+    // two micro-batches.
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val dense = (0 until 100).map { i =>
+      Ev(i.toLong, new Timestamp(t0 + i * 30L * 1000), i % 3, "click", 1.0)
+    }
+    val (b1, b2) = dense.splitAt(60)
+    stream.addData(b1)
+    val query = thin(stream.toDF().withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("debounce_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(b2)
+      query.processAllAvailable()
+      val streamed = spark.table("debounce_test")
+        .select("event_id").as[Long].collect().toSet
+      val batch = thin(dense.toDF())
+        .select("event_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(batch.size < dense.size / 2) // most chatter was suppressed
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch interval join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -40,8 +40,10 @@ class ZOrderSpec extends SparkSpec {
     val linWorst = math.max(touched(s"$dir/linear", "x"), touched(s"$dir/linear", "y"))
     val zWorst = math.max(touched(s"$dir/zorder", "x"), touched(s"$dir/zorder", "y"))
     // 1-D layout: the y-slice touches all 8 files. Z-order bounds BOTH
-    // dimensions' per-file extents, so the worst dimension still prunes.
+    // dimensions' per-file extents, so the worst dimension still prunes
+    // (≤4 quadrant files + possibly one range-boundary straddler —
+    // repartitionByRange boundaries are sample-based).
     assert(linWorst == 8, s"expected the 1-D layout to read all files for the y slice, got $linWorst")
-    assert(zWorst <= 4, s"z-order worst-dimension touched $zWorst of 8 files")
+    assert(zWorst <= 5, s"z-order worst-dimension touched $zWorst of 8 files")
   }
 }
