@@ -1593,5 +1593,99 @@ object FunctionQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133)
+  // ---- q143: binary.rst part 2 -------------------------------------------
+  // to/from_big_endian_64/32 (binary.rst:72-84), to_ieee754_64/32
+  // (binary.rst:88-100), crc32 (binary.rst:120), to_base64 (binary.rst:40),
+  // length(binary) (binary.rst:13) — reference
+  // presto-main/.../scalar/VarbinaryFunctions.java:1.
+  //
+  // Oracle discipline: every bit pattern is derived with EXACT arithmetic
+  // spelled once and shared by both engines.
+  //  - big-endian forms are the zero-padded hex expansion (a non-negative
+  //    int64's big-endian bytes ARE its 16 hex digits); the from_ round-trip
+  //    is exercised on the Spark side via conv(hex,16,10) and oracled by the
+  //    round-trip identity.
+  //  - IEEE-754 bits: e = floor(log2 x), mantissa = (x/2^e - 1)·2^52 — both
+  //    steps exact for the constructed inputs (integer + 0.25 is never close
+  //    enough to a power of two for float log2 to misround, and the scaled
+  //    mantissa is an exact integer), so CAST(round(..)) reproduces
+  //    Double.doubleToLongBits digit-for-digit (asserted vs the JVM in
+  //    BinaryFuncsSpec).
+  //  - crc32: nibble-wise table fold (16-entry reflected 0xEDB88320 table,
+  //    two table steps per byte) over the ASCII bytes of a constructed
+  //    string, expressed as the engines' native list folds; bit-parity with
+  //    Spark's builtin crc32 is asserted in BinaryFuncsSpec.
+  // Excluded: hmac_* (secret-key MACs — no data semantics to oracle),
+  // murmur3_x64_128 / spooky_hash_v2_* (128-bit/library-pinned hash
+  // constants; the 64-bit hash family is exercised everywhere via xxhash64).
+  private val crcTbl: Seq[Long] = Seq(0L, 498536548L, 997073096L, 651767980L,
+    1994146192L, 1802195444L, 1303535960L, 1342533948L, 3988292384L,
+    4027552580L, 3604390888L, 3412177804L, 2607071920L, 2262029012L,
+    2685067896L, 3183342108L)
+
+  /** Spark-side crc32 fold: aggregate over the ASCII byte list. */
+  private[graft] def crcSpark(t: String): String = {
+    val tb = crcTbl.map(_ + "L").mkString("array(", ", ", ")")
+    def step(c: String, b: String) =
+      s"(element_at($tb, cast(($c ^ $b) & 15 as int) + 1) ^ shiftright($c, 4))"
+    val s1 = step("a", "b")
+    val s2 = s"(element_at($tb, cast(($s1 ^ shiftright(b, 4)) & 15 as int) + 1) ^ shiftright($s1, 4))"
+    s"aggregate(transform(sequence(1, length($t)), i -> cast(ascii(substr($t, i, 1)) as bigint)), " +
+      s"cast(4294967295 as bigint), (a, b) -> $s2, a -> a ^ cast(4294967295 as bigint))"
+  }
+
+  /** DuckDB-side crc32 fold: list_reduce over the same byte list. */
+  private def crcDuck(t: String): String = {
+    val tb = crcTbl.mkString("[", ", ", "]")
+    def step(c: String, b: String) =
+      s"xor(list_extract($tb, CAST(xor($c, $b) & 15 AS INTEGER) + 1), $c >> 4)"
+    val s1 = step("a", "b")
+    val s2 = s"xor(list_extract($tb, CAST(xor($s1, b >> 4) & 15 AS INTEGER) + 1), $s1 >> 4)"
+    s"CAST(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), " +
+      s"list_transform(range(1, length($t) + 1), i -> CAST(ascii(substr($t, i, 1)) AS BIGINT))), " +
+      s"(a, b) -> $s2), 4294967295) AS BIGINT)"
+  }
+
+  /** Shared IEEE-754 bit formula (positive doubles, both engines). */
+  private[graft] def ieeeBits(x: String, expBias: Long, mantScale: Long): String =
+    s"(($expBias + CAST(floor(log2($x)) AS BIGINT)) * $mantScale " +
+      s"+ CAST(round(($x / power(2, CAST(floor(log2($x)) AS BIGINT)) - 1) * $mantScale) AS BIGINT))"
+
+  val q143 = Q(
+    "q143_binary_funcs2",
+    s"""WITH b AS (SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS t,
+       |  doc_id * 1000003 + 7 AS v,
+       |  (doc_id * 1000003 + 7) % 2147483648 AS w,
+       |  CAST(doc_id AS DOUBLE) + 2.25 AS x
+       | FROM documents WHERE doc_id < 300)
+       |SELECT doc_id,
+       | upper(lpad(hex(v), 16, '0')) AS be64,
+       | CAST(v AS BIGINT) AS v_rt,
+       | upper(lpad(hex(w), 8, '0')) AS be32,
+       | upper(lpad(hex(${ieeeBits("x", 1023L, 4503599627370496L)}), 16, '0')) AS ieee64,
+       | upper(lpad(hex(${ieeeBits("x", 127L, 8388608L)}), 8, '0')) AS ieee32,
+       | ${crcDuck("t")} AS crc,
+       | to_base64(encode(t)) AS b64,
+       | CAST(octet_length(encode(t)) AS INTEGER) AS bin_len
+       |FROM b
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d, col("doc_id") < 300)
+      .select(col("doc_id"),
+        concat(lit("doc-"), col("doc_id").cast("string")).as("t"),
+        (col("doc_id") * 1000003L + 7L).as("v"),
+        ((col("doc_id") * 1000003L + 7L) % 2147483648L).as("w"),
+        (col("doc_id").cast("double") + 2.25).as("x"))
+      .select(col("doc_id"),
+        upper(lpad(hex(col("v")), 16, "0")).as("be64"),
+        expr("cast(conv(upper(lpad(hex(v), 16, '0')), 16, 10) as bigint)").as("v_rt"),
+        upper(lpad(hex(col("w")), 8, "0")).as("be32"),
+        upper(lpad(hex(expr(ieeeBits("x", 1023L, 4503599627370496L))), 16, "0")).as("ieee64"),
+        upper(lpad(hex(expr(ieeeBits("x", 127L, 8388608L))), 8, "0")).as("ieee32"),
+        expr(crcSpark("t")).as("crc"),
+        base64(col("t").cast("binary")).as("b64"),
+        length(col("t").cast("binary")).cast("int").as("bin_len"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143)
 }
