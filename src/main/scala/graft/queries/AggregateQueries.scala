@@ -829,5 +829,45 @@ object AggregateQueries extends QueryFamily {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135)
+  // ---- q144: reduce_agg — user-defined declarative fold -------------------
+  // (aggregate.rst:114, ReduceAggregationFunction.java:1; implemented as
+  // graft.plans.Reduce — a DeclarativeAggregate with map-side partial
+  // aggregation, see ReduceAggSpec.)
+  //
+  // Two folds Spark has no builtin for:
+  //  - modular product (s·v mod p): exact int64 arithmetic, commutative, so
+  //    order/partitioning-invariant; DuckDB replays it as an ordered
+  //    list_reduce (same result by commutativity);
+  //  - dynamic bitmask fold (s | 1<<(v%61)): per-value bit positions,
+  //    replayed in DuckDB via bit_or of the shifted values.
+  val q144 = Q(
+    "q144_reduce_agg",
+    """WITH b AS (SELECT c_nationkey, c_custkey,
+      |  (CAST(round(c_acctbal * 100) AS BIGINT) % 1000003 + 1000003) % 1000003 + 2 AS v
+      | FROM customer)
+      |SELECT c_nationkey,
+      | CAST(list_reduce(list_prepend(CAST(1 AS BIGINT), list(v ORDER BY c_custkey)),
+      |   (a, b) -> (a * b) % 2147483647) AS BIGINT) AS modprod,
+      | CAST(bit_or(CAST(1 AS BIGINT) << CAST(v % 61 AS INTEGER)) AS BIGINT) AS mask,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM b
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+    import graft.plans.Reduce
+    val M = 2147483647L
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        ((expr("cast(round(c_acctbal * 100) as bigint)") % 1000003L + 1000003L) % 1000003L + 2L).as("v"))
+      .groupBy("c_nationkey")
+      .agg(
+        Reduce.reduceAgg(col("v"), lit(1L))(
+          (st, t) => (st * t) % M, (a, b) => (a * b) % M).as("modprod"),
+        Reduce.reduceAgg(col("v"), lit(0L))(
+          (st, t) => st.bitwiseOR(call_function("shiftleft", lit(1L), (t % 61).cast("int"))),
+          (a, b) => a.bitwiseOR(b)).as("mask"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135, q144)
 }
