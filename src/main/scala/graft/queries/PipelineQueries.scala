@@ -942,5 +942,34 @@ object PipelineQueries extends QueryFamily {
       .orderBy("qid", "rn")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142)
+  // ---- q145: per-domain quota sampling (graft.operators.Quota) -----------
+  // The C4-style "≤ k pages per domain" cap. Deterministic salted-hash
+  // rank; the count-broadcast prefilter (map-side, margin·k expected
+  // survivors per domain) is part of the replayed contract — see
+  // Quota.perDomain's scale notes. k=7 < 25 docs/source here, so the
+  // quota actually bites on every domain.
+  val q145 = Q(
+    "q145_domain_quota",
+    """WITH r AS (SELECT doc_id, source,
+      |  CAST(('0x' || substr(md5('quota|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+      | FROM documents),
+      |c AS (SELECT source, count(*) AS domain_n FROM r GROUP BY 1),
+      |s AS (SELECT r.*, c.domain_n FROM r JOIN c USING (source)
+      |      WHERE domain_n <= 56 OR rk < (1152921504606846976 // domain_n) * 56),
+      |w AS (SELECT doc_id, source, domain_n,
+      |        row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS qrank
+      |      FROM s)
+      |SELECT doc_id, source, CAST(domain_n AS BIGINT) AS domain_n,
+      |       CAST(qrank AS INTEGER) AS qrank
+      |FROM w WHERE qrank <= 7
+      |ORDER BY source, qrank""".stripMargin) { (s, d) =>
+    graft.operators.Quota.perDomain(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "source", "doc_id", k = 7, margin = 8)
+      .select(col("doc_id"), col("source"), col("domain_n"),
+        col("qrank").cast("int").as("qrank"))
+      .orderBy("source", "qrank")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145)
 }
