@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlShims
+
+import graft.plans.{BloomAgg, BloomMightContain}
+
+/** Bloom-pruned semi join (see graft.plans.GraftBloom for the sketch).
+  *
+  * `fact ⋉ dim` where the dim side is too big to broadcast as a hash
+  * relation but its KEY SET compresses into a bloom filter: build the
+  * filter distributed (partial-agg bitwise-OR merge), broadcast the one
+  * resulting row, drop fact rows map-side, then run the exact semi join
+  * on the survivors. At 100 TB this turns "shuffle every fact row" into
+  * "shuffle fact rows that probably match" — for a selective dim the
+  * shuffle shrinks by 10–1000×, at the cost of one scan of dim and a
+  * false-positive rate that only wastes bandwidth, never correctness
+  * (the exact join runs after).
+  */
+object Bloom {
+
+  def bloomAgg(key: Column, numBits: Int = 1 << 20, numHashes: Int = 5): Column =
+    GraftSqlShims.column(
+      BloomAgg(GraftSqlShims.expression(key.cast("long")), numBits, numHashes)
+        .toAggregateExpression())
+
+  def mightContain(bloom: Column, key: Column, numHashes: Int = 5): Column =
+    GraftSqlShims.column(BloomMightContain(
+      GraftSqlShims.expression(bloom),
+      GraftSqlShims.expression(key.cast("long")), numHashes))
+
+  /** fact rows whose `factKey` appears in `dim.dimKey` — bloom-pruned,
+    * then exactly verified by a semi join.
+    */
+  def prunedSemiJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String,
+                     numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    val bf = dim.agg(bloomAgg(col(dimKey), numBits, numHashes).as("graft_bf"))
+    val pruned = fact
+      .crossJoin(broadcast(bf))
+      .where(mightContain(col("graft_bf"), col(factKey), numHashes))
+      .drop("graft_bf")
+    pruned.join(dim.select(col(dimKey)).distinct(),
+      pruned(factKey) === col(dimKey), "left_semi")
+  }
+}

@@ -711,7 +711,34 @@ object RelationalQueries extends QueryFamily {
     }
   }
 
+  // ---- q146: bloom-pruned semi join (graft.operators.Bloom) --------------
+  // The runtime-filter pattern (reference DynamicFilterSourceOperator.java:1):
+  // the dim key set (high-value orders) is compiled into a broadcast Bloom
+  // filter that drops fact rows MAP-SIDE before the join shuffle; the exact
+  // semi join then removes the false positives, so the result is exactly
+  // `fact ⋉ dim` — which is what the oracle states. BloomSpec pins the
+  // sketch behavior (no false negatives, FPP bound, merge invariance) and
+  // the plan shape (graft_bloom_contains filter present, pruning measured).
+  val q146 = Q(
+    "q146_bloom_semi_join",
+    """SELECT l_returnflag,
+      | CAST(count(*) AS BIGINT) AS n,
+      | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val dim = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"))
+    graft.operators.Bloom.prunedSemiJoin(
+        Tables.lineitem(s, d), dim, "l_orderkey", "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Q.money(sum(Q.dec(col("l_extendedprice")))).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q28, q29, q30, q31, q58, q59, q83, q139)
+    q25, q26, q27, q28, q29, q30, q31, q58, q59, q83, q139, q146)
 }
