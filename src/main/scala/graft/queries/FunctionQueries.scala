@@ -1687,5 +1687,70 @@ object FunctionQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143)
+  // ---- q147: datetime.rst part 3 -----------------------------------------
+  // last_day_of_month (datetime.rst:60), year_of_week/yow (:387,:391),
+  // parse_duration (:188), to_milliseconds (:103),
+  // human_readable_seconds (datetime.rst) — reference
+  // presto-main/.../scalar/DateTimeFunctions.java:1.
+  //
+  // parse_duration: each row BUILDS a decimal duration string ("12.34h")
+  // and parses it back with regexp + unit CASE — the parse is the thing
+  // under test, the round-trip keeps the oracle exact (2-decimal values,
+  // unit multiples of 10ms, so v·unit_ms is an exact integer).
+  // human_readable_seconds: pluralized, zero-units-skipped fragment
+  // assembly replayed identically (concat_ws skips NULLs in both engines).
+  private def q147Frag(n: String, unit: String, st: String): String =
+    s"CASE WHEN $n > 0 THEN CAST($n AS $st) || ' ' || '$unit' || (CASE WHEN $n > 1 THEN 's' ELSE '' END) END"
+
+  private def q147Hrs(div: String, st: String): String = {
+    val w = s"(secs ${div} 604800)"
+    val dd = s"((secs % 604800) ${div} 86400)"
+    val h = s"((secs % 86400) ${div} 3600)"
+    val m = s"((secs % 3600) ${div} 60)"
+    val sec = "(secs % 60)"
+    s"CASE WHEN secs = 0 THEN '0 seconds' ELSE concat_ws(', ', " +
+      s"${q147Frag(w, "week", st)}, ${q147Frag(dd, "day", st)}, ${q147Frag(h, "hour", st)}, " +
+      s"${q147Frag(m, "minute", st)}, ${q147Frag(sec, "second", st)}) END"
+  }
+
+  private val q147UnitMs =
+    "CASE u WHEN 's' THEN 1000 WHEN 'm' THEN 60000 WHEN 'h' THEN 3600000 ELSE 86400000 END"
+
+  val q147 = Q(
+    "q147_datetime_funcs3",
+    s"""WITH b AS (SELECT event_id, ts,
+       |  (event_id * 7919) % 2000000 AS secs,
+       |  CAST((event_id * 37) % 10000 AS BIGINT) AS cents,
+       |  CASE event_id % 4 WHEN 0 THEN 's' WHEN 1 THEN 'm' WHEN 2 THEN 'h' ELSE 'd' END AS u
+       | FROM events WHERE event_id < 400),
+       |p AS (SELECT *,
+       |  CAST(cents // 100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') || u AS dur_str
+       | FROM b)
+       |SELECT event_id,
+       | last_day(CAST(ts AS DATE)) AS ldom,
+       | CAST(isoyear(ts) AS INTEGER) AS yow,
+       | dur_str,
+       | CAST(round(CAST(regexp_extract(dur_str, '([0-9]+[.][0-9]+)', 1) AS DOUBLE)
+       |   * ($q147UnitMs)) AS BIGINT) AS dur_ms,
+       | ${q147Hrs("//", "VARCHAR")} AS human
+       |FROM p
+       |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d).filter(col("event_id") < 400)
+      .select(col("event_id"), col("ts"),
+        ((col("event_id") * 7919) % 2000000).as("secs"),
+        ((col("event_id") * 37) % 10000).cast("long").as("cents"),
+        expr("CASE event_id % 4 WHEN 0 THEN 's' WHEN 1 THEN 'm' WHEN 2 THEN 'h' ELSE 'd' END").as("u"))
+      .withColumn("dur_str",
+        expr("CAST(cents div 100 AS STRING) || '.' || lpad(CAST(cents % 100 AS STRING), 2, '0') || u"))
+      .select(col("event_id"),
+        last_day(col("ts").cast("date")).as("ldom"),
+        expr("extract(YEAROFWEEK FROM ts)").cast("int").as("yow"),
+        col("dur_str"),
+        expr(s"CAST(round(CAST(regexp_extract(dur_str, '([0-9]+[.][0-9]+)', 1) AS DOUBLE) " +
+          s"* ($q147UnitMs)) AS BIGINT)").as("dur_ms"),
+        expr(q147Hrs("div", "STRING")).as("human"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147)
 }
