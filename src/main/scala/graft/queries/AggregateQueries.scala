@@ -869,5 +869,52 @@ object AggregateQueries extends QueryFamily {
       .orderBy("c_nationkey")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135, q144)
+  // ---- q148: seeded noisy aggregates -------------------------------------
+  // noisy_count_gaussian / noisy_count_if_gaussian / noisy_sum_gaussian with
+  // random_seed (aggregate.rst:386,:413,:440 — the seeded form IS
+  // deterministic by contract; the unseeded form is excluded as
+  // unoracleable, SURVEY §2.2 exclusions).
+  //
+  // Noise: Irwin–Hall(12) — sum of 12 uniform draws — the classic exact-
+  // arithmetic Gaussian approximation. Each draw is 40 bits of
+  // md5(seed|group|i), so the centered sum is an exact int64 in
+  // [−6·2^40, 6·2^40) with sd 2^40; noise = (scale·centered) div 2^40.
+  // Integer arithmetic end-to-end — no transcendental whose low bits
+  // could flip a rounded value between engines.
+  private def q148NoiseSpark(groupExpr: String, seed: Int, scale: Long, salt: String): String =
+    s"(($scale * (aggregate(sequence(1, 12), cast(0 as bigint), (a, i) -> a + " +
+      s"cast(conv(substring(md5(concat('$salt|', cast($seed as string), '|', $groupExpr, '|', cast(i as string))), 1, 10), 16, 10) as bigint)) " +
+      s"- 6597069766656)) div 1099511627776)"
+
+  private def q148NoiseDuck(groupExpr: String, seed: Int, scale: Long, salt: String): String =
+    s"(($scale * (list_reduce(list_prepend(CAST(0 AS BIGINT), range(1, 13)), (a, i) -> a + " +
+      s"CAST(('0x' || substr(md5('$salt|' || CAST($seed AS VARCHAR) || '|' || $groupExpr || '|' || CAST(i AS VARCHAR)), 1, 10)) AS BIGINT)) " +
+      s"- 6597069766656)) // 1099511627776)"
+
+  val q148 = Q(
+    "q148_noisy_aggs",
+    s"""WITH g AS (SELECT event_type,
+       |  count(*) AS exact_n,
+       |  count(*) FILTER (value > 50) AS exact_hi,
+       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS exact_cents
+       | FROM events GROUP BY 1)
+       |SELECT event_type, exact_n,
+       | exact_n + ${q148NoiseDuck("event_type", 42, 10L, "nc")} AS noisy_n,
+       | exact_hi + ${q148NoiseDuck("event_type", 42, 10L, "ncif")} AS noisy_hi,
+       | exact_cents + ${q148NoiseDuck("event_type", 42, 5000L, "ns")} AS noisy_cents
+       |FROM g
+       |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_n"),
+        count_if(col("value") > 50).as("exact_hi"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("exact_cents"))
+      .select(col("event_type"), col("exact_n"),
+        (col("exact_n") + expr(q148NoiseSpark("event_type", 42, 10L, "nc"))).as("noisy_n"),
+        (col("exact_hi") + expr(q148NoiseSpark("event_type", 42, 10L, "ncif"))).as("noisy_hi"),
+        (col("exact_cents") + expr(q148NoiseSpark("event_type", 42, 5000L, "ns"))).as("noisy_cents"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135, q144, q148)
 }
