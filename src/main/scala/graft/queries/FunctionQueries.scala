@@ -1752,5 +1752,91 @@ object FunctionQueries extends QueryFamily {
       .orderBy("event_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147)
+  // ---- q149: probability-CDF family part 2 (math.rst) --------------------
+  // beta_cdf (math.rst), gamma_cdf, chi_squared_cdf, f_cdf,
+  // inverse_poisson_cdf, inverse_binomial_cdf — reference
+  // presto-main/.../scalar/MathFunctions.java:1 (which delegates to
+  // commons-math continued fractions).
+  //
+  // Portable-exactness restriction (documented): integer shape parameters.
+  // Then every CDF is a FINITE sum —
+  //   beta_cdf(a,b,x) = Σ_{j=a}^{a+b-1} C(a+b-1,j) x^j (1-x)^{a+b-1-j}
+  //     (regularized incomplete beta ↔ binomial tail identity),
+  //   gamma/chi² (Erlang / even df) = 1 − e^{−y/θ} Σ_{i<k} (y/θ)^i/i!,
+  //   f_cdf(2u,2v,x) = I_{2ux/(2ux+2v)}(u,v) → the beta fold,
+  // and the discrete inverses are rank counts: #{k : CDF(k) < p}.
+  // One term-formula string per family shared verbatim by both engines
+  // (q116 pattern); general real-parameter forms need non-portable
+  // incomplete-gamma numerics and stay excluded.
+  private val q149BetaTerm =
+    "(factorial(CAST(n AS INTEGER)) / (factorial(CAST(j AS INTEGER)) * factorial(CAST(n - j AS INTEGER)))) " +
+      "* pow(w, j) * pow(1.0 - w, n - j)"
+  private val q149ErlangTerm = "pow(y / th, i) / factorial(CAST(i AS INTEGER))"
+  private val q149PoisCdfTerm = "exp(-4.0) * pow(4.0, i) / factorial(CAST(i AS INTEGER))"
+  private val q149BinCdfTerm =
+    "(factorial(10) / (factorial(CAST(i AS INTEGER)) * factorial(CAST(10 - i AS INTEGER)))) " +
+      "* pow(p, i) * pow(1.0 - p, 10 - i)"
+  private val q149FTerm =
+    "(factorial(CAST(n AS INTEGER)) / (factorial(CAST(j AS INTEGER)) * factorial(CAST(n - j AS INTEGER)))) " +
+      "* pow(fw, j) * pow(1.0 - fw, n - j)"
+
+  val q149 = Q(
+    "q149_cdf_funcs2",
+    s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+       |  l_quantity / 60.0 AS p,
+       |  l_extendedprice / 20000.0 AS y,
+       |  1 + l_linenumber % 4 AS a,
+       |  2 + CAST(l_orderkey % 3 AS INTEGER) AS bb,
+       |  1 + l_linenumber % 4 AS k
+       | FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 400),
+       |c AS (SELECT *, a + bb - 1 AS n, p AS w, 1.5 AS th FROM b),
+       |f AS (SELECT *, 2.0 * a * y / (2.0 * a * y + 2.0 * bb) AS fw FROM c)
+       |SELECT l_orderkey, l_linenumber,
+       | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(a, a + bb),
+       |   j -> CAST($q149BetaTerm AS DOUBLE))), (acc, t) -> acc + t), 6) AS beta_c,
+       | round(1 - exp(-y / th) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, k),
+       |   i -> CAST($q149ErlangTerm AS DOUBLE))), (acc, t) -> acc + t), 6) AS gamma_c,
+       | round(1 - exp(-y / 2.0) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, k),
+       |   i -> CAST(pow(y / 2.0, i) / factorial(CAST(i AS INTEGER)) AS DOUBLE))), (acc, t) -> acc + t), 6) AS chi2_c,
+       | round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(a, a + bb),
+       |   j -> CAST($q149FTerm AS DOUBLE))), (acc, t) -> acc + t), 6) AS f_c,
+       | CAST(len(list_filter(range(0, 21), kk -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list_transform(range(0, kk + 1), i -> CAST($q149PoisCdfTerm AS DOUBLE))),
+       |   (acc, t) -> acc + t) < p)) AS INTEGER) AS inv_pois,
+       | CAST(len(list_filter(range(0, 11), kk -> list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |   list_transform(range(0, kk + 1), i -> CAST($q149BinCdfTerm AS DOUBLE))),
+       |   (acc, t) -> acc + t) < p)) AS INTEGER) AS inv_bin
+       |FROM f
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    def fold(seqA: String, seqB: String, term: String): String =
+      s"aggregate(sequence($seqA, $seqB), cast(0 as double), (acc, i) -> acc + cast($term as double))"
+    def foldJ(seqA: String, seqB: String, term: String): String =
+      s"aggregate(sequence($seqA, $seqB), cast(0 as double), (acc, j) -> acc + cast($term as double))"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") / 60.0).as("p"),
+        (col("l_extendedprice") / 20000.0).as("y"),
+        (lit(1) + col("l_linenumber") % 4).as("a"),
+        (lit(2) + (col("l_orderkey") % 3).cast("int")).as("bb"),
+        (lit(1) + col("l_linenumber") % 4).as("k"))
+      .orderBy("l_orderkey", "l_linenumber").limit(400)
+      .withColumn("n", col("a") + col("bb") - 1)
+      .withColumn("w", col("p"))
+      .withColumn("th", lit(1.5))
+      .withColumn("fw", expr("2.0 * a * y / (2.0 * a * y + 2.0 * bb)"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(expr(foldJ("a", "a + bb - 1", q149BetaTerm)), 6).as("beta_c"),
+        round(expr(s"1 - exp(-y / th) * ${fold("0", "k - 1", q149ErlangTerm)}"), 6).as("gamma_c"),
+        round(expr(s"1 - exp(-y / 2.0) * ${fold("0", "k - 1", "pow(y / 2.0, i) / factorial(CAST(i AS INTEGER))")}"), 6).as("chi2_c"),
+        round(expr(foldJ("a", "a + bb - 1", q149FTerm)), 6).as("f_c"),
+        expr(s"size(filter(sequence(0, 20), kk -> " +
+          s"aggregate(sequence(0, kk), cast(0 as double), (acc, i) -> acc + cast($q149PoisCdfTerm as double)) < p))")
+          .cast("int").as("inv_pois"),
+        expr(s"size(filter(sequence(0, 10), kk -> " +
+          s"aggregate(sequence(0, kk), cast(0 as double), (acc, i) -> acc + cast($q149BinCdfTerm as double)) < p))")
+          .cast("int").as("inv_bin"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149)
 }
