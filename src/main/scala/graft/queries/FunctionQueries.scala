@@ -1838,5 +1838,118 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149)
+  // ---- q150: ip.rst part 2 — IPv6 + subnet min/max/range ------------------
+  // ip_prefix/is_subnet_of over IPv6 (ip.rst; q96 covered IPv4) and
+  // ip_subnet_min/ip_subnet_max/ip_subnet_range (ip.rst:14-30) — reference
+  // presto-main/.../scalar/IpPrefixFunctions.java:1.
+  //
+  // Portable subset (documented): full-form IPv6 (8 4-digit hex groups, no
+  // `::` elision — the canonical textual form); the 128-bit address is
+  // carried as 4 exact uint32 words so every mask/compare is int64
+  // arithmetic both engines share. Addresses derive from md5 hex of the
+  // doc id (md5 output IS hex, so group construction is trivial and
+  // deterministic).
+  val q150 = Q(
+    "q150_ip_funcs2",
+    """WITH b AS (SELECT doc_id, md5('ip6|' || CAST(doc_id AS VARCHAR)) AS h
+      | FROM documents WHERE doc_id < 300),
+      |a AS (SELECT doc_id,
+      |  '2001:0db8:' || substr(h, 1, 4) || ':' || substr(h, 5, 4) || ':' ||
+      |    substr(h, 9, 4) || ':' || substr(h, 13, 4) || ':' ||
+      |    substr(h, 17, 4) || ':' || substr(h, 21, 4) AS ip6,
+      |  CAST(('0x2001' || '0db8') AS BIGINT) AS g0,
+      |  CAST(('0x' || substr(h, 1, 4) || substr(h, 5, 4)) AS BIGINT) AS g1,
+      |  CAST(('0x' || substr(h, 9, 4) || substr(h, 13, 4)) AS BIGINT) AS g2,
+      |  CAST(('0x' || substr(h, 17, 4) || substr(h, 21, 4)) AS BIGINT) AS g3,
+      |  CAST(('0x' || substr(md5('ip4|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4294967296 AS v4
+      | FROM b),
+      |m AS (SELECT doc_id, ip6, g0, g1, g1 - (g1 % 65536) AS g1m, g2, g3,
+      |        v4, v4 - (v4 % 1048576) AS net12
+      | FROM a)
+      |SELECT doc_id, ip6,
+      | lpad(hex(g0), 8, '0') || lpad(hex(g1m), 8, '0') || '0000000000000000' AS subnet48_min,
+      | lpad(hex(g0), 8, '0') || lpad(hex(g1m + 65535), 8, '0') || 'FFFFFFFFFFFFFFFF' AS subnet48_max,
+      | g0 = 537136568 AND g1 < 2147483648 AS in_doc_net,
+      | CAST(net12 // 16777216 AS INTEGER) || '.' || CAST((net12 % 16777216) // 65536 AS INTEGER) || '.' ||
+      |   CAST((net12 % 65536) // 256 AS INTEGER) || '.' || CAST(net12 % 256 AS INTEGER) AS v4_subnet_min,
+      | CAST((net12 + 1048575) // 16777216 AS INTEGER) || '.' || CAST(((net12 + 1048575) % 16777216) // 65536 AS INTEGER) || '.' ||
+      |   CAST(((net12 + 1048575) % 65536) // 256 AS INTEGER) || '.' || CAST((net12 + 1048575) % 256 AS INTEGER) AS v4_subnet_max,
+      | CAST(1048576 AS BIGINT) AS v4_range_size
+      |FROM m
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def hx(c: String, from: Int) =
+      s"cast(conv(substring(h, $from, 4) || substring(h, ${from + 4}, 4), 16, 10) as bigint)"
+    def oct(e: String, div: Long, mod: Long) =
+      s"cast(cast(($e) % $mod div $div as int) as string)"
+    Tables.documents(s, d, col("doc_id") < 300)
+      .select(col("doc_id"),
+        md5(concat(lit("ip6|"), col("doc_id").cast("string"))).as("h"))
+      .select(col("doc_id"),
+        expr("'2001:0db8:' || substring(h, 1, 4) || ':' || substring(h, 5, 4) || ':' || " +
+          "substring(h, 9, 4) || ':' || substring(h, 13, 4) || ':' || " +
+          "substring(h, 17, 4) || ':' || substring(h, 21, 4)").as("ip6"),
+        expr("cast(conv('20010db8', 16, 10) as bigint)").as("g0"),
+        expr(hx("h", 1)).as("g1"),
+        expr(hx("h", 9)).as("g2"),
+        expr(hx("h", 17)).as("g3"),
+        (expr("cast(conv(substring(md5('ip4|' || cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          % 4294967296L).as("v4"))
+      .withColumn("g1m", col("g1") - (col("g1") % 65536))
+      .withColumn("net12", col("v4") - (col("v4") % 1048576))
+      .select(col("doc_id"), col("ip6"),
+        expr("lpad(hex(g0), 8, '0') || lpad(hex(g1m), 8, '0') || '0000000000000000'").as("subnet48_min"),
+        expr("lpad(hex(g0), 8, '0') || lpad(hex(g1m + 65535), 8, '0') || 'FFFFFFFFFFFFFFFF'").as("subnet48_max"),
+        // is_subnet_of(2001:0db8::/33, ip6): the 33rd bit is g1's top bit
+        (col("g0") === 537136568L && col("g1") < 2147483648L).as("in_doc_net"),
+        expr(s"${oct("net12", 16777216L, 4294967296L)} || '.' || ${oct("net12", 65536L, 16777216L)} || '.' || " +
+          s"${oct("net12", 256L, 65536L)} || '.' || ${oct("net12", 1L, 256L)}").as("v4_subnet_min"),
+        expr(s"${oct("net12 + 1048575", 16777216L, 4294967296L)} || '.' || ${oct("net12 + 1048575", 65536L, 16777216L)} || '.' || " +
+          s"${oct("net12 + 1048575", 256L, 65536L)} || '.' || ${oct("net12 + 1048575", 1L, 256L)}").as("v4_subnet_max"),
+        lit(1048576L).as("v4_range_size"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q151: url.rst part 2 — port, fragment, encode/decode ---------------
+  // url_extract_port (url.rst), url_extract_fragment, url_encode,
+  // url_decode — reference presto-main/.../scalar/UrlFunctions.java:1.
+  // Spark's parse_url has no PORT key → port comes off AUTHORITY by
+  // regexp (the same way UrlFunctions splits authority). url_encode is
+  // x-www-form-urlencoded (space→'+', reserved→%XX uppercase — Java
+  // URLEncoder semantics, which Presto delegates to as well); the oracle
+  // replays the fixed reserved set as an ordered replace chain (the
+  // input alphabet is known: word chars, space, '/', '&', '=', ':').
+  // url_decode is pinned by the round-trip (decode(encode(x)) = x).
+  val q151 = Q(
+    "q151_url_funcs2",
+    """WITH b AS (SELECT p_partkey,
+      |  replace(p_name, ' ', '_') AS seg,
+      |  p_name || '/v=' || p_brand || ':' || CAST(p_size AS VARCHAR) AS raw,
+      |  'https://shop.example.com:' || CAST(8000 + p_partkey % 1000 AS VARCHAR) ||
+      |    '/c/' || replace(p_name, ' ', '-') || '?q=1#sec-' || CAST(p_partkey % 7 AS VARCHAR) AS url
+      | FROM part WHERE p_partkey < 300)
+      |SELECT p_partkey, url,
+      | CAST(8000 + p_partkey % 1000 AS BIGINT) AS port,
+      | 'sec-' || CAST(p_partkey % 7 AS VARCHAR) AS fragment,
+      | replace(replace(replace(replace(replace(raw, ':', '%3A'), '=', '%3D'), '/', '%2F'), '#', '%23'), ' ', '+') AS encoded,
+      | raw AS decoded_rt
+      |FROM b
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"),
+        concat(col("p_name"), lit("/v="), col("p_brand"), lit(":"),
+          col("p_size").cast("string")).as("raw"),
+        concat(lit("https://shop.example.com:"),
+          (lit(8000) + col("p_partkey") % 1000).cast("string"),
+          lit("/c/"), regexp_replace(col("p_name"), " ", "-"),
+          lit("?q=1#sec-"), (col("p_partkey") % 7).cast("string")).as("url"))
+      .select(col("p_partkey"), col("url"),
+        regexp_extract(parse_url(col("url"), lit("AUTHORITY")), ":([0-9]+)$", 1)
+          .cast("bigint").as("port"),
+        parse_url(col("url"), lit("REF")).as("fragment"),
+        expr("url_encode(raw)").as("encoded"),
+        expr("url_decode(url_encode(raw))").as("decoded_rt"))
+      .orderBy("p_partkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151)
 }
