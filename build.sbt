@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 151 queries × whole-stage-codegen classes in one JVM: the 240 MB
+  // default code cache forces sweeping/deopt churn late in a full run
+  // (isolated reruns are fast, late-in-run queries sporadically 3-30x
+  // slower — the r3 driver-bench signature); give C2 room instead
+  "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
 )
