@@ -24,6 +24,23 @@ class BinaryFuncsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("crc32 fold matches zlib CRC-32 on 200 random printable-ASCII strings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    val docs = (1 to 200).map { _ =>
+      val len = 1 + rnd.nextInt(80)
+      (1 to len).map(_ => (32 + rnd.nextInt(95)).toChar)
+        .mkString.replace("'", "x") // SQL literal safety irrelevant (column), keep anyway
+    }.toDF("t")
+    val rows = docs
+      .select(col("t"), expr(crcSpark("t")).as("fold")).collect()
+    rows.foreach { r =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == crc.getValue, s"mismatch on '${r.getString(0)}'")
+    }
+  }
+
   test("ieee754 bit formulas match doubleToLongBits / floatToIntBits") {
     import spark.implicits._
     val xs = Seq(2.25, 3.0, 1.0, 256.25, 501.25, 1048578.25, 7.75)

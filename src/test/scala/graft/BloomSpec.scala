@@ -20,6 +20,20 @@ class BloomSpec extends SparkSpec {
     assert(fp < 200, s"false positives: $fp / 100000")
   }
 
+  test("randomized: no false negatives across 50 random member sets + serde round-trip") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 50) {
+      val nbits = 64 << rnd.nextInt(8) // 64 .. 8192 bits
+      val words = new Array[Long](nbits / 64)
+      val members = Seq.fill(1 + rnd.nextInt(200))(rnd.nextLong())
+      members.foreach(GraftBloom.add(words, nbits, 5, _))
+      val bytes = GraftBloom.serialize(words)
+      assert(java.util.Arrays.equals(GraftBloom.serialize(GraftBloom.deserialize(bytes)), bytes))
+      members.foreach(v =>
+        assert(GraftBloom.mightContain(bytes, 5, v), s"false negative nbits=$nbits v=$v"))
+    }
+  }
+
   test("distributed build is partition-invariant (bitwise-OR merge)") {
     import spark.implicits._
     val df = (1L to 5000L).toDF("k")
