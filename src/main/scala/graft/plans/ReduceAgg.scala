@@ -23,12 +23,15 @@ import org.apache.spark.sql.types.DataType
   * per group, exactly the 100 TB posture (unlike the naive
   * `aggregate(collect_list(...))` spelling, which ships every row).
   *
-  * Contract (documented restrictions, both inherited from the reference):
+  * Contract (documented restrictions, all inherited from the reference):
   *  - the fold state type is `init`'s type; the input is coerced to it;
   *  - `update` must be insensitive to input order and `merge` associative/
   *    commutative for results to be deterministic under partitioning —
   *    true of the reference's reduce_agg as well (its docs require
-  *    commutative input functions).
+  *    commutative input functions);
+  *  - `init` must be an identity for `merge` (merge(init, s) = s): empty
+  *    partitions contribute `init` partials, so a non-identity init would
+  *    fold in once per empty partition.
   */
 object Reduce {
 
