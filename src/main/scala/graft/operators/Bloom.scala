@@ -30,6 +30,31 @@ object Bloom {
       GraftSqlShims.expression(bloom),
       GraftSqlShims.expression(key.cast("long")), numHashes))
 
+  /** Streaming first-seen filter (dedup-at-ingestion): keep a batch's
+    * rows whose key the accumulated bloom has NOT seen, and fold the
+    * batch's keys into the state. State is the serialized filter —
+    * model-sized (numBits/8 bytes, like the k-means centroids), carried
+    * across foreachBatch micro-batches on the driver.
+    *
+    * Approximation contract: a seen key NEVER passes again (no false
+    * negatives once added — the dup guarantee is exact); a genuinely new
+    * key is dropped with probability = the filter's FPP (tunable via
+    * numBits for the expected corpus cardinality). That asymmetry — drop
+    * a few novel items, never re-admit a duplicate — is the posture
+    * ingestion dedup wants at 100 TB, where exact state would be a
+    * corpus-sized shuffle-join per batch.
+    */
+  def firstSeen(batch: DataFrame, key: String, state: Array[Byte],
+                numHashes: Int = 5): (DataFrame, Array[Byte]) = {
+    val pass = batch.where(!mightContain(lit(state), col(key), numHashes))
+    val batchBloom = batch.agg(bloomAgg(col(key), state.length * 8, numHashes))
+      .collect()(0).getAs[Array[Byte]](0)
+    val merged = state.clone()
+    var i = 0
+    while (i < merged.length) { merged(i) = (merged(i) | batchBloom(i)).toByte; i += 1 }
+    (pass, merged)
+  }
+
   /** fact rows whose `factKey` appears in `dim.dimKey` — bloom-pruned,
     * then exactly verified by a semi join.
     */
