@@ -971,5 +971,66 @@ object PipelineQueries extends QueryFamily {
       .orderBy("source", "qrank")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145)
+  // ---- q152: training-mix construction (capstone composition) ------------
+  // The "data mixing" op: hit per-language TARGET token shares from an
+  // arbitrary corpus distribution. Chains the pipeline primitives:
+  // token counting (q68's tokenizer) → per-stratum availability (one
+  // count shuffle, stratum-cardinality-sized, broadcast back) →
+  // per-stratum keep rate min(1, target·budget/available) in exact
+  // integer arithmetic (rate compare in the q145 threshold form — no
+  // float at the boundary) → deterministic hash sample (q127's
+  // content-independent md5 draw) → achieved-mix report. Map-side
+  // sampling: the only shuffles are stratum-sized aggregations, so the
+  // plan is corpus-scan-bound at 100 TB.
+  //
+  // Targets (tokens, of a 30k budget): en 40%, zh 25%, de 20%, es 10%,
+  // fr 5% — deliberately NOT the corpus's own distribution (en is
+  // under-sampled, zh over-demanded past availability → rate caps at 1).
+  val q152 = Q(
+    "q152_corpus_mix",
+    """WITH d AS (SELECT doc_id, lang,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |  CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      | FROM documents),
+      |t AS (SELECT lang,
+      |  CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 20
+      |            WHEN 'es' THEN 10 ELSE 5 END AS share_pct
+      | FROM (SELECT DISTINCT lang FROM d)),
+      |a AS (SELECT d.lang, share_pct, sum(toks) AS avail,
+      |        CAST(30000 AS BIGINT) * share_pct // 100 AS want
+      | FROM d JOIN t ON d.lang = t.lang GROUP BY d.lang, share_pct),
+      |s AS (SELECT d.doc_id, d.lang, d.toks, a.want, a.avail
+      | FROM d JOIN a ON d.lang = a.lang
+      | WHERE a.want >= a.avail OR d.h < (1152921504606846976 // a.avail) * a.want)
+      |SELECT lang,
+      | CAST(count(*) AS BIGINT) AS docs_kept,
+      | CAST(sum(toks) AS BIGINT) AS tokens_kept,
+      | CAST(max(want) AS BIGINT) AS tokens_wanted,
+      | CAST(max(avail) AS BIGINT) AS tokens_available
+      |FROM s
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"),
+        expr("cast(conv(substring(md5('mix|' || cast(doc_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
+    val targets = expr("CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 20 " +
+      "WHEN 'es' THEN 10 ELSE 5 END")
+    val avail = docs.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("avail"))
+      .withColumn("share_pct", targets)
+      .withColumn("want", expr("30000L * share_pct div 100"))
+      .select(col("lang"), col("avail"), col("want"))
+    docs.join(broadcast(avail), "lang")
+      .where(col("want") >= col("avail") ||
+        col("h") < expr("1152921504606846976L div avail") * col("want"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("toks")).as("tokens_kept"),
+        max(col("want")).as("tokens_wanted"),
+        max(col("avail")).as("tokens_available"))
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152)
 }
