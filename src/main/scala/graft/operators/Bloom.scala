@@ -36,18 +36,21 @@ object Bloom {
     * model-sized (numBits/8 bytes, like the k-means centroids), carried
     * across foreachBatch micro-batches on the driver.
     *
-    * Approximation contract: a seen key NEVER passes again (no false
-    * negatives once added — the dup guarantee is exact); a genuinely new
-    * key is dropped with probability = the filter's FPP (tunable via
-    * numBits for the expected corpus cardinality). That asymmetry — drop
-    * a few novel items, never re-admit a duplicate — is the posture
-    * ingestion dedup wants at 100 TB, where exact state would be a
-    * corpus-sized shuffle-join per batch.
+    * Approximation contract: a seen key NEVER passes again — neither
+    * across batches (the state filter) nor within one batch (the batch
+    * is key-deduplicated before the state filter, keeping one arbitrary
+    * representative per key, the standard ingestion-dedup contract); a
+    * genuinely new key is dropped with probability = the filter's FPP
+    * (tunable via numBits for the expected corpus cardinality). That
+    * asymmetry — drop a few novel items, never re-admit a duplicate —
+    * is the posture ingestion dedup wants at 100 TB, where exact state
+    * would be a corpus-sized shuffle-join per batch.
     */
   def firstSeen(batch: DataFrame, key: String, state: Array[Byte],
                 numHashes: Int = 5): (DataFrame, Array[Byte]) = {
-    val pass = batch.where(!mightContain(lit(state), col(key), numHashes))
-    val batchBloom = batch.agg(bloomAgg(col(key), state.length * 8, numHashes))
+    val once = batch.dropDuplicates(key)
+    val pass = once.where(!mightContain(lit(state), col(key), numHashes))
+    val batchBloom = once.agg(bloomAgg(col(key), state.length * 8, numHashes))
       .collect()(0).getAs[Array[Byte]](0)
     val merged = state.clone()
     var i = 0
@@ -57,6 +60,11 @@ object Bloom {
 
   /** fact rows whose `factKey` appears in `dim.dimKey` — bloom-pruned,
     * then exactly verified by a semi join.
+    *
+    * EAGER: constructing this DataFrame launches the filter-build job
+    * over `dim` immediately (a collect of numBits/8 bytes), before the
+    * returned plan is executed — the same two-job staging engine-native
+    * runtime filters use for their build subquery.
     */
   def prunedSemiJoin(fact: DataFrame, dim: DataFrame,
                      factKey: String, dimKey: String,
@@ -66,13 +74,21 @@ object Bloom {
     // references ONE byte[] object. The broadcast-row alternative
     // (crossJoin + binary column) re-copies the whole array out of the
     // joined row on EVERY probe — measured 6 µs/row on a 128 KB filter,
-    // turning the map-side prune into the bottleneck. Two jobs (build,
-    // then probe) is exactly how engine-native runtime filters stage
-    // their subquery too.
+    // turning the map-side prune into the bottleneck.
     val bytes = dim.agg(bloomAgg(col(dimKey), numBits, numHashes))
       .collect()(0).getAs[Array[Byte]](0)
+    // A saturated filter passes everything: the prune silently becomes a
+    // no-op (correctness is preserved by the exact semi join below, but
+    // the shuffle reduction vanishes). Surface that so callers size
+    // numBits to the dim cardinality instead of shipping a dead filter.
+    val setBits = bytes.map(b => java.lang.Integer.bitCount(b & 0xff)).sum
+    if (setBits * 2 > numBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"bloom fill ratio ${setBits.toDouble / numBits}%.2f exceeds 0.5 " +
+          s"($setBits/$numBits bits): FPP degrades toward 1 — raise numBits " +
+          "toward ~10x the dim key cardinality")
+    val dimKeys = dim.select(col(dimKey)).distinct()
     val pruned = fact.where(mightContain(lit(bytes), col(factKey), numHashes))
-    pruned.join(dim.select(col(dimKey)).distinct(),
-      pruned(factKey) === col(dimKey), "left_semi")
+    pruned.join(dimKeys, pruned(factKey) === dimKeys(dimKey), "left_semi")
   }
 }

@@ -33,6 +33,12 @@ object Quota {
   private def rank(idCol: String) =
     expr(s"cast(conv(substring(md5(concat('quota|', cast($idCol as string))), 1, 15), 16, 10) as bigint)")
 
+  /** Output schema: the input columns plus two audit columns the quota
+    * decision is made from — `domain_n` (pre-quota domain size) and
+    * `qrank` (1-based hash rank among survivors, ≤ k). They are part of
+    * the contract (q145 oracles both); callers wanting only the kept
+    * rows project them away.
+    */
   def perDomain(docs: DataFrame, domainCol: String, idCol: String,
                 k: Int, margin: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -40,14 +46,17 @@ object Quota {
     val maxRank = 1152921504606846976L // 2^60
     val mk = margin.toLong * k
     // keep iff rank/2^60 < margin·k/domain_n. Exact int64 form:
-    // rank < floor(2^60/domain_n)·mk — guarded by domain_n > mk so the
-    // product stays < 2^60 (small domains keep everything; a float
-    // comparison would be unsafe exactly at the boundary the oracle
-    // replays).
+    // rank < floor(2^60/domain_n)·mk, computed ONLY for domain_n > mk
+    // (a lazily-evaluated CASE branch, so the product is provably
+    // < 2^60 whenever it is evaluated — never int64 overflow, under any
+    // predicate reordering); small domains take the other branch and
+    // keep everything (rank is always < 2^60). A float comparison would
+    // be unsafe exactly at the boundary the oracle replays.
     val survivors = docs
       .join(broadcast(counts), domainCol)
-      .where(col("domain_n") <= mk ||
-        rank(idCol) < expr(s"${maxRank}L div domain_n") * mk)
+      .where(rank(idCol) <
+        when(col("domain_n") <= mk, lit(maxRank))
+          .otherwise(expr(s"${maxRank}L div domain_n") * mk))
     val w = Window.partitionBy(col(domainCol)).orderBy(rank(idCol), col(idCol))
     survivors
       .withColumn("qrank", row_number().over(w))

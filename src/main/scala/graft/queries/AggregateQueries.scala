@@ -792,9 +792,20 @@ object AggregateQueries extends QueryFamily {
   // outcome-correlated signal (value/100) with an event-id hash, y =
   // value > 50. Ten buckets; arrays are fixed-length with NULL where a
   // denominator is empty (pinned semantics — see operators/MlEval).
+  //
+  // The driver's pandas compare can't sort/hash array cells, so the
+  // registered query scalarizes each array to a canonical comma-joined
+  // string of integer micro-units (round(v·10^6) as bigint, 'null' for
+  // NULL entries) — same double-rounded formula on both engines, so no
+  // float-to-string repr divergence. The array-typed operator API stays
+  // as-is (MlEvalSpec covers it).
+  private val q135Metrics =
+    Seq("thresholds", "precision_a", "recall_a", "fall_out_a", "miss_rate_a")
+  private def q135DuckS6(metric: String): String =
+    s"string_agg(coalesce(CAST(CAST(round($metric * 1000000) AS BIGINT) AS VARCHAR), 'null'), ',' ORDER BY bk)"
   val q135 = Q(
     "q135_classification_eval",
-    """WITH e AS (SELECT event_type,
+    s"""WITH e AS (SELECT event_type,
       |  CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END AS pos,
       |  CAST(least(floor((least(value / 100.0, 1.0) * 0.7
       |    + (event_id % 100) / 100.0 * 0.3) * 10), 9) AS INTEGER) AS bk
@@ -811,21 +822,28 @@ object AggregateQueries extends QueryFamily {
       |        sum(tw) OVER (PARTITION BY event_type ORDER BY bk DESC) AS ctot,
       |        sum(pw) OVER (PARTITION BY event_type) AS tpos,
       |        sum(tw - pw) OVER (PARTITION BY event_type) AS tneg
-      |      FROM filled)
+      |      FROM filled),
+      |m AS (SELECT event_type, bk,
+      |        round(bk / 10.0, 6) AS thresholds,
+      |        CASE WHEN ctot > 0 THEN round(cpos / ctot, 6) END AS precision_a,
+      |        CASE WHEN tpos > 0 THEN round(cpos / tpos, 6) END AS recall_a,
+      |        CASE WHEN tneg > 0 THEN round((ctot - cpos) / tneg, 6) END AS fall_out_a,
+      |        CASE WHEN tpos > 0 THEN round((tpos - cpos) / tpos, 6) END AS miss_rate_a
+      |      FROM c)
       |SELECT event_type,
-      | list(CAST(round(bk / 10.0, 6) AS DOUBLE) ORDER BY bk) AS thresholds,
-      | list(CAST(CASE WHEN ctot > 0 THEN round(cpos / ctot, 6) END AS DOUBLE) ORDER BY bk) AS precision_a,
-      | list(CAST(CASE WHEN tpos > 0 THEN round(cpos / tpos, 6) END AS DOUBLE) ORDER BY bk) AS recall_a,
-      | list(CAST(CASE WHEN tneg > 0 THEN round((ctot - cpos) / tneg, 6) END AS DOUBLE) ORDER BY bk) AS fall_out_a,
-      | list(CAST(CASE WHEN tpos > 0 THEN round((tpos - cpos) / tpos, 6) END AS DOUBLE) ORDER BY bk) AS miss_rate_a
-      |FROM c GROUP BY event_type
+      | ${q135Metrics.map(m => q135DuckS6(m) + " AS " + m).mkString(",\n ")}
+      |FROM m GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, d) =>
     import graft.operators.MlEval
+    def s6(c: String) = expr(
+      s"array_join(transform($c, v -> coalesce(cast(cast(round(v * 1000000) as bigint) as string), 'null')), ',')"
+    ).as(c)
     MlEval.classificationEval(Tables.events(s, d), "event_type",
         col("value") > 50,
         least(col("value") / 100.0, lit(1.0)) * 0.7
           + (col("event_id") % 100) / 100.0 * 0.3,
         buckets = 10)
+      .select(col("event_type") +: q135Metrics.map(s6): _*)
       .orderBy("event_type")
   }
 

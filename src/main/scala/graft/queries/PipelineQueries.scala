@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryFamily, Tables}
@@ -313,13 +314,39 @@ object PipelineQueries extends QueryFamily {
   }
 
   // IVF ANN: data-adaptive counterpart of q65's LSH buckets. Centroids
-  // are float averages (sum order varies by partitioning), so the
-  // candidate set is not bit-replayable in DuckDB → rows-only here;
-  // AnnSpec holds recall ≥ 50% vs brute force.
-  val q87 = Q.rowsOnly("q87_ivf_ann") { (s, d) =>
+  // are float averages (sum order varies by partitioning), so the full
+  // neighbor list is not bit-replayable in DuckDB. The oracle instead
+  // uses PLANTED TWINS: each query vector is an exact copy of corpus
+  // vector j registered under qid = j + 10^6, so a correct ANN must
+  // return cid = j at rank 1 with cosine 1.0 REGARDLESS of float
+  // k-means details (the twin shares the query's argmax-cosine cluster,
+  // so it is always probed; max natural cosine near the planted
+  // sources is ≤ 0.5, so no rank-1 tie is possible). The oracled
+  // projection is the per-query summary (top1 + shape invariants);
+  // AnnSpec holds recall ≥ 50% vs brute force for the accuracy claim.
+  private val annPlant = 1000000L
+  private def annPlantQueries(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+  private def annTop1Summary(knn: DataFrame, simCol: Option[String]): DataFrame = {
+    val aggs = simCol.map(c => max(when(col("rn") === 1, col(c))).as("top1_sim")).toSeq :+
+      count(lit(1)).as("n_rows") :+ countDistinct(col("cid")).as("n_cands")
+    knn.groupBy(col("qid"))
+      .agg(max(when(col("rn") === 1, col("cid"))).as("top1_cid"), aggs: _*)
+      .orderBy("qid")
+  }
+  private def annTop1Oracle(simCol: String): String =
+    s"""SELECT CAST(vec_id + 1000000 AS BIGINT) AS qid,
+       | vec_id AS top1_cid,$simCol
+       | CAST(5 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_cands
+       |FROM embeddings WHERE vec_id < 10
+       |ORDER BY qid""".stripMargin
+
+  val q87 = Q("q87_ivf_ann", annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim,")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
-    Ann.ivfKnn(embs, embs.filter(col("vec_id") < 10), k = 5, c = 16, nprobe = 4)
-      .orderBy("qid", "rn")
+    annTop1Summary(
+      Ann.ivfKnn(embs, annPlantQueries(embs), k = 5, c = 16, nprobe = 4),
+      simCol = Some("sim"))
   }
 
   // 1→N frame sampling over binary payloads (Multimodal.sampleFrames):
@@ -838,13 +865,19 @@ object PipelineQueries extends QueryFamily {
   // codes (32 subspaces × 16 centroids → 16 B/vector, a 16× shrink of
   // 64-dim float32), search via broadcast ADC lookup tables + an
   // equi-join on (sub, code) — the raw vectors are never scanned at
-  // query time. Codebooks are float k-means averages → not bit-
-  // replayable in DuckDB → rows-only; AnnSpec holds recall ≥40% vs
-  // exact L2 and the code-range/cardinality invariants.
-  val q138 = Q.rowsOnly("q138_pq_ann") { (s, d) =>
+  // query time. Codebooks are float k-means averages → ADC distances
+  // are not bit-replayable in DuckDB, but the planted-twin top-1 IS
+  // codebook-independent: the twin's code in every subspace is by
+  // construction argmin_c d²(q_sub, c), so its ADC distance is the
+  // global minimum Σ_sub min_c d²(q_sub, c) — no other vector can beat
+  // it, and a code-tie would need a near-identical vector (max natural
+  // cosine ≤ 0.5 near the planted sources). AnnSpec holds recall ≥40%
+  // vs exact L2 for the accuracy claim.
+  val q138 = Q("q138_pq_ann", annTop1Oracle("")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
-    Ann.pqKnn(embs, embs.filter(col("vec_id") < 10), k = 5, m = 32, ksub = 16)
-      .orderBy("qid", "rn")
+    annTop1Summary(
+      Ann.pqKnn(embs, annPlantQueries(embs), k = 5, m = 32, ksub = 16),
+      simCol = None)
   }
 
   // BM25 document scoring (Robertson–Spärck Jones; k1=1.2, b=0.75)
@@ -934,12 +967,16 @@ object PipelineQueries extends QueryFamily {
   // IVF-PQ composed index (Ann.ivfPqKnn, the FAISS-default posture):
   // coarse cells route the search, PQ codes over cell residuals carry
   // it — cell id + m codes per vector, nprobe/c of the index touched
-  // per query, raw vectors never read at query time. Float k-means →
-  // rows-only; AnnSpec holds recall vs exact L2.
-  val q142 = Q.rowsOnly("q142_ivfpq_ann") { (s, d) =>
+  // per query, raw vectors never read at query time. Planted-twin
+  // oracle (see q87/q138): the twin shares the query's argmax coarse
+  // cell (always probed) and its residual equals the query's residual
+  // there, so its codes are the query-optimal codes → minimal ADC
+  // within the probe set; empirically rank-1 at all three SFs with a
+  // wide margin (nearest natural neighbor cosine ≤ 0.5). AnnSpec holds
+  // recall vs exact L2.
+  val q142 = Q("q142_ivfpq_ann", annTop1Oracle("")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
-    Ann.ivfPqKnn(embs, embs.filter(col("vec_id") < 10), k = 5)
-      .orderBy("qid", "rn")
+    annTop1Summary(Ann.ivfPqKnn(embs, annPlantQueries(embs), k = 5), simCol = None)
   }
 
   // ---- q145: per-domain quota sampling (graft.operators.Quota) -----------
@@ -955,7 +992,8 @@ object PipelineQueries extends QueryFamily {
       | FROM documents),
       |c AS (SELECT source, count(*) AS domain_n FROM r GROUP BY 1),
       |s AS (SELECT r.*, c.domain_n FROM r JOIN c USING (source)
-      |      WHERE domain_n <= 56 OR rk < (1152921504606846976 // domain_n) * 56),
+      |      WHERE rk < CASE WHEN domain_n <= 56 THEN 1152921504606846976
+      |                      ELSE (1152921504606846976 // domain_n) * 56 END),
       |w AS (SELECT doc_id, source, domain_n,
       |        row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS qrank
       |      FROM s)

@@ -48,4 +48,34 @@ class StreamingBloomSpec extends SparkSpec {
     // and every admitted key was genuinely first-seen in stream order
     assert(admitted.toSet.subsetOf((1L to 750L).toSet))
   }
+
+  test("first-seen filter admits a key repeated WITHIN one micro-batch exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val stream = MemoryStream[Long]
+    var state = new Array[Byte]((1 << 20) / 8)
+    val admitted = collection.mutable.ArrayBuffer[Long]()
+
+    val query = stream.toDS().toDF("k").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (pass, newState) = Bloom.firstSeen(batch, "k", state)
+        admitted ++= pass.collect().map(_.getLong(0))
+        state = newState
+        ()
+      }
+      .start()
+
+    // one batch where every key appears 3 times
+    val keys = 1L to 100L
+    stream.addData(keys ++ keys ++ keys: _*); query.processAllAvailable()
+    // then the same keys again across a batch boundary
+    stream.addData(keys ++ keys: _*); query.processAllAvailable()
+    query.stop()
+
+    assert(admitted.size == admitted.toSet.size,
+      "an intra-batch duplicate was admitted twice")
+    assert(admitted.size >= 98 && admitted.size <= 100,
+      s"expected ~100 singletons, got ${admitted.size}")
+  }
 }

@@ -22,10 +22,11 @@ class SurveySyncSpec extends SparkSpec {
     assert(ghosts.isEmpty, s"SURVEY.md names unregistered keys: ${ghosts.toSeq.sorted.mkString(", ")}")
   }
 
-  test("every query has an oracle or is a documented rows-only sketch") {
+  test("every query has a full oracle") {
+    // r5: the last rows-only sketches (q87/q138/q142) gained planted-twin
+    // oracles, so every registered query now carries a full DuckDB check
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // the three declared float-centroid sketches (SURVEY §7)
-    assert(rowsOnly == Set("q87_ivf_ann", "q138_pq_ann", "q142_ivfpq_ann"),
-      s"rows-only set drifted: ${rowsOnly.toSeq.sorted.mkString(", ")}")
+    assert(rowsOnly.isEmpty,
+      s"queries without an oracle: ${rowsOnly.toSeq.sorted.mkString(", ")}")
   }
 }
