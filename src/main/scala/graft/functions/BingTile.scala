@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Bing tile system (reference: geospatial.rst:510-560 `bing_tile`,
+  * `bing_tile_at`, `bing_tile_quadkey`, `bing_tile_coordinates`,
+  * `bing_tile_polygon`, children/parent; impl
+  * presto-geospatial-toolkit/.../BingTileUtils.java — re-derived here
+  * from the published Bing Maps Tile System spec, not the reference
+  * code).
+  *
+  * A tile is (x, y, zoom) with x, y ∈ [0, 2^zoom); its quadkey is the
+  * base-4 string of the bit-interleave of (y, x) — the same Morton
+  * trick as operators/ZOrder, so tiles that are spatially adjacent
+  * share quadkey prefixes and a prefix range-scan IS a spatial scan.
+  *
+  * Everything here is composed from codegen'd built-ins (integer bit
+  * arithmetic + one sin/ln for the Mercator projection) — zero UDFs,
+  * zero shuffles; at 100 TB the tile id is the natural partition /
+  * cluster key for spatial data, exactly how the reference uses it.
+  *
+  * Cross-engine determinism: quadkey/parent/children/coordinates are
+  * pure int64 arithmetic (bit-exact everywhere). tileAt and
+  * tilePolygon involve sin/ln/exp/atan, whose last-ulp may differ
+  * between libm and java.lang.Math — but a floor() flip would need a
+  * point within ~1 ulp of a tile boundary (the boundaries in y are
+  * irrational) and the polygon corners are rounded to 6 dp, so the
+  * oracle replays both exactly in practice.
+  */
+object BingTile {
+
+  val MinLatitude = -85.05112878
+  val MaxLatitude = 85.05112878
+
+  private def clampLat(lat: Column): Column =
+    greatest(lit(MinLatitude), least(lit(MaxLatitude), lat))
+
+  /** Tile x containing a longitude at `zoom` (Bing spec: floor of the
+    * linear longitude map, clipped to the valid range).
+    */
+  def tileXAt(lon: Column, zoom: Int): Column = {
+    val n = 1L << zoom
+    least(greatest(floor((lon + 180.0) / 360.0 * n), lit(0.0)), lit((n - 1).toDouble))
+      .cast("int")
+  }
+
+  /** Tile y containing a latitude at `zoom` (Bing spec: floor of the
+    * Mercator latitude map, lat clamped to ±85.05112878°).
+    */
+  def tileYAt(lat: Column, zoom: Int): Column = {
+    val n = 1L << zoom
+    val s = sin(clampLat(lat) * lit(math.Pi) / lit(180.0))
+    val y = (lit(0.5) - log((lit(1.0) + s) / (lit(1.0) - s)) / lit(4.0 * math.Pi)) * n
+    least(greatest(floor(y), lit(0.0)), lit((n - 1).toDouble)).cast("int")
+  }
+
+  /** The tile's quadkey: zoom base-4 digits, most significant first,
+    * digit i = y-bit·2 + x-bit at bit position zoom−i.
+    */
+  def quadkey(x: Column, y: Column, zoom: Int): Column =
+    concat((zoom to 1 by -1).map { i =>
+      (shiftright(x, i - 1).bitwiseAND(lit(1)) +
+        shiftright(y, i - 1).bitwiseAND(lit(1)) * lit(2)).cast("string")
+    }: _*)
+
+  /** Inverse of [[quadkey]]: (x, y) parsed from a zoom-length quadkey. */
+  def tileFromQuadkey(qk: Column, zoom: Int): (Column, Column) = {
+    val digits = (1 to zoom).map(p => substring(qk, p, 1).cast("int"))
+    val x = digits.zipWithIndex
+      .map { case (d, i) => d.bitwiseAND(lit(1)) * lit(1 << (zoom - 1 - i)) }
+      .reduce(_ + _)
+    val y = digits.zipWithIndex
+      .map { case (d, i) => shiftright(d, 1).bitwiseAND(lit(1)) * lit(1 << (zoom - 1 - i)) }
+      .reduce(_ + _)
+    (x, y)
+  }
+
+  /** Parent tile coordinate (one zoom level up): drop the low bit. */
+  def parent(xy: Column): Column = shiftright(xy, 1)
+
+  /** The four child quadkeys (zoom+1) of the tile with quadkey `qk` —
+    * children of a quadkey are exactly its one-digit extensions.
+    * Computed from the child tile coordinates (2x+dx, 2y+dy) so the
+    * bit arithmetic, not string concat, is what's exercised.
+    */
+  def childrenQuadkeys(x: Column, y: Column, zoom: Int): Column =
+    array((0 to 3).map { d =>
+      quadkey(x * 2 + lit(d & 1), y * 2 + lit((d >> 1) & 1), zoom + 1)
+    }: _*)
+
+  /** Tile envelope corners in degrees: (lonMin, lonMax, latMin, latMax)
+    * — bing_tile_polygon's rectangle. Longitude edges are linear in x;
+    * latitude edges invert the Mercator map (atan∘exp).
+    */
+  def polygon(x: Column, y: Column, zoom: Int): (Column, Column, Column, Column) = {
+    val n = (1L << zoom).toDouble
+    def lonAt(xt: Column): Column = xt * lit(360.0) / lit(n) - lit(180.0)
+    def latAt(yt: Column): Column =
+      lit(90.0) - lit(360.0) *
+        atan(exp((yt.cast("double") / lit(n) - lit(0.5)) * lit(2.0 * math.Pi))) / lit(math.Pi)
+    (lonAt(x), lonAt(x + 1), latAt(y + 1), latAt(y))
+  }
+}

@@ -1951,5 +1951,138 @@ object FunctionQueries extends QueryFamily {
       .orderBy("p_partkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151)
+  // ---- q153: Bing tile system (geospatial.rst:510 bing_tile family) ------
+  // Quadkey construct/parse round-trip, bing_tile_at point→tile,
+  // parent/children, and the bing_tile_polygon envelope, over the same
+  // md5-derived points as q84 (salt 13). Tile coords and quadkeys are
+  // pure integer bit-interleave (bit-exact cross-engine); the oracle
+  // derives parent_qk independently via the prefix property and the
+  // children as one-digit extensions, so the Spark bit arithmetic is
+  // checked against a structurally different derivation. Envelope
+  // corners rounded to 6 dp (atan/exp ulp discipline, like q84).
+  val q153 = {
+    val zoom = 12
+    val duckPt =
+      """ (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '13'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS lat,
+        | (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '13'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lon""".stripMargin
+    val duckSin = "sin(greatest(-85.05112878, least(85.05112878, lat)) * pi() / 180.0)"
+    Q(
+      "q153_bing_tile",
+      s"""WITH c AS (SELECT c_custkey,
+         |$duckPt
+         | FROM customer),
+         |t AS (SELECT c_custkey, lat, lon,
+         |  CAST(least(greatest(floor((lon + 180.0) / 360.0 * 4096), 0), 4095) AS INTEGER) AS x,
+         |  CAST(least(greatest(floor((0.5 - ln((1.0 + $duckSin) / (1.0 - $duckSin)) / (4.0 * pi())) * 4096), 0), 4095) AS INTEGER) AS y
+         | FROM c),
+         |q AS (SELECT c_custkey, x, y,
+         |  array_to_string(list_transform(range(12, 0, -1),
+         |    i -> CAST(((x >> CAST(i-1 AS INTEGER)) & 1) | (((y >> CAST(i-1 AS INTEGER)) & 1) * 2) AS VARCHAR)), '') AS qk
+         | FROM t)
+         |SELECT c_custkey, x, y, qk,
+         |  x AS rt_x, y AS rt_y,
+         |  CAST(x >> 1 AS INTEGER) AS parent_x, CAST(y >> 1 AS INTEGER) AS parent_y,
+         |  substr(qk, 1, 11) AS parent_qk,
+         |  qk || '0,' || qk || '1,' || qk || '2,' || qk || '3' AS children_qks,
+         |  round(x * 360.0 / 4096 - 180.0, 6) AS lon_min,
+         |  round((x + 1) * 360.0 / 4096 - 180.0, 6) AS lon_max,
+         |  round(90.0 - 360.0 * atan(exp((CAST(y + 1 AS DOUBLE) / 4096 - 0.5) * (2.0 * pi()))) / pi(), 6) AS lat_min,
+         |  round(90.0 - 360.0 * atan(exp((CAST(y AS DOUBLE) / 4096 - 0.5) * (2.0 * pi()))) / pi(), 6) AS lat_max
+         |FROM q
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.functions.{BingTile, Geo}
+      val (lat, lon) = Geo.pointFor(col("c_custkey"), 13)
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+        .select(col("c_custkey"),
+          BingTile.tileXAt(col("lon"), zoom).as("x"),
+          BingTile.tileYAt(col("lat"), zoom).as("y"))
+        .withColumn("qk", BingTile.quadkey(col("x"), col("y"), zoom))
+      val (rtx, rty) = BingTile.tileFromQuadkey(col("qk"), zoom)
+      val (lonMin, lonMax, latMin, latMax) = BingTile.polygon(col("x"), col("y"), zoom)
+      t.select(
+        col("c_custkey"), col("x"), col("y"), col("qk"),
+        rtx.cast("int").as("rt_x"), rty.cast("int").as("rt_y"),
+        BingTile.parent(col("x")).as("parent_x"),
+        BingTile.parent(col("y")).as("parent_y"),
+        BingTile.quadkey(BingTile.parent(col("x")), BingTile.parent(col("y")), zoom - 1).as("parent_qk"),
+        array_join(BingTile.childrenQuadkeys(col("x"), col("y"), zoom), ",").as("children_qks"),
+        round(lonMin, 6).as("lon_min"), round(lonMax, 6).as("lon_max"),
+        round(latMin, 6).as("lat_min"), round(latMax, 6).as("lat_max"))
+        .orderBy("c_custkey")
+    }
+  }
+
+  // ---- q154: envelope geometry algebra (functions/Envelope) --------------
+  // The rectilinear subset of ST_Buffer/ST_Union/ST_Intersection
+  // (geospatial.rst:186,:229) — boxes are closed under intersection and
+  // the algebra is pure min/max/± arithmetic, so the oracle replays it
+  // bit-for-bit (no rounding needed anywhere: identical IEEE ops on
+  // identical doubles). Per-nation envelope over the q84/q103 point
+  // cloud; probe box A (lon ±90, lat ±30) exercises the overlapping
+  // branch, tiny corner box B (lon [179.5, 180], lat [59.5, 60]) the
+  // empty-intersection branch.
+  val q154 = Q(
+    "q154_envelope_algebra",
+    """WITH c AS (
+      | SELECT c_custkey, c_nationkey,
+      |  (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS la,
+      |  (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '7'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lo
+      | FROM customer),
+      |env AS (SELECT c_nationkey,
+      |  min(lo) AS xmin, min(la) AS ymin, max(lo) AS xmax, max(la) AS ymax
+      | FROM c GROUP BY 1)
+      |SELECT n_name,
+      | xmin - 0.25 AS buf_xmin, ymin - 0.25 AS buf_ymin,
+      | xmax + 0.25 AS buf_xmax, ymax + 0.25 AS buf_ymax,
+      | (xmax + 0.25 - (xmin - 0.25)) * (ymax + 0.25 - (ymin - 0.25)) AS buf_area,
+      | CASE WHEN greatest(xmin, -90.0) <= least(xmax, 90.0) AND greatest(ymin, -30.0) <= least(ymax, 30.0)
+      |      THEN greatest(xmin, -90.0) END AS inter_xmin,
+      | CASE WHEN greatest(xmin, -90.0) <= least(xmax, 90.0) AND greatest(ymin, -30.0) <= least(ymax, 30.0)
+      |      THEN greatest(ymin, -30.0) END AS inter_ymin,
+      | CASE WHEN greatest(xmin, -90.0) <= least(xmax, 90.0) AND greatest(ymin, -30.0) <= least(ymax, 30.0)
+      |      THEN least(xmax, 90.0) END AS inter_xmax,
+      | CASE WHEN greatest(xmin, -90.0) <= least(xmax, 90.0) AND greatest(ymin, -30.0) <= least(ymax, 30.0)
+      |      THEN least(ymax, 30.0) END AS inter_ymax,
+      | CASE WHEN greatest(xmin, -90.0) <= least(xmax, 90.0) AND greatest(ymin, -30.0) <= least(ymax, 30.0)
+      |      THEN (least(xmax, 90.0) - greatest(xmin, -90.0)) * (least(ymax, 30.0) - greatest(ymin, -30.0))
+      |      ELSE 0.0 END AS inter_area,
+      | (greatest(xmax, 90.0) - least(xmin, -90.0)) * (greatest(ymax, 30.0) - least(ymin, -30.0)) AS union_env_area,
+      | xmin <= 90.0 AND xmax >= -90.0 AND ymin <= 30.0 AND ymax >= -30.0 AS env_intersects_box,
+      | -90.0 <= xmin AND 90.0 >= xmax AND -30.0 <= ymin AND 30.0 >= ymax AS box_contains_env,
+      | CASE WHEN greatest(xmin, 179.5) <= least(xmax, 180.0) AND greatest(ymin, 59.5) <= least(ymax, 60.0)
+      |      THEN (least(xmax, 180.0) - greatest(xmin, 179.5)) * (least(ymax, 60.0) - greatest(ymin, 59.5))
+      |      ELSE 0.0 END AS corner_area,
+      | NOT (xmin <= 180.0 AND xmax >= 179.5 AND ymin <= 60.0 AND ymax >= 59.5) AS corner_empty
+      |FROM env JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    import graft.functions.{Envelope => E, Geo}
+    val (lat, lon) = Geo.pointFor(col("c_custkey"), 7)
+    val env = Tables.customer(s, d)
+      .select(col("c_nationkey"), lat.as("la"), lon.as("lo"))
+      .groupBy(col("c_nationkey"))
+      .agg(min("lo").as("xmin"), min("la").as("ymin"),
+        max("lo").as("xmax"), max("la").as("ymax"))
+    val e = E.make(col("xmin"), col("ymin"), col("xmax"), col("ymax"))
+    val boxA = E.make(lit(-90.0), lit(-30.0), lit(90.0), lit(30.0))
+    val boxB = E.make(lit(179.5), lit(59.5), lit(180.0), lit(60.0))
+    val buf = E.buffer(e, lit(0.25))
+    val inter = E.intersection(e, boxA)
+    env.join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"),
+        buf.getField("xmin").as("buf_xmin"), buf.getField("ymin").as("buf_ymin"),
+        buf.getField("xmax").as("buf_xmax"), buf.getField("ymax").as("buf_ymax"),
+        E.area(buf).as("buf_area"),
+        inter.getField("xmin").as("inter_xmin"), inter.getField("ymin").as("inter_ymin"),
+        inter.getField("xmax").as("inter_xmax"), inter.getField("ymax").as("inter_ymax"),
+        E.area(inter).as("inter_area"),
+        E.area(E.unionEnvelope(e, boxA)).as("union_env_area"),
+        E.intersects(e, boxA).as("env_intersects_box"),
+        E.contains(boxA, e).as("box_contains_env"),
+        E.area(E.intersection(e, boxB)).as("corner_area"),
+        (!E.intersects(e, boxB)).as("corner_empty"))
+      .orderBy("n_name")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.BingTile
+
+/** Bing tile system (functions/BingTile): quadkey interleave against
+  * the published spec example, construct/parse round-trip, parent as
+  * quadkey prefix, children as one-digit extensions, tileAt bounds,
+  * and envelope nesting.
+  */
+class BingTileSpec extends SparkSpec {
+
+  test("quadkey matches the published spec example (x=3, y=5, zoom=3 -> 213)") {
+    import spark.implicits._
+    val r = Seq((3, 5)).toDF("x", "y")
+      .select(BingTile.quadkey(col("x"), col("y"), 3).as("qk"))
+      .head.getString(0)
+    assert(r == "213")
+  }
+
+  test("quadkey -> tile -> quadkey round-trips every tile at zoom 5") {
+    import spark.implicits._
+    val zoom = 5
+    val tiles = (0 until 32).flatMap(x => (0 until 32).map(y => (x, y))).toDF("x", "y")
+    val qk = tiles.withColumn("qk", BingTile.quadkey(col("x"), col("y"), zoom))
+    val (rx, ry) = BingTile.tileFromQuadkey(col("qk"), zoom)
+    val bad = qk.where(rx =!= col("x") || ry =!= col("y")).count()
+    assert(bad == 0)
+    // all 1024 quadkeys distinct and zoom digits long
+    assert(qk.select(col("qk")).distinct().count() == 1024)
+    assert(qk.where(length(col("qk")) =!= zoom).count() == 0)
+  }
+
+  test("parent quadkey is the child's quadkey prefix; children extend by one digit") {
+    import spark.implicits._
+    val zoom = 6
+    val tiles = Seq((17, 42), (0, 0), (63, 63), (31, 5)).toDF("x", "y")
+      .withColumn("qk", BingTile.quadkey(col("x"), col("y"), zoom))
+      .withColumn("parent_qk",
+        BingTile.quadkey(BingTile.parent(col("x")), BingTile.parent(col("y")), zoom - 1))
+      .withColumn("children", BingTile.childrenQuadkeys(col("x"), col("y"), zoom))
+    val rows = tiles.collect()
+    rows.foreach { r =>
+      val qk = r.getAs[String]("qk")
+      assert(qk.startsWith(r.getAs[String]("parent_qk")))
+      val kids = r.getSeq[String](r.fieldIndex("children"))
+      assert(kids == Seq(qk + "0", qk + "1", qk + "2", qk + "3"))
+    }
+  }
+
+  test("tileAt stays in range and the point lies inside its tile's polygon") {
+    import spark.implicits._
+    val zoom = 10
+    val pts = Seq((-85.3, -180.0), (-60.0, -179.999), (0.0, 0.0),
+      (47.61, -122.33), (59.99, 179.999), (85.3, 179.0), (-41.3, 174.8))
+      .toDF("lat", "lon")
+    val t = pts.select(col("lat"), col("lon"),
+      BingTile.tileXAt(col("lon"), zoom).as("x"),
+      BingTile.tileYAt(col("lat"), zoom).as("y"))
+    assert(t.where(col("x") < 0 || col("x") > 1023 || col("y") < 0 || col("y") > 1023).count() == 0)
+    val (lonMin, lonMax, latMin, latMax) = BingTile.polygon(col("x"), col("y"), zoom)
+    // clamped latitudes (|lat| > 85.05112878) legitimately sit on the
+    // boundary tile; all other points must be strictly inside
+    val inside = t.where(col("lat").between(-85.0, 85.0))
+      .where(col("lon") < lonMin || col("lon") >= lonMax ||
+        col("lat") <= latMin || col("lat") > latMax)
+    assert(inside.count() == 0)
+  }
+
+  test("polygon of a child nests inside its parent's polygon") {
+    import spark.implicits._
+    val zoom = 8
+    val tiles = Seq((100, 37), (255, 255), (0, 128)).toDF("x", "y")
+    val (clonMin, clonMax, clatMin, clatMax) = BingTile.polygon(col("x"), col("y"), zoom)
+    val (plonMin, plonMax, platMin, platMax) =
+      BingTile.polygon(BingTile.parent(col("x")), BingTile.parent(col("y")), zoom - 1)
+    val escaped = tiles.where(
+      clonMin < plonMin || clonMax > plonMax || clatMin < platMin || clatMax > platMax)
+    assert(escaped.count() == 0)
+  }
+}
