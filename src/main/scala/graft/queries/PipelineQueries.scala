@@ -73,9 +73,9 @@ object PipelineQueries extends QueryFamily {
     s"list_min(list_transform(hs, h -> (${graft.plans.Affine.a(i)} * h + ${graft.plans.Affine.b(i)}) % 2147483647))"
   }.mkString("[", ", ", "]")
 
-  // shared by q62 (pair emission) and q121 (cluster closure over the
-  // same pairs)
-  private val q62PairsSql: String =
+  // shared by q62 (pair emission), q121 (cluster closure over the same
+  // pairs), and q155 (threshold calibration at a lower floor)
+  private def minhashPairsSql(minEst: String): String =
     s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
        |s AS (SELECT doc_id, $SHINGLES AS sh FROM d),
        |hs AS (SELECT doc_id, list_transform(sh, x -> $H0P) AS hs FROM s WHERE len(sh) > 0),
@@ -92,7 +92,9 @@ object PipelineQueries extends QueryFamily {
        |SELECT doc_a, doc_b,
        | round(len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0, 6) AS est_jaccard
        |FROM pairs
-       |WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0 >= 0.5""".stripMargin
+       |WHERE len(list_filter(range(1, 33), i -> sig_a[i] = sig_b[i])) / 32.0 >= $minEst""".stripMargin
+
+  private val q62PairsSql: String = minhashPairsSql("0.5")
 
   val q62 = Q(
     "q62_dedup_minhash",
@@ -1070,5 +1072,93 @@ object PipelineQueries extends QueryFamily {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152)
+  // ---- q155: dedup threshold calibration (learned-threshold dedup) -------
+  // The tuning pass in front of q62: at 100 TB the EXACT Jaccard (q61)
+  // is computable only on a calibration sample, while the minhash
+  // estimate is what the production pipeline filters on — so the
+  // operator learns WHICH estimate threshold to deploy by sweeping a
+  // grid against exact ground truth on the sample and reporting
+  // precision/recall/F1 per threshold (argmax flagged). Ground truth =
+  // exact Jaccard ≥ 0.5 among pairs ≥ 0.3 (hard negatives included);
+  // candidates at a deliberately low 0.25 estimate floor so both sides
+  // of every grid point are populated; an LSH-missed true pair (est
+  // NULL → -1) counts against recall at EVERY threshold — banding
+  // recall loss is part of what the calibration measures. All
+  // comparisons in integer micro-units (round(j*1e6)): the grid
+  // boundary can never be decided by float representation drift.
+  // Scale: both inputs are the bounded candidate/pair tables (bucket
+  // joins, df/band caps); the sweep is a 13× explode of those pairs
+  // with one aggregation shuffle — calibration-sample-sized, never
+  // corpus-sized.
+  val q155 = {
+    val truthSql =
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |shd AS (SELECT DISTINCT doc_id, s
+         |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
+         |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
+         |shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN ok USING (s)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |jp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+         |       FROM shf a JOIN shf b USING (s)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         | CAST(round(round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) * 1000000) AS BIGINT) AS exact_m
+         |FROM jp JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+         |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.3""".stripMargin
+    Q(
+      "q155_dedup_threshold_calibration",
+      s"""WITH truth AS (SELECT * FROM ($truthSql)),
+         |cands AS (SELECT doc_a, doc_b, CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_m
+         |          FROM (${minhashPairsSql("0.25")})),
+         |p AS (SELECT coalesce(t.exact_m, 0) AS exact_m, coalesce(c.est_m, -1) AS est_m
+         |      FROM truth t FULL OUTER JOIN cands c USING (doc_a, doc_b)),
+         |sweep AS (SELECT i,
+         |   CAST(sum(CASE WHEN exact_m >= 500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |   CAST(sum(CASE WHEN exact_m <  500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |   CAST(sum(CASE WHEN exact_m >= 500000 AND est_m <  i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         | FROM p, (SELECT unnest(range(6, 19)) AS i) g GROUP BY 1),
+         |stats AS (SELECT round(i / 20.0, 2) AS threshold, tp, fp, fn,
+         |   CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+         |   CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+         |   CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
+         | FROM sweep)
+         |SELECT threshold, tp, fp, fn, precision, recall, f1,
+         | coalesce(f1, -1.0) = max(coalesce(f1, -1.0)) OVER () AS best_f1
+         |FROM stats
+         |ORDER BY threshold""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardPairs(docs, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("jaccard") * 1000000).cast("long").as("exact_m"))
+      val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.25)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est_jaccard") * 1000000).cast("long").as("est_m"))
+      val sweep = truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce(col("exact_m"), lit(0L)).as("exact_m"),
+          coalesce(col("est_m"), lit(-1L)).as("est_m"))
+        .select(col("exact_m"), col("est_m"), explode(expr("sequence(6, 18)")).as("i"))
+        .groupBy(col("i"))
+        .agg(
+          sum(when(col("exact_m") >= 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("exact_m") < 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("exact_m") >= 500000L && col("est_m") < col("i") * 50000L, 1L).otherwise(0L)).as("fn"))
+      sweep
+        .withColumn("threshold", round(col("i") / 20.0, 2))
+        .withColumn("precision", when(col("tp") + col("fp") > 0,
+          round(col("tp") / (col("tp") + col("fp")).cast("double"), 6)))
+        .withColumn("recall", when(col("tp") + col("fn") > 0,
+          round(col("tp") / (col("tp") + col("fn")).cast("double"), 6)))
+        .withColumn("f1", when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"), 6)))
+        .withColumn("best_f1",
+          coalesce(col("f1"), lit(-1.0)) ===
+            max(coalesce(col("f1"), lit(-1.0))).over(Window.partitionBy()))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          col("precision"), col("recall"), col("f1"), col("best_f1"))
+        .orderBy("threshold")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155)
 }
