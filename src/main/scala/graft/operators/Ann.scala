@@ -214,8 +214,21 @@ object Ann {
   // aggregation — the original vectors are never read at query time.
   // ---------------------------------------------------------------------
 
-  /** Squared L2 over two double-array columns (PQ's metric). */
+  /** Squared L2 over two double-array columns (PQ's metric): native
+    * codegen'd kernel (graft.plans.L2Sq) — evaluated once per
+    * (vector, sub, code) candidate in codebook training/encoding, the
+    * same per-pair hot path that motivated the cosine kernel. The
+    * per-candidate eval count (n·m·ksub per corpus pass) grows with
+    * the corpus; the HOF form pays an interpreted closure call per
+    * eval there.
+    */
   def l2sq(a: String, b: String): org.apache.spark.sql.Column =
+    graft.plans.NativeFunctions.l2Sq(col(a), col(b))
+
+  /** HOF formulation of the same kernel — the parity oracle for the
+    * native expression (SketchParitySpec asserts equality).
+    */
+  def l2sqHof(a: String, b: String): org.apache.spark.sql.Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (s, v) -> s + v)")
 
   /** (vec_id, sub, sv): the m contiguous subvectors of each embedding. */

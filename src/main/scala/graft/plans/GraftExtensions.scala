@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Sq(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (children: Seq[Expression]) => MinHashSig(children(0), children(1) match {
@@ -122,6 +126,9 @@ object NativeFunctions {
 
   def cosineSim(a: Column, b: Column): Column =
     Bridge.column(CosineSim(col2expr(a), col2expr(b)))
+
+  def l2Sq(a: Column, b: Column): Column =
+    Bridge.column(L2Sq(col2expr(a), col2expr(b)))
 
   def minhashSig(arr: Column, k: Int): Column =
     Bridge.column(MinHashSig(col2expr(arr), k))

@@ -83,6 +83,66 @@ object CosineSim {
   }
 }
 
+/** l2sq(a, b) over two array<double> columns: Σ(xᵢ−yᵢ)² in one fused
+  * loop — PQ's metric. The HOF form (aggregate∘zip_with, kept in
+  * Ann.l2sqHof as the parity oracle) is CodegenFallback and runs once
+  * per (vector, sub, code) candidate in codebook training/encoding —
+  * n·m·ksub interpreted closure calls per corpus pass, the count that
+  * dominates at real corpus scale. At sf0.1 (2000 vectors) the fit
+  * stages are cold-start/orchestration-dominated, so the local win is
+  * modest (q142 −5%, q87 −12% warm) — the kernel exists for the same
+  * reason as CosineSim: the per-candidate eval count grows with the
+  * corpus while the orchestration cost does not.
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_l2sq requires two array<double> inputs, got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2sq"
+  // null on dimension mismatch (the HOF form's zip_with null padding
+  // nulls the whole sum — dimension bugs surface, not truncate)
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null
+    else L2Sq.compute(x, y)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.plans.L2Sq.compute($a, $b);
+      }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+object L2Sq {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+}
+
 /** k-slot MinHash signature of an array<string>: sig[i] = min over
   * elements of xxhash64(elem, i). One UTF8 hash per element, then k
   * cheap integer mixes — O(n + n·k) integer ops, no per-slot re-hash of

@@ -99,6 +99,38 @@ class SketchParitySpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("native l2sq == HOF l2sq (exact double equality, incl. dim-mismatch null)") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+    val mismatches = a.join(b, col("ia") < col("ib")).limit(5000)
+      .select(Ann.l2sq("ea", "eb").as("native"),
+        Ann.l2sqHof("ea", "eb").as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatches === 0)
+    // dimension mismatch → null on both forms (zip_with null padding)
+    val cut = a.join(b, col("ia") < col("ib")).limit(10)
+      .select(Ann.l2sq("ea", "eb").as("full"),
+        expr("slice(ea, 1, 32)").as("ea32"))
+      .select(graft.plans.NativeFunctions.l2Sq(col("ea32"), lit(null).cast("array<double>")).as("nullside"),
+        graft.plans.NativeFunctions.l2Sq(col("ea32"), col("ea32")).as("self"))
+    assert(cut.filter(col("nullside").isNotNull).count() === 0)
+    assert(cut.filter(col("self") =!= 0.0).count() === 0)
+  }
+
+  test("graft_l2sq is registered as a SQL function via extensions") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT graft_l2sq(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS c")
+      .as[Double].head()
+    assert(math.abs(r - 8.0) < 1e-12)
+    // mismatched dimensions null out, matching the HOF contract
+    assert(spark.sql(
+      "SELECT graft_l2sq(array(1.0D), array(1.0D, 2.0D)) AS c").head().isNullAt(0))
+  }
+
   test("sql minhash/simhash functions evaluate") {
     import spark.implicits._
     val sig = spark.sql(
