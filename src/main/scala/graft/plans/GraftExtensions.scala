@@ -103,6 +103,62 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_kmv(col, k): k must be an integer literal, got $other")
       }).toAggregateExpression()))
+
+    // ---- Bing tile + envelope families (functions/BingTile, -------------
+    // functions/Envelope): COMPOSED from built-in expressions at the
+    // Column level, so SQL registration wraps the same composition —
+    // the expression tree the builder returns is all codegen'd
+    // built-ins, no new evaluation machinery. Registered because the
+    // reference exposes its tile/geometry surface to SQL users
+    // (geospatial.rst:510, :186) — a SQL-first caller gets the same
+    // functions a Column-API caller does.
+    // eager ColumnNode→Expression conversion (GraftSqlShims): the lazy
+    // Bridge wrapper survives analysis unresolved in the SQL-function
+    // path, where the builder must hand the analyzer a real tree
+    def composed(name: String)(f: Seq[Expression] => Column): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        (children: Seq[Expression]) =>
+          org.apache.spark.sql.GraftSqlShims.expression(f(children))))
+    def c(e: Expression): Column = Bridge.column(e)
+    def zoomOf(e: Expression, fn: String): Int =
+      GraftExtensions.numLit(e, fn, "zoom").toInt
+    import graft.functions.{BingTile, Envelope}
+    composed("graft_bing_tile_at") { ch =>
+      org.apache.spark.sql.functions.struct(
+        BingTile.tileXAt(c(ch(1)), zoomOf(ch(2), "graft_bing_tile_at")).as("x"),
+        BingTile.tileYAt(c(ch(0)), zoomOf(ch(2), "graft_bing_tile_at")).as("y"))
+    }
+    composed("graft_bing_tile_quadkey") { ch =>
+      BingTile.quadkey(c(ch(0)), c(ch(1)), zoomOf(ch(2), "graft_bing_tile_quadkey"))
+    }
+    composed("graft_bing_tile_from_quadkey") { ch =>
+      val (x, y) = BingTile.tileFromQuadkey(c(ch(0)),
+        zoomOf(ch(1), "graft_bing_tile_from_quadkey"))
+      org.apache.spark.sql.functions.struct(x.as("x"), y.as("y"))
+    }
+    composed("graft_bing_tile_children") { ch =>
+      BingTile.childrenQuadkeys(c(ch(0)), c(ch(1)),
+        zoomOf(ch(2), "graft_bing_tile_children"))
+    }
+    composed("graft_bing_tile_polygon") { ch =>
+      val (lonMin, lonMax, latMin, latMax) =
+        BingTile.polygon(c(ch(0)), c(ch(1)), zoomOf(ch(2), "graft_bing_tile_polygon"))
+      org.apache.spark.sql.functions.struct(lonMin.as("lon_min"),
+        lonMax.as("lon_max"), latMin.as("lat_min"), latMax.as("lat_max"))
+    }
+    composed("graft_st_env") { ch =>
+      Envelope.make(c(ch(0)), c(ch(1)), c(ch(2)), c(ch(3)))
+    }
+    composed("graft_st_env_buffer") { ch => Envelope.buffer(c(ch(0)), c(ch(1))) }
+    composed("graft_st_env_intersection") { ch =>
+      Envelope.intersection(c(ch(0)), c(ch(1)))
+    }
+    composed("graft_st_env_union") { ch => Envelope.unionEnvelope(c(ch(0)), c(ch(1))) }
+    composed("graft_st_env_area") { ch => Envelope.area(c(ch(0))) }
+    composed("graft_st_env_intersects") { ch => Envelope.intersects(c(ch(0)), c(ch(1))) }
+    composed("graft_st_env_contains") { ch => Envelope.contains(c(ch(0)), c(ch(1))) }
   }
 }
 

@@ -71,4 +71,46 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT graft_minhash(array('a b c', 'b c d'), 8) AS sig").head
     assert(m.getSeq[Long](0).length == 8)
   }
+
+  test("bing tile family is callable from literal SQL (spec example + round-trip + nesting)") {
+    val r = spark.sql(
+      """SELECT
+        | graft_bing_tile_quadkey(3, 5, 3) AS qk,
+        | graft_bing_tile_from_quadkey('213', 3) AS t,
+        | graft_bing_tile_at(47.61, -122.33, 10) AS seattle,
+        | graft_bing_tile_children(3, 5, 3) AS kids,
+        | graft_bing_tile_polygon(3, 5, 3) AS poly
+        |""".stripMargin).head
+    assert(r.getAs[String]("qk") == "213")
+    val t = r.getStruct(r.fieldIndex("t"))
+    assert(t.getAs[Int]("x") == 3 && t.getAs[Int]("y") == 5)
+    val s = r.getStruct(r.fieldIndex("seattle"))
+    assert(s.getAs[Int]("x") >= 0 && s.getAs[Int]("x") < 1024 &&
+      s.getAs[Int]("y") >= 0 && s.getAs[Int]("y") < 1024)
+    assert(r.getSeq[String](r.fieldIndex("kids")) ==
+      Seq("2130", "2131", "2132", "2133"))
+    val p = r.getStruct(r.fieldIndex("poly"))
+    assert(p.getAs[Double]("lon_min") < p.getAs[Double]("lon_max") &&
+      p.getAs[Double]("lat_min") < p.getAs[Double]("lat_max"))
+  }
+
+  test("envelope algebra is callable from literal SQL") {
+    val r = spark.sql(
+      """WITH b AS (SELECT graft_st_env(0D, 0D, 10D, 10D) AS a,
+        |                  graft_st_env(5D, 5D, 20D, 20D) AS b,
+        |                  graft_st_env(15D, 0D, 20D, 4D) AS far)
+        |SELECT graft_st_env_area(graft_st_env_intersection(a, b)) AS inter_area,
+        |       graft_st_env_area(graft_st_env_buffer(a, 1.0D)) AS buf_area,
+        |       graft_st_env_area(graft_st_env_union(a, b)) AS union_area,
+        |       graft_st_env_intersects(a, b) AS ab,
+        |       graft_st_env_intersects(a, far) AS afar,
+        |       graft_st_env_contains(graft_st_env_union(a, b), a) AS contains_a,
+        |       graft_st_env_intersection(a, far) IS NULL AS empty_inter
+        |FROM b""".stripMargin).head
+    assert(r.getAs[Double]("inter_area") == 25.0)
+    assert(r.getAs[Double]("buf_area") == 144.0)
+    assert(r.getAs[Double]("union_area") == 400.0)
+    assert(r.getAs[Boolean]("ab") && !r.getAs[Boolean]("afar"))
+    assert(r.getAs[Boolean]("contains_a") && r.getAs[Boolean]("empty_inter"))
+  }
 }
