@@ -79,4 +79,34 @@ class BingTileSpec extends SparkSpec {
       clonMin < plonMin || clonMax > plonMax || clatMin < platMin || clatMax > platMax)
     assert(escaped.count() == 0)
   }
+
+  test("streaming spatial rollup keyed by tile: stream == batch") {
+    // the tile id is the streaming spatial bucketing key (the claim in
+    // functions/BingTile's scale notes): per-tile counts over a
+    // MemoryStream must equal the batch rollup of the same points
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val zoom = 7
+    val pts = (1 to 400).map { i =>
+      (i.toLong, -80.0 + (i * 37 % 160), -179.0 + (i * 53 % 358))
+    }
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .select(BingTile.quadkey(
+        BingTile.tileXAt(col("lon"), zoom),
+        BingTile.tileYAt(col("lat"), zoom), zoom).as("tile"))
+      .groupBy("tile").count()
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double, Double)]
+    stream.addData(pts.take(150))
+    val q = rollup(stream.toDF().toDF("id", "lat", "lon"))
+      .writeStream.format("memory").queryName("tile_rollup")
+      .outputMode("complete").start()
+    try {
+      stream.addData(pts.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.table("tile_rollup").orderBy("tile").collect().toSeq
+      val batch = rollup(pts.toDF("id", "lat", "lon")).orderBy("tile").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(_.getLong(1)).sum == 400)
+    } finally q.stop()
+  }
 }
