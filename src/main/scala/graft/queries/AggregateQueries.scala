@@ -934,5 +934,110 @@ object AggregateQueries extends QueryFamily {
       .orderBy("event_type")
   }
 
-  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135, q144, q148)
+  // ---- q158: trimmed mean (tdigest.rst trimmed_mean) ---------------------
+  // The reference's trimmed_mean(tdigest, lo, hi) returns the mean of the
+  // values between the lo/hi quantiles (reference
+  // presto-main/.../aggregation/TDigestAggregationFunction.java:1). The
+  // deterministic analog pins the trim to integer ranks — drop the
+  // lowest and highest ⌊n/10⌋ rows by value order — so both engines keep
+  // the exact same multiset (row_number ties land on equal values, which
+  // are interchangeable under avg). Sums run in decimal (exact), the
+  // final mean is one double division rounded to 6 dp. One window + one
+  // aggregation, both partitioned by the group key — two shuffles on
+  // the same key at 100 TB, no driver state.
+  val q158 = Q(
+    "q158_trimmed_mean",
+    """WITH r AS (SELECT l_returnflag AS grp, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+      |  count(*) OVER (PARTITION BY l_returnflag) AS n
+      | FROM lineitem),
+      |k AS (SELECT grp, q FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+      |SELECT grp,
+      | CAST(count(*) AS BIGINT) AS n_kept,
+      | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS trimmed_mean,
+      | round(CAST(min(q) AS DOUBLE), 2) AS lo_kept,
+      | round(CAST(max(q) AS DOUBLE), 2) AS hi_kept
+      |FROM k GROUP BY grp
+      |ORDER BY grp""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("q")
+    val wn = Window.partitionBy("grp")
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"), col("l_quantity").cast("decimal(18,2)").as("q"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .where(expr("rn > (n div 10) AND rn <= n - (n div 10)"))
+      .groupBy("grp")
+      .agg(count(lit(1)).cast("bigint").as("n_kept"),
+        round(sum(col("q")).cast("double") / count(lit(1)), 6).as("trimmed_mean"),
+        round(min(col("q")).cast("double"), 2).as("lo_kept"),
+        round(max(col("q")).cast("double"), 2).as("hi_kept"))
+      .orderBy("grp")
+  }
+
+  // ---- q160: setdigest part 2 (setdigest.rst) ----------------------------
+  // intersection_cardinality + hash_counts (reference
+  // presto-main/.../type/setdigest/SetDigestFunctions.java:1) on the q99
+  // KMV machinery. intersection_cardinality is the MinHash estimate
+  // round(jaccard × |A∪B|_est) — every term integer/IEEE-portable, so
+  // the oracle replays it. hash_counts is the reference's stored
+  // hash→multiplicity map over the bottom-k DISTINCT hashes; one
+  // grouped count + one rank window builds it in a single pass (the
+  // sketch-state variant would carry the count beside each hash — same
+  // bound, k entries). Canonicalized as the first 8 "hash:count" pairs
+  // by hash order (the map-output discipline of q42/q51).
+  private val sdK = 64
+
+  val q160 = {
+    import graft.functions.Sketches
+    Q(
+      "q160_setdigest2",
+      s"""WITH h AS (SELECT o_orderpriority AS grp,
+         |  CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         | FROM orders),
+         |gc AS (SELECT grp, h, count(*) AS c FROM h GROUP BY grp, h),
+         |r AS (SELECT grp, h, c, row_number() OVER (PARTITION BY grp ORDER BY h) AS rk FROM gc),
+         |sk AS (SELECT grp, list(h ORDER BY h) AS sk FROM r WHERE rk <= $sdK GROUP BY grp),
+         |u AS (SELECT sk AS usk FROM sk WHERE grp = '1-URGENT'),
+         |m AS (SELECT grp, sk, usk,
+         |        list_sort(list_distinct(list_concat(sk, usk)))[1:$sdK] AS msk
+         |      FROM sk CROSS JOIN u),
+         |hc AS (SELECT grp, string_agg(CAST(h AS VARCHAR) || ':' || CAST(c AS VARCHAR), ',' ORDER BY h) AS hcs
+         |       FROM r WHERE rk <= 8 GROUP BY grp)
+         |SELECT m.grp,
+         | CAST(round(${Sketches.kmvJaccardDuckSql("m.sk", "m.usk", sdK)} *
+         |   ${Sketches.kmvEstimateDuckSql("m.msk", sdK)}) AS BIGINT) AS inter_card,
+         | hc.hcs AS hash_counts8
+         |FROM m JOIN hc ON m.grp = hc.grp
+         |ORDER BY m.grp""".stripMargin) { (s, d) =>
+      import graft.plans.NativeFunctions
+      val hashed = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("grp"), Sketches.hllHash("o_custkey").as("h"))
+      // one pass: distinct hashes WITH multiplicities, then the bottom-k
+      // rank window — the sketch contents and the counts from the same scan
+      val gc = hashed.groupBy("grp", "h").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+      val ranked = gc.withColumn("rk", row_number().over(w)).where(col("rk") <= sdK)
+      val sk = ranked.groupBy("grp").agg(sort_array(collect_list(col("h"))).as("sk"))
+      val usk = sk.where(col("grp") === "1-URGENT").select(col("sk").as("usk"))
+      val merged = sk.crossJoin(broadcast(usk))
+        .withColumn("msk", expr(s"slice(array_sort(array_union(sk, usk)), 1, $sdK)"))
+      // struct sort keeps the (h, c) pairs in NUMERIC hash order — a sort
+      // on pre-concatenated strings would order "10:…" before "9:…"
+      val hc = ranked.where(col("rk") <= 8).groupBy("grp")
+        .agg(collect_list(struct(col("h"), col("c"))).as("hcarr"))
+        .select(col("grp"), expr(
+          "array_join(transform(array_sort(hcarr), " +
+            "e -> concat(cast(e.h as string), ':', cast(e.c as string))), ',')")
+          .as("hash_counts8"))
+      merged.join(hc, "grp")
+        .select(col("grp"),
+          round(Sketches.kmvJaccard("sk", "usk", sdK) *
+            Sketches.kmvEstimate("msk", sdK)).cast("bigint").as("inter_card"),
+          col("hash_counts8"))
+        .orderBy("grp")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q45, q46, q47, q48, q49, q50, q51, q52, q57, q85, q92, q94, q95, q99, q102, q109, q110, q113, q114, q117, q134, q135, q144, q148, q158, q160)
 }

@@ -1497,7 +1497,8 @@ object FunctionQueries extends QueryFamily {
   // Array long tail (array.rst): array_has_duplicates, array_top_n,
   // array_least_frequent, array_max_by / array_min_by (length lambda,
   // ties pinned), combinations(·, 2), find_first_index, remove_nulls,
-  // trim_array. DuckDB lacks every one of these — the oracle replays
+  // trim_array, array_intersect. DuckDB lacks every one of these except
+  // list_intersect — the oracle replays
   // the semantics with list lambdas (by-(len,word) orderings via the
   // sortable length-prefix encoding, pair sets via range nesting).
   val q132 = Q(
@@ -1528,7 +1529,8 @@ object FunctionQueries extends QueryFamily {
       |   i -> list_transform(range(i + 1, m8 + 1), j -> w8[i] || '+' || w8[j])))[1:3], ',') AS pairs3,
       | CAST(list_filter(idxs, x -> x IS NOT NULL)[1] AS INTEGER) AS ffi,
       | CAST(len(list_filter(w8, x -> x != 'the')) AS INTEGER) AS n_nonnull,
-      | array_to_string(w8[1:greatest(m8 - 2, 0)], ',') AS trimmed
+      | array_to_string(w8[1:greatest(m8 - 2, 0)], ',') AS trimmed,
+      | array_to_string(list_sort(list_intersect(w8, w[5:12]), 'ASC'), ',') AS isect
       |FROM p JOIN lf ON p.doc_id = lf.doc_id
       |ORDER BY p.doc_id""".stripMargin) { (s, d) =>
     import graft.functions.{Arrays => A}
@@ -1547,7 +1549,11 @@ object FunctionQueries extends QueryFamily {
           "p -> concat(element_at(p, 1), '+', element_at(p, 2))), ',')").as("pairs3"),
         A.findFirstIndex("w", x => s"length($x) >= 6").as("ffi"),
         size(A.removeNulls("transform(w8, x -> nullif(x, 'the'))")).cast("int").as("n_nonnull"),
-        array_join(A.trimArray("w8", 2), ",").as("trimmed"))
+        array_join(A.trimArray("w8", 2), ",").as("trimmed"),
+        // array_intersect (array.rst): distinct-element intersection; both
+        // engines dedup, canonical order pinned by the sort on each side.
+        array_join(array_sort(array_intersect(col("w8"), expr("slice(w, 5, 8)"))), ",")
+          .as("isect"))
       .orderBy("doc_id")
   }
 
@@ -2084,5 +2090,122 @@ object FunctionQueries extends QueryFamily {
       .orderBy("n_name")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154)
+  // ---- q157: closed-form inverse CDFs (math.rst) -------------------------
+  // inverse_cauchy_cdf / inverse_laplace_cdf / inverse_weibull_cdf
+  // (reference presto-main/.../scalar/MathFunctions.java:1). Unlike the
+  // beta/gamma/F inverses (excluded: iterative root-finding on
+  // library-coupled continued fractions), these three have elementary
+  // closed forms — quantile = m + s·tan(π(p−½)) (Cauchy), the piecewise
+  // ±s·ln(2p) form (Laplace), b·(−ln(1−p))^{1/a} (Weibull) — so the
+  // identical formula replays on both engines. Round-trip columns apply
+  // the q116 forward CDFs to the quantiles (analytically = p). 6-dp
+  // rounding absorbs libm tan/ln ulp drift (q116 discipline); p stays in
+  // [1/999, 997/999] so the Cauchy tangent is bounded (|q| ≲ 6.4e2).
+  private def q157Inv(p: String): (String, String, String) = (
+    s"2.0 + 1.5 * tan(pi() * ($p - 0.5))",
+    s"CASE WHEN $p < 0.5 THEN 2.0 + 1.5 * ln(2.0 * $p) ELSE 2.0 - 1.5 * ln(2.0 * (1.0 - $p)) END",
+    // exponent written as a 16-digit literal: `1.0 / 1.5` is a
+    // constant÷constant, which Spark folds in DECIMAL arithmetic
+    // (truncating the exponent at ~1e-7) while DuckDB promotes to
+    // DOUBLE — the one constant-only operation in these formulas
+    s"2.0 * power(-ln(1.0 - $p), 0.6666666666666666)")
+
+  val q157 = {
+    val (qc, ql, qw) = q157Inv("p")
+    val rtCauchy = s"0.5 + atan((($qc) - 2.0) / 1.5) / pi()"
+    val rtLaplace = s"CASE WHEN ($ql) < 2.0 THEN 0.5 * exp((($ql) - 2.0) / 1.5) " +
+      s"ELSE 1.0 - 0.5 * exp(-(($ql) - 2.0) / 1.5) END"
+    val rtWeibull = s"1.0 - exp(-power(($qw) / 2.0, 1.5))"
+    val cols =
+      s"""round($qc, 6) AS inv_cauchy,
+         | round($ql, 6) AS inv_laplace,
+         | round($qw, 6) AS inv_weibull,
+         | round($rtCauchy, 6) AS rt_cauchy,
+         | round($rtLaplace, 6) AS rt_laplace,
+         | round($rtWeibull, 6) AS rt_weibull""".stripMargin
+    Q(
+      "q157_inverse_cdfs",
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST((doc_id * 37) % 997 + 1 AS DOUBLE) / 999.0 AS p
+         | FROM documents WHERE doc_id < 500)
+         |SELECT doc_id, round(p, 6) AS p,
+         | $cols
+         |FROM d
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d, col("doc_id") < 500)
+        .select(col("doc_id"),
+          ((col("doc_id") * 37) % 997 + 1).cast("double").divide(999.0).as("p"))
+        .select(col("doc_id"), round(col("p"), 6).as("p"),
+          round(expr(qc), 6).as("inv_cauchy"),
+          round(expr(ql), 6).as("inv_laplace"),
+          round(expr(qw), 6).as("inv_weibull"),
+          round(expr(rtCauchy), 6).as("rt_cauchy"),
+          round(expr(rtLaplace), 6).as("rt_laplace"),
+          round(expr(rtWeibull), 6).as("rt_weibull"))
+        .orderBy("doc_id")
+    }
+  }
+
+  // ---- q159: bing tile part 2 (geospatial.rst:510) -----------------------
+  // bing_tile_zoom_level + bing_tiles_around (reference
+  // presto-geospatial-toolkit BingTileFunctions.java:1). tiles_around is
+  // the 3×3 neighborhood CLIPPED to the map (edge/corner tiles return
+  // 6/4 tiles — no wraparound), emitted as sorted quadkeys so the set,
+  // not the enumeration order, is compared. The oracle re-derives every
+  // neighbor quadkey through the interleave fold at x±1/y±1 — same
+  // derivation cross-checked at 9 offsets per row. expand_envelope
+  // (geospatial.rst) is the q154 buffer under another name; noted there.
+  val q159 = {
+    val zoom = 10
+    val n = 1 << zoom
+    // DuckDB quadkey of (xe, ye) at `zoom` via the same base-4 interleave.
+    def qkDuck(xe: String, ye: String): String =
+      s"array_to_string(list_transform(range($zoom, 0, -1), " +
+        s"i -> CAST(((($xe) >> CAST(i-1 AS INTEGER)) & 1) | (((($ye) >> CAST(i-1 AS INTEGER)) & 1) * 2) AS VARCHAR)), '')"
+    val duckNbrs = (for (dx <- -1 to 1; dy <- -1 to 1) yield
+      s"CASE WHEN x + ($dx) BETWEEN 0 AND ${n - 1} AND y + ($dy) BETWEEN 0 AND ${n - 1} " +
+        s"THEN ${qkDuck(s"x + ($dx)", s"y + ($dy)")} END").mkString("[", ", ", "]")
+    val duckPt =
+      """ (CAST(CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '17'), 1, 12) AS BIGINT) % 120000 AS DOUBLE) / 1000.0) - 60.0 AS lat,
+        | (CAST((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '17'), 1, 12) AS BIGINT) // 120000) % 360000 AS DOUBLE) / 1000.0) - 180.0 AS lon""".stripMargin
+    val duckSin = "sin(greatest(-85.05112878, least(85.05112878, lat)) * pi() / 180.0)"
+    Q(
+      "q159_bing_tile2",
+      s"""WITH c AS (SELECT c_custkey,
+         |$duckPt
+         | FROM customer),
+         |t AS (SELECT c_custkey,
+         |  CAST(least(greatest(floor((lon + 180.0) / 360.0 * $n), 0), ${n - 1}) AS INTEGER) AS x,
+         |  CAST(least(greatest(floor((0.5 - ln((1.0 + $duckSin) / (1.0 - $duckSin)) / (4.0 * pi())) * $n), 0), ${n - 1}) AS INTEGER) AS y
+         | FROM c)
+         |SELECT c_custkey, x, y,
+         |  $zoom AS zoom_level,
+         |  ${qkDuck("x", "y")} AS qk,
+         |  CAST(len(list_filter($duckNbrs, q -> q IS NOT NULL)) AS INTEGER) AS n_around,
+         |  array_to_string(list_sort(list_filter($duckNbrs, q -> q IS NOT NULL), 'ASC'), ',') AS around_qks
+         |FROM t
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.functions.{BingTile, Geo}
+      val (lat, lon) = Geo.pointFor(col("c_custkey"), 17)
+      val t = Tables.customer(s, d)
+        .select(col("c_custkey"), lat.as("lat"), lon.as("lon"))
+        .select(col("c_custkey"),
+          BingTile.tileXAt(col("lon"), zoom).as("x"),
+          BingTile.tileYAt(col("lat"), zoom).as("y"))
+      val nbrs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield {
+        val xx = col("x") + dx
+        val yy = col("y") + dy
+        when(xx.between(0, n - 1) && yy.between(0, n - 1),
+          BingTile.quadkey(xx, yy, zoom))
+      }): _*)
+      t.select(col("c_custkey"), col("x"), col("y"),
+        lit(zoom).as("zoom_level"),
+        BingTile.quadkey(col("x"), col("y"), zoom).as("qk"),
+        size(filter(nbrs, _.isNotNull)).cast("int").as("n_around"),
+        array_join(array_sort(filter(nbrs, _.isNotNull)), ",").as("around_qks"))
+        .orderBy("c_custkey")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q157, q159)
 }
