@@ -2090,6 +2090,124 @@ object FunctionQueries extends QueryFamily {
       .orderBy("n_name")
   }
 
+  // ---- q156: binary part 3 (binary.rst) ----------------------------------
+  // sha1 / sha512 (reference presto-main/.../scalar/VarbinaryFunctions
+  // .java:1): DuckDB has neither, so both run over the four FIPS-180
+  // test-vector strings selected per row (doc_id % 4) with the published
+  // digests as oracle constants — a real check of Spark's kernels at
+  // driver level; `BinaryFuncs3Spec` adds randomized MessageDigest
+  // parity on arbitrary strings. to_base64url/from_base64url are the
+  // URL-safe RFC 4648 alphabet (translate of the std alphabet, padding
+  // kept, like java.util.Base64.getUrlEncoder) — data-derived, DuckDB
+  // replays with replace(to_base64(·)). to_base32/from_base32 are the
+  // RFC 4648 §6 5-bit fold, written once per dialect over the same byte
+  // list (the q143 crc discipline); encode is cross-replayed, decode is
+  // checked independently (Spark round-trips its own encode, the oracle
+  // emits the original — any encode/decode asymmetry breaks the match).
+  // parse_presto_data_size round-trips quarter-valued sizes (exact:
+  // n/4 × 1024^k = n·2^(10k−2)) through the regexp+CASE parse.
+  private val q156Alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private val q156Vecs = Seq(
+    "" -> ("da39a3ee5e6b4b0d3255bfef95601890afd80709",
+      "cf83e1357eefb8bdf1542850d66d8007d620e4050b5715dc83f4a921d36ce9ce47d0d13c5d85f2b0ff8318d2877eec2f63b931bd47417a81a538327af927da3e"),
+    "abc" -> ("a9993e364706816aba3e25717850c26c9cd0d89d",
+      "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9ac94fa54ca49f"),
+    "The quick brown fox jumps over the lazy dog" ->
+      ("2fd4e1c67a2d28fced849ee1bb76e7391b93eb12",
+        "07e547d9586f6a73f73fbac0435ed76951218fb7d0c8d788a309d785436bbb642e93a252a954f23912547d1e8a3b5ed6e1bfd7097821233fa0538f3db854fee6"),
+    "abcdbcdecdefdefgefghfghighijhijkijkljklmklmnlmnomnopnopq" ->
+      ("84983e441c3bd26ebaae4aa1f95129e5e54670f1",
+        "204a8fc6dda82f0a0ced7beb8e08a41657c16ef468b228a8279be331a703c33596fd15c13b1b07f9aa1d3bea57789ca031ad85c7a71dd70354ec631238ca3445"))
+
+  private def q156VecCase(sel: ((String, (String, String))) => String): String =
+    q156Vecs.zipWithIndex.map { case (v, i) =>
+      s"WHEN ${i} THEN '${sel(v)}'"
+    }.mkString("CASE doc_id % 4 ", " ", " END")
+
+  /** RFC 4648 base32 ENCODE of the ASCII string column `t` with byte list
+    * `bs` and char count `nc` — one string per dialect, same fold. */
+  private[graft] def b32EncSpark(bs: String, nc: String): String =
+    s"concat(array_join(transform(sequence(0, $nc - 1), j -> substr('$q156Alpha', " +
+      s"cast(shiftright(coalesce(try_element_at($bs, cast(j*5 div 8 as int) + 1), 0) * 256 + " +
+      s"coalesce(try_element_at($bs, cast(j*5 div 8 as int) + 2), 0), " +
+      s"cast(11 - (j*5 % 8) as int)) & 31 as int) + 1, 1)), ''), " +
+      s"repeat('=', cast((8 - $nc % 8) % 8 as int)))"
+
+  private def b32EncDuck(bs: String, nc: String): String =
+    s"array_to_string(list_transform(range(0, $nc), j -> substr('$q156Alpha', " +
+      s"CAST(((coalesce($bs[CAST(j*5 // 8 AS INTEGER) + 1], 0) * 256 + " +
+      s"coalesce($bs[CAST(j*5 // 8 AS INTEGER) + 2], 0)) " +
+      s">> CAST(11 - (j*5 % 8) AS INTEGER)) & 31 AS INTEGER) + 1, 1)), '') " +
+      s"|| repeat('=', CAST((8 - $nc % 8) % 8 AS INTEGER))"
+
+  /** Base32 DECODE (Spark only — the oracle emits the original string, so
+    * the encode→decode round-trip is checked against an independent value).
+    * `enc` is the encoded column, `nc` its unpadded length, `ln` the
+    * original byte length. */
+  private[graft] def b32DecSpark(enc: String, nc: String, ln: String): String = {
+    val vs = s"transform(sequence(1, $nc), i -> instr('$q156Alpha', substr($enc, i, 1)) - 1)"
+    s"array_join(transform(sequence(0, $ln - 1), i -> " +
+      s"char(cast(shiftright(coalesce(try_element_at($vs, cast(i*8 div 5 as int) + 1), 0) * 1024 + " +
+      s"coalesce(try_element_at($vs, cast(i*8 div 5 as int) + 2), 0) * 32 + " +
+      s"coalesce(try_element_at($vs, cast(i*8 div 5 as int) + 3), 0), " +
+      s"cast(7 - (i*8 % 5) as int)) & 255 as int))), '')"
+  }
+
+  val q156 = Q(
+    "q156_binary_funcs3",
+    s"""WITH d AS (SELECT doc_id, substr(text, 1, 48) AS t1,
+       |  'doc-' || CAST(doc_id AS VARCHAR) AS t2,
+       |  CAST(doc_id % 60 AS DOUBLE) / 4.0 + 0.25 AS sv,
+       |  CASE doc_id % 5 WHEN 0 THEN 'kB' WHEN 1 THEN 'MB' WHEN 2 THEN 'GB' WHEN 3 THEN 'TB' ELSE 'PB' END AS su
+       | FROM documents WHERE doc_id < 240),
+       |b AS (SELECT doc_id, t1, t2, sv, su,
+       |  CAST(sv AS VARCHAR) || su AS ss,
+       |  list_transform(range(1, len(t2) + 1), i -> CAST(ascii(substr(t2, i, 1)) AS BIGINT)) AS bs,
+       |  (8 * len(t2) + 4) // 5 AS nc
+       | FROM d)
+       |SELECT doc_id,
+       | ${q156VecCase(_._2._1)} AS sha1_hex,
+       | ${q156VecCase(_._2._2)} AS sha512_hex,
+       | replace(replace(to_base64(encode(t1)), '+', '-'), '/', '_') AS b64u,
+       | t1 AS b64u_rt,
+       | ${b32EncDuck("bs", "nc")} AS b32,
+       | t2 AS b32_rt,
+       | CAST(round(CAST(regexp_extract(ss, '^([0-9.]+)', 1) AS DOUBLE) *
+       |   power(1024.0, CASE regexp_extract(ss, '([A-Za-z]+)$$', 1)
+       |     WHEN 'kB' THEN 1 WHEN 'MB' THEN 2 WHEN 'GB' THEN 3 WHEN 'TB' THEN 4 ELSE 5 END)) AS BIGINT) AS parsed_bytes
+       |FROM b
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val vecExpr = expr(q156Vecs.zipWithIndex.map { case ((v, _), i) =>
+      s"WHEN ${i} THEN '${v.replace("'", "''")}'"
+    }.mkString("CASE doc_id % 4 ", " ", " END"))
+    Tables.documents(s, d, col("doc_id") < 240)
+      .select(col("doc_id"),
+        substring(col("text"), 1, 48).as("t1"),
+        concat(lit("doc-"), col("doc_id").cast("string")).as("t2"),
+        ((col("doc_id") % 60).cast("double") / 4.0 + 0.25).as("sv"),
+        expr("CASE doc_id % 5 WHEN 0 THEN 'kB' WHEN 1 THEN 'MB' WHEN 2 THEN 'GB' WHEN 3 THEN 'TB' ELSE 'PB' END").as("su"),
+        vecExpr.as("vec"))
+      .withColumn("ss", concat(col("sv").cast("string"), col("su")))
+      .withColumn("bs", expr("transform(sequence(1, length(t2)), i -> cast(ascii(substr(t2, i, 1)) as bigint))"))
+      .withColumn("nc", expr("(8 * length(t2) + 4) div 5"))
+      .withColumn("b32", expr(b32EncSpark("bs", "nc")))
+      .select(col("doc_id"),
+        sha1(col("vec").cast("binary")).as("sha1_hex"),
+        sha2(col("vec").cast("binary"), 512).as("sha512_hex"),
+        // regexp strips the MIME line breaks Spark's base64 inserts past
+        // 76 chars (Presto/DuckDB never chunk)
+        translate(regexp_replace(base64(col("t1").cast("binary")), "[\\r\\n]", ""), "+/", "-_").as("b64u"),
+        // from_base64url: translate back to the std alphabet, decode
+        expr("cast(unbase64(translate(translate(regexp_replace(base64(cast(t1 as binary)), '[\\r\\n]', ''), '+/', '-_'), '-_', '+/')) as string)").as("b64u_rt"),
+        col("b32"),
+        expr(b32DecSpark("b32", "nc", "length(t2)")).as("b32_rt"),
+        expr("CAST(round(CAST(regexp_extract(ss, '^([0-9.]+)', 1) AS DOUBLE) * " +
+          "power(1024.0, CASE regexp_extract(ss, '([A-Za-z]+)$', 1) " +
+          "WHEN 'kB' THEN 1 WHEN 'MB' THEN 2 WHEN 'GB' THEN 3 WHEN 'TB' THEN 4 ELSE 5 END) " +
+          ") AS BIGINT)").as("parsed_bytes"))
+      .orderBy("doc_id")
+  }
+
   // ---- q157: closed-form inverse CDFs (math.rst) -------------------------
   // inverse_cauchy_cdf / inverse_laplace_cdf / inverse_weibull_cdf
   // (reference presto-main/.../scalar/MathFunctions.java:1). Unlike the
@@ -2207,5 +2325,5 @@ object FunctionQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q157, q159)
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159)
 }
