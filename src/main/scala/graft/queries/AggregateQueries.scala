@@ -939,39 +939,50 @@ object AggregateQueries extends QueryFamily {
   // values between the lo/hi quantiles (reference
   // presto-main/.../aggregation/TDigestAggregationFunction.java:1). The
   // deterministic analog pins the trim to integer ranks — drop the
-  // lowest and highest ⌊n/10⌋ rows by value order — so both engines keep
-  // the exact same multiset (row_number ties land on equal values, which
-  // are interchangeable under avg). Sums run in decimal (exact), the
-  // final mean is one double division rounded to 6 dp. One window + one
-  // aggregation, both partitioned by the group key — two shuffles on
-  // the same key at 100 TB, no driver state.
+  // lowest and highest ⌊n/10⌋ rows by value order (row_number ties land
+  // on equal values, interchangeable under avg) — and computes it from
+  // the per-group VALUE HISTOGRAM, not a per-row rank: the kept count of
+  // value v is the overlap of its cumulative-rank interval with
+  // (⌊n/10⌋, n−⌊n/10⌋]. The full table flows through one map-side-
+  // combinable (grp, value) count — the rank window runs over the
+  // distinct-value table (≤50 rows/group for quantities), so nothing
+  // funnels 100 TB through 3 reducers the way a naive per-row
+  // row_number() would. Decimal sums exact; one double division at the
+  // end, rounded to 6 dp.
   val q158 = Q(
     "q158_trimmed_mean",
-    """WITH r AS (SELECT l_returnflag AS grp, CAST(l_quantity AS DECIMAL(18,2)) AS q,
-      |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
-      |  count(*) OVER (PARTITION BY l_returnflag) AS n
-      | FROM lineitem),
-      |k AS (SELECT grp, q FROM r WHERE rn > n // 10 AND rn <= n - n // 10)
+    """WITH h AS (SELECT l_returnflag AS grp, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |  count(*) AS c
+      | FROM lineitem GROUP BY 1, 2),
+      |r AS (SELECT grp, q, c,
+      |  sum(c) OVER (PARTITION BY grp ORDER BY q) AS cum,
+      |  sum(c) OVER (PARTITION BY grp) AS n
+      | FROM h),
+      |k AS (SELECT grp, q,
+      |  greatest(least(cum, n - n // 10) - greatest(cum - c, n // 10), 0) AS kept
+      | FROM r)
       |SELECT grp,
-      | CAST(count(*) AS BIGINT) AS n_kept,
-      | round(CAST(sum(q) AS DOUBLE) / count(*), 6) AS trimmed_mean,
-      | round(CAST(min(q) AS DOUBLE), 2) AS lo_kept,
-      | round(CAST(max(q) AS DOUBLE), 2) AS hi_kept
+      | CAST(sum(kept) AS BIGINT) AS n_kept,
+      | round(CAST(sum(q * kept) AS DOUBLE) / sum(kept), 6) AS trimmed_mean,
+      | round(CAST(min(CASE WHEN kept > 0 THEN q END) AS DOUBLE), 2) AS lo_kept,
+      | round(CAST(max(CASE WHEN kept > 0 THEN q END) AS DOUBLE), 2) AS hi_kept
       |FROM k GROUP BY grp
       |ORDER BY grp""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("grp").orderBy("q")
+    val wc = Window.partitionBy("grp").orderBy("q")
     val wn = Window.partitionBy("grp")
     Tables.lineitem(s, d)
       .select(col("l_returnflag").as("grp"), col("l_quantity").cast("decimal(18,2)").as("q"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .where(expr("rn > (n div 10) AND rn <= n - (n div 10)"))
+      .groupBy("grp", "q").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wn))
+      .withColumn("kept",
+        expr("greatest(least(cum, n - (n div 10)) - greatest(cum - c, n div 10), 0)"))
       .groupBy("grp")
-      .agg(count(lit(1)).cast("bigint").as("n_kept"),
-        round(sum(col("q")).cast("double") / count(lit(1)), 6).as("trimmed_mean"),
-        round(min(col("q")).cast("double"), 2).as("lo_kept"),
-        round(max(col("q")).cast("double"), 2).as("hi_kept"))
+      .agg(sum(col("kept")).cast("bigint").as("n_kept"),
+        round(sum(col("q") * col("kept")).cast("double") / sum(col("kept")), 6).as("trimmed_mean"),
+        round(min(when(col("kept") > 0, col("q"))).cast("double"), 2).as("lo_kept"),
+        round(max(when(col("kept") > 0, col("q"))).cast("double"), 2).as("hi_kept"))
       .orderBy("grp")
   }
 
