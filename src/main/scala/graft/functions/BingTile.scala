@@ -89,6 +89,21 @@ object BingTile {
       quadkey(x * 2 + lit(d & 1), y * 2 + lit((d >> 1) & 1), zoom + 1)
     }: _*)
 
+  /** bing_tiles_around (geospatial.rst:510): the 3×3 neighborhood of
+    * (x, y) CLIPPED to the map — corner tiles yield 4, edges 6, interior
+    * 9; no wraparound (the Bing tile grid is not cyclic in x). Returned
+    * as a sorted array of quadkeys so the SET is what callers compare.
+    */
+  def tilesAround(x: Column, y: Column, zoom: Int): Column = {
+    val n = 1 << zoom
+    val nbrs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield {
+      val xx = x + lit(dx)
+      val yy = y + lit(dy)
+      when(xx.between(0, n - 1) && yy.between(0, n - 1), quadkey(xx, yy, zoom))
+    }): _*)
+    array_sort(filter(nbrs, _.isNotNull))
+  }
+
   /** Tile envelope corners in degrees: (lonMin, lonMax, latMin, latMax)
     * — bing_tile_polygon's rectangle. Longitude edges are linear in x;
     * latitude edges invert the Mercator map (atan∘exp).

@@ -2310,17 +2310,12 @@ object FunctionQueries extends QueryFamily {
         .select(col("c_custkey"),
           BingTile.tileXAt(col("lon"), zoom).as("x"),
           BingTile.tileYAt(col("lat"), zoom).as("y"))
-      val nbrs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield {
-        val xx = col("x") + dx
-        val yy = col("y") + dy
-        when(xx.between(0, n - 1) && yy.between(0, n - 1),
-          BingTile.quadkey(xx, yy, zoom))
-      }): _*)
+      val around = BingTile.tilesAround(col("x"), col("y"), zoom)
       t.select(col("c_custkey"), col("x"), col("y"),
         lit(zoom).as("zoom_level"),
         BingTile.quadkey(col("x"), col("y"), zoom).as("qk"),
-        size(filter(nbrs, _.isNotNull)).cast("int").as("n_around"),
-        array_join(array_sort(filter(nbrs, _.isNotNull)), ",").as("around_qks"))
+        size(around).cast("int").as("n_around"),
+        array_join(around, ",").as("around_qks"))
         .orderBy("c_custkey")
     }
   }

@@ -109,4 +109,29 @@ class BingTileSpec extends SparkSpec {
       assert(streamed.map(_.getLong(1)).sum == 400)
     } finally q.stop()
   }
+
+  test("tilesAround clips at corners (4), edges (6), interior (9) and contains self") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val zoom = 4
+    val n = 1 << zoom
+    // all 256 tiles at zoom 4 — every clipping case exercised
+    val tiles = (for (x <- 0 until n; y <- 0 until n) yield (x, y)).toDF("x", "y")
+    val rows = tiles.select(col("x"), col("y"),
+      graft.functions.BingTile.quadkey(col("x"), col("y"), zoom).as("qk"),
+      graft.functions.BingTile.tilesAround(col("x"), col("y"), zoom).as("around"))
+      .collect()
+    assert(rows.length == n * n)
+    rows.foreach { r =>
+      val (x, y) = (r.getInt(0), r.getInt(1))
+      val around = r.getSeq[String](3)
+      val onX = x == 0 || x == n - 1
+      val onY = y == 0 || y == n - 1
+      val expected = (if (onX) 2 else 3) * (if (onY) 2 else 3)
+      assert(around.length == expected, s"($x,$y): ${around.length} != $expected")
+      assert(around.contains(r.getString(2)), s"($x,$y) missing self")
+      assert(around.distinct.length == around.length, s"($x,$y) duplicates")
+      assert(around == around.sorted, s"($x,$y) not sorted")
+    }
+  }
 }

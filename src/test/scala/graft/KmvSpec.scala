@@ -61,6 +61,23 @@ class KmvSpec extends SparkSpec {
     assert(disjoint === 0.0)
   }
 
+  test("intersection_cardinality estimate is EXACT when k covers the union (q160 law)") {
+    import spark.implicits._
+    // |A| = 40, |B| = 35, |A∩B| = 15; k = 128 ≥ |A∪B| = 60 → every term
+    // of round(jaccard × unionEst) is exact, so the estimate must equal 15
+    val a = (1 to 40).map(_.toLong)
+    val b = (26 to 60).map(_.toLong)
+    val df = Seq((a, b)).toDF("ids_a", "ids_b")
+      .select(
+        expr("transform(ids_a, v -> cast(conv(substr(md5(cast(v as string)), 1, 15), 16, 10) as bigint))").as("ha"),
+        expr("transform(ids_b, v -> cast(conv(substr(md5(cast(v as string)), 1, 15), 16, 10) as bigint))").as("hb"))
+      .select(sort_array(col("ha")).as("a"), sort_array(col("hb")).as("b"))
+      .withColumn("m", expr(s"slice(array_sort(array_union(a, b)), 1, $k)"))
+      .select(round(Sketches.kmvJaccard("a", "b", k) *
+        Sketches.kmvEstimate("m", k)).cast("bigint").as("inter"))
+    assert(df.collect()(0).getLong(0) == 15L)
+  }
+
   test("graft_kmv is registered as a SQL function") {
     Tables.orders(spark, sfDir).createOrReplaceTempView("kmv_orders")
     val n = spark.sql(
