@@ -148,6 +148,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.functions.struct(lonMin.as("lon_min"),
         lonMax.as("lon_max"), latMin.as("lat_min"), latMax.as("lat_max"))
     }
+    composed("graft_bing_tiles_around") { ch =>
+      BingTile.tilesAround(c(ch(0)), c(ch(1)),
+        zoomOf(ch(2), "graft_bing_tiles_around"))
+    }
+    // zoom is the quadkey's length — registered so SQL callers get the
+    // reference's accessor name (geospatial.rst:510 bing_tile_zoom_level)
+    composed("graft_bing_tile_zoom_level") { ch =>
+      org.apache.spark.sql.functions.length(c(ch(0))).cast("int")
+    }
+    // RFC 4648 base32 codec (binary.rst to_base32/from_base32): native
+    // expressions (plans/CodecExprs.scala) — full binary domain, one
+    // static call per value inside WholeStageCodegen, and they nest
+    // under other graft functions (a SQL-string composition cannot:
+    // resolution re-renders children whose resolved lambdas emit
+    // unparseable namedlambdavariable()). The q156 SQL fold stays as
+    // the cross-engine-oracle-able variant of the same codec.
+    ext.injectFunction((
+      FunctionIdentifier("graft_to_base32"),
+      new ExpressionInfo(classOf[Base32Encode].getName, "graft_to_base32"),
+      (children: Seq[Expression]) => Base32Encode(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_from_base32"),
+      new ExpressionInfo(classOf[Base32Decode].getName, "graft_from_base32"),
+      (children: Seq[Expression]) => Base32Decode(children.head)))
     composed("graft_st_env") { ch =>
       Envelope.make(c(ch(0)), c(ch(1)), c(ch(2)), c(ch(3)))
     }

@@ -64,6 +64,24 @@ class BinaryFuncs3Spec extends SparkSpec {
     }
   }
 
+  test("native base32 expressions match the SQL fold on ASCII and round-trip raw binary") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    val ts = (1 to 100).map { _ =>
+      (1 to (1 + rnd.nextInt(30))).map(_ => (33 + rnd.nextInt(94)).toChar).mkString.replace("'", "x")
+    }
+    val parity = b32Frame(ts)
+      .withColumn("native", expr("graft_to_base32(cast(t2 as binary))"))
+      .select(col("b32"), col("native")).collect()
+    parity.foreach(r => assert(r.getString(0) == r.getString(1)))
+
+    // the native codec's domain is FULL binary (the fold is ASCII-only)
+    val bins = (1 to 60).map(_ => (0 to rnd.nextInt(40)).map(_ => rnd.nextInt(256).toByte).toArray)
+    val rt = bins.map(Tuple1(_)).toDF("b")
+      .select(col("b"), expr("graft_from_base32(graft_to_base32(b))").as("rt")).collect()
+    rt.foreach(r => assert(java.util.Arrays.equals(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))))
+  }
+
   test("sha1/sha512 match MessageDigest on 100 random strings") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)

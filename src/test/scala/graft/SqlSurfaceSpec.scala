@@ -94,6 +94,25 @@ class SqlSurfaceSpec extends SparkSpec {
       p.getAs[Double]("lat_min") < p.getAs[Double]("lat_max"))
   }
 
+  test("tiles_around, zoom_level and base32 codec are callable from literal SQL") {
+    val r = spark.sql(
+      """SELECT
+        | graft_bing_tiles_around(0, 0, 3) AS corner,
+        | graft_bing_tiles_around(3, 5, 3) AS interior,
+        | graft_bing_tile_zoom_level(graft_bing_tile_quadkey(3, 5, 3)) AS zl,
+        | graft_to_base32(cast('foobar' as binary)) AS enc,
+        | cast(graft_from_base32('MZXW6YTBOI======') as string) AS dec,
+        | cast(graft_from_base32(graft_to_base32(cast('doc-42' as binary))) as string) AS rt
+        |""".stripMargin).head
+    assert(r.getSeq[String](r.fieldIndex("corner")).length == 4)
+    val interior = r.getSeq[String](r.fieldIndex("interior"))
+    assert(interior.length == 9 && interior.contains("213") && interior == interior.sorted)
+    assert(r.getAs[Int]("zl") == 3)
+    assert(r.getAs[String]("enc") == "MZXW6YTBOI======") // RFC 4648 §10
+    assert(r.getAs[String]("dec") == "foobar")
+    assert(r.getAs[String]("rt") == "doc-42")
+  }
+
   test("envelope algebra is callable from literal SQL") {
     val r = spark.sql(
       """WITH b AS (SELECT graft_st_env(0D, 0D, 10D, 10D) AS a,
