@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Winnowing fingerprints + duplicated-span detection (Schleimer,
+  * Wilkerson, Aiken, "Winnowing: Local Algorithms for Document
+  * Fingerprinting", SIGMOD 2003 — the MOSS algorithm). Detects text
+  * SPANS duplicated across documents at ARBITRARY alignment, the case
+  * both document-level dedup (q60/q61/q62: whole-doc similarity) and
+  * fixed segmentation (q119: hash of pre-cut segments) miss — a span
+  * straddling a segment boundary, or duplicated text embedded in
+  * otherwise-unrelated documents.
+  *
+  * Guarantee (the paper's): any substring of at least w + k − 1 tokens
+  * shared by two documents yields at least one common fingerprint, while
+  * only ~2/(w+1) of positions are kept. Selection is per WINDOW of w
+  * consecutive k-gram hashes: keep the window's minimal hash, ties
+  * broken by position. Because tie-break order is preserved inside a
+  * shared region (relative positions shift together), both documents
+  * select the same gram occurrence — encoded here as argmin over
+  * h·2³⁰ + pos, a single integer min both engines compute identically.
+  *
+  * Scale design: fingerprint selection is a per-document HOF projection
+  * — transform/array_min/array_distinct inside WholeStageCodegen, ZERO
+  * shuffles (no window function: a partitionBy(doc_id) sort would
+  * shuffle the whole corpus just to scan each doc's positions). The
+  * only shuffles are the df-cap aggregate and the fingerprint
+  * equi-join, both on 8-byte keys, both bounded by the hot-fingerprint
+  * cap — the q61 discipline. Position encoding caps documents at 2³⁰
+  * k-gram positions (≫ any real document).
+  *
+  * Reference analog: none in presto's SQL surface (brief-mandated
+  * pipeline operator); hash discipline shared with [[Dedup]]'s
+  * SQL-replayable md5+affine family, so the DuckDB oracle replays the
+  * selection bit-exactly.
+  */
+object Winnow {
+
+  /** 2^30 — pos lives in the low bits, the k-gram hash (< 2^31) above:
+    * h·2³⁰ + pos < 2⁶² never overflows, and integer min orders by
+    * (hash, position) lexicographically.
+    */
+  private val Shift = 1073741824L
+
+  /** Selected fingerprints: (doc_id, pos, fh, gram) — `pos` the 0-based
+    * k-gram position, `fh` the md5-60 % (2³¹−1) hash of the gram,
+    * `gram` the k-token text (carried for exact verification of hash
+    * matches). Zero-shuffle projection.
+    */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .withColumn("hs", graft.plans.NativeFunctions
+        .shingleHashes(col("w"), k, "md5", graft.plans.Affine.P))
+      .withColumn("comb", expr(s"transform(hs, (h, p) -> h * ${Shift}L + p)"))
+      // window i covers comb[i+1 .. i+w] (1-based slice): its min is the
+      // selected (hash, pos); short docs (< w windows) emit nothing —
+      // the CASE guards sequence() from stepping downward (q61 precedent)
+      .withColumn("sel", expr(
+        s"CASE WHEN size(comb) >= $w THEN array_distinct(transform(" +
+          s"sequence(0, size(comb) - $w), i -> array_min(slice(comb, i + 1, $w)))) " +
+          "ELSE array() END"))
+      .select(col("doc_id"), col("w"), explode(col("sel")).as("c"))
+      .select(col("doc_id"),
+        expr(s"c % ${Shift}L").as("pos"),
+        expr(s"c div ${Shift}L").as("fh"),
+        expr(s"concat_ws(' ', slice(w, cast(c % ${Shift}L as int) + 1, $k))").as("gram"))
+
+  /** Cross-document duplicated spans: pairs of documents sharing at
+    * least one verified fingerprint, with the count of distinct shared
+    * grams and the first shared position on each side. Fingerprints in
+    * more than `maxDf` documents (boilerplate, licenses) are dropped
+    * before the self-join — the hard fan-out bound at corpus scale.
+    */
+  def spanPairs(docs: DataFrame, k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
+    // one fingerprint scan feeds the df-count and both join sides
+    val fp = fingerprints(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fp.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("fh"))
+    val ok = fp.join(broadcast(hot), Seq("fh"), "left_anti")
+    val pairs = ok.as("a")
+      .join(ok.as("b"),
+        col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.gram")).as("n_spans"),
+        min(col("a.pos")).as("pos_a"), min(col("b.pos")).as("pos_b"))
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fp.unpersist()
+    out
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{Q, QueryFamily, Tables}
 import graft.functions.Text
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Winnow}
 import graft.sources.Multimodal
 
 /** §2.6 LLM-training-data pipeline operators — dedup (exact, n-gram
@@ -1160,5 +1160,46 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155)
+  // ---- q161: winnowing duplicated-span detection (MOSS) ------------------
+  // Schleimer/Wilkerson/Aiken SIGMOD 2003: alignment-robust span dedup —
+  // any shared substring of ≥ w+k−1 tokens is guaranteed detected, at
+  // ~2/(w+1) fingerprint density. The case q60/q62 (whole-doc) and q119
+  // (fixed segments) structurally miss: duplicated text at DIFFERENT
+  // offsets inside otherwise-distinct documents. See operators/Winnow.
+  val q161 = {
+    val K = 5; val W = 8; val MaxDf = 50; val Shift = 1073741824L // 2^30
+    val gramK = (0 until K).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    val gramsK =
+      s"list_transform(range(1, greatest(len(w) - ${K - 1}, 0) + 1), i -> $gramK)"
+    Q(
+      "q161_winnow_spans",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |g AS (SELECT doc_id, w, $gramsK AS grams FROM d),
+         |h AS (SELECT doc_id, w, list_transform(grams, x -> $H0P) AS hs FROM g),
+         |c AS (SELECT doc_id, w,
+         |        list_transform(range(len(hs)), p -> hs[p+1] * $Shift + p) AS comb FROM h),
+         |s AS (SELECT doc_id, w,
+         |        CASE WHEN len(comb) >= $W
+         |             THEN list_distinct(list_transform(range(len(comb) - $W + 1),
+         |                    i -> list_min(comb[i+1:i+$W])))
+         |             ELSE [] END AS sel FROM c),
+         |fp AS (SELECT doc_id, c % $Shift AS pos, c // $Shift AS fh,
+         |         array_to_string(w[(c % $Shift) + 1 : (c % $Shift) + $K], ' ') AS gram
+         |       FROM (SELECT doc_id, w, unnest(sel) AS c FROM s)),
+         |ok AS (SELECT fh FROM fp GROUP BY fh HAVING count(DISTINCT doc_id) <= $MaxDf),
+         |fpf AS (SELECT fp.* FROM fp JOIN ok USING (fh)),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |            CAST(count(DISTINCT a.gram) AS BIGINT) AS n_spans,
+         |            min(a.pos) AS pos_a, min(b.pos) AS pos_b
+         |          FROM fpf a JOIN fpf b
+         |            ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_spans, pos_a, pos_b
+         |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+      Winnow.spanPairs(Tables.documents(s, d), k = K, w = W, maxDf = MaxDf)
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161)
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Winnow
+
+/** Laws of the winnowing span-dedup operator (operators/Winnow.scala —
+  * Schleimer/Wilkerson/Aiken SIGMOD 2003):
+  *  - detection guarantee: a shared token span of ≥ w+k−1 tokens is
+  *    ALWAYS detected, at any relative offset in the two documents;
+  *  - density: ~2/(w+1) of k-gram positions become fingerprints;
+  *  - scale shape: fingerprint selection runs without a shuffle.
+  */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 8
+  private val GuaranteeLen = W + K - 1 // 12 tokens
+
+  /** Random token vocabulary wide enough that chance k-gram collisions
+    * are impossible across the tiny test corpora.
+    */
+  private def randWords(rnd: scala.util.Random, n: Int): Seq[String] =
+    Seq.fill(n)(s"t${rnd.nextInt(1000000)}x${rnd.nextInt(1000000)}")
+
+  test("planted shared span of exactly w+k-1 tokens is detected at ANY alignment") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val span = randWords(rnd, GuaranteeLen)
+      // distinct random documents, span embedded at different offsets
+      val offA = rnd.nextInt(40)
+      val offB = rnd.nextInt(40)
+      val docA = (randWords(rnd, offA) ++ span ++ randWords(rnd, 30)).mkString(" ")
+      val docB = (randWords(rnd, offB) ++ span ++ randWords(rnd, 30)).mkString(" ")
+      val noise = (1 to 6).map(i => (100L + i, randWords(rnd, 60).mkString(" ")))
+      val docs = (Seq((1L, docA), (2L, docB)) ++ noise).toDF("doc_id", "text")
+      val pairs = Winnow.spanPairs(docs, K, W).collect()
+      assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L),
+        s"seed=$seed offsets=($offA,$offB): planted span not detected")
+      pairs.foreach { r => // no false pairs: only the planted docs share text
+        assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+      }
+    }
+  }
+
+  test("spans shorter than the guarantee may be missed but never crash; empty and short docs are silent") {
+    val rnd = new scala.util.Random(7)
+    val shortSpan = randWords(rnd, K) // k tokens: one gram, below w+k-1
+    val docs = Seq(
+      (1L, (randWords(rnd, 20) ++ shortSpan ++ randWords(rnd, 20)).mkString(" ")),
+      (2L, (randWords(rnd, 25) ++ shortSpan ++ randWords(rnd, 15)).mkString(" ")),
+      (3L, ""), (4L, "a b c")).toDF("doc_id", "text")
+    val pairs = Winnow.spanPairs(docs, K, W).collect()
+    // every reported pair must genuinely share the gram text (verified join)
+    pairs.foreach(r => assert(r.getAs[Long]("n_spans") >= 1L))
+  }
+
+  test("fingerprint density is near the paper's 2/(w+1), and every window is covered") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 40).map(i => (i.toLong, randWords(rnd, 80).mkString(" ")))
+      .toDF("doc_id", "text")
+    val nPos = docs.select(sum(greatest(size(graft.functions.Text.words(col("text"))) - (K - 1), lit(0))))
+      .as[Long].head
+    val nFp = Winnow.fingerprints(docs, K, W).count()
+    val density = nFp.toDouble / nPos
+    // 2/(w+1) = 0.222 for w=8; distinct-selection dedup pulls it a bit lower
+    assert(density > 0.12 && density < 0.32, s"density $density out of band")
+    // coverage: gap between consecutive selected positions within a doc < w
+    // (each window of w consecutive k-grams contributes its min)
+    val gaps = Winnow.fingerprints(docs, K, W)
+      .withColumn("prev", lag(col("pos"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("prev").isNotNull)
+      .select(max(col("pos") - col("prev"))).as[Long].head
+    assert(gaps <= W, s"max fingerprint gap $gaps exceeds window $W")
+  }
+
+  test("fingerprint selection is a zero-shuffle projection") {
+    // plain scan (Tables.documents adds its corpus-rebalance repartition,
+    // which is input staging, not part of the operator)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = Winnow.fingerprints(docs, K, W).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"fingerprints must not shuffle:\n$plan")
+  }
+}
