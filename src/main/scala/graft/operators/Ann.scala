@@ -195,11 +195,17 @@ object Ann {
       s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
     val a = base.select(col("vec_id").as("va"), col("emb").as("ea"), explode(probes).as("bucket"))
     val b = base.select(col("vec_id").as("vb"), col("emb").as("eb"), col("bucket"))
+    // sim is computed BEFORE the pair dedup so the dedup exchange moves
+    // 24-byte (va, vb, sim) rows, not ~1 KB rows dragging both embedding
+    // arrays; sim is deterministic per pair, so dedup-after is identical.
+    // (With one exploded side and array_union'd probes each ≤1-bit pair
+    // matches in exactly one bucket — the dedup is a cheap invariant
+    // guard, not a hot path.)
     a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
-      .dropDuplicates("va", "vb") // a pair may collide in several probe buckets
       .withColumn("sim", round(cosine("ea", "eb"), 4))
-      .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), col("sim"))
+      .dropDuplicates("va", "vb")
+      .filter(col("sim") >= threshold)
   }
 
   // ---------------------------------------------------------------------
