@@ -95,4 +95,28 @@ object Winnow {
     fp.unpersist()
     out
   }
+
+  /** Incremental face: new documents probed against an ACCUMULATED
+    * fingerprint index (a prior [[fingerprints]] output, persisted —
+    * bucketed by `fh` at scale so only the batch side shuffles, the
+    * [[graft.operators.Ann.lshDupsAgainst]] ingestion shape). Returns
+    * (new_id, old_id, n_spans): spans the new batch shares with any
+    * already-indexed document. The df cap is computed over the INDEX
+    * (that is where boilerplate accumulates); only new-vs-indexed pairs
+    * are emitted — callers fold the batch into the index afterwards.
+    */
+  def spansAgainst(newDocs: DataFrame, index: DataFrame,
+                   k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
+    val fp = fingerprints(newDocs, k, w)
+    val hot = index.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("fh"))
+    fp.as("a")
+      .join(broadcast(hot), Seq("fh"), "left_anti")
+      .join(index.as("b"),
+        col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .agg(countDistinct(col("a.gram")).as("n_spans"))
+  }
 }

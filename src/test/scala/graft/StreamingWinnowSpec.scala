@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.Winnow
+
+/** Continuous-ingestion duplicated-span detection: each micro-batch's
+  * winnowing fingerprints are probed against the ACCUMULATED index
+  * (Winnow.spansAgainst), then folded into it via foreachBatch — the
+  * streaming face of q161, mirroring StreamingDedupSpec's minhash loop
+  * (index a persisted/bucketed table at scale, batch side the only
+  * shuffle).
+  */
+class StreamingWinnowSpec extends SparkSpec {
+
+  private val K = 5
+  private val W = 8
+
+  private def randWords(rnd: scala.util.Random, n: Int): Seq[String] =
+    Seq.fill(n)(s"t${rnd.nextInt(1000000)}x${rnd.nextInt(1000000)}")
+
+  test("foreachBatch incremental winnow flags cross-batch duplicated spans") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val rnd = new scala.util.Random(42)
+    val span = randWords(rnd, W + K - 1) // exactly the guarantee length
+    val doc1 = (randWords(rnd, 17) ++ span ++ randWords(rnd, 25)).mkString(" ")
+    val doc2 = (randWords(rnd, 33) ++ span ++ randWords(rnd, 20)).mkString(" ")
+    val noise1 = randWords(rnd, 60).mkString(" ")
+    val noise2 = randWords(rnd, 60).mkString(" ")
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+
+    val stream = MemoryStream[Doc]
+    var index: DataFrame = Winnow.fingerprints(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), K, W)
+    val hits = collection.mutable.Set[(Long, Long)]()
+
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = batch.select("doc_id", "text")
+        hits ++= Winnow.spansAgainst(docs, index, K, W)
+          .select("new_id", "old_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        index = index.unionByName(Winnow.fingerprints(docs, K, W)).localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      stream.addData(Seq(Doc(1, doc1, t0), Doc(2, noise1, t0)))
+      query.processAllAvailable()
+      assert(hits.isEmpty, s"no dup should be flagged in batch 1: $hits")
+      stream.addData(Seq(Doc(3, doc2, t0), Doc(4, noise2, t0)))
+      query.processAllAvailable()
+      // doc 3 shares the planted span with batch-1's doc 1, nothing else
+      assert(hits.contains((3L, 1L)), s"cross-batch span not detected: $hits")
+      assert(hits.forall(h => h == ((3L, 1L))), s"false pairs: $hits")
+    } finally query.stop()
+  }
+
+  test("spansAgainst df-cap drops index-wide boilerplate fingerprints") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val boiler = randWords(rnd, W + K - 1)
+    // boilerplate span appears in MANY indexed docs → its fingerprints
+    // exceed maxDf and must not produce pairs; a unique span must.
+    val uniq = randWords(rnd, W + K - 1)
+    val indexed = (1 to 12).map(i =>
+      (i.toLong, (randWords(rnd, 10) ++ boiler ++ randWords(rnd, 10)).mkString(" "))) :+
+      (50L, (randWords(rnd, 10) ++ uniq ++ randWords(rnd, 10)).mkString(" "))
+    val index = Winnow.fingerprints(indexed.toDF("doc_id", "text"), K, W)
+    val newDocs = Seq(
+      (100L, (randWords(rnd, 8) ++ boiler ++ randWords(rnd, 8)).mkString(" ")),
+      (101L, (randWords(rnd, 8) ++ uniq ++ randWords(rnd, 8)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Winnow.spansAgainst(newDocs, index, K, W, maxDf = 5)
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((101L, 50L)),
+      s"expected only the unique-span pair, got ${pairs.toSet}")
+  }
+}
