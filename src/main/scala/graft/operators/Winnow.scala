@@ -96,6 +96,59 @@ object Winnow {
     out
   }
 
+  /** Contiguous duplicated-span EXTENTS — the output an excision pass
+    * consumes (where to cut, not just which pairs match). Shared
+    * verified fingerprints are grouped per document pair by their
+    * alignment DIAGONAL (pos_a − pos_b: a shared region keeps both
+    * positions shifting together, so its fingerprints share one
+    * diagonal) and split into segments where consecutive fingerprint
+    * positions gap by more than `w` — inside one shared region the
+    * winnowing guarantee bounds the gap by w, so a larger gap means
+    * distinct regions. Output: (doc_a, doc_b, start_a, end_a, start_b,
+    * end_b, n_fp) with end = last fingerprint position + k − 1 (token
+    * extents, inclusive). Resolution: two shared regions on the same
+    * diagonal separated by fewer than ~w unshared tokens merge into one
+    * reported span.
+    *
+    * Scale shape: the fingerprint join is df-capped as in [[spanPairs]];
+    * the segment window partitions by (pair, diagonal) — matched
+    * fingerprints only, a vanishing fraction of the corpus — never by
+    * document over the full corpus.
+    */
+  def spanExtents(docs: DataFrame, k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
+    val fp = fingerprints(docs, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = fp.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("fh"))
+    val ok = fp.join(broadcast(hot), Seq("fh"), "left_anti")
+    val shared = ok.as("a")
+      .join(ok.as("b"),
+        col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+      .dropDuplicates("doc_a", "doc_b", "pa", "pb")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    val segs = shared
+      .withColumn("gap", col("pa") - lag(col("pa"), 1).over(win))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("seg"))
+      .agg(min(col("pa")).as("start_a"), (max(col("pa")) + (k - 1)).as("end_a"),
+        min(col("pb")).as("start_b"), (max(col("pb")) + (k - 1)).as("end_b"),
+        count(lit(1)).as("n_fp"))
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("end_a"),
+        col("start_b"), col("end_b"), col("n_fp"))
+    val out = segs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fp.unpersist()
+    out
+  }
+
   /** Incremental face: new documents probed against an ACCUMULATED
     * fingerprint index (a prior [[fingerprints]] output, persisted —
     * bucketed by `fh` at scale so only the batch side shuffles, the

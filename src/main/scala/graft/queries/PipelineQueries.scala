@@ -1166,28 +1166,39 @@ object PipelineQueries extends QueryFamily {
   // ~2/(w+1) fingerprint density. The case q60/q62 (whole-doc) and q119
   // (fixed segments) structurally miss: duplicated text at DIFFERENT
   // offsets inside otherwise-distinct documents. See operators/Winnow.
-  val q161 = {
-    val K = 5; val W = 8; val MaxDf = 50; val Shift = 1073741824L // 2^30
+  // winnowing constants shared by q161/q162 (mirror operators/Winnow defaults)
+  private val WinK = 5; private val WinW = 8
+  private val WinMaxDf = 50; private val WinShift = 1073741824L // 2^30
+
+  // DuckDB replay of Winnow.fingerprints + the df cap: CTE prefix ending
+  // in `fpf(doc_id, pos, fh, gram)` — the verified fingerprint table both
+  // span queries join on.
+  private val winnowFpSql: String = {
+    val K = WinK; val W = WinW; val MaxDf = WinMaxDf; val Shift = WinShift
     val gramK = (0 until K).map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
     val gramsK =
       s"list_transform(range(1, greatest(len(w) - ${K - 1}, 0) + 1), i -> $gramK)"
+    s"""d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |g AS (SELECT doc_id, w, $gramsK AS grams FROM d),
+       |h AS (SELECT doc_id, w, list_transform(grams, x -> $H0P) AS hs FROM g),
+       |c AS (SELECT doc_id, w,
+       |        list_transform(range(len(hs)), p -> hs[p+1] * $Shift + p) AS comb FROM h),
+       |s AS (SELECT doc_id, w,
+       |        CASE WHEN len(comb) >= $W
+       |             THEN list_distinct(list_transform(range(len(comb) - $W + 1),
+       |                    i -> list_min(comb[i+1:i+$W])))
+       |             ELSE [] END AS sel FROM c),
+       |fp AS (SELECT doc_id, c % $Shift AS pos, c // $Shift AS fh,
+       |         array_to_string(w[(c % $Shift) + 1 : (c % $Shift) + $K], ' ') AS gram
+       |       FROM (SELECT doc_id, w, unnest(sel) AS c FROM s)),
+       |ok AS (SELECT fh FROM fp GROUP BY fh HAVING count(DISTINCT doc_id) <= $MaxDf),
+       |fpf AS (SELECT fp.* FROM fp JOIN ok USING (fh))""".stripMargin
+  }
+
+  val q161 =
     Q(
       "q161_winnow_spans",
-      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
-         |g AS (SELECT doc_id, w, $gramsK AS grams FROM d),
-         |h AS (SELECT doc_id, w, list_transform(grams, x -> $H0P) AS hs FROM g),
-         |c AS (SELECT doc_id, w,
-         |        list_transform(range(len(hs)), p -> hs[p+1] * $Shift + p) AS comb FROM h),
-         |s AS (SELECT doc_id, w,
-         |        CASE WHEN len(comb) >= $W
-         |             THEN list_distinct(list_transform(range(len(comb) - $W + 1),
-         |                    i -> list_min(comb[i+1:i+$W])))
-         |             ELSE [] END AS sel FROM c),
-         |fp AS (SELECT doc_id, c % $Shift AS pos, c // $Shift AS fh,
-         |         array_to_string(w[(c % $Shift) + 1 : (c % $Shift) + $K], ' ') AS gram
-         |       FROM (SELECT doc_id, w, unnest(sel) AS c FROM s)),
-         |ok AS (SELECT fh FROM fp GROUP BY fh HAVING count(DISTINCT doc_id) <= $MaxDf),
-         |fpf AS (SELECT fp.* FROM fp JOIN ok USING (fh)),
+      s"""WITH $winnowFpSql,
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |            CAST(count(DISTINCT a.gram) AS BIGINT) AS n_spans,
          |            min(a.pos) AS pos_a, min(b.pos) AS pos_b
@@ -1196,10 +1207,42 @@ object PipelineQueries extends QueryFamily {
          |          GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_spans, pos_a, pos_b
          |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-      Winnow.spanPairs(Tables.documents(s, d), k = K, w = W, maxDf = MaxDf)
+      Winnow.spanPairs(Tables.documents(s, d), k = WinK, w = WinW, maxDf = WinMaxDf)
         .orderBy("doc_a", "doc_b")
     }
-  }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161)
+  // ---- q162: duplicated-span EXTENTS (the excision view) -----------------
+  // q161 says WHICH pairs share text; q162 says WHERE — shared verified
+  // fingerprints grouped per pair by alignment diagonal (pos_a − pos_b:
+  // constant across a shared region) and split into contiguous segments
+  // where consecutive positions gap by more than w (inside one shared
+  // region winnowing bounds the gap by w). Token extents [start, end]
+  // inclusive, end = last fingerprint + k − 1 — the intervals a training
+  // pipeline cuts. Resolution: regions on one diagonal closer than ~w
+  // tokens merge.
+  val q162 =
+    Q(
+      "q162_winnow_extents",
+      s"""WITH $winnowFpSql,
+         |shared AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+         |           FROM fpf a JOIN fpf b
+         |             ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id),
+         |gp AS (SELECT *, pa - lag(pa) OVER
+         |         (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS gap FROM shared),
+         |brks AS (SELECT *, CASE WHEN gap IS NULL OR gap > $WinW THEN 1 ELSE 0 END AS brk FROM gp),
+         |segs AS (SELECT *, sum(brk) OVER
+         |           (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM brks)
+         |SELECT doc_a, doc_b,
+         |  min(pa) AS start_a, max(pa) + ${WinK - 1} AS end_a,
+         |  min(pb) AS start_b, max(pb) + ${WinK - 1} AS end_b,
+         |  CAST(count(*) AS BIGINT) AS n_fp
+         |FROM segs GROUP BY doc_a, doc_b, diag, seg
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin) { (s, d) =>
+      Winnow.spanExtents(Tables.documents(s, d), k = WinK, w = WinW, maxDf = WinMaxDf)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162)
 }

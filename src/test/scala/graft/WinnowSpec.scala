@@ -76,6 +76,44 @@ class WinnowSpec extends SparkSpec {
     assert(gaps <= W, s"max fingerprint gap $gaps exceeds window $W")
   }
 
+  test("spanExtents reports one segment covering a long planted span, inside its bounds") {
+    val rnd = new scala.util.Random(3)
+    val span = randWords(rnd, 40)
+    val offA = 13; val offB = 29
+    val docs = Seq(
+      (1L, (randWords(rnd, offA) ++ span ++ randWords(rnd, 20)).mkString(" ")),
+      (2L, (randWords(rnd, offB) ++ span ++ randWords(rnd, 25)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Winnow.spanExtents(docs, K, W).collect()
+    assert(rows.length == 1, s"expected one merged segment, got ${rows.toSeq}")
+    val r = rows.head
+    val (sa, ea) = (r.getAs[Long]("start_a"), r.getAs[Long]("end_a"))
+    val (sb, eb) = (r.getAs[Long]("start_b"), r.getAs[Long]("end_b"))
+    // extents lie inside the planted span and agree across both docs
+    assert(sa >= offA && ea <= offA + span.length - 1, s"a-extent [$sa,$ea] outside span")
+    assert(sb >= offB && eb <= offB + span.length - 1, s"b-extent [$sb,$eb] outside span")
+    assert(sa - offA == sb - offB && ea - offA == eb - offB, "extents misaligned across docs")
+    // winnowing covers all but < w positions at each edge
+    assert(ea - sa + 1 >= span.length - 2 * W, s"coverage ${ea - sa + 1} too small")
+  }
+
+  test("two shared regions on the SAME diagonal split into two segments across a > w gap") {
+    val rnd = new scala.util.Random(9)
+    val s1 = randWords(rnd, GuaranteeLen + 4)
+    val s2 = randWords(rnd, GuaranteeLen + 4)
+    val gapLen = 2 * (W + K) // same length both docs → same diagonal, no shared grams
+    val pA = randWords(rnd, 10); val pB = randWords(rnd, 22)
+    val docs = Seq(
+      (1L, (pA ++ s1 ++ randWords(rnd, gapLen) ++ s2 ++ randWords(rnd, 10)).mkString(" ")),
+      (2L, (pB ++ s1 ++ randWords(rnd, gapLen) ++ s2 ++ randWords(rnd, 10)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Winnow.spanExtents(docs, K, W).collect().sortBy(_.getAs[Long]("start_a"))
+    assert(rows.length == 2, s"expected two segments, got ${rows.toSeq}")
+    // first segment inside s1's extent, second inside s2's
+    assert(rows(0).getAs[Long]("end_a") < pA.length + s1.length + gapLen)
+    assert(rows(1).getAs[Long]("start_a") >= pA.length + s1.length + gapLen)
+  }
+
   test("fingerprint selection is a zero-shuffle projection") {
     // plain scan (Tables.documents adds its corpus-rebalance repartition,
     // which is input staging, not part of the operator)
