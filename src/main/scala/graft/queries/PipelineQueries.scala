@@ -1244,5 +1244,29 @@ object PipelineQueries extends QueryFamily {
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162)
+  // ---- q163: sequence packing (global token offsets) ---------------------
+  // The pretraining "concat corpus, cut every seq_len" step: each doc's
+  // global token offset via the two-phase distributed prefix sum
+  // (operators/Pack — range partitions + parallel intra-partition windows
+  // + partition-count-sized prefix broadcast; NEVER a corpus-sized
+  // un-partitioned window), then bin/offset/bins_spanned arithmetic.
+  val q163 = {
+    val L = 512
+    Q(
+      "q163_sequence_packing",
+      s"""WITH d AS (SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS global_start
+         |      FROM d)
+         |SELECT doc_id, n_tokens, global_start,
+         |  global_start // $L AS bin, global_start % $L AS "offset",
+         |  (global_start + n_tokens - 1) // $L - global_start // $L + 1 AS bins_spanned
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Pack.packSequences(Tables.documents(s, d), seqLen = L)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163)
 }
