@@ -1268,5 +1268,36 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163)
+  // ---- q164: weighted corpus sampling (Efraimidis–Spirakis) --------------
+  // Quality/length-WEIGHTED subsampling — the importance-sampling step
+  // between q127 (unweighted strata), q145 (caps), q152 (mix targets):
+  // keep k docs with inclusion probability ∝ weight. E–S priority
+  // key = u^(1/w) with u the salted-hash uniform (q145's md5-60 rank
+  // discipline), global top-k by key — Spark executes orderBy+limit as
+  // per-partition top-k + merge (TakeOrderedAndProject), never a global
+  // sort. Key rounded to 9dp with doc_id tie-break: near-ties become
+  // EXACT ties resolved deterministically, so cross-engine libm ULP
+  // differences cannot flip the selection (q61/q71 rounding precedent).
+  val q164 = {
+    val K = 1000
+    Q(
+      "q164_weighted_sample",
+      s"""WITH d AS (SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_words FROM documents),
+         |r AS (SELECT doc_id, n_words, least(n_words, 500) AS w,
+         |        CAST(('0x' || substr(md5('wsample|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rnk
+         |      FROM d),
+         |k AS (SELECT doc_id, n_words, w,
+         |        round(pow((CAST(rnk AS DOUBLE) + 1.0) / 1152921504606846976.0,
+         |              CAST(1.0 AS DOUBLE) / CAST(w AS DOUBLE)), 9) AS skey
+         |      FROM r)
+         |SELECT doc_id, n_words, w, skey
+         |FROM (SELECT * FROM k ORDER BY skey DESC, doc_id LIMIT $K)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.WeightedSample
+        .topK(Tables.documents(s, d), k = K, maxWeight = 500L)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164)
 }
