@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistical language-model quality scoring (the CCNet-style
+  * LM filter, Wenzek et al. 2020): per-document mean unigram log-prob
+  * under a model trained on the corpus itself — the model-based
+  * counterpart to q67's handwritten heuristics. Low-probability docs
+  * (gibberish, boilerplate, wrong-tokenization noise) score far below
+  * fluent text.
+  *
+  * Two passes, both corpus-scan-shaped:
+  *   1. MODEL: unigram counts (one shuffle on term), top-V by
+  *      (count desc, term) — a TakeOrderedAndProject, never a global
+  *      sort — with add-one smoothing over (N + V + 1).
+  *   2. SCORE: per-doc distinct-term counts as a zero-shuffle HOF
+  *      projection (the q120 pattern), broadcast-joined to the model,
+  *      then ONE integer aggregation per doc.
+  *
+  * Determinism discipline: each model term's log-prob is quantized ONCE
+  * to integer micro-units (floor(ln(p)·10⁶) — 4097 ln evaluations per
+  * corpus, not one per token), so every per-document quantity is an
+  * exact int64 sum — order-free, bit-replayable in SQL, no float
+  * accumulation anywhere. A cross-engine libm ULP difference can only
+  * matter if one of the 4097 quantized values sits within ~1e-15·|ln p|
+  * of an integer boundary.
+  */
+object LmScore {
+
+  /** (term, lnp_micro): top-`v` unigrams with quantized smoothed
+    * log-prob. `totals` rides along via broadcast cross-join — no
+    * driver-side collect of N.
+    */
+  def unigramModel(docs: DataFrame, v: Int): (DataFrame, DataFrame) = {
+    val toks = docs
+      .select(explode(graft.functions.Text.words(col("text"))).as("term"))
+    val totals = toks.agg(count(lit(1)).as("nn"))
+    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(totals))
+      .orderBy(col("c").desc, col("term")).limit(v)
+      .withColumn("lnp_micro", expr(
+        s"cast(floor(ln(cast(c + 1 as double) / cast(nn + $v + 1 as double)) * 1000000.0d) as bigint)"))
+      .select(col("term"), col("lnp_micro"))
+    (model, totals)
+  }
+
+  /** (doc_id, n_tokens, oov_frac, avg_logp, keep): mean per-token
+    * log-prob (6dp), out-of-vocabulary token fraction, and the filter
+    * verdict avg_logp ≥ threshold.
+    */
+  def score(docs: DataFrame, v: Int = 4096, threshold: Double = -9.0): DataFrame = {
+    val (model, totals) = unigramModel(docs, v)
+    val oov = broadcast(totals).select(expr(
+      s"cast(floor(ln(cast(1 as double) / cast(nn + $v + 1 as double)) * 1000000.0d) as bigint)")
+      .as("oov_micro"))
+    val dt = docs
+      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        explode(expr(
+          "transform(array_distinct(w), t -> struct(t as term, size(filter(w, x -> x = t)) as c_dt))"))
+          .as("e"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("e.term").as("term"), col("e.c_dt").cast("long").as("c_dt"))
+    dt.join(broadcast(model), Seq("term"), "left")
+      .crossJoin(broadcast(oov))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(
+        sum(when(col("lnp_micro").isNull, col("c_dt")).otherwise(lit(0L))).as("oov_toks"),
+        sum(col("c_dt") * coalesce(col("lnp_micro"), col("oov_micro"))).as("sum_micro"))
+      // 6dp rounding done in INTEGER arithmetic (half-up on positive
+      // operands, where integer division is floor in both engines):
+      // round(p/q, 6) computed as (2·p·10⁶ + q) div (2q) micro-units —
+      // a float round() of the same rational hits exact-.5 ties that
+      // Spark (BigDecimal HALF_UP) and DuckDB (double multiply-round)
+      // resolve differently (observed: 3/5000 docs at sf0.1). The final
+      // /10⁶ is the same IEEE division of identical operands on both
+      // engines — bit-identical output.
+      .withColumn("oov_micro6",
+        expr("(2 * oov_toks * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("avg_micro6",
+        -expr("(2 * (-sum_micro) + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("oov_micro6").cast("double") / 1000000.0).as("oov_frac"),
+        (col("avg_micro6").cast("double") / 1000000.0).as("avg_logp"),
+        (col("avg_micro6") >= lit(math.round(threshold * 1000000).toLong)).as("keep"))
+  }
+}

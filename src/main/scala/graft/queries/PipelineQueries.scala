@@ -1299,5 +1299,44 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164)
+  // ---- q165: corpus-statistical LM quality filter (CCNet-style) ----------
+  // Per-doc mean unigram log-prob under a model trained on the corpus
+  // itself (operators/LmScore) — the model-based counterpart to q67's
+  // heuristics. V=16 against the synthetic corpus's 31-term vocabulary
+  // so model selection AND the OOV path are both exercised; each model
+  // term's ln(p) is quantized ONCE to integer micro-units, so all
+  // per-doc arithmetic is exact int64 (no float accumulation to
+  // replay). Threshold −7.0 keeps ~84% at sf0.01 (both classes
+  // populated).
+  val q165 = {
+    val V = 16; val Thresh = -7.0
+    Q(
+      "q165_lm_quality",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
+         |toks AS (SELECT unnest(w) AS term FROM dd),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |model AS (SELECT term, CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnp_micro
+         |          FROM (SELECT * FROM cnt, tot ORDER BY c DESC, term LIMIT $V)),
+         |oov AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS oov_micro FROM tot),
+         |dt AS (SELECT doc_id, n_tokens, unnest(list_transform(list_distinct(w),
+         |         t -> struct_pack(term := t, c_dt := CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))) AS e
+         |       FROM dd),
+         |dt2 AS (SELECT doc_id, n_tokens, e.term AS term, e.c_dt AS c_dt FROM dt),
+         |sc AS (SELECT doc_id, n_tokens,
+         |         sum(CASE WHEN m.lnp_micro IS NULL THEN c_dt ELSE 0 END) AS oov_toks,
+         |         sum(c_dt * coalesce(m.lnp_micro, (SELECT oov_micro FROM oov))) AS sum_micro
+         |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1, 2)
+         |SELECT doc_id, n_tokens,
+         |  CAST((2 * oov_toks * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS oov_frac,
+         |  CAST(-((2 * (-sum_micro) + n_tokens) // (2 * n_tokens)) AS DOUBLE) / 1000000.0 AS avg_logp,
+         |  -((2 * (-sum_micro) + n_tokens) // (2 * n_tokens)) >= ${math.round(Thresh * 1000000)} AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.LmScore.score(Tables.documents(s, d), v = V, threshold = Thresh)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165)
 }
