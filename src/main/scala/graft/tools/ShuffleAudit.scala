@@ -1,0 +1,53 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+import graft._
+
+/** Measured-shuffle sweep: execute every registered query and report the
+  * ACTUAL bytes/records through its shuffle writes — the numbers behind
+  * §2.7's "this shuffle is bounded" claims (PlanAudit counts exchanges;
+  * this weighs them). Read against the known table sizes in TESTDATA.md:
+  * a df-capped / quota-sized / model-sized shuffle sits orders of
+  * magnitude below its input table; a corpus-sized shuffle rivals it.
+  * (Stage inputMetrics are NOT reported: the columnar parquet reader
+  * under-reports bytesRead for most scans, so an input-relative ratio
+  * would mislead.)
+  *
+  * Each query runs once to a noop sink with the cache cleared first; a
+  * short post-run pause lets the listener bus drain (stage events are
+  * asynchronous — the tail stage of a query can otherwise be billed to
+  * the next one; audit-grade, not bench-grade).
+  */
+object ShuffleAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shufW = new AtomicLong; val shufRec = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufW.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        }
+      }
+    })
+    def mb(b: Long): String = f"${b / 1048576.0}%.2f"
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        spark.catalog.clearCache()
+        Thread.sleep(200); shufW.set(0); shufRec.set(0)
+        fn(spark, d).write.format("noop").mode("overwrite").save()
+        Thread.sleep(300) // drain listener bus
+        println(f"[shuffle] $name%-32s shuffle_mb=${mb(shufW.get)}%-9s " +
+          f"shuffle_rows=${shufRec.get}%d")
+      } catch {
+        case e: Throwable => println(s"[shuffle] $name ERROR ${e.getMessage.take(60)}")
+      }
+    }
+    spark.stop()
+  }
+}
