@@ -925,9 +925,14 @@ object PipelineQueries extends QueryFamily {
         .crossJoin(broadcast(ad))
         .groupBy("doc_id")
         .agg(round(sum(expr(contrib)), 6).as("score"), count(lit(1)).as("n_terms"))
+      // top-10 FIRST via orderBy+limit (TakeOrderedAndProject — per-
+      // partition top-k + k-sized merge), THEN the rank window over the
+      // ≤10 survivors: a row_number window over the full match set would
+      // single-partition it, and a match set is only query-sized when the
+      // query is selective — this shape is safe for any query.
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
-      sc.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
+      sc.orderBy(col("score").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(w))
         .select(col("doc_id"), col("score"), col("n_terms"), col("rank"))
         .orderBy("rank")
     }

@@ -21,7 +21,16 @@ object PlanAudit {
           if (n > 0) Some(s"$j x$n") else None
         }
         val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges")
+        // un-partitioned window = windowspecdefinition whose FIRST element
+        // is already an ordering (no partition columns) — the
+        // corpus-serializing idiom §6 bans on data-sized inputs (final
+        // single-row global aggregates also use a SinglePartition exchange
+        // but are partial-agg reductions, not flagged). Every flagged
+        // occurrence must be accounted for in SURVEY as bounded-input.
+        val globalWin =
+          "windowspecdefinition\\(\\s*\\S+ (?:ASC|DESC)".r.findAllIn(plan).length
+        val winFlag = if (globalWin > 0) s" globalWindow=$globalWin" else ""
+        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges$winFlag")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(60)}")
       }
