@@ -60,4 +60,47 @@ object Geo {
     val lon = ((hDiv % 360000L).cast("double") / 1000.0) - 180.0
     (lat, lon)
   }
+
+  /** Integer milli-degree form of [[pointFor]]: (latMilli, lonMilli) as
+    * longs. The WKT text path formats from these integers — engines
+    * disagree on double→decimal rounding (Spark HALF_UP vs DuckDB
+    * truncation), so the portable contract never casts a double to text.
+    */
+  def pointMillisFor(key: Column, salt: Int): (Column, Column) = {
+    val h = conv(substring(md5(concat_ws("|", key.cast("string"), lit(salt))),
+      1, 12), 16, 10).cast("long")
+    val latM = (h % 120000L) - 60000L
+    val hDiv = ((h - (h % 120000L)) / 120000L).cast("long")
+    val lonM = (hDiv % 360000L) - 180000L
+    (latM, lonM)
+  }
+
+  /** Fixed-3-decimal rendering of an integer milli-degree coordinate
+    * ("12.345", "-0.500") — pure integer arithmetic, engine-portable.
+    */
+  def milliText(m: Column): Column = {
+    val a = abs(m)
+    // (a - a%1000)/1000: exact integer division via the same
+    // remainder-subtraction trick as pointFor (a < 2^48, double-exact)
+    val whole = ((a - (a % 1000L)) / 1000L).cast("long").cast("string")
+    concat(when(m < 0, lit("-")).otherwise(lit("")),
+      whole, lit("."), lpad((a % 1000L).cast("string"), 3, "0"))
+  }
+
+  /** ST_AsText(ST_Point(x, y)) for a milli-degree point — WKT order is
+    * (x y) = (lon lat) (reference: geospatial.rst:66,:101; point subset
+    * only — the full ESRI geometry kernel stays excluded, SURVEY §2.2).
+    */
+  def wktPoint(lonM: Column, latM: Column): Column =
+    concat(lit("POINT ("), milliText(lonM), lit(" "), milliText(latM), lit(")"))
+
+  /** ST_X / ST_Y over a point WKT string (geospatial.rst:390 family):
+    * parse back to double. A 3-decimal literal parses to the same double
+    * as integer-millis/1000.0 (both are nearest-double of the exact
+    * rational), so round-trips are exact.
+    */
+  def wktX(wkt: Column): Column =
+    regexp_extract(wkt, "POINT \\(([-0-9.]+) ", 1).cast("double")
+  def wktY(wkt: Column): Column =
+    regexp_extract(wkt, " ([-0-9.]+)\\)", 1).cast("double")
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL query-string parameter extraction replaying the reference's exact
+  * contract (reference: presto-main/src/main/java/com/facebook/presto/
+  * operator/scalar/UrlFunctions.java:124, url.rst:27): split the query
+  * on `&`, split each argument on the FIRST `=` only, return the value
+  * of the FIRST argument whose key equals `name`; a matching key with no
+  * `=` yields the empty string; no matching key yields NULL.
+  *
+  * Spark's built-in `parse_url(url, 'QUERY', key)` is regex-based and
+  * returns NULL for a present-but-valueless key, so the contract is
+  * composed from codegen'd split/filter/substring instead — still zero
+  * UDFs, still inside WholeStageCodegen.
+  */
+object Url {
+
+  /** The raw query string: everything between `?` and `#` (or end). */
+  def extractQuery(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** First query argument (`k`, `k=`, or `k=v`) whose key equals `name`,
+    * or NULL. Key = text before the first `=` (Splitter.on('=').limit(2)
+    * semantics).
+    */
+  private def firstArg(url: Column, name: Column): Column =
+    try_element_at(
+      filter(split(extractQuery(url), "&"),
+        a => element_at(split(a, "=", 2), 1) === name),
+      lit(1))
+
+  /** url_extract_parameter(url, name) — see object doc for the contract. */
+  def extractParameter(url: Column, name: Column): Column = {
+    val m = firstArg(url, name)
+    when(m.isNull, lit(null).cast("string"))
+      .when(instr(m, "=") > 0, m.substr(instr(m, "=") + 1, length(m)))
+      .otherwise(lit(""))
+  }
+}

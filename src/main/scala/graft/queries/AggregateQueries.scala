@@ -888,10 +888,16 @@ object AggregateQueries extends QueryFamily {
   }
 
   // ---- q148: seeded noisy aggregates -------------------------------------
-  // noisy_count_gaussian / noisy_count_if_gaussian / noisy_sum_gaussian with
-  // random_seed (aggregate.rst:386,:413,:440 — the seeded form IS
-  // deterministic by contract; the unseeded form is excluded as
-  // unoracleable, SURVEY §2.2 exclusions).
+  // noisy_count_gaussian / noisy_count_if_gaussian / noisy_sum_gaussian /
+  // noisy_avg_gaussian with random_seed (aggregate.rst:386,:413,:440,:498 —
+  // the seeded form IS deterministic by contract; the unseeded form is
+  // excluded as unoracleable, SURVEY §2.2 exclusions).
+  //
+  // noisy_avg keeps the all-integer discipline: the exact average is
+  // carried as micro-dollars via integer division (cents·10⁴ div n — both
+  // engines truncate toward zero), noise is added in integer micros, and
+  // the double rendering divides by 10⁶ only at the very end (one
+  // correctly-rounded IEEE op, identical cross-engine).
   //
   // Noise: Irwin–Hall(12) — sum of 12 uniform draws — the classic exact-
   // arithmetic Gaussian approximation. Each draw is 40 bits of
@@ -919,7 +925,9 @@ object AggregateQueries extends QueryFamily {
        |SELECT event_type, exact_n,
        | exact_n + ${q148NoiseDuck("event_type", 42, 10L, "nc")} AS noisy_n,
        | exact_hi + ${q148NoiseDuck("event_type", 42, 10L, "ncif")} AS noisy_hi,
-       | exact_cents + ${q148NoiseDuck("event_type", 42, 5000L, "ns")} AS noisy_cents
+       | exact_cents + ${q148NoiseDuck("event_type", 42, 5000L, "ns")} AS noisy_cents,
+       | (exact_cents * 10000 // exact_n) + ${q148NoiseDuck("event_type", 42, 2000000L, "na")} AS noisy_avg_micro,
+       | CAST((exact_cents * 10000 // exact_n) + ${q148NoiseDuck("event_type", 42, 2000000L, "na")} AS DOUBLE) / 1000000.0 AS noisy_avg
        |FROM g
        |ORDER BY event_type""".stripMargin) { (s, d) =>
     Tables.events(s, d)
@@ -927,10 +935,15 @@ object AggregateQueries extends QueryFamily {
       .agg(count(lit(1)).as("exact_n"),
         count_if(col("value") > 50).as("exact_hi"),
         sum(expr("cast(round(value * 100) as bigint)")).as("exact_cents"))
+      .withColumn("noisy_avg_micro",
+        expr("exact_cents * 10000 div exact_n") +
+          expr(q148NoiseSpark("event_type", 42, 2000000L, "na")))
       .select(col("event_type"), col("exact_n"),
         (col("exact_n") + expr(q148NoiseSpark("event_type", 42, 10L, "nc"))).as("noisy_n"),
         (col("exact_hi") + expr(q148NoiseSpark("event_type", 42, 10L, "ncif"))).as("noisy_hi"),
-        (col("exact_cents") + expr(q148NoiseSpark("event_type", 42, 5000L, "ns"))).as("noisy_cents"))
+        (col("exact_cents") + expr(q148NoiseSpark("event_type", 42, 5000L, "ns"))).as("noisy_cents"),
+        col("noisy_avg_micro"),
+        (col("noisy_avg_micro").cast("double") / 1000000.0).as("noisy_avg"))
       .orderBy("event_type")
   }
 

@@ -2320,5 +2320,196 @@ object FunctionQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159)
+  // ---- q166: datetime parse family (datetime.rst:64,:68,:98,:269,:364) --
+  // from_iso8601_timestamp / from_iso8601_date / to_iso8601 /
+  // parse_datetime (numeric Joda patterns, q97's locale discipline) /
+  // timezone_hour / timezone_minute (reference
+  // presto-main/.../DateTimeFunctions.java:1). Offsets are synthesized
+  // per-row in 15-minute steps (±7 h); parsed instants come back as epoch
+  // seconds so no timestamp-with-tz rendering ever crosses the oracle
+  // boundary. timezone_hour/minute are computed FROM the parsed values —
+  // (epoch of the local part read as UTC) − (epoch with offset) — with
+  // explicit sign handling (Spark div truncates, DuckDB // floors; abs
+  // first makes them agree).
+  val q166 = Q(
+    "q166_datetime_parse",
+    """WITH b AS (SELECT event_id,
+      |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS local_s,
+      |  strftime(ts, '%Y-%m-%d') AS date_s,
+      |  strftime(ts, '%Y/%m/%d %H.%M.%S') AS joda_s,
+      |  ((event_id % 57) - 28) * 15 AS tot_min
+      | FROM events WHERE event_id < 500),
+      |u AS (SELECT event_id, local_s, date_s, joda_s,
+      |  local_s || (CASE WHEN tot_min < 0 THEN '-' ELSE '+' END) ||
+      |    lpad(CAST(abs(tot_min) // 60 AS VARCHAR), 2, '0') || ':' ||
+      |    lpad(CAST(abs(tot_min) % 60 AS VARCHAR), 2, '0') AS iso_ts
+      | FROM b),
+      |p AS (SELECT event_id, iso_ts, date_s, local_s, joda_s,
+      |  CAST(epoch(strptime(iso_ts, '%Y-%m-%dT%H:%M:%S%z')) AS BIGINT) AS epoch_tz,
+      |  CAST(epoch(strptime(local_s, '%Y-%m-%dT%H:%M:%S')) AS BIGINT) AS epoch_local,
+      |  CAST(epoch(strptime(joda_s, '%Y/%m/%d %H.%M.%S')) AS BIGINT) AS epoch_joda
+      | FROM u)
+      |SELECT event_id, iso_ts, epoch_tz,
+      | CAST(date_s AS DATE) AS d_iso,
+      | local_s AS iso_out,
+      | epoch_joda,
+      | epoch_local - epoch_tz AS offset_secs,
+      | (CASE WHEN epoch_local < epoch_tz THEN -1 ELSE 1 END)
+      |   * (abs(epoch_local - epoch_tz) // 3600) AS tz_hour,
+      | (CASE WHEN epoch_local < epoch_tz THEN -1 ELSE 1 END)
+      |   * ((abs(epoch_local - epoch_tz) % 3600) // 60) AS tz_minute
+      |FROM p
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val totMin = ((col("event_id") % 57) - 28) * 15
+    val base = Tables.events(s, d).filter(col("event_id") < 500)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("local_s"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date_s"),
+        date_format(col("ts"), "yyyy/MM/dd HH.mm.ss").as("joda_s"),
+        totMin.as("tot_min"))
+    val am = abs(col("tot_min"))
+    val iso = concat(col("local_s"),
+      when(col("tot_min") < 0, lit("-")).otherwise(lit("+")),
+      lpad(((am - am % 60) / 60).cast("long").cast("string"), 2, "0"),
+      lit(":"), lpad((am % 60).cast("string"), 2, "0"))
+    val p = base.withColumn("iso_ts", iso)
+      .withColumn("epoch_tz",
+        unix_timestamp(col("iso_ts"), "yyyy-MM-dd'T'HH:mm:ssXXX"))
+      .withColumn("epoch_local",
+        unix_timestamp(col("local_s"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .withColumn("epoch_joda",
+        unix_timestamp(col("joda_s"), "yyyy/MM/dd HH.mm.ss"))
+    val off = col("epoch_local") - col("epoch_tz")
+    val sig = when(off < 0, lit(-1L)).otherwise(lit(1L))
+    val aOff = abs(off)
+    p.select(col("event_id"), col("iso_ts"), col("epoch_tz"),
+      to_date(col("date_s")).as("d_iso"),
+      col("local_s").as("iso_out"),
+      col("epoch_joda"),
+      off.as("offset_secs"),
+      (sig * ((aOff - aOff % 3600L) / 3600L).cast("long")).as("tz_hour"),
+      (sig * (((aOff % 3600L) - (aOff % 60L)) / 60L).cast("long")).as("tz_minute"))
+      .orderBy("event_id")
+  }
+
+  // ---- q167: url_extract_parameter (url.rst:27, UrlFunctions.java:124) ---
+  // First-match contract with the three edge shapes Presto's Splitter
+  // logic distinguishes: duplicate key (first wins), key with no `=`
+  // (empty string), key with empty value (empty string), absent key
+  // (NULL). q43 covers the rest of the url_extract_* surface via
+  // parse_url; this query covers the parameter contract parse_url gets
+  // wrong (valueless keys).
+  val q167 = Q(
+    "q167_url_param",
+    """WITH t AS (SELECT p_partkey,
+      |  'https://parts.example.com/c/' || replace(p_name, ' ', '-')
+      |   || '?size=' || CAST(p_size AS VARCHAR)
+      |   || (CASE p_partkey % 3 WHEN 0 THEN '&flag' WHEN 1 THEN '&empty=' ELSE '' END)
+      |   || '&brand=' || replace(p_brand, '#', '') || '&size=999'
+      |   || '#frag' AS url
+      | FROM part WHERE p_partkey < 300)
+      |SELECT p_partkey, url,
+      | (SELECT CASE WHEN m IS NULL THEN NULL
+      |              WHEN contains(m, '=') THEN substr(m, strpos(m, '=') + 1)
+      |              ELSE '' END
+      |  FROM (SELECT list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          x -> string_split(x, '=')[1] = 'size')[1] AS m)) AS p_size_first,
+      | (SELECT CASE WHEN m IS NULL THEN NULL
+      |              WHEN contains(m, '=') THEN substr(m, strpos(m, '=') + 1)
+      |              ELSE '' END
+      |  FROM (SELECT list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          x -> string_split(x, '=')[1] = 'brand')[1] AS m)) AS p_brand_v,
+      | (SELECT CASE WHEN m IS NULL THEN NULL
+      |              WHEN contains(m, '=') THEN substr(m, strpos(m, '=') + 1)
+      |              ELSE '' END
+      |  FROM (SELECT list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          x -> string_split(x, '=')[1] = 'flag')[1] AS m)) AS p_flag,
+      | (SELECT CASE WHEN m IS NULL THEN NULL
+      |              WHEN contains(m, '=') THEN substr(m, strpos(m, '=') + 1)
+      |              ELSE '' END
+      |  FROM (SELECT list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          x -> string_split(x, '=')[1] = 'empty')[1] AS m)) AS p_empty,
+      | (SELECT CASE WHEN m IS NULL THEN NULL
+      |              WHEN contains(m, '=') THEN substr(m, strpos(m, '=') + 1)
+      |              ELSE '' END
+      |  FROM (SELECT list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |          x -> string_split(x, '=')[1] = 'absent')[1] AS m)) AS p_absent
+      |FROM t
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    import graft.functions.Url
+    val url = concat(lit("https://parts.example.com/c/"),
+      regexp_replace(col("p_name"), " ", "-"),
+      lit("?size="), col("p_size").cast("string"),
+      when(col("p_partkey") % 3 === 0, lit("&flag"))
+        .when(col("p_partkey") % 3 === 1, lit("&empty=")).otherwise(lit("")),
+      lit("&brand="), regexp_replace(col("p_brand"), "#", ""),
+      lit("&size=999"), lit("#frag"))
+    Tables.part(s, d).filter(col("p_partkey") < 300)
+      .select(col("p_partkey"), url.as("url"))
+      .select(col("p_partkey"), col("url"),
+        Url.extractParameter(col("url"), lit("size")).as("p_size_first"),
+        Url.extractParameter(col("url"), lit("brand")).as("p_brand_v"),
+        Url.extractParameter(col("url"), lit("flag")).as("p_flag"),
+        Url.extractParameter(col("url"), lit("empty")).as("p_empty"),
+        Url.extractParameter(col("url"), lit("absent")).as("p_absent"))
+      .orderBy("p_partkey")
+  }
+
+  // ---- q168: point-geometry WKT subset (geospatial.rst:66,:73,:101,:167,
+  // :390) -- ST_Point / ST_AsText / ST_GeometryFromText(point) / ST_X /
+  // ST_Y / ST_Within(point, polygon) as the converse of the q89
+  // ST_Contains kernel. Pure integer/string arithmetic — WKT text is
+  // formatted from integer milli-degrees (see Geo.milliText for why
+  // doubles never touch text), parsed back, and round-trip-checked.
+  // The full ESRI geometry kernel (lines, polygons as VALUES, overlays)
+  // stays excluded — SURVEY §2.2 exclusion list.
+  val q168 = {
+    val poly: Seq[(Double, Double)] = Seq(
+      (10.0, -30.0), (45.0, -10.0), (30.0, 40.0), (-15.0, 35.0), (-35.0, -5.0))
+    val duckM =
+      """ (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '21'), 1, 12) AS BIGINT) % 120000) - 60000 AS lat_m,
+        | ((CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '|' || '21'), 1, 12) AS BIGINT) // 120000) % 360000 - 180000) AS lon_m""".stripMargin
+    def duckTxt(m: String): String =
+      s"(CASE WHEN $m < 0 THEN '-' ELSE '' END) || CAST(abs($m) // 1000 AS VARCHAR)" +
+        s" || '.' || lpad(CAST(abs($m) % 1000 AS VARCHAR), 3, '0')"
+    Q(
+      "q168_wkt_point",
+      s"""WITH c AS (SELECT c_custkey,
+         |$duckM
+         | FROM customer WHERE c_custkey < 600),
+         |w AS (SELECT c_custkey, lat_m, lon_m,
+         |  CAST(lat_m AS DOUBLE) / 1000.0 AS lat,
+         |  CAST(lon_m AS DOUBLE) / 1000.0 AS lon,
+         |  'POINT (' || ${duckTxt("lon_m")} || ' ' || ${duckTxt("lat_m")} || ')' AS wkt
+         | FROM c),
+         |p AS (SELECT c_custkey, lat, lon, wkt,
+         |  CAST(regexp_extract(wkt, 'POINT \\(([-0-9.]+) ', 1) AS DOUBLE) AS x_rt,
+         |  CAST(regexp_extract(wkt, ' ([-0-9.]+)\\)', 1) AS DOUBLE) AS y_rt
+         | FROM w)
+         |SELECT c_custkey, wkt, x_rt, y_rt,
+         | x_rt = lon AND y_rt = lat AS rt_exact,
+         | ${graft.plans.StContains.duckSql(poly, "lat", "lon")} AS within_poly
+         |FROM p
+         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      import graft.functions.Geo
+      import graft.plans.NativeFunctions
+      val (latM, lonM) = Geo.pointMillisFor(col("c_custkey"), 21)
+      val polyLats = array(poly.map(v => lit(v._1)): _*)
+      val polyLons = array(poly.map(v => lit(v._2)): _*)
+      Tables.customer(s, d).filter(col("c_custkey") < 600)
+        .select(col("c_custkey"), latM.as("lat_m"), lonM.as("lon_m"))
+        .withColumn("lat", col("lat_m").cast("double") / 1000.0)
+        .withColumn("lon", col("lon_m").cast("double") / 1000.0)
+        .withColumn("wkt", Geo.wktPoint(col("lon_m"), col("lat_m")))
+        .withColumn("x_rt", Geo.wktX(col("wkt")))
+        .withColumn("y_rt", Geo.wktY(col("wkt")))
+        .select(col("c_custkey"), col("wkt"), col("x_rt"), col("y_rt"),
+          (col("x_rt") === col("lon") && col("y_rt") === col("lat")).as("rt_exact"),
+          NativeFunctions.stContains(polyLats, polyLons, col("lat"), col("lon"))
+            .as("within_poly"))
+        .orderBy("c_custkey")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168)
 }
