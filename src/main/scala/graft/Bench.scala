@@ -41,19 +41,29 @@ object Bench {
     // whose reported min exceeds 1.5 s carry their detail in the JSON
     // line itself (compact — only outliers).
     val slowDetail = collection.mutable.ArrayBuffer[(String, String)]()
-    val gcStride = sys.env.getOrElse("SPARK_GRAFT_GC_STRIDE", "4").toInt
+    // Stride DEFAULT IS NOW 1 — a System.gc() before EVERY query's timed
+    // runs, not every 4th. The r5 driver bench showed the stride-4
+    // posture is position-dependent under machine load: the divergent
+    // queries (q62 21×, q155 8.7× driver/local) were the two biggest
+    // persist-index builders, and the queries scheduled right after
+    // q155 (q156 8.9×, q157 10.4×) inflated with them while the global
+    // median sat at 1.31× — accumulated garbage + async cache teardown
+    // from a heavy predecessor landing inside a later query's timed
+    // window. Per-query GC costs untimed wall-clock only (~0.1 s × 168)
+    // and makes every query start from the same heap state regardless
+    // of where it sits in the run order. It also lets the
+    // ContextCleaner reclaim dropped broadcast/shuffle state at a
+    // controlled point (its own periodic GC defaults to 30 min —
+    // longer than the whole run). See BENCHNOTES.md for the A/B.
+    val gcStride = sys.env.getOrElse("SPARK_GRAFT_GC_STRIDE", "1").toInt
+    // Optional regex filter for local experiments on a sub-sequence of
+    // the run order (positional effects need real neighbors, so this
+    // selects a contiguous alphabetical range rather than reordering).
+    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.r)
     val results: Seq[(String, Either[String, Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
-        // Drain accumulated garbage BEFORE the timed runs, not at a
-        // fixed stride: r4's one unexplained outlier (q11) sat ~15
-        // queries past the last periodic GC, right after the
-        // explode-heavy q119 — a major collection of that backlog
-        // landing inside both timed runs is exactly the min-of-2
-        // failure mode. A GC here costs untimed milliseconds and makes
-        // each query start from the same heap state. It also lets the
-        // ContextCleaner reclaim dropped broadcast/shuffle state at a
-        // controlled point (its own periodic GC defaults to 30 min —
-        // longer than the whole run).
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+        .zipWithIndex.map { case ((name, fn), i) =>
         if (i % gcStride == 0) System.gc()
         def once(): Either[String, (Double, Long)] = {
           val g0 = gcMillis

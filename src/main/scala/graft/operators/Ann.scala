@@ -107,7 +107,7 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
-    vecs.unpersist()
+    vecs.unpersist(blocking = true)
     cents
   }
 
@@ -278,7 +278,7 @@ object Ann {
         .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
-    sv.unpersist()
+    sv.unpersist(blocking = true)
     cents.sortBy(c => (c._1, c._2))
   }
 
@@ -388,7 +388,7 @@ object Ann {
     // set's persist can be released before returning — no stranded
     // blocks in a long-lived session (r3 VERDICT hygiene contract)
     val materialized = out.localCheckpoint()
-    corpusAssigned.unpersist()
+    corpusAssigned.unpersist(blocking = true)
     materialized
   }
 

@@ -76,7 +76,7 @@ object Components {
       converged = changed == 0
       iter += 1
     }
-    sym.unpersist()
+    sym.unpersist(blocking = true)
     labels
   }
 

@@ -114,11 +114,19 @@ object Dedup {
     * then release the index blocks. The result cache is registered with
     * the session CacheManager, so `spark.catalog.clearCache()` (or the
     * caller's own unpersist) reclaims it — nothing is stranded.
+    *
+    * The release is BLOCKING: with the default async unpersist, a
+    * corpus-sized index's block removal bleeds into whatever runs next —
+    * the r5 driver bench showed exactly that signature (q62/q155, the
+    * two biggest index builders, 8–21× driver/local while everything
+    * else sat at ~1.3×, with the queries scheduled right after them
+    * inflated too — BENCHNOTES.md r6). Synchronous removal bills the
+    * teardown to the operator that created the index, where it belongs.
     */
   private def materializeAndRelease(result: DataFrame, index: DataFrame): DataFrame = {
     val out = result.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    index.unpersist()
+    index.unpersist(blocking = true)
     out
   }
 

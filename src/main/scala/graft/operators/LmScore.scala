@@ -48,6 +48,15 @@ object LmScore {
   /** (doc_id, n_tokens, oov_frac, avg_logp, keep): mean per-token
     * log-prob (6dp), out-of-vocabulary token fraction, and the filter
     * verdict avg_logp ≥ threshold.
+    *
+    * CONTRACT: zero-token documents are DROPPED from the output, not
+    * scored — "mean log-prob of no tokens" has no value that wouldn't be
+    * an arbitrary sentinel, and a pipeline that wants them filtered
+    * already removes them with a `length(text) > 0`-style predicate
+    * upstream. The q165 oracle replays the same drop (SQL `unnest` over
+    * an empty token list emits no rows), so both engines agree row-for-
+    * row. This is the explode (not explode_outer) below, and it is also
+    * what keeps n_tokens > 0 in the integer 6dp division.
     */
   def score(docs: DataFrame, v: Int = 4096, threshold: Double = -9.0): DataFrame = {
     val (model, totals) = unigramModel(docs, v)

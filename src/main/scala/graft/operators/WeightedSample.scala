@@ -38,16 +38,20 @@ object WeightedSample {
         size(graft.functions.Text.words(col("text"))).cast("long").as("n_words")),
       least(col("n_words"), lit(maxWeight)), k)
 
-  /** Generic form: any positive integral weight column expression. */
-  def topKWeighted(ids: DataFrame, weight: org.apache.spark.sql.Column, k: Int): DataFrame =
+  /** Generic form: any positive integral weight column expression over
+    * any ids frame — `idCol` names the id column used for both the rank
+    * hash and the tie-break (doc_id for the corpus tables).
+    */
+  def topKWeighted(ids: DataFrame, weight: org.apache.spark.sql.Column, k: Int,
+                   idCol: String = "doc_id"): DataFrame =
     ids
       .withColumn("w", weight)
       .withColumn("rnk", expr(
-        "cast(conv(substring(md5(concat('wsample|', cast(doc_id as string))), 1, 15), 16, 10) as bigint)"))
+        s"cast(conv(substring(md5(concat('wsample|', cast($idCol as string))), 1, 15), 16, 10) as bigint)"))
       .withColumn("skey", round(
         pow(expr(s"(cast(rnk as double) + 1.0d) / $TwoPow60"),
           expr("cast(1.0 as double) / cast(w as double)")), 9))
       .drop("rnk")
-      .orderBy(col("skey").desc, col("doc_id"))
+      .orderBy(col("skey").desc, col(idCol))
       .limit(k)
 }

@@ -92,7 +92,7 @@ object Winnow {
         min(col("a.pos")).as("pos_a"), min(col("b.pos")).as("pos_b"))
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    fp.unpersist()
+    fp.unpersist(blocking = true)
     out
   }
 
@@ -145,7 +145,7 @@ object Winnow {
         col("start_b"), col("end_b"), col("n_fp"))
     val out = segs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
-    fp.unpersist()
+    fp.unpersist(blocking = true)
     out
   }
 

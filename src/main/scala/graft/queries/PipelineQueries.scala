@@ -330,21 +330,24 @@ object PipelineQueries extends QueryFamily {
   private def annPlantQueries(embs: DataFrame): DataFrame =
     embs.filter(col("vec_id") < 10)
       .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+  // Oracled projection = top1 only: rank-1 identity (and cosine 1.0) is
+  // the invariant the planted twin guarantees at ANY sf/c/nprobe. Row and
+  // candidate-set counts are data-dependent (a probed cell can hold
+  // < k vectors at small sf), so they live in AnnSpec's shape assertions,
+  // not the cross-engine oracle.
   private def annTop1Summary(knn: DataFrame, simCol: Option[String]): DataFrame = {
-    val aggs = simCol.map(c => max(when(col("rn") === 1, col(c))).as("top1_sim")).toSeq :+
-      count(lit(1)).as("n_rows") :+ countDistinct(col("cid")).as("n_cands")
+    val aggs = simCol.map(c => max(when(col("rn") === 1, col(c))).as("top1_sim")).toSeq
     knn.groupBy(col("qid"))
       .agg(max(when(col("rn") === 1, col("cid"))).as("top1_cid"), aggs: _*)
       .orderBy("qid")
   }
   private def annTop1Oracle(simCol: String): String =
     s"""SELECT CAST(vec_id + 1000000 AS BIGINT) AS qid,
-       | vec_id AS top1_cid,$simCol
-       | CAST(5 AS BIGINT) AS n_rows, CAST(5 AS BIGINT) AS n_cands
+       | vec_id AS top1_cid${if (simCol.nonEmpty) "," else ""}$simCol
        |FROM embeddings WHERE vec_id < 10
        |ORDER BY qid""".stripMargin
 
-  val q87 = Q("q87_ivf_ann", annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim,")) { (s, d) =>
+  val q87 = Q("q87_ivf_ann", annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
       Ann.ivfKnn(embs, annPlantQueries(embs), k = 5, c = 16, nprobe = 4),

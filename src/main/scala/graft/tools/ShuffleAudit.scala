@@ -41,7 +41,18 @@ object ShuffleAudit {
         spark.catalog.clearCache()
         Thread.sleep(200); shufW.set(0); shufRec.set(0)
         fn(spark, d).write.format("noop").mode("overwrite").save()
-        Thread.sleep(300) // drain listener bus
+        // Drain the async listener bus until the counters are STABLE for
+        // two consecutive intervals (≥600 ms quiet), not a fixed pause —
+        // a fixed 300 ms misattributed a slow query's tail stages to the
+        // NEXT query on a loaded machine. Bounded at 5 s so a stuck bus
+        // can't hang the audit; audit-grade numbers, not a benchmark.
+        var quiet = 0; var waited = 0
+        var last = (shufW.get, shufRec.get)
+        while (quiet < 2 && waited < 5000) {
+          Thread.sleep(300); waited += 300
+          val now = (shufW.get, shufRec.get)
+          if (now == last) quiet += 1 else { quiet = 0; last = now }
+        }
         println(f"[shuffle] $name%-32s shuffle_mb=${mb(shufW.get)}%-9s " +
           f"shuffle_rows=${shufRec.get}%d")
       } catch {
