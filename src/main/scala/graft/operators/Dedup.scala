@@ -102,7 +102,13 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("s")).as("n_shared"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
-    val out = hits.join(sizes, Seq("doc_id"))
+    // hits is DECLARED-BOUNDED: only train docs sharing ≥1 (df-capped)
+    // shingle with the benchmark — at most |eval shingles|·maxDf rows,
+    // benchmark-scale, never corpus-scale. Broadcasting it makes the
+    // final per-doc join map-side: two exchanges and a sort-merge drop
+    // out of the plan (r6 plan diet — the r5 plan re-shuffled both
+    // aggregated sides on doc_id just to join hit docs to their sizes).
+    val out = sizes.join(broadcast(hits), Seq("doc_id"))
       .withColumn("overlap", round(col("n_shared") / col("n_sh").cast("double"), 6))
       .filter(col("overlap") >= minOverlap)
       .select(col("doc_id").as("train_id"), col("n_shared"), col("n_eval_docs"),

@@ -1,22 +1,38 @@
 package graft.tools
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.PlanExpression
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 import graft._
 
-/** Plan-quality sweep: print each query's join strategies and scan
-  * shapes so accidental nested-loop joins / missed broadcasts / lost
+/** Plan-quality sweep: print each query's join strategies and shuffle
+  * topology so accidental nested-loop joins / missed broadcasts / lost
   * pushdowns show up as a one-line diff.
   *
-  * Global (un-partitioned) windows are detected STRUCTURALLY — a
-  * catalyst Window node with an empty partitionSpec — not by regex over
-  * the plan string: the r5 audit's string match required a single
-  * non-space token before ASC/DESC and missed the `Window.partitionBy()`
-  * spelling entirely (q155), which is exactly the kind of dodge an audit
-  * tool must not allow. Every detected global window must be registered
-  * in [[boundedWhitelist]] with a bounded-by-construction justification,
-  * or the audit exits non-zero.
+  * Counts are STRUCTURAL (tree traversal), not string matches, for two
+  * reasons found the hard way:
+  *
+  *  - The r5 string count of "Exchange hashpartitioning" reported 30
+  *    exchanges for q128 when the executed topology has ~8: the plan
+  *    STRING reprints a cached index's whole build subtree at every
+  *    InMemoryRelation occurrence (3× for the dedup shingle index).
+  *    Here each distinct cached relation's build plan is counted ONCE
+  *    (it executes once), and AQE wrappers / physical subqueries are
+  *    traversed instead of string-scanned.
+  *  - The r5 global-window regex required a single non-space token
+  *    before ASC/DESC and missed the `Window.partitionBy()` spelling
+  *    entirely (q155) — exactly the kind of dodge an audit tool must
+  *    not allow. Windows are detected on the catalyst node's empty
+  *    partitionSpec, and every detected global window must be
+  *    registered in [[boundedWhitelist]] with a bounded-by-construction
+  *    justification, or the audit exits non-zero.
   */
 object PlanAudit {
 
@@ -42,22 +58,57 @@ object PlanAudit {
     "q163_sequence_packing" ->
       "global window on per-partition pack summaries: input <= #partitions rows")
 
+  private val joinClasses = Set(
+    "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
+    "BroadcastNestedLoopJoinExec", "CartesianProductExec")
+
+  /** (join-class → count, shuffle-exchange count) over the plan's true
+    * execution topology: descends into the AQE wrapper's input plan,
+    * physical subquery plans, and each DISTINCT cached relation's build
+    * plan exactly once.
+    */
+  def structuralCounts(root: SparkPlan): (Map[String, Int], Int) = {
+    val seenCaches = mutable.Set[AnyRef]()
+    val joins = mutable.Map.empty[String, Int].withDefaultValue(0)
+    var exchanges = 0
+    def visit(p: SparkPlan): Unit = p.foreach { node =>
+      node match {
+        // initialPlan, not inputPlan: exchanges are only inserted by the
+        // stage-preparation rules (EnsureRequirements) that produce it
+        case a: AdaptiveSparkPlanExec => visit(a.initialPlan)
+        case s: InMemoryTableScanExec =>
+          if (seenCaches.add(s.relation.cacheBuilder)) visit(s.relation.cachedPlan)
+        case _: ShuffleExchangeExec => exchanges += 1
+        case n if joinClasses(n.getClass.getSimpleName) =>
+          val k = n.getClass.getSimpleName.stripSuffix("Exec")
+          joins(k) = joins(k) + 1
+        case _ => ()
+      }
+      node.expressions.foreach(_.foreach {
+        case pe: PlanExpression[_] => pe.plan match {
+          case sp: SparkPlan => visit(sp)
+          case _ => ()
+        }
+        case _ => ()
+      })
+    }
+    visit(root)
+    (joins.toMap, exchanges)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val interesting = Seq(
-      "BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
-      "BroadcastNestedLoopJoin", "CartesianProduct")
+    // optional regex filter (same knob as Bench) for single-query checks
+    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.r)
     var violations = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, d)
-        val plan = df.queryExecution.executedPlan.toString
-        val joins = interesting.flatMap { j =>
-          val n = j.r.findAllIn(plan).length
-          if (n > 0) Some(s"$j x$n") else None
-        }
-        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        val (joinCounts, exchanges) = structuralCounts(df.queryExecution.executedPlan)
+        val joins = joinCounts.toSeq.sortBy(_._1).map { case (k, n) => s"$k x$n" }
         val globalWin = globalWindows(df)
         val winFlag =
           if (globalWin == 0) ""
