@@ -46,6 +46,26 @@ object Maps {
     rebuild(entryRows(df, keys, mapCol).groupBy((keys :+ "k").map(col): _*)
       .agg(sum(col("v")).as("v")), keys, out)
 
+  /** map_union AND map_union_sum over the same input in ONE entry pass —
+    * the shape the reference executes when a query computes several map
+    * aggregates in the same GROUP BY (one AggregationNode, shared
+    * input). Separate [[mapUnionMax]]/[[mapUnionSum]] calls re-explode
+    * and re-shuffle the entry stream per aggregate and then need a join
+    * to reunite results that were never apart — at corpus scale that is
+    * two extra passes over the map column for zero information.
+    */
+  def mapUnions(df: DataFrame, keys: Seq[String], mapCol: String,
+                outMax: String = "map_union",
+                outSum: String = "map_union_sum"): DataFrame =
+    entryRows(df, keys, mapCol).groupBy((keys :+ "k").map(col): _*)
+      .agg(max(col("v")).as("vmax"), sum(col("v")).as("vsum"))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(col("k"), col("vmax")))))
+          .as(outMax),
+        map_from_entries(sort_array(collect_list(struct(col("k"), col("vsum")))))
+          .as(outSum))
+
   /** Presto multimap_agg(key, value) → map<k, array<v>> with values
     * sorted per key (the reference preserves encounter order, which is
     * partitioning-dependent; sorted is the deterministic contract).

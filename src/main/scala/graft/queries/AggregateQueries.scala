@@ -610,14 +610,24 @@ object AggregateQueries extends QueryFamily {
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
         col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("cnt"))
-    // nation-level map column — the real map-typed input of the unions
+    // nation-level map column — the real map-typed input of the unions.
+    // localCheckpoint: three consumers flow from this ≤|region|×|nation|-
+    // row frame; without the materialization each would re-run the
+    // customer scan + aggregation (3 corpus passes at warehouse scale
+    // for a dimension-sized intermediate).
     val nmaps = cn.groupBy(col("region"), col("nation"))
       .agg(map_from_entries(sort_array(collect_list(struct(col("seg"), col("cnt")))))
         .as("m"))
-    val umax = Maps.mapUnionMax(nmaps, Seq("region"), "m", "u_max")
-    val usum = Maps.mapUnionSum(nmaps, Seq("region"), "m", "u_sum")
-    val mmap = Maps.multimapAgg(cn, Seq("region"), "seg", "nation", "mm0")
-    umax.join(usum, "region").join(mmap, "region")
+      .localCheckpoint(true)
+    // both unions in ONE entry pass (r6 plan diet: the mapUnionMax +
+    // mapUnionSum + join shape re-shuffled the same entries twice and
+    // sort-merge-joined two 5-row aggregates back together)
+    val u = Maps.mapUnions(nmaps, Seq("region"), "m", "u_max", "u_sum")
+    // the multimap's input is nmaps re-exploded, not a fresh cn pass
+    val mmap = Maps.multimapAgg(
+      nmaps.select(col("region"), col("nation"), explode(col("m")).as(Seq("seg", "cnt"))),
+      Seq("region"), "seg", "nation", "mm0")
+    u.join(broadcast(mmap), Seq("region"))
       .select(col("region"),
         canon("u_max").as("union_max"),
         canon("u_sum").as("union_sum"),
