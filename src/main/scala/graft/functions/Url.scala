@@ -17,9 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Url {
 
-  /** The raw query string: everything between `?` and `#` (or end). */
+  /** The raw query string: everything between the first `?` that occurs
+    * BEFORE any `#` and the `#` (or end). A `?` inside the fragment is
+    * not a query marker (URI semantics — the reference parses with
+    * java.net.URI, whose getQuery() is null for `http://h/p#a?b`).
+    */
   def extractQuery(url: Column): Column =
-    regexp_extract(url, "\\?([^#]*)", 1)
+    regexp_extract(url, "^[^#]*?\\?([^#]*)", 1)
+
+  /** TRUE iff the URL has a query part at all — `?` before any `#`.
+    * Distinct from an EMPTY query (`http://h/p?`): no query → NULL from
+    * extractParameter for every name, while an empty query still splits
+    * to one empty argument (Splitter keeps empty strings), which an
+    * empty `name` probe matches.
+    */
+  private def hasQuery(url: Column): Column = url.rlike("^[^#]*\\?")
 
   /** First query argument (`k`, `k=`, or `k=v`) whose key equals `name`,
     * or NULL. Key = text before the first `=` (Splitter.on('=').limit(2)
@@ -27,14 +39,15 @@ object Url {
     */
   private def firstArg(url: Column, name: Column): Column =
     try_element_at(
-      filter(split(extractQuery(url), "&"),
+      filter(split(extractQuery(url), "&", -1),
         a => element_at(split(a, "=", 2), 1) === name),
       lit(1))
 
   /** url_extract_parameter(url, name) — see object doc for the contract. */
   def extractParameter(url: Column, name: Column): Column = {
     val m = firstArg(url, name)
-    when(m.isNull, lit(null).cast("string"))
+    when(!hasQuery(url), lit(null).cast("string"))
+      .when(m.isNull, lit(null).cast("string"))
       .when(instr(m, "=") > 0, m.substr(instr(m, "=") + 1, length(m)))
       .otherwise(lit(""))
   }
