@@ -58,6 +58,27 @@ object PlanAudit {
     "q163_sequence_packing" ->
       "global window on per-partition pack summaries: input <= #partitions rows")
 
+  /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
+    * with the proof the nested-loop side is bounded. Everything else
+    * must equi-join — an unlisted BNLJ is the classic accidental-
+    * cross-join scale killer and fails the audit. (The r5 judge checked
+    * this list by hand against PLANS; now the audit enforces it.)
+    */
+  val bnljWhitelist: Map[String, String] = Map(
+    "q10_cross_join" -> "the operator under test IS a cross join; dim x dim (5 x 25 rows)",
+    "q17_scalar_subquery" -> "scalar subquery: single-row threshold side",
+    "q64_embedding_knn_brute" ->
+      "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
+    "q82_tpch_q22" -> "scalar subquery: single-row avg-balance threshold",
+    "q87_ivf_ann" -> "bounded planted query set (10 rows) x centroid model",
+    "q99_kmv_theta" -> "k-sized sketch state cross join (k = 256 rows)",
+    "q123_gap_fill" -> "single-row min/max bounds x generated spine",
+    "q136_tfidf" -> "single-row corpus doc-count side",
+    "q137_split_drift" -> "single-row per-split totals side",
+    "q140_bm25" -> "single-row corpus stats (N, avgdl) side",
+    "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
+    "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides")
+
   private val joinClasses = Set(
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
     "BroadcastNestedLoopJoinExec", "CartesianProductExec")
@@ -118,7 +139,17 @@ object PlanAudit {
               violations ::= name
               s" globalWindow=$globalWin UNBOUNDED-NOT-WHITELISTED"
           }
-        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges$winFlag")
+        val nlCount = joinCounts.getOrElse("BroadcastNestedLoopJoin", 0) +
+          joinCounts.getOrElse("CartesianProduct", 0)
+        val nlFlag =
+          if (nlCount == 0) ""
+          else bnljWhitelist.get(name) match {
+            case Some(reason) => s" nestedLoop (bounded: $reason)"
+            case None =>
+              violations ::= name
+              " nestedLoop UNBOUNDED-NOT-WHITELISTED"
+          }
+        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges$winFlag$nlFlag")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(60)}")
       }
@@ -126,7 +157,8 @@ object PlanAudit {
     spark.stop()
     if (violations.nonEmpty) {
       System.err.println(
-        s"[plan] FAIL: un-whitelisted global windows in: ${violations.sorted.mkString(", ")}")
+        s"[plan] FAIL: un-whitelisted global windows / nested-loop joins in: " +
+          violations.sorted.mkString(", "))
       sys.exit(1)
     }
   }

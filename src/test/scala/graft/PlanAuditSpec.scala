@@ -51,5 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     val registered = SparkEntry.queries.keySet
     assert(PlanAudit.boundedWhitelist.keySet.subsetOf(registered),
       s"stale whitelist entries: ${PlanAudit.boundedWhitelist.keySet -- registered}")
+    assert(PlanAudit.bnljWhitelist.keySet.subsetOf(registered),
+      s"stale bnlj whitelist entries: ${PlanAudit.bnljWhitelist.keySet -- registered}")
+  }
+
+  test("structural counts see a nested-loop join through the AQE wrapper") {
+    val a = docs.select(col("id"))
+    val b = docs.select(col("id").as("id2")).limit(3)
+    val cross = a.crossJoin(b)
+    val (joins, _) = PlanAudit.structuralCounts(cross.queryExecution.executedPlan)
+    assert(joins.getOrElse("BroadcastNestedLoopJoin", 0) +
+      joins.getOrElse("CartesianProduct", 0) >= 1, s"counts: $joins")
+  }
+
+  test("an accidental cross join fails the audit (not in the bnlj whitelist)") {
+    assert(!PlanAudit.bnljWhitelist.contains("q999_hypothetical"))
   }
 }
