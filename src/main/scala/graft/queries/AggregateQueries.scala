@@ -915,7 +915,7 @@ object AggregateQueries extends QueryFamily {
   // [−6·2^40, 6·2^40) with sd 2^40; noise = (scale·centered) div 2^40.
   // Integer arithmetic end-to-end — no transcendental whose low bits
   // could flip a rounded value between engines.
-  private def q148NoiseSpark(groupExpr: String, seed: Int, scale: Long, salt: String): String =
+  private[graft] def q148NoiseSpark(groupExpr: String, seed: Int, scale: Long, salt: String): String =
     s"(($scale * (aggregate(sequence(1, 12), cast(0 as bigint), (a, i) -> a + " +
       s"cast(conv(substring(md5(concat('$salt|', cast($seed as string), '|', $groupExpr, '|', cast(i as string))), 1, 10), 16, 10) as bigint)) " +
       s"- 6597069766656)) div 1099511627776)"
