@@ -36,7 +36,11 @@ object ShuffleAudit {
       }
     })
     def mb(b: Long): String = f"${b / 1048576.0}%.2f"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional regex filter (same knob as Bench/PlanAudit)
+    val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.r)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) =>
       try {
         spark.catalog.clearCache()
         Thread.sleep(200); shufW.set(0); shufRec.set(0)
