@@ -110,8 +110,17 @@ object Bench {
     val slow = slowDetail.map { case (k, v) => s""""${key(k)}":$v""" }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"slow":$slow,"sf":"$sfDir"}"""
     println(line)
-    // belt-and-braces: the driver captures only the stdout tail, which
-    // truncated the r2 line mid-stream — keep a file copy too
+    // The driver captures only the stdout TAIL (~2000 chars): at 168
+    // queries the full line above no longer fits, so its FRONT — metric,
+    // value, the first third of the queries map — falls out of the
+    // window (BENCH_r04/r05 both landed with parsed:null and 57 query
+    // times unrecoverable). Emit a compact summary as the LAST line:
+    // it always fits the window whole, so the driver's parse succeeds
+    // even when the full line is clipped. The full per-query map stays
+    // in the file copy (and in whatever survives of the long line).
+    val nErr = results.count(_._2.isLeft)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"slow":$slow,"sf":"$sfDir"}""")
+    // belt-and-braces: the full line's file copy
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")),
       line.getBytes)
