@@ -116,14 +116,25 @@ object Bench {
     // window (BENCH_r04/r05 both landed with parsed:null and 57 query
     // times unrecoverable). Emit a compact summary as the LAST line:
     // it always fits the window whole, so the driver's parse succeeds
-    // even when the full line is clipped. The full per-query map stays
-    // in the file copy (and in whatever survives of the long line).
+    // even when the full line is clipped. The slow section here is
+    // CAPPED to the 5 worst offenders — under heavy load dozens of
+    // queries can cross the 1.5 s slow threshold and an unbounded slow
+    // map would overflow the very window this line exists to fit (the
+    // full detail is in the long line and the file copy). A filtered
+    // experiment run is marked so its subset total can never be read
+    // as a full-run bench of record.
     val nErr = results.count(_._2.isLeft)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"slow":$slow,"sf":"$sfDir"}""")
-    // belt-and-braces: the full line's file copy
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_last.json")),
-      line.getBytes)
+    val slowTop = slowDetail.sortBy { case (k, _) =>
+      -results.collectFirst { case (n, Right(v)) if n == k => v }.getOrElse(0.0)
+    }.take(5).map { case (k, v) => s""""${key(k)}":$v""" }.mkString("{", ",", "}")
+    val filteredFlag = if (filter.isDefined) ""","filtered":true""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"slow":$slowTop$filteredFlag,"sf":"$sfDir"}""")
+    // belt-and-braces: the full line's file copy. A filtered run writes
+    // to a separate file so it cannot clobber the full-run record that
+    // bench_diff.py baselines against.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (filter.isDefined) "target/bench_filtered.json" else "target/bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath), line.getBytes)
     catch { case _: Throwable => () }
     spark.stop()
   }

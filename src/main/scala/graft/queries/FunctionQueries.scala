@@ -2329,8 +2329,9 @@ object FunctionQueries extends QueryFamily {
   // seconds so no timestamp-with-tz rendering ever crosses the oracle
   // boundary. timezone_hour/minute are computed FROM the parsed values —
   // (epoch of the local part read as UTC) − (epoch with offset) — with
-  // explicit sign handling (Spark div truncates, DuckDB // floors; abs
-  // first makes them agree).
+  // explicit sign handling (both engines' integer division truncates
+  // toward zero — verified, q148's discipline — but abs-first keeps the
+  // decomposition obviously sign-correct and engine-independent).
   val q166 = Q(
     "q166_datetime_parse",
     """WITH b AS (SELECT event_id,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
 
 import graft._
 
@@ -36,15 +37,26 @@ import graft._
   */
 object PlanAudit {
 
-  /** Count of un-partitioned Window operators in the optimized plan.
-    * Catches every spelling — Window.orderBy(...), Window.partitionBy()
-    * (empty varargs), multi-token ordering expressions — because it
-    * inspects the node's partitionSpec, not the plan text.
+  /** Count of un-partitioned Window operators. Catches every spelling —
+    * Window.orderBy(...), Window.partitionBy() (empty varargs),
+    * multi-token ordering expressions — because it inspects the node's
+    * partitionSpec, not the plan text; and catches windows INSIDE
+    * cached/persisted subtrees (an operator that persists and returns a
+    * materialized frame leaves the outer optimizedPlan as a bare
+    * InMemoryRelation leaf — the logical-only check had a structural
+    * false negative there) because the physical traversal descends into
+    * each cached relation's build plan.
     */
-  def globalWindows(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collect {
+  def globalWindows(df: DataFrame): Int = {
+    val logical = df.queryExecution.optimizedPlan.collect {
       case w: LWindow if w.partitionSpec.isEmpty => w
     }.size
+    val physical = structuralCounts(df.queryExecution.executedPlan)._3
+    // the outer query's windows appear in BOTH trees (1:1); cached
+    // subtrees appear only in the physical traversal — take the max,
+    // never the sum, to avoid double-counting the outer ones
+    math.max(logical, physical)
+  }
 
   /** Queries allowed to carry a global window, each with the proof that
     * its window input is bounded by construction (rows at the window are
@@ -83,15 +95,16 @@ object PlanAudit {
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
     "BroadcastNestedLoopJoinExec", "CartesianProductExec")
 
-  /** (join-class → count, shuffle-exchange count) over the plan's true
-    * execution topology: descends into the AQE wrapper's input plan,
-    * physical subquery plans, and each DISTINCT cached relation's build
-    * plan exactly once.
+  /** (join-class → count, shuffle-exchange count, un-partitioned-window
+    * count) over the plan's true execution topology: descends into the
+    * AQE wrapper's input plan, physical subquery plans, and each
+    * DISTINCT cached relation's build plan exactly once.
     */
-  def structuralCounts(root: SparkPlan): (Map[String, Int], Int) = {
+  def structuralCounts(root: SparkPlan): (Map[String, Int], Int, Int) = {
     val seenCaches = mutable.Set[AnyRef]()
     val joins = mutable.Map.empty[String, Int].withDefaultValue(0)
     var exchanges = 0
+    var globalWins = 0
     def visit(p: SparkPlan): Unit = p.foreach { node =>
       node match {
         // initialPlan, not inputPlan: exchanges are only inserted by the
@@ -100,6 +113,7 @@ object PlanAudit {
         case s: InMemoryTableScanExec =>
           if (seenCaches.add(s.relation.cacheBuilder)) visit(s.relation.cachedPlan)
         case _: ShuffleExchangeExec => exchanges += 1
+        case w: WindowExec if w.partitionSpec.isEmpty => globalWins += 1
         case n if joinClasses(n.getClass.getSimpleName) =>
           val k = n.getClass.getSimpleName.stripSuffix("Exec")
           joins(k) = joins(k) + 1
@@ -114,7 +128,7 @@ object PlanAudit {
       })
     }
     visit(root)
-    (joins.toMap, exchanges)
+    (joins.toMap, exchanges, globalWins)
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,7 +142,7 @@ object PlanAudit {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, d)
-        val (joinCounts, exchanges) = structuralCounts(df.queryExecution.executedPlan)
+        val (joinCounts, exchanges, _) = structuralCounts(df.queryExecution.executedPlan)
         val joins = joinCounts.toSeq.sortBy(_._1).map { case (k, n) => s"$k x$n" }
         val globalWin = globalWindows(df)
         val winFlag =

@@ -59,9 +59,21 @@ class PlanAuditSpec extends SparkSpec {
     val a = docs.select(col("id"))
     val b = docs.select(col("id").as("id2")).limit(3)
     val cross = a.crossJoin(b)
-    val (joins, _) = PlanAudit.structuralCounts(cross.queryExecution.executedPlan)
+    val (joins, _, _) = PlanAudit.structuralCounts(cross.queryExecution.executedPlan)
     assert(joins.getOrElse("BroadcastNestedLoopJoin", 0) +
       joins.getOrElse("CartesianProduct", 0) >= 1, s"counts: $joins")
+  }
+
+  test("detects a global window hidden inside a persisted subtree") {
+    // an operator that persists and returns a materialized frame leaves
+    // the outer optimizedPlan as an InMemoryRelation leaf — the audit
+    // must still see the window in the cached build plan
+    val w = Window.orderBy(col("id"))
+    val hidden = docs.withColumn("r", row_number().over(w)).persist()
+    try {
+      hidden.count()
+      assert(PlanAudit.globalWindows(hidden.filter(col("r") > 0)) >= 1)
+    } finally { hidden.unpersist(blocking = true); () }
   }
 
   test("an accidental cross join fails the audit (not in the bnlj whitelist)") {

@@ -45,4 +45,16 @@ class WeightedSampleSpec extends SparkSpec {
     assert(picked.length == 800)
     assert(heavy > 700, s"heavy class under-sampled: $heavy/800")
   }
+
+  test("idCol parameter selects the same rows as the doc_id default") {
+    // a caller whose id column isn't doc_id (the ADVICE r5 fix) must
+    // get the identical selection — same rank hash, same tie-break
+    val ids = (1L to 500L).map(i => (i, i % 97 + 1)).toDF("doc_id", "w0")
+    val renamed = ids.withColumnRenamed("doc_id", "item_id")
+    val a = WeightedSample.topKWeighted(ids, col("w0"), k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = WeightedSample.topKWeighted(renamed, col("w0"), k = 50, idCol = "item_id")
+      .select("item_id").as[Long].collect().toSet
+    assert(a == b)
+  }
 }

@@ -24,6 +24,10 @@ def load(path):
 def main():
     old, new = load(sys.argv[1]), load(sys.argv[2])
     flagged = []
+    # removed/renamed queries are surfaced loudly: a rename would
+    # otherwise let a regression hide as an unflagged "NEW" entry
+    for name in sorted(set(old) - set(new)):
+        print(f"REMOVED   {name}: was {old[name][0]:.2f} MB — renamed? compare manually")
     for name in sorted(new):
         if name not in old:
             print(f"NEW       {name}: {new[name][0]:.2f} MB")
