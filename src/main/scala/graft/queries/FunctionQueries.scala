@@ -752,6 +752,8 @@ object FunctionQueries extends QueryFamily {
       expr(s"array_join(transform(array_sort(map_entries($mapSql)), " +
         "e -> concat(cast(e.key as string), '=', cast(e.value as string))), ',')")
     Tables.lineitem(s, d)
+      .join(broadcast(smallestKeys(Tables.lineitem(s, d), "l_orderkey", 300)),
+        "l_orderkey")
       .groupBy(col("l_orderkey"))
       // positional keys: l_linenumber is NOT unique per order in the
       // synthetic data, and map keys must be — rank the deterministically
@@ -759,7 +761,7 @@ object FunctionQueries extends QueryFamily {
       .agg(sort_array(collect_list(struct(col("l_linenumber").as("ln"),
         col("l_partkey").as("pk"),
         col("l_quantity").cast("int").as("v")))).as("es0"))
-      .orderBy("l_orderkey").limit(300)
+      .orderBy("l_orderkey")
       .withColumn("es", expr(
         "transform(sequence(1, size(es0)), i -> struct(cast(i as int) as k, element_at(es0, cast(i as int)).v as v))"))
       .withColumn("m", expr("map_from_entries(es)"))
@@ -1836,6 +1838,16 @@ object FunctionQueries extends QueryFamily {
     def foldJ(seqA: String, seqB: String, term: String): String =
       s"aggregate(sequence($seqA, $seqB), cast(0 as double), (acc, j) -> acc + cast($term as double))"
     Tables.lineitem(s, d)
+      // the 400 smallest (okey, ln) pairs all carry one of the 400
+      // smallest orderkeys, so the thin-key prefilter bounds the rows
+      // BEFORE the pair top-k. Without it the mid-plan orderBy+limit is
+      // a full range exchange of every fact row on the real output
+      // path — invisible to count()-driven tooling, because
+      // EliminateSorts drops the terminal sort there and the limit
+      // collapses to a TakeOrdered (15.3 MB vs 1.2 MB measured under
+      // the noop WRITE at sf0.1).
+      .join(broadcast(smallestKeys(Tables.lineitem(s, d), "l_orderkey", 400)),
+        "l_orderkey")
       .select(col("l_orderkey"), col("l_linenumber"),
         (col("l_quantity") / 60.0).as("p"),
         (col("l_extendedprice") / 20000.0).as("y"),
