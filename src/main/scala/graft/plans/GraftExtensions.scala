@@ -96,6 +96,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordStem].getName, "graft_word_stem"),
       (children: Seq[Expression]) => WordStem(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[Normalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => Normalize(children.head,
+        if (children.length > 1)
+          GraftExtensions.strLit(children(1), "graft_normalize", "form")
+        else "NFC")))
+    ext.injectFunction((
+      FunctionIdentifier("graft_murmur3_x64_128"),
+      new ExpressionInfo(classOf[Murmur3X64128].getName, "graft_murmur3_x64_128"),
+      (children: Seq[Expression]) => Murmur3X64128(children.head)))
+    for ((sqlName, algo) <- Seq("hmac_md5" -> "MD5", "hmac_sha1" -> "SHA-1",
+        "hmac_sha256" -> "SHA-256", "hmac_sha512" -> "SHA-512"))
+      ext.injectFunction((
+        FunctionIdentifier(s"graft_$sqlName"),
+        new ExpressionInfo(classOf[HmacHash].getName, s"graft_$sqlName"),
+        (children: Seq[Expression]) => HmacHash(children(0), children(1), algo)))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
@@ -196,6 +213,13 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be a numeric literal, got $other")
   }
+
+  /** String-literal extractor for SQL-registration builders. */
+  def strLit(e: Expression, fn: String, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got $other")
+  }
 }
 
 /** Column-level API over the native expressions (no SQL registration
@@ -243,6 +267,16 @@ object NativeFunctions {
 
   def wordStem(c: Column): Column =
     Bridge.column(WordStem(col2expr(c)))
+
+  def normalize(c: Column, form: String = "NFC"): Column =
+    Bridge.column(Normalize(col2expr(c), form))
+
+  def murmur3x64128(c: Column): Column =
+    Bridge.column(Murmur3X64128(col2expr(c)))
+
+  /** algo: MD5 | SHA-1 | SHA-256 | SHA-512. */
+  def hmac(data: Column, key: Column, algo: String): Column =
+    Bridge.column(HmacHash(col2expr(data), col2expr(key), algo))
 
   def md5Hash60(arr: Column, mod: Long = 0L): Column =
     Bridge.column(Md5Hash60(col2expr(arr), mod))

@@ -2556,5 +2556,137 @@ object FunctionQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168)
+  // ---- q169: unicode normalization (string.rst `normalize`) -------------
+  // graft_normalize = the reference's normalize(string, form) (reference
+  // presto-main/.../scalar/StringFunctions.java:829 — delegates to JDK
+  // java.text.Normalizer, as does the expression here). Oracle split by
+  // what DuckDB can compute: the NFC column is a REAL cross-engine check
+  // (DuckDB nfc_normalize = utf8proc, a fully independent Unicode
+  // implementation), run both on the pinned vectors and on a
+  // data-derived letter+combining-mark composition; NFD/NFKC/NFKD (no
+  // DuckDB function) replay pinned expected strings sourced from the
+  // reference's own testNormalize vectors + UAX #15 examples,
+  // cross-validated against CPython's unicodedata (third independent
+  // implementation) — the q156 pinned-vector discipline.
+  //
+  // (src, nfd, nfkc, nfkd); NFC is never pinned — both engines compute it.
+  private val q169Vecs: Seq[(String, String, String, String)] = Seq(
+    ("schön", "schön", "schön", "schön"),
+    ("schön", "schön", "schön", "schön"),
+    ("㈱㌧㌦Ⅲ", "㈱㌧㌦Ⅲ",
+      "(株)トンドルIII", "(株)トンドルIII"),
+    ("ﾊﾝｶｸｶﾅ", "ﾊﾝｶｸｶﾅ",
+      "ハンカクカナ", "ハンカクカナ"),
+    ("Å", "Å", "Å", "Å"),
+    ("ﬁsh", "ﬁsh", "fish", "fish"),
+    ("q̣̇", "q̣̇", "q̣̇", "q̣̇"),
+    ("한글", "한글",
+      "한글", "한글"),
+    ("ẛ̣", "ẛ̣", "ṩ", "ṩ"),
+    ("½ cup", "½ cup", "1⁄2 cup", "1⁄2 cup"),
+    ("Henry Ⅳ", "Henry Ⅳ", "Henry IV", "Henry IV"),
+    ("Ĳssel", "Ĳssel", "IJssel", "IJssel"))
+
+  private val q169Marks = Seq("̀", "́", "̂", "̃")
+  private val q169Bases = Seq("a", "e", "i", "o", "u")
+
+  private def duckList(items: Seq[String], idx: String): String =
+    items.map(s => s"'$s'").mkString("([", ", ", s"])[$idx]")
+
+  val q169 = Q(
+    "q169_normalize",
+    s"""SELECT doc_id,
+       | ${duckList(q169Vecs.map(_._1), "(doc_id % 12) + 1")} AS src,
+       | nfc_normalize(${duckList(q169Vecs.map(_._1), "(doc_id % 12) + 1")}) AS nfc,
+       | ${duckList(q169Vecs.map(_._2), "(doc_id % 12) + 1")} AS nfd,
+       | ${duckList(q169Vecs.map(_._3), "(doc_id % 12) + 1")} AS nfkc,
+       | ${duckList(q169Vecs.map(_._4), "(doc_id % 12) + 1")} AS nfkd,
+       | nfc_normalize(${duckList(q169Bases, "(doc_id % 5) + 1")} ||
+       |   ${duckList(q169Marks, "(doc_id % 4) + 1")}) AS composed
+       |FROM documents WHERE doc_id < 480
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    val idx12 = (col("doc_id") % 12 + 1).cast("int")
+    val src = element_at(array(q169Vecs.map(v => lit(v._1)): _*), idx12)
+    val raw = concat(
+      element_at(array(q169Bases.map(lit(_)): _*), (col("doc_id") % 5 + 1).cast("int")),
+      element_at(array(q169Marks.map(lit(_)): _*), (col("doc_id") % 4 + 1).cast("int")))
+    Tables.documents(s, d, col("doc_id") < 480)
+      .select(col("doc_id"), src.as("src"), raw.as("raw"))
+      .select(col("doc_id"), col("src"),
+        NativeFunctions.normalize(col("src")).as("nfc"),
+        NativeFunctions.normalize(col("src"), "NFD").as("nfd"),
+        NativeFunctions.normalize(col("src"), "NFKC").as("nfkc"),
+        NativeFunctions.normalize(col("src"), "NFKD").as("nfkd"),
+        NativeFunctions.normalize(col("raw"), "NFC").as("composed"))
+      .orderBy("doc_id")
+  }
+
+  // ---- q170: 128-bit + keyed hashes (binary.rst) -------------------------
+  // murmur3_x64_128 (reference presto-main/.../scalar/VarbinaryFunctions
+  // .java:303) + hmac_md5/sha1/sha256/sha512 (HmacFunctions.java:1).
+  // DuckDB has none of these, so the oracle replays pinned digests of
+  // four fixed inputs selected per row (q156 sha1/sha512 discipline):
+  // rows 0/1 pin the REFERENCE's own test vectors
+  // (TestVarbinaryFunctions.java:348,:473-:501 — '', 'hashme', key
+  // 'key'), rows 2/3 exercise the multi-block + long-tail murmur3 path
+  // and the longer-than-blocksize HMAC key path, pinned from
+  // independent implementations (CPython hmac/hashlib; row 2's
+  // HMAC-SHA256 is additionally the widely published RFC-style
+  // fox-over-lazy-dog example). HashExprsSpec adds randomized parity:
+  // the RFC 2104 construction here vs javax.crypto.Mac.
+  private val q170Vecs = Seq(
+    "", "hashme", "The quick brown fox jumps over the lazy dog",
+    "graft: spark-native analytics at one hundred terabytes")
+  private val q170Pins: Seq[(String, String, String, String, String)] = Seq(
+    ("00000000000000000000000000000000",
+      "63530468A04E386459855DA0063B6596",
+      "F42BB0EEB018EBBD4597AE7213711EC60760843F",
+      "5D5D139563C95B5967B9BD9A8C9B233A9DEDB45072794CD232DC1B74832607D0",
+      "84FA5AA0279BBC473267D05A53EA03310A987CECC4C1535FF29B6D76B8F1444A728DF3AADB89D4A9A6709E1998F373566E8F824A8CA93B1821F0B69BC2A2F65E"),
+    ("93192FE805BE23041C8318F67EC4F2BC",
+      "0A26EBEB0E7B65F528D96F7BC631BC8F",
+      "2E7C4C6AEFA7E69F106EEE3CE21944D0046D2F3D",
+      "D3D72F9FACDE059DA3A4EB43A9ABDD4B35118E0FEF00E6D16FB04BB332AF0484",
+      "FEFA712B67DED871E1ED987F8B20D6A69EB9FCC87974218B9A1A6D5202B54C18ECDA4839A979DED22F07E0881CF40B762691992D120408F49D6212E112509D72"),
+    ("6C1B07BC7BBC4BE347939AC4A93C437A",
+      "80070713463E7749B90C2DC24911E275",
+      "DE7C9B85B8B78AA6BC8A7A36F70A90701C9DB4D9",
+      "F7BC83F430538424B13298E6AA6FB143EF4D59A14946175997479DBC2D1A3CD8",
+      "B42AF09057BAC1E2D41708E48A902E09B5FF7F12AB428A4FE86653C73DD248FB82F948A549F7B791A5B41915EE4D1EC3935357E4E2317250D0372AFA2EBEEB3A"),
+    ("03DA33652180B6D1B69F9418A923C731",
+      "8361DC1554386206D10C2691A61640C9",
+      "2960C5CE2125AD0D2D749BABD9FCE8F9E347B965",
+      "3E7E7A4D58A01FC63D4BEC732D0D4FF93BDAB14894E38A8A2273E0C0012AC623",
+      "AF6E61860424EE1D6C901541640BF118C5AC60687BAEBDBCBA6EB7FDBEF9903B25F5F2D651093D023DAFDC304837CC609E52C4B9589E98AD630B6E3764992B43"))
+
+  val q170 = Q(
+    "q170_hash128",
+    s"""SELECT doc_id,
+       | ${duckList(q170Vecs, "(doc_id % 4) + 1")} AS src,
+       | ${duckList(q170Pins.map(_._1), "(doc_id % 4) + 1")} AS mm3_hex,
+       | ${duckList(q170Pins.map(_._2), "(doc_id % 4) + 1")} AS hmac_md5_hex,
+       | ${duckList(q170Pins.map(_._3), "(doc_id % 4) + 1")} AS hmac_sha1_hex,
+       | ${duckList(q170Pins.map(_._4), "(doc_id % 4) + 1")} AS hmac_sha256_hex,
+       | ${duckList(q170Pins.map(_._5), "(doc_id % 4) + 1")} AS hmac_sha512_hex
+       |FROM documents WHERE doc_id < 480
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    val data = element_at(array(q170Vecs.map(lit(_)): _*),
+      (col("doc_id") % 4 + 1).cast("int")).cast("binary")
+    // row 3 uses a 100-byte key to exercise the hash-the-key HMAC path
+    val key = when(col("doc_id") % 4 === 3, lit("k" * 100))
+      .otherwise(lit("key")).cast("binary")
+    Tables.documents(s, d, col("doc_id") < 480)
+      .select(col("doc_id"), data.as("data"), key.as("key"))
+      .select(col("doc_id"), col("data").cast("string").as("src"),
+        hex(NativeFunctions.murmur3x64128(col("data"))).as("mm3_hex"),
+        hex(NativeFunctions.hmac(col("data"), col("key"), "MD5")).as("hmac_md5_hex"),
+        hex(NativeFunctions.hmac(col("data"), col("key"), "SHA-1")).as("hmac_sha1_hex"),
+        hex(NativeFunctions.hmac(col("data"), col("key"), "SHA-256")).as("hmac_sha256_hex"),
+        hex(NativeFunctions.hmac(col("data"), col("key"), "SHA-512")).as("hmac_sha512_hex"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170)
 }
