@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST stdout line of `sbt runMain graft.Bench`
+// for the compact JSON summary. Two sbt behaviors broke that in r6:
+// forked-run output was relogged with an "[info] " prefix, and sbt printed
+// a "[success] Total time: …" epilogue AFTER the JSON line. Inherit the
+// forked JVM's stdout directly and drop the epilogue so the summary line
+// is genuinely last and prefix-free.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// the key IS used (runMain delegates to it) — sbt's lint just can't see it
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
