@@ -19,16 +19,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet — Spark reads it as long
-    * nanos (spark.sql.legacy.parquet.nanosAsLong); convert to a real
-    * timestamp (micros) here so downstream code sees TimestampType.
+  /** events.ts has shipped in two physical flavors across testdata
+    * generations: TIMESTAMP(NANOS) (Spark reads it as long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong) and plain timestamp[us]
+    * (Spark 4 reads it as TIMESTAMP_NTZ). Normalize both to
+    * TimestampType here so downstream code sees one type; with the UTC
+    * session timezone the NTZ→LTZ cast is value-preserving.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      // integer DIV, not `/`: nanos epochs (~1.7e18) exceed double's 2^53
-      // mantissa, so float division would corrupt low-order micros
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val base = load(s, d, "events")
+    base.schema("ts").dataType match {
+      case LongType =>
+        // integer DIV, not `/`: nanos epochs (~1.7e18) exceed double's 2^53
+        // mantissa, so float division would corrupt low-order micros
+        base.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case TimestampType => base
+      case _ => base.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   /** The corpus tables feed CPU-heavy per-row pipelines (shingling,
     * sketch hashing, vector kernels). A small parquet file is a single

@@ -28,13 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
+  /** Tokens for scoring: Text.words minus empty-string artifacts.
+    * `split('', ' ')` yields `['']` in both engines, so an empty or
+    * whitespace-only (or null) document would otherwise count one
+    * phantom token; here it counts zero.
+    */
+  private def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = graft.functions.Text.words(c)
+    coalesce(filter(w, x => x =!= ""), expr("cast(array() as array<string>)"))
+  }
+
   /** (term, lnp_micro): top-`v` unigrams with quantized smoothed
     * log-prob. `totals` rides along via broadcast cross-join — no
     * driver-side collect of N.
     */
   def unigramModel(docs: DataFrame, v: Int): (DataFrame, DataFrame) = {
     val toks = docs
-      .select(explode(graft.functions.Text.words(col("text"))).as("term"))
+      .select(explode(tokens(col("text"))).as("term"))
     val totals = toks.agg(count(lit(1)).as("nn"))
     val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
       .crossJoin(broadcast(totals))
@@ -49,14 +59,12 @@ object LmScore {
     * log-prob (6dp), out-of-vocabulary token fraction, and the filter
     * verdict avg_logp ≥ threshold.
     *
-    * CONTRACT: zero-token documents are DROPPED from the output, not
-    * scored — "mean log-prob of no tokens" has no value that wouldn't be
-    * an arbitrary sentinel, and a pipeline that wants them filtered
-    * already removes them with a `length(text) > 0`-style predicate
-    * upstream. The q165 oracle replays the same drop (SQL `unnest` over
-    * an empty token list emits no rows), so both engines agree row-for-
-    * row. This is the explode (not explode_outer) below, and it is also
-    * what keeps n_tokens > 0 in the integer 6dp division.
+    * CONTRACT: zero-token documents are KEPT in the output with
+    * n_tokens=0, oov_frac/avg_logp NULL (no tokens → no mean), and
+    * keep=false — a filter whose verdict column silently omitted rows
+    * was a footgun for pipelines that join verdicts back by doc_id.
+    * This is the explode_outer below (one null-term row per empty doc)
+    * plus the n_tokens=0 guards on the integer divisions.
     */
   def score(docs: DataFrame, v: Int = 4096, threshold: Double = -9.0): DataFrame = {
     val (model, totals) = unigramModel(docs, v)
@@ -64,9 +72,9 @@ object LmScore {
       s"cast(floor(ln(cast(1 as double) / cast(nn + $v + 1 as double)) * 1000000.0d) as bigint)")
       .as("oov_micro"))
     val dt = docs
-      .select(col("doc_id"), graft.functions.Text.words(col("text")).as("w"))
+      .select(col("doc_id"), tokens(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        explode(expr(
+        explode_outer(expr(
           "transform(array_distinct(w), t -> struct(t as term, size(filter(w, x -> x = t)) as c_dt))"))
           .as("e"))
       .select(col("doc_id"), col("n_tokens"),
@@ -74,9 +82,11 @@ object LmScore {
     dt.join(broadcast(model), Seq("term"), "left")
       .crossJoin(broadcast(oov))
       .groupBy(col("doc_id"), col("n_tokens"))
+      // the null-term row of an empty doc contributes null to both sums
+      // (sum skips nulls → null over an all-null group) — coalesce to 0
       .agg(
-        sum(when(col("lnp_micro").isNull, col("c_dt")).otherwise(lit(0L))).as("oov_toks"),
-        sum(col("c_dt") * coalesce(col("lnp_micro"), col("oov_micro"))).as("sum_micro"))
+        coalesce(sum(when(col("lnp_micro").isNull, col("c_dt")).otherwise(lit(0L))), lit(0L)).as("oov_toks"),
+        coalesce(sum(col("c_dt") * coalesce(col("lnp_micro"), col("oov_micro"))), lit(0L)).as("sum_micro"))
       // 6dp rounding done in INTEGER arithmetic (half-up on positive
       // operands, where integer division is floor in both engines):
       // round(p/q, 6) computed as (2·p·10⁶ + q) div (2q) micro-units —
@@ -85,13 +95,14 @@ object LmScore {
       // resolve differently (observed: 3/5000 docs at sf0.1). The final
       // /10⁶ is the same IEEE division of identical operands on both
       // engines — bit-identical output.
-      .withColumn("oov_micro6",
-        expr("(2 * oov_toks * 1000000 + n_tokens) div (2 * n_tokens)"))
-      .withColumn("avg_micro6",
-        -expr("(2 * (-sum_micro) + n_tokens) div (2 * n_tokens)"))
+      .withColumn("oov_micro6", when(col("n_tokens") > 0,
+        expr("(2 * oov_toks * 1000000 + n_tokens) div (2 * n_tokens)")))
+      .withColumn("avg_micro6", when(col("n_tokens") > 0,
+        -expr("(2 * (-sum_micro) + n_tokens) div (2 * n_tokens)")))
       .select(col("doc_id"), col("n_tokens"),
         (col("oov_micro6").cast("double") / 1000000.0).as("oov_frac"),
         (col("avg_micro6").cast("double") / 1000000.0).as("avg_logp"),
-        (col("avg_micro6") >= lit(math.round(threshold * 1000000).toLong)).as("keep"))
+        coalesce(col("avg_micro6") >= lit(math.round(threshold * 1000000).toLong),
+          lit(false)).as("keep"))
   }
 }

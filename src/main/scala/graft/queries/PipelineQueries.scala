@@ -1320,7 +1320,7 @@ object PipelineQueries extends QueryFamily {
     val V = 16; val Thresh = -7.0
     Q(
       "q165_lm_quality",
-      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
          |dd AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
          |toks AS (SELECT unnest(w) AS term FROM dd),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
@@ -1332,15 +1332,19 @@ object PipelineQueries extends QueryFamily {
          |         t -> struct_pack(term := t, c_dt := CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))) AS e
          |       FROM dd),
          |dt2 AS (SELECT doc_id, n_tokens, e.term AS term, e.c_dt AS c_dt FROM dt),
-         |sc AS (SELECT doc_id, n_tokens,
+         |sc AS (SELECT doc_id,
          |         sum(CASE WHEN m.lnp_micro IS NULL THEN c_dt ELSE 0 END) AS oov_toks,
          |         sum(c_dt * coalesce(m.lnp_micro, (SELECT oov_micro FROM oov))) AS sum_micro
-         |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1, 2)
-         |SELECT doc_id, n_tokens,
-         |  CAST((2 * oov_toks * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS oov_frac,
-         |  CAST(-((2 * (-sum_micro) + n_tokens) // (2 * n_tokens)) AS DOUBLE) / 1000000.0 AS avg_logp,
-         |  -((2 * (-sum_micro) + n_tokens) // (2 * n_tokens)) >= ${math.round(Thresh * 1000000)} AS keep
-         |FROM sc ORDER BY doc_id""".stripMargin) { (s, d) =>
+         |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1)
+         |SELECT dd.doc_id AS doc_id, dd.n_tokens AS n_tokens,
+         |  CASE WHEN dd.n_tokens > 0
+         |    THEN CAST((2 * oov_toks * 1000000 + dd.n_tokens) // (2 * dd.n_tokens) AS DOUBLE) / 1000000.0 END AS oov_frac,
+         |  CASE WHEN dd.n_tokens > 0
+         |    THEN CAST(-((2 * (-sum_micro) + dd.n_tokens) // (2 * dd.n_tokens)) AS DOUBLE) / 1000000.0 END AS avg_logp,
+         |  CASE WHEN dd.n_tokens > 0
+         |    THEN -((2 * (-sum_micro) + dd.n_tokens) // (2 * dd.n_tokens)) >= ${math.round(Thresh * 1000000)}
+         |    ELSE false END AS keep
+         |FROM dd LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.LmScore.score(Tables.documents(s, d), v = V, threshold = Thresh)
         .orderBy("doc_id")
     }

@@ -29,6 +29,22 @@ class LmScoreSpec extends SparkSpec {
     assert(gibOov > 0.8, s"gibberish should be mostly OOV: $gibOov")
   }
 
+  test("zero-token docs appear in the output with keep=false, null scores") {
+    val df = LmScore.score(
+        Seq((1L, "a a b"), (2L, ""), (3L, "   ")).toDF("doc_id", "text"),
+        v = 2, threshold = -2.0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(df.keySet == Set(1L, 2L, 3L), "empty docs must not be dropped")
+    for (id <- Seq(2L, 3L)) {
+      val r = df(id)
+      assert(r.getAs[Long]("n_tokens") == 0L, s"doc $id n_tokens")
+      assert(r.isNullAt(r.fieldIndex("oov_frac")), s"doc $id oov_frac should be null")
+      assert(r.isNullAt(r.fieldIndex("avg_logp")), s"doc $id avg_logp should be null")
+      assert(!r.getAs[Boolean]("keep"), s"doc $id must be keep=false")
+    }
+    assert(df(1L).getAs[Boolean]("keep"), "non-empty in-vocab doc still kept")
+  }
+
   test("score equals the serial all-integer recomputation") {
     val corpus = Seq((1L, "a a a b b c"), (2L, "a b x"), (3L, "c c a"))
     val v = 2 // model = {a (5), b (3)}; c and x are OOV
