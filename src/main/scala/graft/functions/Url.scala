@@ -3,12 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** URL query-string parameter extraction replaying the reference's exact
+/** URL query-string parameter extraction replaying the reference's
   * contract (reference: presto-main/src/main/java/com/facebook/presto/
   * operator/scalar/UrlFunctions.java:124, url.rst:27): split the query
   * on `&`, split each argument on the FIRST `=` only, return the value
   * of the FIRST argument whose key equals `name`; a matching key with no
   * `=` yields the empty string; no matching key yields NULL.
+  *
+  * PORTABLE SUBSET (the repo convention for library-coupled edges): the
+  * contract above is replayed exactly for well-formed, percent-UNENCODED
+  * URLs. The reference routes through `java.net.URI`, which adds two
+  * behaviors this regex path deliberately does not copy: a URL that
+  * throws URISyntaxException (spaces, illegal chars) yields NULL there
+  * but is still string-split here, and `URI.getQuery()` percent-DECODES
+  * before splitting, so an encoded `%26`/`%3D` becomes a separator there
+  * but stays literal text here. Replaying those two quirks would couple
+  * this function to the JDK parser's error taxonomy; pipelines with
+  * encoded or malformed URLs should pre-normalize (url_decode / a
+  * validity filter) before calling.
   *
   * Spark's built-in `parse_url(url, 'QUERY', key)` is regex-based and
   * returns NULL for a present-but-valueless key, so the contract is

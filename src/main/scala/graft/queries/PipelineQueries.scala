@@ -330,20 +330,26 @@ object PipelineQueries extends QueryFamily {
   private def annPlantQueries(embs: DataFrame): DataFrame =
     embs.filter(col("vec_id") < 10)
       .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
-  // Oracled projection = top1 only: rank-1 identity (and cosine 1.0) is
-  // the invariant the planted twin guarantees at ANY sf/c/nprobe. Row and
-  // candidate-set counts are data-dependent (a probed cell can hold
-  // < k vectors at small sf), so they live in AnnSpec's shape assertions,
-  // not the cross-engine oracle.
-  private def annTop1Summary(knn: DataFrame, simCol: Option[String]): DataFrame = {
-    val aggs = simCol.map(c => max(when(col("rn") === 1, col(c))).as("top1_sim")).toSeq
+  // Oracled projection = top1 + a scale-independent shape bit: rank-1
+  // identity (and cosine 1.0) is the invariant the planted twin
+  // guarantees at ANY sf/c/nprobe. Exact row and candidate-set counts
+  // are data-dependent (a probed cell can hold < k vectors at small
+  // sf) and live in AnnSpec — but `shape_ok` (1 ≤ result rows ≤ k and
+  // exactly one rank-1 row per qid) holds at every scale, so a
+  // candidate-set collapse or rank-duplication regression fails the
+  // cross-engine oracle, not just the unit suite.
+  private def annTop1Summary(knn: DataFrame, simCol: Option[String], k: Int): DataFrame = {
+    val aggs = simCol.map(c => max(when(col("rn") === 1, col(c))).as("top1_sim")).toSeq :+
+      (count(lit(1)).between(1, k) &&
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))) === 1L).as("shape_ok")
     knn.groupBy(col("qid"))
       .agg(max(when(col("rn") === 1, col("cid"))).as("top1_cid"), aggs: _*)
       .orderBy("qid")
   }
   private def annTop1Oracle(simCol: String): String =
     s"""SELECT CAST(vec_id + 1000000 AS BIGINT) AS qid,
-       | vec_id AS top1_cid${if (simCol.nonEmpty) "," else ""}$simCol
+       | vec_id AS top1_cid${if (simCol.nonEmpty) "," else ""}$simCol,
+       | true AS shape_ok
        |FROM embeddings WHERE vec_id < 10
        |ORDER BY qid""".stripMargin
 
@@ -351,7 +357,7 @@ object PipelineQueries extends QueryFamily {
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
       Ann.ivfKnn(embs, annPlantQueries(embs), k = 5, c = 16, nprobe = 4),
-      simCol = Some("sim"))
+      simCol = Some("sim"), k = 5)
   }
 
   // 1→N frame sampling over binary payloads (Multimodal.sampleFrames):
@@ -882,7 +888,7 @@ object PipelineQueries extends QueryFamily {
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
       Ann.pqKnn(embs, annPlantQueries(embs), k = 5, m = 32, ksub = 16),
-      simCol = None)
+      simCol = None, k = 5)
   }
 
   // BM25 document scoring (Robertson–Spärck Jones; k1=1.2, b=0.75)
@@ -986,7 +992,7 @@ object PipelineQueries extends QueryFamily {
   // recall vs exact L2.
   val q142 = Q("q142_ivfpq_ann", annTop1Oracle("")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
-    annTop1Summary(Ann.ivfPqKnn(embs, annPlantQueries(embs), k = 5), simCol = None)
+    annTop1Summary(Ann.ivfPqKnn(embs, annPlantQueries(embs), k = 5), simCol = None, k = 5)
   }
 
   // ---- q145: per-domain quota sampling (graft.operators.Quota) -----------
