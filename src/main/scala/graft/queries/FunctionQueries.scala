@@ -21,17 +21,11 @@ import graft.{Q, QueryFamily, Tables}
   */
 object FunctionQueries extends QueryFamily {
 
-  /** The K smallest distinct values of `key`, as a broadcast-able
-    * one-column frame — the scan-thin prefilter for the
-    * "GROUP BY key ORDER BY key LIMIT K" query shape. Without it the
-    * WHOLE fact table's wide collect_list structs shuffle just to keep
-    * K groups (q115 measured 24 MB at sf0.1); with it only the key
-    * column shuffles (distinct over 8-byte longs) and the wide
-    * aggregation sees K groups' rows. The limit cannot push below a
-    * grouping aggregate on its own — this is the manual push.
+  /** The K smallest distinct values of `key` — see
+    * graft.operators.TopKeys for the contract and the 100 TB rationale.
     */
   private def smallestKeys(df: DataFrame, key: String, k: Int): DataFrame =
-    df.select(col(key)).distinct().orderBy(col(key)).limit(k)
+    graft.operators.TopKeys.smallest(df, key, k)
 
   val q32 = Q(
     "q32_string_funcs",
