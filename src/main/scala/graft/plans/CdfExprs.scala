@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Real-parameter probability CDFs matching the reference's general
+  * beta_cdf / gamma_cdf surface (reference
+  * presto-main/.../scalar/MathFunctions.java:803 betaCdf, :916 gammaCdf
+  * — both delegate to commons-math distributions, i.e. the regularized
+  * incomplete beta/gamma). q149 covers the integer-shape subset with
+  * finite-sum formulas replayable in SQL; these expressions close the
+  * general real-parameter forms with the published numerics the
+  * commons-math implementations themselves use: Lanczos log-gamma, the
+  * incomplete-gamma series, and modified-Lentz continued fractions
+  * (Numerical Recipes §6.1-6.4 / DLMF 8.9, 8.17 — public algorithms).
+  *
+  * Accuracy: the series/CF iterate to 1e-15 relative; Lanczos (g=7,
+  * n=9 public coefficient set) carries ~1e-13 relative — spec-checked
+  * against commons-math (the reference's own delegate, present in
+  * Spark's jars) at 1e-10 and against closed forms where they exist.
+  *
+  * Domain errors throw IllegalArgumentException with the reference's
+  * message text (checkCondition → INVALID_FUNCTION_ARGUMENT there).
+  *
+  * Per-row scalar kernels: codegen'd static calls inside
+  * WholeStageCodegen, no interpreted path in the hot loop.
+  */
+object CdfNumerics {
+  private final val Eps = 1e-15
+  private final val FpMin = java.lang.Double.MIN_NORMAL / Eps
+  private final val MaxIter = 500
+
+  // Lanczos approximation, g=7 n=9 public coefficient set
+  private final val LanczosG = 7.0
+  private final val Lanczos = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+
+  /** ln Γ(x) for x > 0. */
+  def logGamma(x: Double): Double = {
+    val z = x - 1.0
+    var sum = Lanczos(0)
+    var i = 1
+    while (i < Lanczos.length) { sum += Lanczos(i) / (z + i); i += 1 }
+    val t = z + LanczosG + 0.5
+    0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(sum)
+  }
+
+  /** Regularized lower incomplete gamma P(a, x), a > 0, x ≥ 0. */
+  def regGammaP(a: Double, x: Double): Double = {
+    if (x <= 0.0) 0.0
+    else if (x < a + 1.0) gammaSeries(a, x)
+    else 1.0 - gammaCf(a, x)
+  }
+
+  // series: P(a,x) = e^{-x} x^a / Γ(a) · Σ_n x^n / (a(a+1)…(a+n))
+  private def gammaSeries(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var i = 0
+    while (i < MaxIter && math.abs(del) >= math.abs(sum) * Eps) {
+      ap += 1.0
+      del *= x / ap
+      sum += del
+      i += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - logGamma(a))
+  }
+
+  // modified-Lentz continued fraction for Q(a,x), x ≥ a+1
+  private def gammaCf(a: Double, x: Double): Double = {
+    var b = x + 1.0 - a
+    var c = 1.0 / FpMin
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    var del = 0.0
+    do {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b
+      if (math.abs(d) < FpMin) d = FpMin
+      c = b + an / c
+      if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      del = d * c
+      h *= del
+      i += 1
+    } while (i < MaxIter && math.abs(del - 1.0) >= Eps)
+    math.exp(-x + a * math.log(x) - logGamma(a)) * h
+  }
+
+  /** Regularized incomplete beta I_x(a, b), a,b > 0, x ∈ [0,1]. */
+  def regBeta(x: Double, a: Double, b: Double): Double = {
+    if (x <= 0.0) 0.0
+    else if (x >= 1.0) 1.0
+    else {
+      val bt = math.exp(logGamma(a + b) - logGamma(a) - logGamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+      // the CF converges fast only below the symmetry point — use the
+      // reflection I_x(a,b) = 1 − I_{1−x}(b,a) on the other side
+      if (x < (a + 1.0) / (a + b + 2.0)) bt * betaCf(x, a, b) / a
+      else 1.0 - bt * betaCf(1.0 - x, b, a) / b
+    }
+  }
+
+  // modified-Lentz continued fraction for the incomplete beta
+  private def betaCf(x: Double, a: Double, b: Double): Double = {
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < FpMin) d = FpMin
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var del = 0.0
+    do {
+      val m2 = 2 * m
+      // even step
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c
+      if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      h *= d * c
+      // odd step
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < FpMin) d = FpMin
+      c = 1.0 + aa / c
+      if (math.abs(c) < FpMin) c = FpMin
+      d = 1.0 / d
+      del = d * c
+      h *= del
+      m += 1
+    } while (m < MaxIter && math.abs(del - 1.0) >= Eps)
+    h
+  }
+
+  /** beta_cdf(a, b, value) with the reference's domain contract. */
+  def betaCdf(a: Double, b: Double, value: Double): Double = {
+    if (!(value >= 0.0 && value <= 1.0))
+      throw new IllegalArgumentException("value must be in the interval [0, 1]")
+    if (!(a > 0.0)) throw new IllegalArgumentException("a must be > 0")
+    if (!(b > 0.0)) throw new IllegalArgumentException("b must be > 0")
+    regBeta(value, a, b)
+  }
+
+  /** gamma_cdf(shape, scale, value) with the reference's domain contract. */
+  def gammaCdf(shape: Double, scale: Double, value: Double): Double = {
+    if (!(value >= 0.0))
+      throw new IllegalArgumentException("value must be greater than, or equal to, 0")
+    if (!(shape > 0.0)) throw new IllegalArgumentException("shape must be greater than 0")
+    if (!(scale > 0.0)) throw new IllegalArgumentException("scale must be greater than 0")
+    regGammaP(shape, value / scale)
+  }
+}
+
+private[plans] trait CdfTernary extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires three double arguments, got " +
+        children.map(_.dataType).mkString(", "))
+}
+
+/** graft_beta_cdf(a, b, value) — regularized incomplete beta I_value(a, b). */
+case class BetaCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_beta_cdf"
+
+  override protected def nullSafeEval(a: Any, b: Any, v: Any): Any =
+    CdfNumerics.betaCdf(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, v) => s"graft.plans.CdfNumerics.betaCdf($a, $b, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BetaCdfExpr = copy(f, s, t)
+}
+
+/** graft_gamma_cdf(shape, scale, value) — P(shape, value/scale). */
+case class GammaCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_gamma_cdf"
+
+  override protected def nullSafeEval(sh: Any, sc: Any, v: Any): Any =
+    CdfNumerics.gammaCdf(sh.asInstanceOf[Double], sc.asInstanceOf[Double],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, c, v) => s"graft.plans.CdfNumerics.gammaCdf($s, $c, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): GammaCdfExpr = copy(f, s, t)
+}

@@ -112,6 +112,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier(s"graft_$sqlName"),
         new ExpressionInfo(classOf[HmacHash].getName, s"graft_$sqlName"),
         (children: Seq[Expression]) => HmacHash(children(0), children(1), algo)))
+    // real-parameter CDFs (CdfExprs): cast args so SQL integer/decimal
+    // literals (beta_cdf(3, 3.6, x)) resolve like the reference's
+    // implicit numeric coercion
+    def dbl(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Cast(e,
+        org.apache.spark.sql.types.DoubleType)
+    ext.injectFunction((
+      FunctionIdentifier("graft_beta_cdf"),
+      new ExpressionInfo(classOf[BetaCdfExpr].getName, "graft_beta_cdf"),
+      (children: Seq[Expression]) =>
+        BetaCdfExpr(dbl(children(0)), dbl(children(1)), dbl(children(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_gamma_cdf"),
+      new ExpressionInfo(classOf[GammaCdfExpr].getName, "graft_gamma_cdf"),
+      (children: Seq[Expression]) =>
+        GammaCdfExpr(dbl(children(0)), dbl(children(1)), dbl(children(2)))))
     ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
@@ -273,6 +289,12 @@ object NativeFunctions {
 
   def murmur3x64128(c: Column): Column =
     Bridge.column(Murmur3X64128(col2expr(c)))
+
+  def betaCdf(a: Column, b: Column, value: Column): Column =
+    Bridge.column(BetaCdfExpr(col2expr(a), col2expr(b), col2expr(value)))
+
+  def gammaCdf(shape: Column, scale: Column, value: Column): Column =
+    Bridge.column(GammaCdfExpr(col2expr(shape), col2expr(scale), col2expr(value)))
 
   /** algo: MD5 | SHA-1 | SHA-256 | SHA-512. */
   def hmac(data: Column, key: Column, algo: String): Column =

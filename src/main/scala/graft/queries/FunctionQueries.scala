@@ -2682,5 +2682,74 @@ object FunctionQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170)
+  // ---- q171: real-parameter beta/gamma CDF (math.rst) --------------------
+  // graft_beta_cdf / graft_gamma_cdf (plans/CdfExprs.scala — Lanczos +
+  // Lentz continued fractions; reference MathFunctions.java:803/:916,
+  // which delegate to commons-math). Closes the q149 exclusion: q149
+  // covers integer shapes with SQL-replayable finite sums; this query
+  // covers the general real-parameter forms. Two oracle families:
+  //  - doc-derived rows with integer-VALUED real parameters are fully
+  //    cross-engine — DuckDB replays the q149 finite-sum formulas, an
+  //    INDEPENDENT identity checking the continued fraction on the
+  //    same inputs (the kernel does not know the params are integers);
+  //  - fractional-parameter rows pin mpmath 40-digit vectors (q156
+  //    pinned-vector discipline) that the Spark side must reproduce
+  //    computationally; commons-math parity lives in CdfExprsSpec.
+  // 6dp rounding both sides; every pinned value's distance to its
+  // rounding boundary was checked > 3e-8 at pin time (kernel accuracy
+  // ~1e-12), and the doc-derived inputs are doc_id-arithmetic only
+  // (content-independent), so the compare is deterministic at any sf.
+  private val q171Pins: Seq[(Long, Double, Double, Double, Double, Double, Double, Double, Double)] = Seq(
+    // (pid, a, b, x, beta6, shape, scale, v, gamma6)
+    (1000001L, 3.0, 3.6, 0.3, 0.217648, 3.0, 4.0, 1.1, 0.002824),
+    (1000002L, 3.0, 3.6, 0.9, 0.99725, 3.0, 4.0, 5.0, 0.131532),
+    (1000003L, 0.5, 0.5, 0.25, 0.333333, 3.0, 4.0, 10.0, 0.456187),
+    (1000004L, 2.5, 1.5, 0.6, 0.426868, 0.5, 2.0, 3.7, 0.945588),
+    (1000005L, 7.3, 0.8, 0.95, 0.586773, 2.5, 1.5, 4.2, 0.652895),
+    (1000006L, 0.2, 5.0, 0.01, 0.58467, 10.75, 0.9, 11.0, 0.702222),
+    (1000007L, 12.5, 17.25, 0.42, 0.50719, 0.35, 6.0, 0.8, 0.53589),
+    (1000008L, 1.75, 2.25, 0.5, 0.609587, 5000.0, 2.0, 10000.0, 0.501881))
+
+  val q171 = Q(
+    "q171_cdf_real",
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST((doc_id * 37) % 997 + 1 AS DOUBLE) / 999.0 AS x,
+       |  1 + doc_id % 4 AS a, 2 + doc_id % 3 AS bb, 1 + doc_id % 5 AS k
+       | FROM documents WHERE doc_id < 400),
+       |c AS (SELECT *, a + bb - 1 AS n, x AS w, x * 8.0 AS y, 1.5 AS th FROM b),
+       |ints AS (SELECT doc_id,
+       |  round(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(a, a + bb),
+       |    j -> CAST($q149BetaTerm AS DOUBLE))), (acc, t) -> acc + t), 6) AS beta_c,
+       |  round(1 - exp(-y / th) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, k),
+       |    i -> CAST($q149ErlangTerm AS DOUBLE))), (acc, t) -> acc + t), 6) AS gamma_c
+       | FROM c),
+       |pins AS (SELECT CAST(pid AS BIGINT) AS doc_id,
+       |  CAST(b6 AS DOUBLE) AS beta_c, CAST(g6 AS DOUBLE) AS gamma_c
+       | FROM (VALUES
+       |${q171Pins.map(p => s"   (${p._1}, ${p._5}, ${p._9})").mkString(",\n")}
+       | ) AS t(pid, b6, g6))
+       |SELECT doc_id, beta_c, gamma_c FROM ints
+       |UNION ALL SELECT doc_id, beta_c, gamma_c FROM pins
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.plans.NativeFunctions
+    val ints = Tables.documents(s, d, col("doc_id") < 400)
+      .select(col("doc_id"),
+        (((col("doc_id") * 37) % 997 + 1).cast("double") / 999.0).as("x"),
+        (lit(1) + col("doc_id") % 4).cast("double").as("a"),
+        (lit(2) + col("doc_id") % 3).cast("double").as("bb"),
+        (lit(1) + col("doc_id") % 5).cast("double").as("k"))
+      .select(col("doc_id"),
+        round(NativeFunctions.betaCdf(col("a"), col("bb"), col("x")), 6).as("beta_c"),
+        round(NativeFunctions.gammaCdf(col("k"), lit(1.5).cast("double"),
+          col("x") * 8.0), 6).as("gamma_c"))
+    val pins = q171Pins
+      .toDF("doc_id", "a", "b", "x", "beta6", "shape", "scale", "v", "gamma6")
+      .select(col("doc_id"),
+        round(NativeFunctions.betaCdf(col("a"), col("b"), col("x")), 6).as("beta_c"),
+        round(NativeFunctions.gammaCdf(col("shape"), col("scale"), col("v")), 6).as("gamma_c"))
+    ints.unionAll(pins).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171)
 }
