@@ -144,6 +144,67 @@ object CdfNumerics {
     h
   }
 
+  /** Safeguarded Newton inverse of a monotone-increasing CDF on
+    * (lo, hi): Newton steps off the analytic density, falling back to
+    * bisection whenever a step leaves the current bracket (the
+    * standard rtsafe construction, Numerical Recipes §9.4). Converges
+    * to ~1 ulp of the root — tighter than the reference's delegate
+    * (commons-math Brent at its 1e-9 default accuracy), which the
+    * parity spec accounts for.
+    */
+  private def invMonotone(f: Double => Double, pdf: Double => Double,
+      lo0: Double, hi0: Double, x0: Double): Double = {
+    var lo = lo0
+    var hi = hi0
+    var x = x0
+    var i = 0
+    while (i < 200) {
+      val fx = f(x)
+      if (fx == 0.0) return x
+      if (fx > 0.0) hi = x else lo = x
+      val d = pdf(x)
+      var nx = if (d > 0.0) x - fx / d else Double.NaN
+      if (!(nx > lo && nx < hi)) nx = 0.5 * (lo + hi)
+      if (nx == x) return x
+      if (math.abs(nx - x) <= 4.0 * Math.ulp(x)) return nx
+      x = nx
+      i += 1
+    }
+    x
+  }
+
+  private def logBeta(a: Double, b: Double): Double =
+    logGamma(a) + logGamma(b) - logGamma(a + b)
+
+  /** Inverse of I_x(a, b) in x for p ∈ [0, 1]. */
+  def invRegBeta(a: Double, b: Double, p: Double): Double = {
+    if (p <= 0.0) 0.0
+    else if (p >= 1.0) 1.0
+    else {
+      val lnB = logBeta(a, b)
+      invMonotone(
+        x => regBeta(x, a, b) - p,
+        x => math.exp((a - 1.0) * math.log(x) + (b - 1.0) * math.log1p(-x) - lnB),
+        0.0, 1.0, a / (a + b))
+    }
+  }
+
+  /** Inverse of P(a, y) in y for p ∈ [0, 1). */
+  def invRegGammaP(a: Double, p: Double): Double = {
+    if (p <= 0.0) 0.0
+    else {
+      // bracket: the mean a always has P(a, a) ∈ (0.4, 0.7); double
+      // outward until the root is enclosed
+      var hi = math.max(a, 1.0)
+      while (regGammaP(a, hi) <= p) hi *= 2.0
+      val lg = logGamma(a)
+      invMonotone(
+        y => regGammaP(a, y) - p,
+        y => math.exp((a - 1.0) * math.log(y) - y - lg),
+        0.0, hi, math.min(a, 0.5 * hi))
+    }
+  }
+
   /** beta_cdf(a, b, value) with the reference's domain contract. */
   def betaCdf(a: Double, b: Double, value: Double): Double = {
     if (!(value >= 0.0 && value <= 1.0))
@@ -160,6 +221,28 @@ object CdfNumerics {
     if (!(shape > 0.0)) throw new IllegalArgumentException("shape must be greater than 0")
     if (!(scale > 0.0)) throw new IllegalArgumentException("scale must be greater than 0")
     regGammaP(shape, value / scale)
+  }
+
+  /** inverse_beta_cdf(a, b, p) — reference MathFunctions.java:788. */
+  def inverseBetaCdf(a: Double, b: Double, p: Double): Double = {
+    if (!(p >= 0.0 && p <= 1.0))
+      throw new IllegalArgumentException("p must be in the interval [0, 1]")
+    if (!(a > 0.0)) throw new IllegalArgumentException("a must be > 0")
+    if (!(b > 0.0)) throw new IllegalArgumentException("b must be > 0")
+    invRegBeta(a, b, p)
+  }
+
+  /** inverse_gamma_cdf(shape, scale, p) — reference MathFunctions.java:901.
+    * p = 1 returns +∞ (the distribution's support bound, as the
+    * reference's commons-math delegate does).
+    */
+  def inverseGammaCdf(shape: Double, scale: Double, p: Double): Double = {
+    if (!(p >= 0.0 && p <= 1.0))
+      throw new IllegalArgumentException("p must be in the interval [0, 1]")
+    if (!(shape > 0.0)) throw new IllegalArgumentException("shape must be greater than 0")
+    if (!(scale > 0.0)) throw new IllegalArgumentException("scale must be greater than 0")
+    if (p == 1.0) Double.PositiveInfinity
+    else scale * invRegGammaP(shape, p)
   }
 }
 
@@ -202,4 +285,36 @@ case class GammaCdfExpr(first: Expression, second: Expression, third: Expression
 
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): GammaCdfExpr = copy(f, s, t)
+}
+
+/** graft_inverse_beta_cdf(a, b, p) — x with I_x(a, b) = p. */
+case class InverseBetaCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_inverse_beta_cdf"
+
+  override protected def nullSafeEval(a: Any, b: Any, p: Any): Any =
+    CdfNumerics.inverseBetaCdf(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) => s"graft.plans.CdfNumerics.inverseBetaCdf($a, $b, $p)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): InverseBetaCdfExpr = copy(f, s, t)
+}
+
+/** graft_inverse_gamma_cdf(shape, scale, p) — v with P(shape, v/scale) = p. */
+case class InverseGammaCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_inverse_gamma_cdf"
+
+  override protected def nullSafeEval(sh: Any, sc: Any, p: Any): Any =
+    CdfNumerics.inverseGammaCdf(sh.asInstanceOf[Double], sc.asInstanceOf[Double],
+      p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, c, p) => s"graft.plans.CdfNumerics.inverseGammaCdf($s, $c, $p)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): InverseGammaCdfExpr = copy(f, s, t)
 }

@@ -129,6 +129,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         GammaCdfExpr(dbl(children(0)), dbl(children(1)), dbl(children(2)))))
     ext.injectFunction((
+      FunctionIdentifier("graft_inverse_beta_cdf"),
+      new ExpressionInfo(classOf[InverseBetaCdfExpr].getName, "graft_inverse_beta_cdf"),
+      (children: Seq[Expression]) =>
+        InverseBetaCdfExpr(dbl(children(0)), dbl(children(1)), dbl(children(2)))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_inverse_gamma_cdf"),
+      new ExpressionInfo(classOf[InverseGammaCdfExpr].getName, "graft_inverse_gamma_cdf"),
+      (children: Seq[Expression]) =>
+        InverseGammaCdfExpr(dbl(children(0)), dbl(children(1)), dbl(children(2)))))
+    ext.injectFunction((
       FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "graft_kmv"),
       (children: Seq[Expression]) => KmvSketchAgg(children(0), children(1) match {
@@ -216,6 +226,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("graft_st_env_area") { ch => Envelope.area(c(ch(0))) }
     composed("graft_st_env_intersects") { ch => Envelope.intersects(c(ch(0)), c(ch(1))) }
     composed("graft_st_env_contains") { ch => Envelope.contains(c(ch(0)), c(ch(1))) }
+    // chi²/F forward+inverse at REAL df are exact one-line compositions
+    // of the beta/gamma kernels (chi²(df) = Gamma(df/2, scale 2);
+    // F(d1,d2) via Y = d1X/(d1X+d2) ~ Beta(d1/2, d2/2)) — registered as
+    // composed builders so the SQL surface matches the reference's
+    // (math.rst:253/:265 inverse_chi_squared_cdf/inverse_f_cdf and the
+    // forward forms), with the same domain contracts by construction.
+    locally {
+      val two = org.apache.spark.sql.functions.lit(2.0)
+      def cc(e: Expression): Column = Bridge.column(e).cast("double")
+      composed("graft_chi_squared_cdf") { ch =>
+        Bridge.column(GammaCdfExpr(
+          Bridge.expression(cc(ch(0)) / two), Literal(2.0),
+          Bridge.expression(cc(ch(1)))))
+      }
+      composed("graft_inverse_chi_squared_cdf") { ch =>
+        Bridge.column(InverseGammaCdfExpr(
+          Bridge.expression(cc(ch(0)) / two), Literal(2.0),
+          Bridge.expression(cc(ch(1)))))
+      }
+      composed("graft_f_cdf") { ch =>
+        val d1 = cc(ch(0)); val d2 = cc(ch(1)); val x = cc(ch(2))
+        Bridge.column(BetaCdfExpr(
+          Bridge.expression(d1 / two), Bridge.expression(d2 / two),
+          Bridge.expression(d1 * x / (d1 * x + d2))))
+      }
+      composed("graft_inverse_f_cdf") { ch =>
+        val d1 = cc(ch(0)); val d2 = cc(ch(1)); val p = cc(ch(2))
+        val y = Bridge.column(InverseBetaCdfExpr(
+          Bridge.expression(d1 / two), Bridge.expression(d2 / two),
+          Bridge.expression(p)))
+        d2 * y / (d1 * (org.apache.spark.sql.functions.lit(1.0) - y))
+      }
+    }
   }
 }
 
@@ -295,6 +338,12 @@ object NativeFunctions {
 
   def gammaCdf(shape: Column, scale: Column, value: Column): Column =
     Bridge.column(GammaCdfExpr(col2expr(shape), col2expr(scale), col2expr(value)))
+
+  def inverseBetaCdf(a: Column, b: Column, p: Column): Column =
+    Bridge.column(InverseBetaCdfExpr(col2expr(a), col2expr(b), col2expr(p)))
+
+  def inverseGammaCdf(shape: Column, scale: Column, p: Column): Column =
+    Bridge.column(InverseGammaCdfExpr(col2expr(shape), col2expr(scale), col2expr(p)))
 
   /** algo: MD5 | SHA-1 | SHA-256 | SHA-512. */
   def hmac(data: Column, key: Column, algo: String): Column =

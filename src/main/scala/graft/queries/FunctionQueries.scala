@@ -2751,5 +2751,85 @@ object FunctionQueries extends QueryFamily {
     ints.unionAll(pins).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171)
+  // ---- q172: inverse beta/gamma/chi²/F CDFs at real parameters -----------
+  // graft_inverse_beta_cdf / graft_inverse_gamma_cdf (safeguarded-Newton
+  // inverses of the q171 kernels — CdfExprs.invMonotone) plus the
+  // composed chi²/F faces (reference MathFunctions.java:788/:901/:845/
+  // :871, math.rst:235-270). Withdraws the r6/r7 "iterative
+  // root-finding, library-coupled" exclusion: the inverse of OUR cdf is
+  // defined to ~1 ulp by the cdf itself, needing no foreign bracketing
+  // schedule. Oracle: the analytically-exact round-trip
+  // cdf(inverse_cdf(p)) = p — Spark computes the composition, DuckDB
+  // emits round(p, 6); with every distribution parameter ≥ 1 the
+  // endpoint densities are bounded, so the composition's error is
+  // density·ulp ≈ 1e-14, six orders under the p-grid's 5e-10 boundary
+  // margin. Fractional-parameter pinned rows (mpmath 40-digit roots,
+  // margin > 1.8e-8 checked at pin time) check the inverse VALUES
+  // directly; commons-math parity lives in CdfExprsSpec.
+  private val q172Pins: Seq[(Long, Double, Double, Double, Double, Double, Double, Double)] = Seq(
+    // (pid, a, b, shape, scale, p, inv_beta6, inv_gamma6)
+    (2000001L, 2.5, 1.5, 1.8, 1.5, 0.37, 0.561008, 1.678677),
+    (2000002L, 0.8, 3.2, 0.6, 2.0, 0.85, 0.396539, 2.44392),
+    (2000003L, 3.6, 3.0, 4.25, 0.9, 0.5, 0.550307, 3.529546),
+    (2000004L, 1.25, 6.75, 2.5, 3.0, 0.11, 0.02967, 2.536878),
+    (2000005L, 5.5, 0.7, 7.3, 1.1, 0.93, 0.996317, 12.765291),
+    (2000006L, 12.0, 9.5, 0.35, 6.0, 0.04, 0.371453, 0.000438))
+
+  val q172 = Q(
+    "q172_inverse_cdf_real",
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST((doc_id * 41) % 991 + 1 AS DOUBLE) / 993.0 AS p
+       | FROM documents WHERE doc_id < 400)
+       |SELECT doc_id, round(p, 6) AS rt_beta, round(p, 6) AS rt_gamma,
+       |  round(p, 6) AS rt_chi2, round(p, 6) AS rt_f,
+       |  CAST(NULL AS DOUBLE) AS inv_beta6, CAST(NULL AS DOUBLE) AS inv_gamma6
+       |FROM b
+       |UNION ALL
+       |SELECT CAST(pid AS BIGINT) AS doc_id,
+       |  CAST(p AS DOUBLE), CAST(p AS DOUBLE), CAST(p AS DOUBLE), CAST(p AS DOUBLE),
+       |  CAST(ib AS DOUBLE), CAST(ig AS DOUBLE)
+       |FROM (VALUES
+       |${q172Pins.map(v => s"   (${v._1}, ${v._6}, ${v._7}, ${v._8})").mkString(",\n")}
+       | ) AS t(pid, p, ib, ig)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.plans.NativeFunctions._
+    def rt(p: org.apache.spark.sql.Column, doc: org.apache.spark.sql.Column) = {
+      val a = (lit(1.25) + (doc % 4).cast("double") * 0.85)
+      val b = (lit(1.4) + (doc % 3).cast("double") * 1.1)
+      val sh = (lit(1.2) + (doc % 5).cast("double") * 0.9)
+      val df = (lit(1.6) + (doc % 6).cast("double") * 0.8)
+      val d1 = (lit(2.5) + (doc % 4).cast("double") * 1.5)
+      val d2 = (lit(3.0) + (doc % 3).cast("double") * 2.0)
+      val invF = {
+        val y = inverseBetaCdf(d1 / 2.0, d2 / 2.0, p)
+        d2 * y / (d1 * (lit(1.0) - y))
+      }
+      Seq(
+        round(betaCdf(a, b, inverseBetaCdf(a, b, p)), 6).as("rt_beta"),
+        round(gammaCdf(sh, lit(1.5), inverseGammaCdf(sh, lit(1.5), p)), 6).as("rt_gamma"),
+        round(gammaCdf(df / 2.0, lit(2.0),
+          inverseGammaCdf(df / 2.0, lit(2.0), p)), 6).as("rt_chi2"),
+        round(betaCdf(d1 / 2.0, d2 / 2.0, d1 * invF / (d1 * invF + d2)), 6).as("rt_f"))
+    }
+    val data = Tables.documents(s, d, col("doc_id") < 400)
+      .select(col("doc_id"),
+        (((col("doc_id") * 41) % 991 + 1).cast("double") / 993.0).as("p"))
+      .select(Seq(col("doc_id")) ++ rt(col("p"), col("doc_id")) ++ Seq(
+        lit(null).cast("double").as("inv_beta6"),
+        lit(null).cast("double").as("inv_gamma6")): _*)
+    val pins = q172Pins
+      .toDF("doc_id", "a", "b", "shape", "scale", "p", "ib6", "ig6")
+      .select(col("doc_id"),
+        round(betaCdf(col("a"), col("b"),
+          inverseBetaCdf(col("a"), col("b"), col("p"))), 6).as("rt_beta"),
+        round(gammaCdf(col("shape"), col("scale"),
+          inverseGammaCdf(col("shape"), col("scale"), col("p"))), 6).as("rt_gamma"),
+        round(col("p"), 6).as("rt_chi2"), round(col("p"), 6).as("rt_f"),
+        round(inverseBetaCdf(col("a"), col("b"), col("p")), 6).as("inv_beta6"),
+        round(inverseGammaCdf(col("shape"), col("scale"), col("p")), 6).as("inv_gamma6"))
+    data.unionAll(pins).orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171, q172)
 }

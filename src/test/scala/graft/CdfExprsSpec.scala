@@ -79,6 +79,72 @@ class CdfExprsSpec extends SparkSpec {
     }
   }
 
+  test("inverse beta/gamma parity with commons-math and exact round-trips") {
+    for (_ <- 1 to 200) {
+      val a = 0.1 + rnd.nextDouble() * 15.0
+      val b = 0.1 + rnd.nextDouble() * 15.0
+      val p = rnd.nextDouble()
+      val got = CdfNumerics.inverseBetaCdf(a, b, p)
+      // commons-math Brent converges to its 1e-9 default accuracy
+      val want = new org.apache.commons.math3.distribution.BetaDistribution(null, a, b,
+        org.apache.commons.math3.distribution.BetaDistribution.DEFAULT_INVERSE_ABSOLUTE_ACCURACY)
+        .inverseCumulativeProbability(p)
+      assert(math.abs(got - want) <= 1e-7, s"inv_beta($a, $b, $p): got $got want $want")
+      // the Newton root is ~1-ulp in x; in p-space that is density(x)
+      // ulps — unbounded where an endpoint density diverges (a or b
+      // < 1), so the tolerance is the representation limit itself
+      val dens = math.exp((a - 1.0) * math.log(got.max(1e-300)) +
+        (b - 1.0) * math.log1p(-(got.min(1.0 - 1e-16))) +
+        CdfNumerics.logGamma(a + b) - CdfNumerics.logGamma(a) - CdfNumerics.logGamma(b))
+      val tol = math.max(1e-12, 8.0 * dens * Math.ulp(got.max(1e-300)))
+      assert(math.abs(CdfNumerics.betaCdf(a, b, got) - p) <= tol,
+        s"beta round-trip at ($a, $b, $p)")
+    }
+    for (_ <- 1 to 200) {
+      val shape = 0.1 + rnd.nextDouble() * 15.0
+      val scale = 0.1 + rnd.nextDouble() * 10.0
+      val p = rnd.nextDouble()
+      val got = CdfNumerics.inverseGammaCdf(shape, scale, p)
+      val cm = new org.apache.commons.math3.distribution.GammaDistribution(null, shape, scale,
+        org.apache.commons.math3.distribution.GammaDistribution.DEFAULT_INVERSE_ABSOLUTE_ACCURACY)
+        .inverseCumulativeProbability(p)
+      assert(math.abs(got - cm) <= 1e-6 * (1.0 + math.abs(cm)),
+        s"inv_gamma($shape, $scale, $p): got $got want $cm")
+      val y = got / scale
+      val dens = math.exp((shape - 1.0) * math.log(y.max(1e-300)) - y -
+        CdfNumerics.logGamma(shape)) / scale
+      val tol = math.max(1e-12, 8.0 * dens * Math.ulp(got.max(1e-300)))
+      assert(math.abs(CdfNumerics.gammaCdf(shape, scale, got) - p) <= tol,
+        s"gamma round-trip at ($shape, $scale, $p)")
+    }
+    // endpoints follow the reference's delegate: support bounds
+    assert(CdfNumerics.inverseBetaCdf(2.5, 1.5, 0.0) == 0.0)
+    assert(CdfNumerics.inverseBetaCdf(2.5, 1.5, 1.0) == 1.0)
+    assert(CdfNumerics.inverseGammaCdf(2.5, 1.5, 0.0) == 0.0)
+    assert(CdfNumerics.inverseGammaCdf(2.5, 1.5, 1.0).isPosInfinity)
+  }
+
+  test("composed chi-squared and F faces match their defining identities") {
+    val sqls = spark.sql(
+      """SELECT graft_chi_squared_cdf(3.0, 2.41) AS c1,
+        |  graft_inverse_chi_squared_cdf(3.0, 0.37) AS ic1,
+        |  graft_f_cdf(5.0, 7.0, 1.3) AS f1,
+        |  graft_inverse_f_cdf(5.0, 7.0, 0.42) AS if1""".stripMargin).head()
+    assert(sqls.getAs[Double]("c1") == CdfNumerics.gammaCdf(1.5, 2.0, 2.41))
+    assert(sqls.getAs[Double]("ic1") == CdfNumerics.inverseGammaCdf(1.5, 2.0, 0.37))
+    val d1 = 5.0; val d2 = 7.0; val x = 1.3
+    assert(sqls.getAs[Double]("f1") ==
+      CdfNumerics.betaCdf(d1 / 2, d2 / 2, d1 * x / (d1 * x + d2)))
+    // F inverse round-trips through the F cdf identity
+    val xf = sqls.getAs[Double]("if1")
+    assert(math.abs(CdfNumerics.betaCdf(d1 / 2, d2 / 2, d1 * xf / (d1 * xf + d2)) - 0.42) < 1e-12)
+    // and matches commons-math's FDistribution inverse
+    val cm = new org.apache.commons.math3.distribution.FDistribution(null, d1, d2,
+      org.apache.commons.math3.distribution.FDistribution.DEFAULT_INVERSE_ABSOLUTE_ACCURACY)
+      .inverseCumulativeProbability(0.42)
+    assert(math.abs(xf - cm) <= 1e-6 * (1.0 + cm), s"inv_f: $xf vs $cm")
+  }
+
   test("domain errors throw the reference's contract") {
     intercept[IllegalArgumentException](CdfNumerics.betaCdf(0.0, 3.0, 0.5))
     intercept[IllegalArgumentException](CdfNumerics.betaCdf(3.0, 0.0, 0.5))
