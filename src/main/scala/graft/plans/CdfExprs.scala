@@ -30,7 +30,17 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 object CdfNumerics {
   private final val Eps = 1e-15
   private final val FpMin = java.lang.Double.MIN_NORMAL / Eps
-  private final val MaxIter = 500
+
+  // Iteration budget scaled to the shape parameter: near the
+  // series/CF crossover x ≈ a both expansions need O(sqrt(a))
+  // terms (the slowest decay is ~e^{-n²/2a}), so a flat cap
+  // silently truncates for large shapes. 10·sqrt(a) leaves a
+  // comfortable margin over the ~sqrt(69·a) worst case observed
+  // at the 1e-15 tolerance; non-convergence within the scaled
+  // budget throws rather than returning a truncated sum, matching
+  // commons-math's MaxCountExceededException behavior.
+  private def maxIter(a: Double): Int =
+    math.max(500L, math.ceil(10.0 * math.sqrt(a)).toLong).min(Int.MaxValue).toInt
 
   // Lanczos approximation, g=7 n=9 public coefficient set
   private final val LanczosG = 7.0
@@ -58,21 +68,26 @@ object CdfNumerics {
 
   // series: P(a,x) = e^{-x} x^a / Γ(a) · Σ_n x^n / (a(a+1)…(a+n))
   private def gammaSeries(a: Double, x: Double): Double = {
+    val cap = maxIter(a)
     var ap = a
     var sum = 1.0 / a
     var del = sum
     var i = 0
-    while (i < MaxIter && math.abs(del) >= math.abs(sum) * Eps) {
+    while (i < cap && math.abs(del) >= math.abs(sum) * Eps) {
       ap += 1.0
       del *= x / ap
       sum += del
       i += 1
     }
+    if (i >= cap && math.abs(del) >= math.abs(sum) * Eps)
+      throw new ArithmeticException(
+        s"incomplete gamma series failed to converge for a=$a, x=$x after $cap iterations")
     sum * math.exp(-x + a * math.log(x) - logGamma(a))
   }
 
   // modified-Lentz continued fraction for Q(a,x), x ≥ a+1
   private def gammaCf(a: Double, x: Double): Double = {
+    val cap = maxIter(a)
     var b = x + 1.0 - a
     var c = 1.0 / FpMin
     var d = 1.0 / b
@@ -90,7 +105,10 @@ object CdfNumerics {
       del = d * c
       h *= del
       i += 1
-    } while (i < MaxIter && math.abs(del - 1.0) >= Eps)
+    } while (i < cap && math.abs(del - 1.0) >= Eps)
+    if (i >= cap && math.abs(del - 1.0) >= Eps)
+      throw new ArithmeticException(
+        s"incomplete gamma continued fraction failed to converge for a=$a, x=$x after $cap iterations")
     math.exp(-x + a * math.log(x) - logGamma(a)) * h
   }
 
@@ -108,8 +126,11 @@ object CdfNumerics {
     }
   }
 
-  // modified-Lentz continued fraction for the incomplete beta
+  // modified-Lentz continued fraction for the incomplete beta.
+  // Budget scales with a+b: convergence slows near the symmetry
+  // point x ≈ a/(a+b) at the same O(sqrt(·)) rate as the gamma CF.
   private def betaCf(x: Double, a: Double, b: Double): Double = {
+    val cap = maxIter(a + b)
     val qab = a + b
     val qap = a + 1.0
     val qam = a - 1.0
@@ -140,7 +161,10 @@ object CdfNumerics {
       del = d * c
       h *= del
       m += 1
-    } while (m < MaxIter && math.abs(del - 1.0) >= Eps)
+    } while (m < cap && math.abs(del - 1.0) >= Eps)
+    if (m >= cap && math.abs(del - 1.0) >= Eps)
+      throw new ArithmeticException(
+        s"incomplete beta continued fraction failed to converge for a=$a, b=$b, x=$x after $cap iterations")
     h
   }
 
@@ -244,6 +268,122 @@ object CdfNumerics {
     if (p == 1.0) Double.PositiveInfinity
     else scale * invRegGammaP(shape, p)
   }
+
+  // The chi²/F faces validate their OWN parameter names before
+  // delegating to the gamma/beta kernels, so the thrown message text
+  // matches the reference exactly ("df"/"numerator df"/"denominator
+  // df", and the reference's verbatim "value must non-negative" —
+  // MathFunctions.java:850-893). The delegation itself cannot throw:
+  // df > 0 ⇒ shape > 0, and value ≥ 0 ⇒ the beta argument ∈ [0, 1).
+
+  /** chi_squared_cdf(df, value) — reference MathFunctions.java:858. */
+  def chiSquaredCdf(df: Double, value: Double): Double = {
+    if (!(value >= 0.0)) throw new IllegalArgumentException("value must non-negative")
+    if (!(df > 0.0)) throw new IllegalArgumentException("df must be greater than 0")
+    regGammaP(df / 2.0, value / 2.0)
+  }
+
+  /** inverse_chi_squared_cdf(df, p) — reference MathFunctions.java:845. */
+  def inverseChiSquaredCdf(df: Double, p: Double): Double = {
+    if (!(p >= 0.0 && p <= 1.0))
+      throw new IllegalArgumentException("p must be in the interval [0, 1]")
+    if (!(df > 0.0)) throw new IllegalArgumentException("df must be greater than 0")
+    if (p == 1.0) Double.PositiveInfinity
+    else 2.0 * invRegGammaP(df / 2.0, p)
+  }
+
+  /** f_cdf(df1, df2, value) — reference MathFunctions.java:884. */
+  def fCdf(df1: Double, df2: Double, value: Double): Double = {
+    if (!(value >= 0.0)) throw new IllegalArgumentException("value must non-negative")
+    if (!(df1 > 0.0)) throw new IllegalArgumentException("numerator df must be greater than 0")
+    if (!(df2 > 0.0)) throw new IllegalArgumentException("denominator df must be greater than 0")
+    regBeta(df1 * value / (df1 * value + df2), df1 / 2.0, df2 / 2.0)
+  }
+
+  /** inverse_f_cdf(df1, df2, p) — reference MathFunctions.java:871. */
+  def inverseFCdf(df1: Double, df2: Double, p: Double): Double = {
+    if (!(p >= 0.0 && p <= 1.0))
+      throw new IllegalArgumentException("p must be in the interval [0, 1]")
+    if (!(df1 > 0.0)) throw new IllegalArgumentException("numerator df must be greater than 0")
+    if (!(df2 > 0.0)) throw new IllegalArgumentException("denominator df must be greater than 0")
+    val y = invRegBeta(df1 / 2.0, df2 / 2.0, p)
+    if (y >= 1.0) Double.PositiveInfinity
+    else df2 * y / (df1 * (1.0 - y))
+  }
+}
+
+private[plans] trait CdfBinary
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two double arguments, got " +
+        children.map(_.dataType).mkString(", "))
+}
+
+/** graft_chi_squared_cdf(df, value) = P(df/2, value/2), with the
+  * reference's own df/value domain messages (MathFunctions.java:858).
+  */
+case class ChiSquaredCdfExpr(left: Expression, right: Expression) extends CdfBinary {
+  override def prettyName: String = "graft_chi_squared_cdf"
+
+  override protected def nullSafeEval(df: Any, v: Any): Any =
+    CdfNumerics.chiSquaredCdf(df.asInstanceOf[Double], v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, v) => s"graft.plans.CdfNumerics.chiSquaredCdf($d, $v)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChiSquaredCdfExpr = copy(l, r)
+}
+
+/** graft_inverse_chi_squared_cdf(df, p) (MathFunctions.java:845). */
+case class InverseChiSquaredCdfExpr(left: Expression, right: Expression) extends CdfBinary {
+  override def prettyName: String = "graft_inverse_chi_squared_cdf"
+
+  override protected def nullSafeEval(df: Any, p: Any): Any =
+    CdfNumerics.inverseChiSquaredCdf(df.asInstanceOf[Double], p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, p) => s"graft.plans.CdfNumerics.inverseChiSquaredCdf($d, $p)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): InverseChiSquaredCdfExpr = copy(l, r)
+}
+
+/** graft_f_cdf(df1, df2, value) = I_{df1·v/(df1·v+df2)}(df1/2, df2/2)
+  * (MathFunctions.java:884).
+  */
+case class FCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_f_cdf"
+
+  override protected def nullSafeEval(d1: Any, d2: Any, v: Any): Any =
+    CdfNumerics.fCdf(d1.asInstanceOf[Double], d2.asInstanceOf[Double],
+      v.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, v) => s"graft.plans.CdfNumerics.fCdf($a, $b, $v)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): FCdfExpr = copy(f, s, t)
+}
+
+/** graft_inverse_f_cdf(df1, df2, p) (MathFunctions.java:871). */
+case class InverseFCdfExpr(first: Expression, second: Expression, third: Expression)
+    extends CdfTernary {
+  override def prettyName: String = "graft_inverse_f_cdf"
+
+  override protected def nullSafeEval(d1: Any, d2: Any, p: Any): Any =
+    CdfNumerics.inverseFCdf(d1.asInstanceOf[Double], d2.asInstanceOf[Double],
+      p.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, p) => s"graft.plans.CdfNumerics.inverseFCdf($a, $b, $p)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): InverseFCdfExpr = copy(f, s, t)
 }
 
 private[plans] trait CdfTernary extends TernaryExpression {

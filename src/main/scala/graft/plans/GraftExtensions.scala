@@ -226,38 +226,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed("graft_st_env_area") { ch => Envelope.area(c(ch(0))) }
     composed("graft_st_env_intersects") { ch => Envelope.intersects(c(ch(0)), c(ch(1))) }
     composed("graft_st_env_contains") { ch => Envelope.contains(c(ch(0)), c(ch(1))) }
-    // chi²/F forward+inverse at REAL df are exact one-line compositions
-    // of the beta/gamma kernels (chi²(df) = Gamma(df/2, scale 2);
+    // chi²/F forward+inverse at REAL df are exact one-line delegations
+    // to the beta/gamma kernels (chi²(df) = Gamma(df/2, scale 2);
     // F(d1,d2) via Y = d1X/(d1X+d2) ~ Beta(d1/2, d2/2)) — registered as
-    // composed builders so the SQL surface matches the reference's
-    // (math.rst:253/:265 inverse_chi_squared_cdf/inverse_f_cdf and the
-    // forward forms), with the same domain contracts by construction.
+    // native expressions (plans/CdfExprs.scala) whose domain checks
+    // carry the reference's own parameter names and message text
+    // ("df"/"numerator df"/"denominator df must be greater than 0",
+    // "value must non-negative" — MathFunctions.java:845-893), not the
+    // underlying kernels' shape/a/b wording (r7 ADVICE).
     locally {
-      val two = org.apache.spark.sql.functions.lit(2.0)
-      def cc(e: Expression): Column = Bridge.column(e).cast("double")
-      composed("graft_chi_squared_cdf") { ch =>
-        Bridge.column(GammaCdfExpr(
-          Bridge.expression(cc(ch(0)) / two), Literal(2.0),
-          Bridge.expression(cc(ch(1)))))
-      }
-      composed("graft_inverse_chi_squared_cdf") { ch =>
-        Bridge.column(InverseGammaCdfExpr(
-          Bridge.expression(cc(ch(0)) / two), Literal(2.0),
-          Bridge.expression(cc(ch(1)))))
-      }
-      composed("graft_f_cdf") { ch =>
-        val d1 = cc(ch(0)); val d2 = cc(ch(1)); val x = cc(ch(2))
-        Bridge.column(BetaCdfExpr(
-          Bridge.expression(d1 / two), Bridge.expression(d2 / two),
-          Bridge.expression(d1 * x / (d1 * x + d2))))
-      }
-      composed("graft_inverse_f_cdf") { ch =>
-        val d1 = cc(ch(0)); val d2 = cc(ch(1)); val p = cc(ch(2))
-        val y = Bridge.column(InverseBetaCdfExpr(
-          Bridge.expression(d1 / two), Bridge.expression(d2 / two),
-          Bridge.expression(p)))
-        d2 * y / (d1 * (org.apache.spark.sql.functions.lit(1.0) - y))
-      }
+      def cc(e: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.DoubleType)
+      ext.injectFunction((
+        FunctionIdentifier("graft_chi_squared_cdf"),
+        new ExpressionInfo(classOf[ChiSquaredCdfExpr].getName, "graft_chi_squared_cdf"),
+        (ch: Seq[Expression]) => ChiSquaredCdfExpr(cc(ch(0)), cc(ch(1)))))
+      ext.injectFunction((
+        FunctionIdentifier("graft_inverse_chi_squared_cdf"),
+        new ExpressionInfo(classOf[InverseChiSquaredCdfExpr].getName, "graft_inverse_chi_squared_cdf"),
+        (ch: Seq[Expression]) => InverseChiSquaredCdfExpr(cc(ch(0)), cc(ch(1)))))
+      ext.injectFunction((
+        FunctionIdentifier("graft_f_cdf"),
+        new ExpressionInfo(classOf[FCdfExpr].getName, "graft_f_cdf"),
+        (ch: Seq[Expression]) => FCdfExpr(cc(ch(0)), cc(ch(1)), cc(ch(2)))))
+      ext.injectFunction((
+        FunctionIdentifier("graft_inverse_f_cdf"),
+        new ExpressionInfo(classOf[InverseFCdfExpr].getName, "graft_inverse_f_cdf"),
+        (ch: Seq[Expression]) => InverseFCdfExpr(cc(ch(0)), cc(ch(1)), cc(ch(2)))))
     }
   }
 }

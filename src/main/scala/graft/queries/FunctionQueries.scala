@@ -2798,7 +2798,11 @@ object FunctionQueries extends QueryFamily {
       val a = (lit(1.25) + (doc % 4).cast("double") * 0.85)
       val b = (lit(1.4) + (doc % 3).cast("double") * 1.1)
       val sh = (lit(1.2) + (doc % 5).cast("double") * 0.9)
-      val df = (lit(1.6) + (doc % 6).cast("double") * 0.8)
+      // df base 2.0 keeps the chi² shape df/2 ≥ 1, preserving the
+      // bounded-endpoint-density invariant the oracle-safety note
+      // above relies on (r7 ADVICE: the old 1.6 base let shape reach
+      // 0.8 at doc%6 == 0, making the stated invariant false).
+      val df = (lit(2.0) + (doc % 6).cast("double") * 0.8)
       val d1 = (lit(2.5) + (doc % 4).cast("double") * 1.5)
       val d2 = (lit(3.0) + (doc % 3).cast("double") * 2.0)
       val invF = {

@@ -47,6 +47,42 @@ class CdfExprsSpec extends SparkSpec {
     }
   }
 
+  test("large-shape parity: the iteration budget scales past the old flat cap") {
+    // Near x ≈ a the series needs ~sqrt(69·a) terms, so shapes ≥ 3e4
+    // overran a flat 500-iteration cap; the budget now scales with
+    // sqrt(shape) and must agree with commons-math (which iterates to
+    // convergence) instead of silently truncating.
+    for (shape <- Seq(3.0e4, 5.0e4, 1.0e5); frac <- Seq(0.97, 1.0, 1.03)) {
+      val v = shape * frac
+      val want = org.apache.commons.math3.special.Gamma.regularizedGammaP(shape, v)
+      val got = CdfNumerics.gammaCdf(shape, 1.0, v)
+      assert(math.abs(got - want) <= 1e-10,
+        s"gamma_cdf($shape, 1, $v): got $got want $want")
+    }
+    // randomized large shapes across the series/CF crossover
+    for (_ <- 1 to 60) {
+      val shape = 1.0e3 + rnd.nextDouble() * 9.9e4
+      val v = shape * (0.9 + rnd.nextDouble() * 0.2)
+      val want = org.apache.commons.math3.special.Gamma.regularizedGammaP(shape, v)
+      assert(math.abs(CdfNumerics.gammaCdf(shape, 1.0, v) - want) <= 1e-10,
+        s"gamma_cdf($shape, 1, $v)")
+    }
+    // large symmetric and asymmetric beta parameters at the symmetry point
+    for ((a, b) <- Seq((2.0e4, 2.0e4), (5.0e4, 3.0e4), (1.0e5, 7.0e2))) {
+      val x = a / (a + b)
+      val want = org.apache.commons.math3.special.Beta.regularizedBeta(x, a, b)
+      assert(math.abs(CdfNumerics.betaCdf(a, b, x) - want) <= 1e-10,
+        s"beta_cdf($a, $b, $x)")
+    }
+    // the q171 pinned shape now converges within its budget (the old
+    // flat cap exited at 500 of the ~580 needed iterations); the
+    // residual vs commons-math is cross-Lanczos rounding, not
+    // truncation, so the shared 1e-10 parity tolerance applies
+    val pinned = CdfNumerics.gammaCdf(5000.0, 2.0, 10000.0)
+    val cm = org.apache.commons.math3.special.Gamma.regularizedGammaP(5000.0, 5000.0)
+    assert(math.abs(pinned - cm) <= 1e-10, s"shape-5000 pin: $pinned vs $cm")
+  }
+
   test("the reference's published vectors reproduce") {
     assert(CdfNumerics.betaCdf(3, 3.6, 0.0) == 0.0)
     assert(CdfNumerics.betaCdf(3, 3.6, 1.0) == 1.0)
@@ -152,6 +188,28 @@ class CdfExprsSpec extends SparkSpec {
     intercept[IllegalArgumentException](CdfNumerics.gammaCdf(0.0, 1.0, 1.0))
     intercept[IllegalArgumentException](CdfNumerics.gammaCdf(1.0, 0.0, 1.0))
     intercept[IllegalArgumentException](CdfNumerics.gammaCdf(1.0, 1.0, -0.1))
+  }
+
+  test("chi²/F faces throw the reference's own message text, not the kernels'") {
+    // MathFunctions.java:845-893 verbatim (r7 ADVICE)
+    def msg(t: => Any): String = intercept[IllegalArgumentException](t).getMessage
+    assert(msg(CdfNumerics.chiSquaredCdf(0.0, 1.0)) == "df must be greater than 0")
+    assert(msg(CdfNumerics.chiSquaredCdf(3.0, -0.5)) == "value must non-negative")
+    assert(msg(CdfNumerics.inverseChiSquaredCdf(0.0, 0.5)) == "df must be greater than 0")
+    assert(msg(CdfNumerics.inverseChiSquaredCdf(3.0, 1.5)) == "p must be in the interval [0, 1]")
+    assert(msg(CdfNumerics.fCdf(0.0, 7.0, 1.0)) == "numerator df must be greater than 0")
+    assert(msg(CdfNumerics.fCdf(5.0, 0.0, 1.0)) == "denominator df must be greater than 0")
+    assert(msg(CdfNumerics.fCdf(5.0, 7.0, -1.0)) == "value must non-negative")
+    assert(msg(CdfNumerics.inverseFCdf(0.0, 7.0, 0.5)) == "numerator df must be greater than 0")
+    assert(msg(CdfNumerics.inverseFCdf(5.0, 0.0, 0.5)) == "denominator df must be greater than 0")
+    assert(msg(CdfNumerics.inverseFCdf(5.0, 7.0, -0.1)) == "p must be in the interval [0, 1]")
+    // the value check precedes the df check, as in the reference
+    assert(msg(CdfNumerics.chiSquaredCdf(0.0, -1.0)) == "value must non-negative")
+    // and the SQL faces surface the same messages through codegen
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_chi_squared_cdf(0.0, 1.0)").head())
+    assert(e.getMessage.contains("df must be greater than 0") ||
+      Option(e.getCause).exists(_.getMessage.contains("df must be greater than 0")))
   }
 
   test("SQL registration and codegen path agree with the direct kernel") {
