@@ -2835,5 +2835,83 @@ object FunctionQueries extends QueryFamily {
     data.unionAll(pins).orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171, q172)
+  // ---- q173: ARRAY zip family + regexp_split ------------------------------
+  // zip(a, b[, ...]) → array(row) with NULL fill on uneven lengths
+  // (reference array.rst:384), zip_with(a, b, λ) with null-extension of
+  // the shorter array (array.rst:392), and regexp_split with trailing
+  // empty strings preserved (regexp.rst:112). Spark's arrays_zip /
+  // zip_with / split carry the same three contracts natively; the
+  // oracle replays them index-wise (DuckDB's OOB list index → NULL is
+  // exactly the zip fill) and via string_split_regex (which preserves
+  // trailing empties like Spark's limit=-1 split). Row outputs are
+  // scalarized to 'f1:f2' strings (q86 discipline: the driver compare
+  // can't sort struct columns); every joined element is non-null by
+  // construction, so array_join/array_to_string null-skipping never
+  // triggers. sb is one shorter than qa (slice n-1) to force the
+  // uneven path on every row, including the empty-array edge at n=1.
+  val q173 = Q(
+    "q173_zip_regexp_split",
+    """WITH a AS (SELECT l_orderkey, list_sort(list(CAST(l_quantity AS INTEGER))) AS qa
+      | FROM lineitem GROUP BY 1 ORDER BY l_orderkey LIMIT 300),
+      |b AS (SELECT l_orderkey, qa,
+      |  list_transform(qa[1:len(qa) - 1], v -> CAST(v * 2 AS VARCHAR)) AS sb,
+      |  list_transform(qa, v -> CASE WHEN v % 3 = 0 THEN NULL ELSE CAST(v AS VARCHAR) END) AS nb,
+      |  list_reverse(qa) AS rq
+      | FROM a)
+      |SELECT l_orderkey,
+      | CAST(len(qa) AS INTEGER) AS n_items,
+      | array_to_string(list_transform(range(1, greatest(len(qa), len(sb)) + 1),
+      |   i -> coalesce(CAST(qa[i] AS VARCHAR), 'N') || ':' || coalesce(sb[i], 'N')), ',') AS zip2,
+      | array_to_string(list_transform(range(1, greatest(len(qa), len(sb)) + 1),
+      |   i -> coalesce(CAST(qa[i] AS VARCHAR), 'N') || ':' || coalesce(sb[i], 'N')
+      |        || ':' || coalesce(CAST(rq[i] AS VARCHAR), 'N')), ',') AS zip3,
+      | array_to_string(list_transform(range(1, len(qa) + 1),
+      |   i -> CAST(qa[i] + rq[i] AS VARCHAR)), ',') AS zipw_sum,
+      | array_to_string(list_transform(range(1, len(qa) + 1),
+      |   i -> CAST(qa[i] AS VARCHAR) || '~' || coalesce(sb[i], 'Z')), ',') AS zipw_pad,
+      | array_to_string(list_transform(range(1, len(qa) + 1),
+      |   i -> coalesce(nb[i], CAST(qa[i] AS VARCHAR))), ',') AS zipw_coal,
+      | array_to_string(string_split_regex(
+      |   array_to_string(list_transform(qa, v -> CAST(v AS VARCHAR)), 'x') || 'x', 'x'), ',') AS rs_sep,
+      | CAST(len(string_split_regex(
+      |   array_to_string(list_transform(qa, v -> CAST(v AS VARCHAR)), 'x') || 'x', 'x')) AS INTEGER) AS rs_n,
+      | array_to_string(string_split_regex(
+      |   array_to_string(list_transform(qa,
+      |     v -> CAST(v AS VARCHAR) || substr('abcm', (v % 4) + 1, 1)), ' '),
+      |   '\s*[a-z]+\s*'), ',') AS rs_rx
+      |FROM b ORDER BY l_orderkey""".stripMargin) { (s, d) =>
+    val arrs = Tables.lineitem(s, d)
+      .join(broadcast(smallestKeys(Tables.lineitem(s, d), "l_orderkey", 300)),
+        "l_orderkey")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity").cast("int"))).as("qa"))
+    arrs
+      .select(col("l_orderkey"), col("qa"),
+        expr("transform(slice(qa, 1, size(qa) - 1), v -> cast(v * 2 as string))").as("sb"),
+        expr("transform(qa, v -> if(v % 3 = 0, cast(null as string), cast(v as string)))").as("nb"),
+        reverse(col("qa")).as("rq"))
+      .select(col("l_orderkey"),
+        size(col("qa")).as("n_items"),
+        expr("array_join(transform(arrays_zip(qa, sb), s -> " +
+          "concat(coalesce(cast(s.qa as string), 'N'), ':', coalesce(s.sb, 'N'))), ',')")
+          .as("zip2"),
+        expr("array_join(transform(arrays_zip(qa, sb, rq), s -> " +
+          "concat(coalesce(cast(s.qa as string), 'N'), ':', coalesce(s.sb, 'N'), " +
+          "':', coalesce(cast(s.rq as string), 'N'))), ',')").as("zip3"),
+        expr("array_join(zip_with(qa, rq, (x, y) -> cast(x + y as string)), ',')")
+          .as("zipw_sum"),
+        expr("array_join(zip_with(qa, sb, (x, y) -> " +
+          "concat(cast(x as string), '~', coalesce(y, 'Z'))), ',')").as("zipw_pad"),
+        expr("array_join(zip_with(nb, qa, (x, y) -> coalesce(x, cast(y as string))), ',')")
+          .as("zipw_coal"),
+        expr("array_join(split(concat(array_join(transform(qa, " +
+          "v -> cast(v as string)), 'x'), 'x'), 'x'), ',')").as("rs_sep"),
+        expr("size(split(concat(array_join(transform(qa, v -> cast(v as string)), " +
+          "'x'), 'x'), 'x'))").cast("int").as("rs_n"),
+        expr("array_join(split(array_join(transform(qa, v -> concat(cast(v as string), " +
+          "substr('abcm', (v % 4) + 1, 1))), ' '), '\\\\s*[a-z]+\\\\s*'), ',')").as("rs_rx"))
+      .orderBy("l_orderkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171, q172, q173)
 }
