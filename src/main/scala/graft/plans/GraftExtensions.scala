@@ -255,6 +255,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[InverseFCdfExpr].getName, "graft_inverse_f_cdf"),
         (ch: Seq[Expression]) => InverseFCdfExpr(cc(ch(0)), cc(ch(1)), cc(ch(2)))))
     }
+    // line_locate_point / line_interpolate_point (plans/LineExprs —
+    // GeoFunctions.java:442/:467): linestring as parallel vertex
+    // arrays. The faces carry the reference's null/empty contract —
+    // EMPTY line → NULL locate and the NULL (empty) point; NULL
+    // inputs propagate from the kernels' null-safe eval — and the
+    // interpolate face validates the fraction on the empty branch too
+    // (the reference checks it before looking at the geometry), with
+    // the reference's message verbatim.
+    locally {
+      import org.apache.spark.sql.functions.{concat, lit, raise_error, size, struct, when}
+      // SQL numeric literals arrive as Decimal — cast scalar args to
+      // double at the catalyst level before they reach the kernels
+      def dc(e: Expression): Expression =
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          e, org.apache.spark.sql.types.DoubleType)
+      composed("graft_line_locate_point") { ch =>
+        when(size(c(ch(0))) === 0, lit(null).cast("double"))
+          .otherwise(Bridge.column(LineLocatePoint(ch(0), ch(1), dc(ch(2)), dc(ch(3)))))
+      }
+      composed("graft_line_interpolate_point") { ch =>
+        val f = c(ch(2)).cast("double")
+        when(size(c(ch(0))) === 0,
+          when(f >= 0.0 && f <= 1.0, lit(null)).otherwise(raise_error(concat(
+            lit("line_interpolate_point: Fraction must be between 0 and 1, but is "),
+            f.cast("string")))))
+          .otherwise(struct(
+            Bridge.column(LineInterpolateX(ch(0), ch(1), dc(ch(2)))).as("x"),
+            Bridge.column(LineInterpolateY(ch(0), ch(1), dc(ch(2)))).as("y")))
+      }
+    }
   }
 }
 
@@ -360,4 +390,14 @@ object NativeFunctions {
   def stContains(polyLats: Column, polyLons: Column, lat: Column, lon: Column): Column =
     Bridge.column(StContains(col2expr(polyLats), col2expr(polyLons),
       col2expr(lat), col2expr(lon)))
+
+  def lineLocatePoint(xs: Column, ys: Column, px: Column, py: Column): Column =
+    Bridge.column(LineLocatePoint(col2expr(xs), col2expr(ys),
+      col2expr(px), col2expr(py)))
+
+  def lineInterpolateX(xs: Column, ys: Column, f: Column): Column =
+    Bridge.column(LineInterpolateX(col2expr(xs), col2expr(ys), col2expr(f)))
+
+  def lineInterpolateY(xs: Column, ys: Column, f: Column): Column =
+    Bridge.column(LineInterpolateY(col2expr(xs), col2expr(ys), col2expr(f)))
 }

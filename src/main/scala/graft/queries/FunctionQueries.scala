@@ -2913,5 +2913,66 @@ object FunctionQueries extends QueryFamily {
       .orderBy("l_orderkey")
   }
 
-  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171, q172, q173)
+  // ---- q174: line_locate_point / line_interpolate_point -------------------
+  // (geospatial.rst:449/:456; GeoFunctions.java:442/:467 → JTS
+  // LengthIndexedLine). Pure vertex-segment linear interpolation —
+  // projection, clamp, prefix length — so the curved-geometry-kernel
+  // exclusion does not apply; the q154/q89 exact-arithmetic discipline
+  // does. Kernels in plans/LineExprs.scala evaluate in a FIXED op
+  // order; the oracle replays the same arithmetic unrolled from the
+  // same vertex literals (LineOps.locateDuckSql/interpDuckSql), so the
+  // compare is bit-exact with NO rounding. Four literal linestrings
+  // (single vertical segment; winding; one with a duplicate
+  // consecutive vertex exercising the zero-length-segment branch; a
+  // 4-segment polyline), md5-free integer-arithmetic points so both
+  // engines derive identical doubles, fraction grid hitting 0 and 1
+  // exactly. Reference test vectors + face contracts (empty → NULL,
+  // fraction-range throw) live in LineSpec.
+  private val q174Lines: Seq[Seq[(Double, Double)]] = Seq(
+    Seq((0.0, 0.0), (0.0, 10.0)),
+    Seq((-15.0, -10.0), (5.0, 2.5), (18.0, 2.5), (18.0, -12.0)),
+    Seq((-10.0, 5.0), (-2.0, 5.0), (-2.0, 5.0), (6.0, 13.0)),
+    Seq((-18.0, -18.0), (-6.0, -3.0), (0.0, 0.0), (9.0, 4.5), (19.0, 15.0)))
+
+  val q174 = Q(
+    "q174_line_locate_interpolate",
+    s"""WITH p AS (SELECT c_custkey,
+       |  CAST(c_custkey % 4 AS INTEGER) AS line_id,
+       |  CAST((c_custkey * 37) % 401 AS DOUBLE) / 10.0 - 20.0 AS px,
+       |  CAST((c_custkey * 53) % 401 AS DOUBLE) / 10.0 - 20.0 AS py,
+       |  CAST(c_custkey % 101 AS DOUBLE) / 100.0 AS f
+       | FROM customer)
+       |SELECT c_custkey, line_id, px, py, f,
+       | CASE line_id${q174Lines.init.zipWithIndex.map { case (l, i) =>
+      s" WHEN $i THEN ${graft.plans.LineOps.locateDuckSql(l, "px", "py")}" }.mkString}
+       |  ELSE ${graft.plans.LineOps.locateDuckSql(q174Lines.last, "px", "py")} END AS loc,
+       | CASE line_id${q174Lines.init.zipWithIndex.map { case (l, i) =>
+      s" WHEN $i THEN ${graft.plans.LineOps.interpDuckSql(l, "f", wantX = true)}" }.mkString}
+       |  ELSE ${graft.plans.LineOps.interpDuckSql(q174Lines.last, "f", wantX = true)} END AS ix,
+       | CASE line_id${q174Lines.init.zipWithIndex.map { case (l, i) =>
+      s" WHEN $i THEN ${graft.plans.LineOps.interpDuckSql(l, "f", wantX = false)}" }.mkString}
+       |  ELSE ${graft.plans.LineOps.interpDuckSql(q174Lines.last, "f", wantX = false)} END AS iy
+       |FROM p ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.plans.NativeFunctions
+    def pick(vals: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+      vals.init.zipWithIndex.foldLeft(when(lit(false), lit(null))) {
+        case (acc, (vs, i)) =>
+          acc.when(col("line_id") === i, array(vs.map(lit): _*))
+      }.otherwise(array(vals.last.map(lit): _*))
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        (col("c_custkey") % 4).cast("int").as("line_id"),
+        (((col("c_custkey") * 37) % 401).cast("double") / 10.0 - 20.0).as("px"),
+        (((col("c_custkey") * 53) % 401).cast("double") / 10.0 - 20.0).as("py"),
+        ((col("c_custkey") % 101).cast("double") / 100.0).as("f"))
+      .withColumn("xs", pick(q174Lines.map(_.map(_._1))))
+      .withColumn("ys", pick(q174Lines.map(_.map(_._2))))
+      .select(col("c_custkey"), col("line_id"), col("px"), col("py"), col("f"),
+        NativeFunctions.lineLocatePoint(col("xs"), col("ys"), col("px"), col("py")).as("loc"),
+        NativeFunctions.lineInterpolateX(col("xs"), col("ys"), col("f")).as("ix"),
+        NativeFunctions.lineInterpolateY(col("xs"), col("ys"), col("f")).as("iy"))
+      .orderBy("c_custkey")
+  }
+
+  val all: Seq[Q] = Seq(q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q84, q86, q89, q91, q96, q97, q98, q100, q101, q103, q105, q106, q107, q108, q111, q112, q115, q116, q118, q129, q130, q132, q133, q143, q147, q149, q150, q151, q153, q154, q156, q157, q159, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 }
