@@ -74,37 +74,70 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
 
-  /** IVF (inverted-file) coarse quantizer: deterministic spherical
-    * k-means (init = the `c` lowest vec_ids, `iters` Lloyd rounds with
-    * cosine assignment — cosine is scale-invariant, so centroids need no
-    * renormalization). The fitted centroids are a MODEL (c × dim doubles,
-    * like MLlib's KMeansModel): collecting them to the driver is the one
-    * sanctioned collect in the operator layer. At 100 TB the assignment
-    * (`cluster` column) is a persisted bucketed table — the IVF index —
-    * and queries touch only nprobe clusters.
+  /** Deterministic hash-sample of the corpus for codebook TRAINING (the
+    * FAISS practice at scale: k-means quality needs a bounded multiple
+    * of k training points, not the corpus — assignment/encoding still
+    * see every vector). `mod` = 1 keeps the full corpus; `mod` = m
+    * keeps the 1/m hash band xxhash64(vec_id) ≡ 0 (mod m) —
+    * deterministic, content-independent, and stable under corpus
+    * growth (a vector's membership never changes as others arrive).
     */
-  def ivfFit(corpus: DataFrame, c: Int = 16, iters: Int = 2): Seq[(Int, Seq[Double])] = {
+  private def trainSample(corpus: DataFrame, mod: Int): DataFrame =
+    if (mod <= 1) corpus
+    else corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod.toLong)) === 0)
+
+  /** Element-wise mean of the `ve` arrays per group: ONE hash
+    * aggregation with map-side partial combine — each executor folds
+    * its partition into a single dim-length sum state per group and
+    * ships that (plus a count), instead of the posexplode + two-groupBy
+    * spelling that exploded dim× rows into the exchange (r8: one
+    * shuffle per Lloyd round, was two).
+    */
+  private def centroidMean(assigned: DataFrame, keys: Seq[String], dim: Int): DataFrame = {
+    val zeros = typedLit(Seq.fill(dim)(0.0))
+    assigned.groupBy(keys.map(col): _*)
+      .agg(
+        graft.plans.Reduce.reduceAgg(col("ve"), zeros)(
+          (s, v) => zip_with(s, v, (a, b) => a + b),
+          (a, b) => zip_with(a, b, (x, y) => x + y)).as("vsum"),
+        count(lit(1)).cast("double").as("cnt"))
+      .select(keys.map(col) :+
+        transform(col("vsum"), x => x / col("cnt")).as("ce"): _*)
+  }
+
+  /** IVF (inverted-file) coarse quantizer: deterministic spherical
+    * k-means (init = the `c` lowest vec_ids of the training set,
+    * `iters` Lloyd rounds with cosine assignment — cosine is
+    * scale-invariant, so centroids need no renormalization). The fitted
+    * centroids are a MODEL (c × dim doubles, like MLlib's KMeansModel):
+    * collecting them to the driver is the one sanctioned collect in the
+    * operator layer. `trainMod` > 1 trains on the [[trainSample]] hash
+    * band only — at 100 TB the Lloyd rounds are sample-sized while the
+    * assignment (`cluster` column, a persisted bucketed table — the IVF
+    * index) still covers every vector, and queries touch only nprobe
+    * clusters.
+    */
+  def ivfFit(corpus: DataFrame, c: Int = 16, iters: Int = 2,
+             trainMod: Int = 1, dim: Int = 64): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // each Lloyd round scans the vectors once per assignment — cache the
     // casted working set instead of re-reading+casting per iteration
-    val vecs = corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
+    val vecs = trainSample(corpus, trainMod)
+      .select(col("vec_id"), asDouble("embedding").as("ve"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents: Seq[(Int, Seq[Double])] = vecs.filter(col("vec_id") < c)
-      .orderBy("vec_id").as[(Long, Seq[Double])].collect()
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .orderBy("vec_id").limit(c).as[(Long, Seq[Double])].collect()
       .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("cid", "ce"))
       val assigned = vecs.join(centDf)
         .withColumn("sim", cosine("ve", "ce"))
-        .groupBy(col("vec_id"), col("ve"))
-        .agg(max(struct(col("sim"), col("cid"))).as("best"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), col("cid"))).as("best"),
+          first(col("ve")).as("ve")) // ve is constant per vec_id
         .select(col("best.cid").as("cid"), col("ve"))
-      cents = assigned
-        .select(col("cid"), posexplode(col("ve")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("v"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
+      cents = centroidMean(assigned, Seq("cid"), dim)
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
     vecs.unpersist(blocking = true)
@@ -124,8 +157,9 @@ object Ann {
     val assigned = corpus.select(col("vec_id").as("cvid"), asDouble("embedding").as("cve"))
       .join(centDf)
       .withColumn("sim", cosine("cve", "ce"))
-      .groupBy(col("cvid"), col("cve"))
-      .agg(max(struct(col("sim"), col("cid"))).as("best"))
+      .groupBy(col("cvid"))
+      .agg(max(struct(col("sim"), col("cid"))).as("best"),
+        first(col("cve")).as("cve")) // cve is constant per cvid
       .select(col("cvid"), col("cve"), col("best.cid").as("cluster"))
     val qprobes = broadcast(
       queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
@@ -247,18 +281,21 @@ object Ann {
   }
 
   /** PQ codebooks: per-subspace k-means (deterministic init = the first
-    * ksub vectors by vec_id). All m subspaces train in the same Lloyd
-    * jobs; the model (m·ksub·dim/m doubles) collects to the driver like
-    * [[ivfFit]] — sanctioned, it IS the broadcastable model.
+    * ksub vectors by vec_id of the training set). All m subspaces train
+    * in the same Lloyd jobs; the model (m·ksub·dim/m doubles) collects
+    * to the driver like [[ivfFit]] — sanctioned, it IS the
+    * broadcastable model. `trainMod` > 1 trains on the [[trainSample]]
+    * hash band (encoding still sees every vector — see [[pqEncode]]).
     * Returns (sub, cid, ce).
     */
   def pqFit(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
-            dim: Int = 64): Seq[(Int, Int, Seq[Double])] = {
+            dim: Int = 64, trainMod: Int = 1): Seq[(Int, Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sv = subvecs(corpus, m, dim)
+    val train = trainSample(corpus, trainMod)
+    val sv = subvecs(train, m, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val initIds = corpus.select(col("vec_id")).orderBy("vec_id").limit(ksub)
+    val initIds = train.select(col("vec_id")).orderBy("vec_id").limit(ksub)
       .as[Long].collect()
     var cents: Seq[(Int, Int, Seq[Double])] = sv
       .filter(col("vec_id").isin(initIds: _*))
@@ -268,14 +305,12 @@ object Ann {
       }
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
-      cents = sv.join(centDf, Seq("sub"))
+      val assigned = sv.join(centDf, Seq("sub"))
         .withColumn("d2", l2sq("sv", "ce"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("best"))
-        .select(col("sub"), col("best.cid").as("cid"), posexplode(col("best.sv")))
-        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("col")).as("v"))
-        .groupBy(col("sub"), col("cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, v))), s -> s.v)").as("ce"))
+        .select(col("sub"), col("best.cid").as("cid"), col("best.sv").as("ve"))
+      cents = centroidMean(assigned, Seq("sub", "cid"), dim / m)
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
     sv.unpersist(blocking = true)
@@ -304,10 +339,11 @@ object Ann {
     * the raw corpus vectors are never scanned at query time.
     */
   def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-            ksub: Int = 16, iters: Int = 2, dim: Int = 64): DataFrame = {
+            ksub: Int = 16, iters: Int = 2, dim: Int = 64,
+            trainMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = pqFit(corpus, m, ksub, iters, dim)
+    val cents = pqFit(corpus, m, ksub, iters, dim, trainMod)
     val index = pqEncode(corpus, cents, m, dim)
     val centDf = broadcast(cents.toDF("sub", "code", "ce"))
     val qtab = broadcast(
@@ -337,22 +373,29 @@ object Ann {
     * raw vectors never read at query time.
     */
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int, c: Int = 8,
-               nprobe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64): DataFrame = {
+               nprobe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+               trainMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val coarse = broadcast(ivfFit(corpus, c, iters = 2).toDF("cl", "cce"))
+    val coarse = broadcast(ivfFit(corpus, c, iters = 2, trainMod).toDF("cl", "cce"))
+    // argmax carries only (sim, cl) through the aggregation — the
+    // winning centroid's array is re-fetched from the broadcast model
+    // AFTER the reduce, so per-candidate rows never drag c×dim doubles
     def assign(df: DataFrame, idCol: String): DataFrame =
       df.select(col("vec_id").as(idCol), asDouble("embedding").as("ve"))
         .join(coarse)
         .withColumn("sim", graft.plans.NativeFunctions.cosineSim(col("ve"), col("cce")))
-        .groupBy(col(idCol), col("ve"))
-        .agg(max(struct(col("sim"), col("cl"), col("cce"))).as("best"))
-        .select(col(idCol), col("ve"), col("best.cl").as("cluster"),
-          expr("zip_with(ve, best.cce, (a, b) -> a - b)").as("resid"))
+        .groupBy(col(idCol))
+        .agg(max(struct(col("sim"), col("cl"))).as("best"),
+          first(col("ve")).as("ve")) // ve is constant per id
+        .select(col(idCol), col("ve"), col("best.cl").as("cluster"))
+        .join(coarse, col("cluster") === col("cl"))
+        .select(col(idCol), col("ve"), col("cluster"),
+          expr("zip_with(ve, cce, (a, b) -> a - b)").as("resid"))
     val corpusAssigned = assign(corpus, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val residDf = corpusAssigned.select(col("vec_id"), col("resid").as("embedding"))
-    val cents = pqFit(residDf, m, ksub, iters = 2, dim)
+    val cents = pqFit(residDf, m, ksub, iters = 2, dim, trainMod)
     // code index: (cluster, sub, code) per vector — the persisted layout
     val index = pqEncode(residDf, cents, m, dim)
       .join(corpusAssigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))

@@ -884,10 +884,15 @@ object PipelineQueries extends QueryFamily {
   // it, and a code-tie would need a near-identical vector (max natural
   // cosine ≤ 0.5 near the planted sources). AnnSpec holds recall ≥40%
   // vs exact L2 for the accuracy claim.
+  // trainMod = 4: codebooks train on the deterministic 1/4 hash band
+  // (the FAISS sample-training practice — at 100 TB the Lloyd rounds
+  // are sample-sized; encoding still covers every vector). The
+  // planted-twin oracle is codebook-independent, and AnnSpec holds
+  // recall parity of sampled vs full training.
   val q138 = Q("q138_pq_ann", annTop1Oracle("")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
-      Ann.pqKnn(embs, annPlantQueries(embs), k = 5, m = 32, ksub = 16),
+      Ann.pqKnn(embs, annPlantQueries(embs), k = 5, m = 32, ksub = 16, trainMod = 4),
       simCol = None, k = 5)
   }
 
@@ -990,9 +995,13 @@ object PipelineQueries extends QueryFamily {
   // within the probe set; empirically rank-1 at all three SFs with a
   // wide margin (nearest natural neighbor cosine ≤ 0.5). AnnSpec holds
   // recall vs exact L2.
+  // trainMod = 4 as in q138: both the coarse quantizer and the residual
+  // PQ codebooks train on the 1/4 hash band; assignment + encoding
+  // still cover every vector.
   val q142 = Q("q142_ivfpq_ann", annTop1Oracle("")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
-    annTop1Summary(Ann.ivfPqKnn(embs, annPlantQueries(embs), k = 5), simCol = None, k = 5)
+    annTop1Summary(Ann.ivfPqKnn(embs, annPlantQueries(embs), k = 5, trainMod = 4),
+      simCol = None, k = 5)
   }
 
   // ---- q145: per-domain quota sampling (graft.operators.Quota) -----------

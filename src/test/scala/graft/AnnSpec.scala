@@ -102,6 +102,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, f"recall@5 = $recall%.2f")
   }
 
+  test("sample-trained codebooks (trainMod) hold recall parity vs full training at sf0.1") {
+    // the q138/q142 posture: Lloyd rounds over the deterministic 1/4
+    // hash band, encoding over every vector — at 100 TB training is
+    // sample-sized (the FAISS practice); recall must not collapse
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val queries = big.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnnL2(big, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallOf(mod: Int): Double = {
+      val approx = Ann.pqKnn(big, queries, k = 5, m = 32, ksub = 16, trainMod = mod)
+        .collect()
+      assert(approx.groupBy(_.getAs[Long]("qid")).forall(_._2.length == 5))
+      val s = approx.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val full = recallOf(1)
+    val sampled = recallOf(4)
+    assert(sampled >= full - 0.1 && sampled >= 0.4,
+      f"sampled recall@5 = $sampled%.2f vs full $full%.2f")
+  }
+
   test("PQ ADC knn plan never joins the raw corpus vectors at query time (code equi-join only)") {
     val plan = Ann.pqKnn(embs, embs.filter(col("vec_id") < 3), k = 3, m = 4, ksub = 8)
       .queryExecution.executedPlan.toString
