@@ -5,27 +5,34 @@ import org.apache.spark.sql.functions._
 
 /** URL query-string parameter extraction replaying the reference's
   * contract (reference: presto-main/src/main/java/com/facebook/presto/
-  * operator/scalar/UrlFunctions.java:124, url.rst:27): split the query
-  * on `&`, split each argument on the FIRST `=` only, return the value
-  * of the FIRST argument whose key equals `name`; a matching key with no
-  * `=` yields the empty string; no matching key yields NULL.
+  * operator/scalar/UrlFunctions.java:124, url.rst:27): parse the URL as
+  * a java.net.URI (a URISyntaxException yields NULL), take the DECODED
+  * query (`URI.getQuery()` percent-decodes before anything else), split
+  * it on `&`, split each argument on the FIRST `=` only, return the
+  * value of the FIRST argument whose key equals `name`; a matching key
+  * with no `=` yields the empty string; no matching key yields NULL.
   *
-  * PORTABLE SUBSET (the repo convention for library-coupled edges): the
-  * contract above is replayed exactly for well-formed, percent-UNENCODED
-  * URLs. The reference routes through `java.net.URI`, which adds two
-  * behaviors this regex path deliberately does not copy: a URL that
-  * throws URISyntaxException (spaces, illegal chars) yields NULL there
-  * but is still string-split here, and `URI.getQuery()` percent-DECODES
-  * before splitting, so an encoded `%26`/`%3D` becomes a separator there
-  * but stays literal text here. Replaying those two quirks would couple
-  * this function to the JDK parser's error taxonomy; pipelines with
-  * encoded or malformed URLs should pre-normalize (url_decode / a
-  * validity filter) before calling.
+  * Full URI parity (r8 — the PORTABLE SUBSET carve-out is gone):
+  *  - MALFORMED → NULL. The validity gate is the RFC 3986 character
+  *    discipline — which is precisely what URISyntaxException enforces
+  *    on hierarchical http(s) URLs: no excluded ASCII anywhere (space,
+  *    controls, `"<>\^`{|}`, DEL), every `%` opening a two-hex-digit
+  *    escape, and `[`/`]` only inside the authority (IPv6 literals).
+  *  - DECODE BEFORE SPLIT. The query is percent-decoded first, so an
+  *    encoded `%26`/`%3D` BECOMES a separator, exactly as the
+  *    reference's `URI.getQuery()` makes it one. Literal `+` stays `+`
+  *    (URI decoding is not x-www-form-urlencoded): it is masked as
+  *    `%2B` before Spark's url_decode and so round-trips.
   *
-  * Spark's built-in `parse_url(url, 'QUERY', key)` is regex-based and
-  * returns NULL for a present-but-valueless key, so the contract is
-  * composed from codegen'd split/filter/substring instead — still zero
-  * UDFs, still inside WholeStageCodegen.
+  * The 600-case fuzz in UrlParamSpec runs against java.net.URI itself
+  * (the reference's own delegate) including encoded separators, invalid
+  * escapes, and illegal characters.
+  *
+  * Spark's built-in `parse_url(url, 'QUERY', key)` is regex-based,
+  * returns NULL for a present-but-valueless key, and never decodes —
+  * so the contract is composed from codegen'd built-ins instead
+  * (url_decode is a codegen'd static call) — still zero UDFs, still
+  * inside WholeStageCodegen.
   */
 object Url {
 
@@ -45,20 +52,47 @@ object Url {
     */
   private def hasQuery(url: Column): Column = url.rlike("^[^#]*\\?")
 
+  /** RFC 3986 character validity — the conditions URISyntaxException
+    * checks on hierarchical http(s) URLs. Three rules, each a single
+    * codegen'd regex:
+    *  (1) no excluded ASCII anywhere;
+    *  (2) every `%` begins a valid two-hex-digit escape;
+    *  (3) `[` / `]` appear only in the authority (IPv6 literals) —
+    *      i.e. never after the authority is stripped.
+    */
+  private def isValidUri(url: Column): Column = {
+    val noIllegal = !url.rlike("[\\x00-\\x20\"<>\\\\^`{|}\\x7f]")
+    val validEscapes = !url.rlike("%(?![0-9A-Fa-f]{2})")
+    val noStrayBrackets =
+      !regexp_replace(url, "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*", "")
+        .rlike("[\\[\\]]")
+    noIllegal && validEscapes && noStrayBrackets
+  }
+
+  /** The DECODED query, as URI.getQuery() returns it: percent-escapes
+    * resolved (UTF-8), literal `+` preserved (masked to `%2B` so
+    * url_decode's form-decoding cannot turn it into a space). Only ever
+    * evaluated behind [[isValidUri]], so url_decode never sees an
+    * invalid escape.
+    */
+  private def decodedQuery(url: Column): Column =
+    url_decode(regexp_replace(extractQuery(url), "\\+", "%2B"))
+
   /** First query argument (`k`, `k=`, or `k=v`) whose key equals `name`,
-    * or NULL. Key = text before the first `=` (Splitter.on('=').limit(2)
-    * semantics).
+    * or NULL. Key = text before the first `=` of the DECODED argument
+    * (Splitter.on('=').limit(2) semantics).
     */
   private def firstArg(url: Column, name: Column): Column =
     try_element_at(
-      filter(split(extractQuery(url), "&", -1),
+      filter(split(decodedQuery(url), "&", -1),
         a => element_at(split(a, "=", 2), 1) === name),
       lit(1))
 
   /** url_extract_parameter(url, name) — see object doc for the contract. */
   def extractParameter(url: Column, name: Column): Column = {
     val m = firstArg(url, name)
-    when(!hasQuery(url), lit(null).cast("string"))
+    when(!isValidUri(url), lit(null).cast("string"))
+      .when(!hasQuery(url), lit(null).cast("string"))
       .when(m.isNull, lit(null).cast("string"))
       .when(instr(m, "=") > 0, m.substr(instr(m, "=") + 1, length(m)))
       .otherwise(lit(""))

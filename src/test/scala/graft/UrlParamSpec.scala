@@ -53,34 +53,66 @@ class UrlParamSpec extends SparkSpec {
     assert(param("http://h/p?size2=9&size=1", "size") == Some("1"))
   }
 
-  /** Independent in-JVM reimplementation of the reference contract
-    * (UrlFunctions.java:124): Splitter.on('&') over the query,
-    * Splitter.on('=').limit(2) per arg, first key match wins.
+  /** The reference contract run through the reference's OWN delegate:
+    * java.net.URI (UrlFunctions.java parseUrl → URISyntaxException →
+    * NULL; URI.getQuery() percent-decodes), then Splitter.on('&') /
+    * Splitter.on('=').limit(2) over the decoded query, first key match
+    * wins.
     */
   private def reference(url: String, name: String): Option[String] = {
-    // URI semantics: the query starts at the first '?' BEFORE any '#'
-    val hash = url.indexOf('#')
-    val end = if (hash < 0) url.length else hash
-    val qStart = url.indexOf('?')
-    if (qStart < 0 || qStart >= end) return None
-    val query = url.substring(qStart + 1, end)
-    query.split("&", -1).iterator
-      .map { arg =>
-        val i = arg.indexOf('=')
-        if (i < 0) (arg, None) else (arg.substring(0, i), Some(arg.substring(i + 1)))
-      }
-      .collectFirst { case (k, v) if k == name => v.getOrElse("") }
+    val uri =
+      try new java.net.URI(url)
+      catch { case _: java.net.URISyntaxException => return None }
+    Option(uri.getQuery).flatMap { query =>
+      query.split("&", -1).iterator
+        .map { arg =>
+          val i = arg.indexOf('=')
+          if (i < 0) (arg, None) else (arg.substring(0, i), Some(arg.substring(i + 1)))
+        }
+        .collectFirst { case (k, v) if k == name => v.getOrElse("") }
+    }
   }
 
-  test("randomized parity with the independent reference implementation") {
+  test("encoded separators decode BEFORE the split, as URI.getQuery does") {
+    assert(param("http://h/p?a=1%262", "a") == Some("1"))  // %26 → '&' separator
+    assert(param("http://h/p?a=1%262", "2") == Some(""))   // '2' is a valueless arg…
+    assert(param("http://h/p?a=1%262&2=x", "2") == Some("")) // …that shadows a later 2=x
+    assert(param("http://h/p?a%3Db=c", "a") == Some("b=c")) // %3D → '=' splits the key
+    assert(param("http://h/p?k=%41%25", "k") == Some("A%")) // plain + self escapes
+    assert(param("http://h/p?k=a+b", "k") == Some("a+b"))   // '+' is NOT form-decoded
+    assert(param("http://h/p?k=%2B", "k") == Some("+"))
+  }
+
+  test("malformed URIs yield NULL, as the reference's URISyntaxException path does") {
+    assert(param("http://h/p?k=a b", "k") == None)   // space
+    assert(param("http://h/p?k=%zz", "k") == None)   // invalid escape
+    assert(param("http://h/p?k=%2", "k") == None)    // truncated escape
+    assert(param("http://h/p?a[]=1", "a[]") == None) // brackets outside authority
+    assert(param("http://h/p?k=\"v\"", "k") == None)
+    assert(param("http://[::1]/p?k=v", "k") == Some("v")) // IPv6 brackets ARE legal
+  }
+
+  test("randomized parity with java.net.URI across 600 cases incl. escapes") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
     val keys = Vector("a", "b", "ab", "x1", "k", "")
+    def token(): String = rnd.nextInt(10) match {
+      case 0 => "%26"            // encoded separator
+      case 1 => "%3D"            // encoded '='
+      case 2 => "%41"            // encoded 'A'
+      case 3 => "%25"            // encoded '%'
+      case 4 => "%2B"            // encoded '+'
+      case 5 => "+"              // literal plus — must NOT become a space
+      case 6 => " "              // ILLEGAL: space → whole URI malformed
+      case 7 => "%z"             // ILLEGAL: invalid escape
+      case _ => rnd.alphanumeric.take(rnd.nextInt(4)).mkString
+    }
     def arg(): String = {
       val k = keys(rnd.nextInt(keys.size))
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => k                          // valueless
         case 1 => s"$k="                     // empty value
+        case 2 => s"$k=${token()}${token()}"
         case _ => s"$k=${rnd.alphanumeric.take(rnd.nextInt(5)).mkString}" +
           (if (rnd.nextBoolean()) "=extra" else "") // embedded '='
       }
@@ -108,6 +140,6 @@ class UrlParamSpec extends SparkSpec {
     val diffs = cases.lazyZip(got).lazyZip(expected).collect {
       case (c, g, e) if g != e => s"$c: spark=$g ref=$e"
     }
-    assert(diffs.isEmpty, diffs.take(5).mkString("; "))
+    assert(diffs.isEmpty, s"${diffs.size} diffs; " + diffs.take(5).mkString("; "))
   }
 }
