@@ -116,19 +116,30 @@ object Bench {
     // window (BENCH_r04/r05 both landed with parsed:null and 57 query
     // times unrecoverable). Emit a compact summary as the LAST line:
     // it always fits the window whole, so the driver's parse succeeds
-    // even when the full line is clipped. The slow section here is
-    // CAPPED to the 5 worst offenders — under heavy load dozens of
-    // queries can cross the 1.5 s slow threshold and an unbounded slow
-    // map would overflow the very window this line exists to fit (the
-    // full detail is in the long line and the file copy). A filtered
+    // even when the full line is clipped. r8: the summary now carries
+    // the COMPLETE per-query record as `qcs` — centisecond integers
+    // keyed by the bare query number (~9 chars/query keeps 175 queries
+    // plus the wrapper under the window; the 3-decimal full map and
+    // slow detail stay in the long line + file copy; err → -1). The
+    // slow section is capped to the 2 worst offenders and dropped
+    // entirely if the line would near the window edge. A filtered
     // experiment run is marked so its subset total can never be read
     // as a full-run bench of record.
     val nErr = results.count(_._2.isLeft)
+    val qcs = results.map {
+      case (k, Right(v)) => s""""${key(k).stripPrefix("q")}":${math.round(v * 100)}"""
+      case (k, Left(_))  => s""""${key(k).stripPrefix("q")}":-1"""
+    }.mkString("{", ",", "}")
     val slowTop = slowDetail.sortBy { case (k, _) =>
       -results.collectFirst { case (n, Right(v)) if n == k => v }.getOrElse(0.0)
-    }.take(5).map { case (k, v) => s""""${key(k)}":$v""" }.mkString("{", ",", "}")
+    }.take(2).map { case (k, v) => s""""${key(k)}":$v""" }.mkString("{", ",", "}")
     val filteredFlag = if (filter.isDefined) ""","filtered":true""" else ""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"slow":$slowTop$filteredFlag,"sf":"$sfDir"}""")
+    def summary(withSlow: Boolean): String = {
+      val slowPart = if (withSlow) s""","slow":$slowTop""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"qcs":$qcs$slowPart$filteredFlag,"sf":"$sfDir"}"""
+    }
+    val withSlow = summary(withSlow = true)
+    println(if (withSlow.length <= 1900) withSlow else summary(withSlow = false))
     // belt-and-braces: the full line's file copy. A filtered run writes
     // to a separate file so it cannot clobber the full-run record that
     // bench_diff.py baselines against.
