@@ -744,16 +744,27 @@ object AggregateQueries extends QueryFamily {
       |FROM orders
       |GROUP BY 1
       |ORDER BY 1""".stripMargin) { (s, d) =>
+    // top3/bot3 via the bounded-state k-smallest fold (TopKeys.kSmallest,
+    // r8): the old collect_list+sort+slice spelling shipped EVERY
+    // (price, key) struct per group through the exchange (4.3 MB for 5
+    // output rows at sf0.1 — the full-value-set anti-shape at 100 TB);
+    // the fold's map-side partials carry at most 3 structs each. top3 =
+    // k-smallest of (-price, key); sentinels (MaxValue fields, sort
+    // after every real order) are filtered on read. collect_set stays:
+    // statuses are distinct-bounded (3 values).
+    import org.apache.spark.sql.Column
+    def strip(state: Column): Column =
+      array_join(transform(
+        filter(state, x => x.getField("b") =!= Long.MaxValue),
+        x => x.getField("b").cast("string")), "|")
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
         round(exp(avg(log(col("o_totalprice")))), 2).as("geo_mean"),
-        expr("array_join(transform(slice(reverse(array_sort(" +
-          "collect_list(struct(o_totalprice as p, -o_orderkey as nk)))), 1, 3), " +
-          "x -> cast(-x.nk as string)), '|')").as("top3"),
-        expr("array_join(transform(slice(array_sort(" +
-          "collect_list(struct(o_totalprice as p, o_orderkey as k))), 1, 3), " +
-          "x -> cast(x.k as string)), '|')").as("bot3"),
+        strip(graft.operators.TopKeys.kSmallestPairs(
+          -col("o_totalprice"), col("o_orderkey"), 3)).as("top3"),
+        strip(graft.operators.TopKeys.kSmallestPairs(
+          col("o_totalprice"), col("o_orderkey"), 3)).as("bot3"),
         expr("array_join(array_sort(collect_set(o_orderstatus)), ',')").as("statuses"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")

@@ -59,4 +59,26 @@ class TopKeysSpec extends SparkSpec {
     val b = pushed.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
     assert(a.toSeq == b.toSeq, "thin-keys push changed the result")
   }
+
+  test("kSmallestPairs matches collect_list+sort+slice under any partitioning") {
+    // the bounded-state per-group top-k fold (r8, the q117 fix): same
+    // answer as the full-collect spelling, including groups smaller
+    // than k (sentinel padding must vanish on read)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 3000).map { i =>
+      (i % 7, rnd.nextDouble() * 1000, i.toLong)
+    } ++ Seq((98, 5.0, 90001L), (99, 1.0, 90002L), (99, 2.0, 90003L)) // groups with < k rows
+    for (parts <- Seq(1, 8, 32)) {
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = df.groupBy(col("g"))
+        .agg(TopKeys.kSmallestPairs(col("v"), col("id"), 3).as("state"))
+        .select(col("g"), expr(
+          s"transform(filter(state, x -> x.b != ${Long.MaxValue}L), x -> x.b)").as("ids"))
+        .collect().map(r => r.getAs[Int]("g") -> r.getAs[Seq[Long]]("ids").toList).toMap
+      val want = df.groupBy(col("g"))
+        .agg(expr("transform(slice(array_sort(collect_list(struct(v, id))), 1, 3), x -> x.id)").as("ids"))
+        .collect().map(r => r.getAs[Int]("g") -> r.getAs[Seq[Long]]("ids").toList).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
 }
