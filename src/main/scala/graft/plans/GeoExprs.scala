@@ -69,9 +69,16 @@ object StContains {
 
   /** The same per-edge terms as [[compute]], unrolled into a DuckDB SQL
     * boolean expression from the vertex literals — keeps the oracle
-    * bit-identical to the kernel (Double.toString round-trips exactly).
+    * bit-identical to the kernel. Literals are embedded as STRING casts
+    * (r8, the LineOps lesson): DuckDB parses a bare 17-digit decimal
+    * literal through DECIMAL and can land one ulp off the double
+    * Double.toString names; CAST('…' AS DOUBLE) goes through strtod
+    * and round-trips exactly. (The q89 vertex set is short decimals
+    * where both parses agree — this is hardening for arbitrary
+    * vertices, not a behavior change there.)
     */
   def duckSql(vertices: Seq[(Double, Double)], latCol: String, lonCol: String): String = {
+    def d(v: Double): String = s"CAST('$v' AS DOUBLE)"
     val terms = vertices.indices.map { i =>
       val j = (i + 1) % vertices.length
       val (y1, x1) = vertices(i)
@@ -79,8 +86,8 @@ object StContains {
       // a horizontal edge can never satisfy (y1 > lat) != (y2 > lat);
       // emit 0 instead of a divide-by-zero term
       if (y2 == y1) "0"
-      else s"(CASE WHEN (($y1 > $latCol) != ($y2 > $latCol)) AND " +
-        s"$lonCol < $x1 + ($latCol - $y1) * CAST(${x2 - x1} AS DOUBLE) / CAST(${y2 - y1} AS DOUBLE) " +
+      else s"(CASE WHEN ((${d(y1)} > $latCol) != (${d(y2)} > $latCol)) AND " +
+        s"$lonCol < ${d(x1)} + ($latCol - ${d(y1)}) * ${d(x2 - x1)} / ${d(y2 - y1)} " +
         "THEN 1 ELSE 0 END)"
     }
     s"((${terms.mkString(" + ")}) % 2 = 1)"
