@@ -150,10 +150,11 @@ object Ann {
     * — IVF adapts to the data distribution where LSH is data-oblivious.
     */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+             c: Int = 16, nprobe: Int = 4, iters: Int = 2,
+             trainMod: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = broadcast(ivfFit(corpus, c, iters).toDF("cid", "ce"))
+    val centDf = broadcast(ivfFit(corpus, c, iters, trainMod).toDF("cid", "ce"))
     val assigned = corpus.select(col("vec_id").as("cvid"), asDouble("embedding").as("cve"))
       .join(centDf)
       .withColumn("sim", cosine("cve", "ce"))

@@ -356,7 +356,9 @@ object PipelineQueries extends QueryFamily {
   val q87 = Q("q87_ivf_ann", annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
-      Ann.ivfKnn(embs, annPlantQueries(embs), k = 5, c = 16, nprobe = 4),
+      // trainMod = 4 (r8): coarse centroids train on the 1/4 hash band,
+      // as in q138/q142 — assignment still covers every vector
+      Ann.ivfKnn(embs, annPlantQueries(embs), k = 5, c = 16, nprobe = 4, trainMod = 4),
       simCol = Some("sim"), k = 5)
   }
 
