@@ -794,17 +794,28 @@ object AggregateQueries extends QueryFamily {
       |SELECT sa.lang, set_sources, set_union, any_doc, xor_doc
       |FROM sa JOIN su ON sa.lang = su.lang
       |ORDER BY sa.lang""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.Text.words(col("text")).as("w"))
       .withColumn("w3", expr("slice(w, 1, 3)"))
+    // set_union via explode + collect_set (r8): the old
+    // flatten(collect_list(w3)) spelling buffered EVERY document's
+    // word array per lang before the distinct — unbounded agg state at
+    // corpus scale. collect_set's buffer IS the distinct set (map-side
+    // partial dedup), so state and exchange are bounded by the output
+    // vocabulary itself. collect_set(source) was already this shape.
+    val su = base.select(col("lang"), explode(col("w3")).as("word"))
+      .groupBy(col("lang"))
+      .agg(expr("array_join(array_sort(collect_set(word)), ',')").as("set_union"))
+    base
       .groupBy(col("lang"))
       .agg(
         expr("array_join(array_sort(collect_set(source)), ',')").as("set_sources"),
-        expr("array_join(array_sort(array_distinct(flatten(collect_list(w3)))), ',')")
-          .as("set_union"),
         min(col("doc_id")).as("any_doc"),
         expr("bit_xor(doc_id)").as("xor_doc"))
+      .join(su, "lang")
+      .select(col("lang"), col("set_sources"), col("set_union"),
+        col("any_doc"), col("xor_doc"))
       .orderBy("lang")
   }
 
