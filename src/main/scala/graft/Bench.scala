@@ -139,7 +139,16 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr,"qcs":$qcs$slowPart$filteredFlag,"sf":"$sfDir"}"""
     }
     val withSlow = summary(withSlow = true)
-    println(if (withSlow.length <= 1900) withSlow else summary(withSlow = false))
+    val noSlow = summary(withSlow = false)
+    // Final fallback tier (r8 ADVICE): if even the slow-free summary
+    // outgrows the window (5-digit centisecond values, query-count
+    // growth), drop qcs too — total/n/err must ALWAYS parse whole.
+    val minimal =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"err":$nErr$filteredFlag,"sf":"$sfDir"}"""
+    println(
+      if (withSlow.length <= 1900) withSlow
+      else if (noSlow.length <= 1900) noSlow
+      else minimal)
     // belt-and-braces: the full line's file copy. A filtered run writes
     // to a separate file so it cannot clobber the full-run record that
     // bench_diff.py baselines against.

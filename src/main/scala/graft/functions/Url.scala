@@ -88,10 +88,24 @@ object Url {
         a => element_at(split(a, "=", 2), 1) === name),
       lit(1))
 
+  /** TRUE iff the URL is an OPAQUE URI: a scheme whose scheme-specific
+    * part does NOT start with `/` (`mailto:a@b?k=v`, `http:?k=v`).
+    * java.net.URI never parses a query out of an opaque part —
+    * `URI.getQuery()` is null — so the reference returns NULL for every
+    * parameter even though a literal `?` is present (r8 ADVICE: the
+    * hasQuery gate alone would wrongly see it). A SINGLE slash is
+    * hierarchical (`http:/p?k=v` parses a query — RFC 2396 abs_path),
+    * as are scheme-less relative references (`/p?k=v`, `//h/p?k=v`).
+    */
+  private def isOpaque(url: Column): Column =
+    url.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:") &&
+      !url.rlike("^[a-zA-Z][a-zA-Z0-9+.\\-]*:/")
+
   /** url_extract_parameter(url, name) — see object doc for the contract. */
   def extractParameter(url: Column, name: Column): Column = {
     val m = firstArg(url, name)
     when(!isValidUri(url), lit(null).cast("string"))
+      .when(isOpaque(url), lit(null).cast("string"))
       .when(!hasQuery(url), lit(null).cast("string"))
       .when(m.isNull, lit(null).cast("string"))
       .when(instr(m, "=") > 0, m.substr(instr(m, "=") + 1, length(m)))

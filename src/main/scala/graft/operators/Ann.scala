@@ -118,7 +118,7 @@ object Ann {
     * clusters.
     */
   def ivfFit(corpus: DataFrame, c: Int = 16, iters: Int = 2,
-             trainMod: Int = 1, dim: Int = 64): Seq[(Int, Seq[Double])] = {
+             trainMod: Int = 1): Seq[(Int, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // each Lloyd round scans the vectors once per assignment — cache the
@@ -129,6 +129,11 @@ object Ann {
     var cents: Seq[(Int, Seq[Double])] = vecs
       .orderBy("vec_id").limit(c).as[(Long, Seq[Double])].collect()
       .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
+    // The vector dimension comes from the DATA (the already-collected
+    // init centroids), never a default: a wrong dim would make
+    // centroidMean's zip_with null-pad the fold and silently null out
+    // the summed centroids (r8 ADVICE).
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("cid", "ce"))
       val assigned = vecs.join(centDf)
@@ -304,6 +309,9 @@ object Ann {
       .groupBy(_._2).toSeq.flatMap { case (sub, rows) =>
         rows.sortBy(_._1).zipWithIndex.map { case ((_, _, v), i) => (sub, i, v) }
       }
+    // subvector length from the DATA (the collected init centroids) —
+    // same null-pad guard as ivfFit's derived dim (r8 ADVICE)
+    val sublen = cents.headOption.map(_._3.length).getOrElse(dim / m)
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
       val assigned = sv.join(centDf, Seq("sub"))
@@ -311,7 +319,7 @@ object Ann {
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("best"))
         .select(col("sub"), col("best.cid").as("cid"), col("best.sv").as("ve"))
-      cents = centroidMean(assigned, Seq("sub", "cid"), dim / m)
+      cents = centroidMean(assigned, Seq("sub", "cid"), sublen)
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
     sv.unpersist(blocking = true)

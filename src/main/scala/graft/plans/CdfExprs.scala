@@ -39,8 +39,15 @@ object CdfNumerics {
   // at the 1e-15 tolerance; non-convergence within the scaled
   // budget throws rather than returning a truncated sum, matching
   // commons-math's MaxCountExceededException behavior.
+  // … with an ABSOLUTE ceiling (r8 ADVICE): a corrupt row carrying a
+  // pathological shape (chi² df ~1e16 scales the budget to ~1e9) must
+  // fail with the non-convergence ArithmeticException in bounded time,
+  // not hang per-row. 1e7 (≈ tens of ms) covers every shape up to
+  // ~1.4e12 — 10× the budget any sane shape (a ≤ 1e10) requests —
+  // and beyond that throws fast instead of spinning.
+  private final val MaxIterCeiling = 10000000L
   private def maxIter(a: Double): Int =
-    math.max(500L, math.ceil(10.0 * math.sqrt(a)).toLong).min(Int.MaxValue).toInt
+    math.max(500L, math.ceil(10.0 * math.sqrt(a)).toLong).min(MaxIterCeiling).toInt
 
   // Lanczos approximation, g=7 n=9 public coefficient set
   private final val LanczosG = 7.0

@@ -276,10 +276,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       composed("graft_line_interpolate_point") { ch =>
         val f = c(ch(2)).cast("double")
-        when(size(c(ch(0))) === 0,
-          when(f >= 0.0 && f <= 1.0, lit(null)).otherwise(raise_error(concat(
-            lit("line_interpolate_point: Fraction must be between 0 and 1, but is "),
-            f.cast("string")))))
+        // NULL linestring or NULL fraction -> NULL (not struct(NULL,
+        // NULL), and never a raise_error with a null message): SQL null
+        // propagation precedes both the fraction check and the geometry
+        // branch (r8 ADVICE).
+        when(c(ch(0)).isNull || c(ch(1)).isNull || f.isNull,
+          lit(null).cast("struct<x:double,y:double>"))
+          .when(size(c(ch(0))) === 0,
+            when(f >= 0.0 && f <= 1.0, lit(null)).otherwise(raise_error(concat(
+              lit("line_interpolate_point: Fraction must be between 0 and 1, but is "),
+              f.cast("string")))))
           .otherwise(struct(
             Bridge.column(LineInterpolateX(ch(0), ch(1), dc(ch(2)))).as("x"),
             Bridge.column(LineInterpolateY(ch(0), ch(1), dc(ch(2)))).as("y")))

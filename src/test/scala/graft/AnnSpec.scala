@@ -49,6 +49,26 @@ class AnnSpec extends SparkSpec {
     assert(cents.forall(_._2.length == 64))
   }
 
+  test("IVF/PQ fit derive the dimension from the data — non-64-dim corpora train clean") {
+    // r8 ADVICE: a hardcoded dim=64 made centroidMean's zip_with
+    // null-pad non-64-dim folds, silently nulling the summed centroids.
+    import spark.implicits._
+    val dim = 8
+    val tiny = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d => ((i * 7 + d * 3) % 11).toFloat - 5.0f))
+    }.toDF("vec_id", "embedding")
+    val cents = Ann.ivfFit(tiny, c = 3, iters = 2)
+    assert(cents.size == 3)
+    assert(cents.forall(_._2.length == dim), "centroids must keep the data's dim")
+    assert(cents.forall(_._2.forall(v => !v.isNaN)), "no null-padded (NaN) components")
+    val knn = Ann.ivfKnn(tiny, tiny.filter(col("vec_id") < 3), k = 2, c = 3, nprobe = 2)
+      .collect()
+    assert(knn.nonEmpty && knn.forall(!_.isNullAt(2)), "ivfKnn sims must be non-null")
+    val pq = Ann.pqFit(tiny, m = 2, ksub = 4, iters = 2, dim = dim)
+    assert(pq.forall(_._3.length == dim / 2))
+    assert(pq.forall(_._3.forall(v => !v.isNaN)))
+  }
+
   test("cosine dup pairs plan is a bucket equi-join — no nested-loop/cartesian over the corpus") {
     val plan = Ann.cosineDupPairs(embs, threshold = 0.4)
       .queryExecution.executedPlan.toString

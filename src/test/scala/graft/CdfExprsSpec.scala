@@ -83,6 +83,18 @@ class CdfExprsSpec extends SparkSpec {
     assert(math.abs(pinned - cm) <= 1e-10, s"shape-5000 pin: $pinned vs $cm")
   }
 
+  test("pathological shapes fail in bounded time — the scaled budget has an absolute ceiling") {
+    // r8 ADVICE: 10·sqrt(shape) with no ceiling buys a huge per-row
+    // budget (1e9 iterations at shape 1e16 — an effective hang). The
+    // ceiling (1e7) turns that into a fast ArithmeticException: at
+    // shape 1e13 the series needs ~sqrt(69·a) ≈ 2.6e7 terms, over the
+    // ceiling, so it must throw instead of burning the unclamped 3.2e7.
+    val t0 = System.nanoTime()
+    intercept[ArithmeticException] { CdfNumerics.gammaCdf(1.0e13, 1.0, 1.0e13) }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, f"pathological shape took $secs%.1f s — ceiling not effective")
+  }
+
   test("the reference's published vectors reproduce") {
     assert(CdfNumerics.betaCdf(3, 3.6, 0.0) == 0.0)
     assert(CdfNumerics.betaCdf(3, 3.6, 1.0) == 1.0)

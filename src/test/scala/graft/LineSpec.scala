@@ -97,6 +97,20 @@ class LineSpec extends SparkSpec {
     assert((pt.getDouble(0), pt.getDouble(1)) == ((2.0, 3.25)))
   }
 
+  test("NULL linestring / NULL fraction interpolate to NULL, not struct(NULL, NULL)") {
+    // r8 ADVICE: a NULL linestring used to fall through to the struct
+    // branch (a non-null struct of two NULLs), and an EMPTY line with a
+    // NULL fraction nulled the range check into raise_error(NULL).
+    val r = spark.sql(
+      """SELECT
+        |  graft_line_interpolate_point(CAST(NULL AS array<double>), array(1.0d), 0.5) AS a,
+        |  graft_line_interpolate_point(array(1.0d, 2.0d), array(1.0d, 2.0d), CAST(NULL AS double)) AS b,
+        |  graft_line_interpolate_point(CAST(NULL AS array<double>), CAST(NULL AS array<double>), CAST(NULL AS double)) AS c,
+        |  graft_line_interpolate_point(CAST(array() AS array<double>), CAST(array() AS array<double>), CAST(NULL AS double)) AS d
+        |""".stripMargin).head()
+    (0 to 3).foreach(i => assert(r.isNullAt(i), s"col $i must be NULL, got ${r.get(i)}"))
+  }
+
   test("the DuckDB-oracle unrolling matches the kernel on a literal grid") {
     // replay locateDuckSql/interpDuckSql through Spark's own SQL engine:
     // the unrolled text is engine-portable arithmetic (CAST/CASE/

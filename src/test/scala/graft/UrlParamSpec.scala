@@ -92,6 +92,18 @@ class UrlParamSpec extends SparkSpec {
     assert(param("http://[::1]/p?k=v", "k") == Some("v")) // IPv6 brackets ARE legal
   }
 
+  test("opaque URIs yield NULL even with a literal '?' (URI.getQuery is null)") {
+    assert(param("mailto:a@b?k=v", "k") == None)        // classic opaque
+    assert(param("http:?k=v", "k") == None)             // empty-ssp shape
+    assert(param("news:comp.lang.java?k=v", "k") == None)
+    assert(param("a:b/c?k=v", "k") == None)             // ssp starts non-slash
+    assert(param("http:/p?k=v", "k") == Some("v"))      // single slash IS hierarchical
+    assert(param("x:/?k=v", "k") == Some("v"))
+    assert(param("//h/p?k=v", "k") == Some("v"))        // scheme-less net_path
+    assert(param("p?k=v", "k") == Some("v"))            // relative path
+    assert(param("a/b:c?k=v", "k") == Some("v"))        // ':' after '/' is no scheme
+  }
+
   test("randomized parity with java.net.URI across 600 cases incl. escapes") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260813L)
@@ -130,7 +142,20 @@ class UrlParamSpec extends SparkSpec {
         case _ => ""
       }
       val probe = keys(rnd.nextInt(keys.size))
-      (s"http://h/p$q$frag", probe)
+      // vary the base across hierarchical, relative, and OPAQUE shapes
+      // (r8 ADVICE: the old fuzz only exercised http:// bases, leaving
+      // the opaque getQuery()=null divergence untested)
+      val base = rnd.nextInt(10) match {
+        case 0 => "mailto:a@b"
+        case 1 => "http:"
+        case 2 => "news:comp.lang.java"
+        case 3 => "http:/p"
+        case 4 => "//h/p"
+        case 5 => "/p"
+        case 6 => "a:b/c"
+        case _ => "http://h/p"
+      }
+      (s"$base$q$frag", probe)
     }
     val got = cases.toDF("url", "name")
       .select(Url.extractParameter(col("url"), col("name")).as("v"))
