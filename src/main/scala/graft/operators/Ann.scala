@@ -149,24 +149,68 @@ object Ann {
     cents
   }
 
-  /** IVF-bucketed approximate top-k: corpus vectors are assigned to
-    * their nearest centroid once (the persisted index at scale); each
-    * query scans only its `nprobe` closest clusters. Complements lshKnn
-    * — IVF adapts to the data distribution where LSH is data-oblivious.
+  // ---------------------------------------------------------------------
+  // fit / encode / search: the deployment API split (r9). `fit` trains
+  // a MODEL (driver-sized centroid/codebook Seqs, with DataFrame
+  // persistence faces below); `encode` produces the INDEX table — the
+  // persisted, bucketed layout at warehouse scale; `search` touches
+  // ONLY model + index + queries, launching ZERO training jobs
+  // (AnnIndexSpec counts them). The inline ivfKnn/pqKnn/ivfPqKnn stay
+  // as fit∘encode∘search compositions — the self-contained oracle
+  // shape — so a deployment fits once, encodes incrementally, and
+  // queries forever without re-training.
+  // ---------------------------------------------------------------------
+
+  /** The IVF model as a (cid, ce) DataFrame — the persistence face
+    * (write it as parquet; reload with [[ivfModelFrom]]).
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             c: Int = 16, nprobe: Int = 4, iters: Int = 2,
-             trainMod: Int = 1): DataFrame = {
+  def ivfModelDf(spark: org.apache.spark.sql.SparkSession,
+                 cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toDF("cid", "ce")
+  }
+
+  /** Reload an IVF model from its persisted (cid, ce) table. Centroid
+    * tables are model-sized (c × dim doubles) — this collect is the
+    * sanctioned model load, not a data scan.
+    */
+  def ivfModelFrom(df: DataFrame): Seq[(Int, Seq[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("cid").cast("int"), col("ce").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+  }
+
+  /** The IVF index table: one row per vector with its (kept) embedding
+    * and its nearest-centroid cluster id — the persisted layout
+    * (bucketed by `cluster` at warehouse scale) that [[ivfSearch]]
+    * probes. Encoding is a single broadcast-join pass over the corpus:
+    * incremental batches append without touching history.
+    */
+  def ivfEncode(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centDf = broadcast(ivfFit(corpus, c, iters, trainMod).toDF("cid", "ce"))
-    val assigned = corpus.select(col("vec_id").as("cvid"), asDouble("embedding").as("cve"))
+    val centDf = broadcast(cents.toDF("cid", "ce"))
+    corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
       .join(centDf)
-      .withColumn("sim", cosine("cve", "ce"))
-      .groupBy(col("cvid"))
+      .withColumn("sim", cosine("ve", "ce"))
+      .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"), col("cid"))).as("best"),
-        first(col("cve")).as("cve")) // cve is constant per cvid
-      .select(col("cvid"), col("cve"), col("best.cid").as("cluster"))
+        first(col("ve")).as("ve")) // ve is constant per vec_id
+      .select(col("vec_id"), col("ve"), col("best.cid").as("cluster"))
+  }
+
+  /** IVF query path — model + index + queries only, no training: rank
+    * each query's `nprobe` closest centroids against the broadcast
+    * model, then equi-join the probe set against the index on
+    * `cluster`. At 100 TB this reads nprobe/c of the index and nothing
+    * else; the raw corpus is never re-assigned.
+    */
+  def ivfSearch(cents: Seq[(Int, Seq[Double])], index: DataFrame,
+                queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(cents.toDF("cid", "ce"))
     val qprobes = broadcast(
       queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
         .join(centDf)
@@ -175,12 +219,27 @@ object Ann {
           Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
         .filter(col("rn") <= nprobe)
         .select(col("qid"), col("qe"), col("cid").as("cluster")))
+    val cand = index.select(col("vec_id").as("cvid"), col("ve").as("cve"), col("cluster"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cvid"))
-    assigned.join(qprobes, Seq("cluster")).filter(col("qid") =!= col("cvid"))
+    cand.join(qprobes, Seq("cluster")).filter(col("qid") =!= col("cvid"))
       .withColumn("sim", round(cosine("qe", "cve"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cvid").as("cid"), col("sim"), col("rn"))
+  }
+
+  /** IVF-bucketed approximate top-k: corpus vectors are assigned to
+    * their nearest centroid once (the persisted index at scale); each
+    * query scans only its `nprobe` closest clusters. Complements lshKnn
+    * — IVF adapts to the data distribution where LSH is data-oblivious.
+    * Composition of [[ivfFit]] → [[ivfEncode]] → [[ivfSearch]] (the
+    * self-contained oracle shape; deployments persist the middle).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             c: Int = 16, nprobe: Int = 4, iters: Int = 2,
+             trainMod: Int = 1): DataFrame = {
+    val cents = ivfFit(corpus, c, iters, trainMod)
+    ivfSearch(cents, ivfEncode(corpus, cents), queries, k, nprobe)
   }
 
   /** The bucketed LSH corpus index: one row per vector with its
@@ -342,18 +401,37 @@ object Ann {
       .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
   }
 
-  /** ADC top-k: per-query m×ksub distance lookup tables (broadcast),
-    * equi-joined against the code index on (sub, code), summed per
-    * (qid, vec). Approximate distance = Σ_sub d²(q_sub, centroid(code));
-    * the raw corpus vectors are never scanned at query time.
+  /** The PQ model as a (sub, cid, ce) DataFrame — the persistence face
+    * (write it as parquet; reload with [[pqModelFrom]]).
     */
-  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
-            ksub: Int = 16, iters: Int = 2, dim: Int = 64,
-            trainMod: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
+  def pqModelDf(spark: org.apache.spark.sql.SparkSession,
+                cents: Seq[(Int, Int, Seq[Double])]): DataFrame = {
     import spark.implicits._
-    val cents = pqFit(corpus, m, ksub, iters, dim, trainMod)
-    val index = pqEncode(corpus, cents, m, dim)
+    cents.toDF("sub", "cid", "ce")
+  }
+
+  /** Reload a PQ model from its persisted (sub, cid, ce) table —
+    * model-sized (m·ksub·dim/m doubles), the sanctioned collect.
+    */
+  def pqModelFrom(df: DataFrame): Seq[(Int, Int, Seq[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("sub").cast("int"), col("cid").cast("int"),
+        col("ce").cast("array<double>"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq.sortBy(c => (c._1, c._2))
+  }
+
+  /** PQ query path — model + code index + queries only, no training:
+    * per-query m×ksub ADC lookup tables (broadcast), equi-joined
+    * against the code index on (sub, code), summed per (qid, vec).
+    * Approximate distance = Σ_sub d²(q_sub, centroid(code)); the raw
+    * corpus vectors are never scanned at query time.
+    */
+  def pqSearch(cents: Seq[(Int, Int, Seq[Double])], index: DataFrame,
+               queries: DataFrame, k: Int, m: Int = 4,
+               dim: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
     val centDf = broadcast(cents.toDF("sub", "code", "ce"))
     val qtab = broadcast(
       subvecs(queries, m, dim)
@@ -372,6 +450,17 @@ object Ann {
       .select(col("qid"), col("cid"), col("adist"), col("rn"))
   }
 
+  /** ADC top-k — composition of [[pqFit]] → [[pqEncode]] →
+    * [[pqSearch]] (the self-contained oracle shape; deployments
+    * persist the codebooks and the code table).
+    */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 4,
+            ksub: Int = 16, iters: Int = 2, dim: Int = 64,
+            trainMod: Int = 1): DataFrame = {
+    val cents = pqFit(corpus, m, ksub, iters, dim, trainMod)
+    pqSearch(cents, pqEncode(corpus, cents, m, dim), queries, k, m, dim)
+  }
+
   /** IVF-PQ: the composed billion-scale index layout (FAISS's default
     * posture). The IVF coarse quantizer routes each vector to a cell;
     * PQ codebooks are trained on the RESIDUAL (vector − cell centroid),
@@ -381,44 +470,82 @@ object Ann {
     * nprobe/c of the index via the (cluster, sub, code) equi-join —
     * raw vectors never read at query time.
     */
-  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int, c: Int = 8,
-               nprobe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
-               trainMod: Int = 1): DataFrame = {
-    val spark = corpus.sparkSession
+  /** Coarse assignment with residuals: (id, ve, cluster, resid) per
+    * vector. argmax carries only (sim, cl) through the aggregation —
+    * the winning centroid's array is re-fetched from the broadcast
+    * model AFTER the reduce, so per-candidate rows never drag c×dim
+    * doubles.
+    */
+  private def ivfPqAssign(df: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                          idCol: String): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    val coarse = broadcast(ivfFit(corpus, c, iters = 2, trainMod).toDF("cl", "cce"))
-    // argmax carries only (sim, cl) through the aggregation — the
-    // winning centroid's array is re-fetched from the broadcast model
-    // AFTER the reduce, so per-candidate rows never drag c×dim doubles
-    def assign(df: DataFrame, idCol: String): DataFrame =
-      df.select(col("vec_id").as(idCol), asDouble("embedding").as("ve"))
-        .join(coarse)
-        .withColumn("sim", graft.plans.NativeFunctions.cosineSim(col("ve"), col("cce")))
-        .groupBy(col(idCol))
-        .agg(max(struct(col("sim"), col("cl"))).as("best"),
-          first(col("ve")).as("ve")) // ve is constant per id
-        .select(col(idCol), col("ve"), col("best.cl").as("cluster"))
-        .join(coarse, col("cluster") === col("cl"))
-        .select(col(idCol), col("ve"), col("cluster"),
-          expr("zip_with(ve, cce, (a, b) -> a - b)").as("resid"))
-    val corpusAssigned = assign(corpus, "vec_id")
+    val coarseDf = broadcast(coarse.toDF("cl", "cce"))
+    df.select(col("vec_id").as(idCol), asDouble("embedding").as("ve"))
+      .join(coarseDf)
+      .withColumn("sim", graft.plans.NativeFunctions.cosineSim(col("ve"), col("cce")))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("sim"), col("cl"))).as("best"),
+        first(col("ve")).as("ve")) // ve is constant per id
+      .select(col(idCol), col("ve"), col("best.cl").as("cluster"))
+      .join(coarseDf, col("cluster") === col("cl"))
+      .select(col(idCol), col("ve"), col("cluster"),
+        expr("zip_with(ve, cce, (a, b) -> a - b)").as("resid"))
+  }
+
+  /** IVF-PQ fit: coarse centroids + residual PQ codebooks — the two
+    * model halves a deployment persists ([[ivfModelDf]]/[[pqModelDf]]).
+    */
+  def ivfPqFit(corpus: DataFrame, c: Int = 8, m: Int = 16, ksub: Int = 16,
+               dim: Int = 64, trainMod: Int = 1)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    val coarse = ivfFit(corpus, c, iters = 2, trainMod)
+    val assigned = ivfPqAssign(corpus, coarse, "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val residDf = corpusAssigned.select(col("vec_id"), col("resid").as("embedding"))
-    val cents = pqFit(residDf, m, ksub, iters = 2, dim, trainMod)
-    // code index: (cluster, sub, code) per vector — the persisted layout
-    val index = pqEncode(residDf, cents, m, dim)
-      .join(corpusAssigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
-    // each query probes its nprobe best cells with the residual vs THAT cell
+    val pqCents = pqFit(
+      assigned.select(col("vec_id"), col("resid").as("embedding")),
+      m, ksub, iters = 2, dim, trainMod)
+    assigned.unpersist(blocking = true)
+    (coarse, pqCents)
+  }
+
+  /** The IVF-PQ index table: (vec_id, cluster, sub, code) per vector —
+    * the persisted layout at scale (cell id + m codes; bucketed by
+    * (cluster, sub, code) it co-locates with the ADC join). Encoding
+    * is assignment + residual PQ codes in one pass; incremental
+    * batches append without touching history.
+    */
+  def ivfPqEncode(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
+                  pqCents: Seq[(Int, Int, Seq[Double])], m: Int = 16,
+                  dim: Int = 64): DataFrame = {
+    val assigned = ivfPqAssign(corpus, coarse, "vec_id")
+    pqEncode(assigned.select(col("vec_id"), col("resid").as("embedding")),
+        pqCents, m, dim)
+      .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+  }
+
+  /** IVF-PQ query path — models + index + queries only, no training:
+    * each query probes its `nprobe` best cells with the residual vs
+    * THAT cell; candidates are scored by ADC over the (cluster, sub,
+    * code) equi-join. Raw vectors never read at query time.
+    */
+  def ivfPqSearch(coarse: Seq[(Int, Seq[Double])],
+                  pqCents: Seq[(Int, Int, Seq[Double])], index: DataFrame,
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  m: Int = 16, dim: Int = 64): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val coarseDf = broadcast(coarse.toDF("cl", "cce"))
     val qranked = broadcast(
       queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
-        .join(coarse)
+        .join(coarseDf)
         .withColumn("csim", graft.plans.NativeFunctions.cosineSim(col("qe"), col("cce")))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cl"))))
         .filter(col("rn") <= nprobe)
         .select(col("qid"), col("cl").as("cluster"),
           expr("zip_with(qe, cce, (a, b) -> a - b)").as("qresid")))
-    val centDf = broadcast(cents.toDF("sub", "code", "ce"))
+    val centDf = broadcast(pqCents.toDF("sub", "code", "ce"))
     val sublen = dim / m
     val qtab = broadcast(
       qranked.select(col("qid"), col("cluster"), explode(expr(
@@ -428,7 +555,7 @@ object Ann {
         .withColumn("d2", l2sq("qsv", "ce"))
         .select(col("qid"), col("cluster"), col("sub"), col("code"), col("d2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("cid"))
-    val out = index.join(qtab, Seq("cluster", "sub", "code"))
+    index.join(qtab, Seq("cluster", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("d2")), 4).as("adist"))
       .filter(col("qid") =!= col("vec_id"))
@@ -436,6 +563,25 @@ object Ann {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("adist"), col("rn"))
+  }
+
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, k: Int, c: Int = 8,
+               nprobe: Int = 4, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+               trainMod: Int = 1): DataFrame = {
+    val coarse = ivfFit(corpus, c, iters = 2, trainMod)
+    // fused fit+encode: assignment is computed ONCE (persisted) and
+    // shared between residual codebook training and encoding — the
+    // self-contained oracle shape. Deployments run ivfPqFit /
+    // ivfPqEncode / ivfPqSearch as separate persisted steps so the
+    // query path never trains or re-encodes.
+    val corpusAssigned = ivfPqAssign(corpus, coarse, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val residDf = corpusAssigned.select(col("vec_id"), col("resid").as("embedding"))
+    val cents = pqFit(residDf, m, ksub, iters = 2, dim, trainMod)
+    // code index: (cluster, sub, code) per vector — the persisted layout
+    val index = pqEncode(residDf, cents, m, dim)
+      .join(corpusAssigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+    val out = ivfPqSearch(coarse, cents, index, queries, k, nprobe, m, dim)
     // materialize the (tiny, k-per-query) result eagerly so the working
     // set's persist can be released before returning — no stranded
     // blocks in a long-lived session (r3 VERDICT hygiene contract)

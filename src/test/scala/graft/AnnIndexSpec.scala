@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** The r9 fit/encode/search deployment split: models and index tables
+  * persist to parquet, reload, and serve queries WITHOUT re-training —
+  * the query path launches a small, constant number of Spark jobs
+  * (probe ranking + the ADC/cluster join), never the Lloyd-round
+  * collect loop. The inline ivfKnn/pqKnn/ivfPqKnn compositions remain
+  * the oracle shape; these tests pin split == inline.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sfDir)
+  private def queries = embs.filter(col("vec_id") < 10)
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"annidx_$name")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  /** Count Spark jobs launched by `body` (listener bus is async — give
+    * it a beat to drain before reading).
+    */
+  private def countJobs[A](body: => A): (A, Int) = {
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      Thread.sleep(1000)
+      (r, n.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("IVF: reloaded model+index serve queries with no training jobs; split == inline") {
+    val dir = tmp("ivf")
+    val (_, fitJobs) = countJobs {
+      val cents = Ann.ivfFit(embs, c = 8, iters = 2)
+      Ann.ivfModelDf(spark, cents).write.mode("overwrite").parquet(s"$dir/model")
+      Ann.ivfEncode(embs, cents).write.mode("overwrite").parquet(s"$dir/index")
+    }
+    val model = Ann.ivfModelFrom(spark.read.parquet(s"$dir/model"))
+    val index = spark.read.parquet(s"$dir/index")
+    val (got, searchJobs) = countJobs {
+      rows(Ann.ivfSearch(model, index, queries, k = 5, nprobe = 3))
+    }
+    val want = rows(Ann.ivfKnn(embs, queries, k = 5, c = 8, nprobe = 3))
+    assert(got == want, "split search must reproduce the inline composition")
+    // the query path is probe-rank + one cluster equi-join: a handful of
+    // AQE/broadcast jobs — never the per-Lloyd-round collect loop the
+    // fit phase runs (each round is its own multi-stage job set)
+    assert(searchJobs < fitJobs,
+      s"search ($searchJobs jobs) must be lighter than fit+encode ($fitJobs)")
+    assert(searchJobs <= 10, s"query path launched $searchJobs jobs — training leaked in?")
+  }
+
+  test("PQ: reloaded codebooks+code table serve ADC queries with no training jobs; split == inline") {
+    val dir = tmp("pq")
+    val (_, fitJobs) = countJobs {
+      val cents = Ann.pqFit(embs, m = 4, ksub = 8, iters = 2)
+      Ann.pqModelDf(spark, cents).write.mode("overwrite").parquet(s"$dir/model")
+      Ann.pqEncode(embs, cents, m = 4).write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    val model = Ann.pqModelFrom(spark.read.parquet(s"$dir/model"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val (got, searchJobs) = countJobs {
+      rows(Ann.pqSearch(model, codes, queries, k = 5, m = 4))
+    }
+    val want = rows(Ann.pqKnn(embs, queries, k = 5, m = 4, ksub = 8))
+    assert(got == want, "split search must reproduce the inline composition")
+    assert(searchJobs < fitJobs,
+      s"search ($searchJobs jobs) must be lighter than fit+encode ($fitJobs)")
+    assert(searchJobs <= 10, s"query path launched $searchJobs jobs — training leaked in?")
+  }
+
+  test("IVF-PQ: reloaded models+index serve queries with no training jobs; split == inline") {
+    val dir = tmp("ivfpq")
+    val (_, fitJobs) = countJobs {
+      val (coarse, pqCents) = Ann.ivfPqFit(embs, c = 4, m = 8, ksub = 8)
+      Ann.ivfModelDf(spark, coarse).write.mode("overwrite").parquet(s"$dir/coarse")
+      Ann.pqModelDf(spark, pqCents).write.mode("overwrite").parquet(s"$dir/pq")
+      Ann.ivfPqEncode(embs, coarse, pqCents, m = 8)
+        .write.mode("overwrite").parquet(s"$dir/index")
+    }
+    val coarse = Ann.ivfModelFrom(spark.read.parquet(s"$dir/coarse"))
+    val pqCents = Ann.pqModelFrom(spark.read.parquet(s"$dir/pq"))
+    val index = spark.read.parquet(s"$dir/index")
+    val (got, searchJobs) = countJobs {
+      rows(Ann.ivfPqSearch(coarse, pqCents, index, queries, k = 5, nprobe = 2, m = 8))
+    }
+    val want = rows(
+      Ann.ivfPqKnn(embs, queries, k = 5, c = 4, nprobe = 2, m = 8, ksub = 8))
+    assert(got == want, "split search must reproduce the inline composition")
+    assert(searchJobs < fitJobs,
+      s"search ($searchJobs jobs) must be lighter than fit+encode ($fitJobs)")
+    assert(searchJobs <= 12, s"query path launched $searchJobs jobs — training leaked in?")
+  }
+}
