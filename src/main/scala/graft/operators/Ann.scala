@@ -86,24 +86,18 @@ object Ann {
     if (mod <= 1) corpus
     else corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod.toLong)) === 0)
 
-  /** Element-wise mean of the `ve` arrays per group: ONE hash
-    * aggregation with map-side partial combine — each executor folds
-    * its partition into a single dim-length sum state per group and
-    * ships that (plus a count), instead of the posexplode + two-groupBy
-    * spelling that exploded dim× rows into the exchange (r8: one
-    * shuffle per Lloyd round, was two).
+  /** Element-wise mean of the `ve` arrays per group: ONE aggregation
+    * with map-side partial combine — each executor folds its partition
+    * into a single primitive (dim+1)-double state per group
+    * (graft.plans.VecMeanAgg) and ships that, keeping the r8
+    * one-shuffle-per-Lloyd-round shape while cutting the per-row array
+    * allocation the declarative zip_with fold paid (r8 VERDICT: 590 ms
+    * driver GC inside q142's timed runs). The state is sized from the
+    * first row, so the vector dimension always comes from the data.
     */
-  private def centroidMean(assigned: DataFrame, keys: Seq[String], dim: Int): DataFrame = {
-    val zeros = typedLit(Seq.fill(dim)(0.0))
+  private def centroidMean(assigned: DataFrame, keys: Seq[String]): DataFrame =
     assigned.groupBy(keys.map(col): _*)
-      .agg(
-        graft.plans.Reduce.reduceAgg(col("ve"), zeros)(
-          (s, v) => zip_with(s, v, (a, b) => a + b),
-          (a, b) => zip_with(a, b, (x, y) => x + y)).as("vsum"),
-        count(lit(1)).cast("double").as("cnt"))
-      .select(keys.map(col) :+
-        transform(col("vsum"), x => x / col("cnt")).as("ce"): _*)
-  }
+      .agg(graft.plans.VecMeanAgg.vecMean(col("ve")).as("ce"))
 
   /** IVF (inverted-file) coarse quantizer: deterministic spherical
     * k-means (init = the `c` lowest vec_ids of the training set,
@@ -129,11 +123,6 @@ object Ann {
     var cents: Seq[(Int, Seq[Double])] = vecs
       .orderBy("vec_id").limit(c).as[(Long, Seq[Double])].collect()
       .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
-    // The vector dimension comes from the DATA (the already-collected
-    // init centroids), never a default: a wrong dim would make
-    // centroidMean's zip_with null-pad the fold and silently null out
-    // the summed centroids (r8 ADVICE).
-    val dim = cents.headOption.map(_._2.length).getOrElse(0)
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("cid", "ce"))
       val assigned = vecs.join(centDf)
@@ -142,7 +131,7 @@ object Ann {
         .agg(max(struct(col("sim"), col("cid"))).as("best"),
           first(col("ve")).as("ve")) // ve is constant per vec_id
         .select(col("best.cid").as("cid"), col("ve"))
-      cents = centroidMean(assigned, Seq("cid"), dim)
+      cents = centroidMean(assigned, Seq("cid"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
     vecs.unpersist(blocking = true)
@@ -368,9 +357,6 @@ object Ann {
       .groupBy(_._2).toSeq.flatMap { case (sub, rows) =>
         rows.sortBy(_._1).zipWithIndex.map { case ((_, _, v), i) => (sub, i, v) }
       }
-    // subvector length from the DATA (the collected init centroids) —
-    // same null-pad guard as ivfFit's derived dim (r8 ADVICE)
-    val sublen = cents.headOption.map(_._3.length).getOrElse(dim / m)
     for (_ <- 1 to iters) {
       val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
       val assigned = sv.join(centDf, Seq("sub"))
@@ -378,7 +364,7 @@ object Ann {
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("best"))
         .select(col("sub"), col("best.cid").as("cid"), col("best.sv").as("ve"))
-      cents = centroidMean(assigned, Seq("sub", "cid"), sublen)
+      cents = centroidMean(assigned, Seq("sub", "cid"))
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
     sv.unpersist(blocking = true)
