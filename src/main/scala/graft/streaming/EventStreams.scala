@@ -15,6 +15,18 @@ case class SessionAcc(startMs: Long, endMs: Long, n: Long)
 case class SessionRow(user_id: Long, session_start: Timestamp,
                       session_end: Timestamp, n_events: Long)
 
+/** State/output rows for the streaming gap-fill spine emitter. */
+case class GapFillState(lastClosedHourMs: Long, runningN: Long,
+                        pending: Map[Long, Long])
+case class GapFillRow(event_type: String, hr: Timestamp, n: Long,
+                      running_n: Long, was_gap: Boolean)
+
+/** State/output rows for the streaming funnel stage tracker. */
+case class FunnelState(firstViewMs: Long, clicks: List[Long],
+                       purchases: List[Long], lastSeenMs: Long)
+case class FunnelRow(user_id: Long, clicked: Boolean, purchased: Boolean,
+                     sec_to_click: Option[Long], sec_to_purchase: Option[Long])
+
 /** Event-time analytics over the events table (SURVEY.md §2.5) — the
   * Spark answer to the reference's realtime connector surface
   * (reference: presto-kafka/src/main/java/com/facebook/presto/kafka/
@@ -156,5 +168,154 @@ object EventStreams {
         && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $maxDelay"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming gap-fill (the q123 face on unbounded input): per
+    * event_type, emit one row per HOUR — including empty hours, zero-
+    * filled, with the running total — as soon as the watermark closes
+    * the hour. Stateful spine emission via flatMapGroupsWithState:
+    * state per type is the set of not-yet-closed hour counts plus the
+    * running total, O(watermark horizon / 1 hour) regardless of event
+    * volume — each closed hour is emitted exactly once (Append mode),
+    * so a downstream sink materializes the same dense spine the batch
+    * query builds with sequence()+explode.
+    *
+    * Boundary semantics vs the batch form: each type's spine starts at
+    * the type's own first event hour and pauses while the type is
+    * quiet past its last pending hour (the batch form uses the GLOBAL
+    * min/max bounds — on an unbounded stream there is no max, and
+    * emitting zeros forever for a dead type would be unbounded output).
+    * StreamingSpec aligns the two by planting events for every type in
+    * the boundary hours.
+    */
+  def gapFillStream(events: DataFrame,
+                    watermarkDelay: String = "10 minutes"): Dataset[GapFillRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourMs = 3600000L
+    events.select(col("event_type"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapFillState, GapFillRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (etype: String, rows: Iterator[(String, Timestamp)],
+         state: GroupState[GapFillState]) =>
+          var st = state.getOption.getOrElse(
+            GapFillState(Long.MinValue, 0L, Map.empty))
+          var pending = st.pending
+          rows.foreach { r =>
+            val hourMs = Math.floorDiv(r._2.getTime, HourMs) * HourMs
+            // an hour already emitted never re-opens (admitted-late events
+            // inside the watermark land in pending; beyond-watermark lates
+            // were dropped upstream — this guard is the Append invariant)
+            if (hourMs > st.lastClosedHourMs)
+              pending = pending.updated(hourMs, pending.getOrElse(hourMs, 0L) + 1L)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val out = scala.collection.mutable.ArrayBuffer[GapFillRow]()
+          val closable = pending.keys.filter(h => h + HourMs <= wm)
+          if (closable.nonEmpty) {
+            // close every hour up to the last data-bearing closed hour,
+            // zero-filling the gaps in between
+            val firstHour =
+              if (st.lastClosedHourMs == Long.MinValue) pending.keys.min
+              else st.lastClosedHourMs + HourMs
+            val upTo = closable.max
+            var running = st.runningN
+            var h = firstHour
+            while (h <= upTo) {
+              val n = pending.getOrElse(h, 0L)
+              running += n
+              out += GapFillRow(etype, new Timestamp(h), n, running, n == 0L)
+              h += HourMs
+            }
+            st = GapFillState(upTo, running, pending.filter(_._1 > upTo))
+          } else st = st.copy(pending = pending)
+          state.update(st)
+          if (st.pending.nonEmpty)
+            // wake up when the earliest open hour becomes closable even
+            // if this type sees no further events
+            state.setTimeoutTimestamp(math.max(st.pending.keys.min + HourMs, wm + 1L))
+          out.iterator
+      }
+  }
+
+  /** Streaming conversion funnel (the q124 face on unbounded input):
+    * per-user stage tracking via flatMapGroupsWithState. Stage
+    * semantics match the batch query — t_view = earliest view,
+    * t_click = earliest click AFTER t_view, t_purchase = earliest
+    * purchase AFTER t_click — evaluated over the events inside a
+    * conversion `horizon` from first view (the product-analytics
+    * conversion window; an unbounded funnel cannot finalize on an
+    * unbounded stream). A user's row emits exactly once, when the
+    * watermark passes first_view + horizon; with horizon ≥ the data
+    * span the result equals the unwindowed batch funnel
+    * (StreamingSpec asserts exactly that).
+    *
+    * State per user: first view (compacted to the min — it only ever
+    * decreases, which can only widen the `> t_view` click set), plus
+    * the click/purchase timestamps inside the horizon (kept raw: a
+    * late earlier view can re-qualify an earlier click, so stage picks
+    * are resolved once, at emit). Viewless users are GC'd a horizon
+    * after last sight. State is O(events per user per horizon) —
+    * bounded by the horizon, not the stream.
+    */
+  def funnelStream(events: DataFrame, horizonMinutes: Int = 24 * 60,
+                   watermarkDelay: String = "10 minutes"): Dataset[FunnelRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonMinutes * 60000L
+    events.select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Nil, Nil, Long.MinValue))
+          rows.foreach { case (_, ts, tpe) =>
+            val t = ts.getTime
+            tpe match {
+              case "view" => st = st.copy(firstViewMs = math.min(st.firstViewMs, t))
+              case "click" => st = st.copy(clicks = t :: st.clicks)
+              case "purchase" => st = st.copy(purchases = t :: st.purchases)
+              case _ => ()
+            }
+            st = st.copy(lastSeenMs = math.max(st.lastSeenMs, t))
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (st.firstViewMs != Long.MaxValue && wm >= st.firstViewMs + horizonMs) {
+            // finalize: resolve the stage picks from the buffered
+            // candidates, emit once, drop the state
+            val tView = st.firstViewMs
+            val hEnd = tView + horizonMs
+            val tClick = st.clicks.filter(t => t > tView && t <= hEnd)
+              .sorted.headOption
+            val tPurchase = tClick.flatMap(tc =>
+              st.purchases.filter(t => t > tc && t <= hEnd).sorted.headOption)
+            state.remove()
+            Iterator.single(FunnelRow(user, tClick.isDefined, tPurchase.isDefined,
+              tClick.map(t => Math.floorDiv(t, 1000L) - Math.floorDiv(tView, 1000L)),
+              for (tc <- tClick; tp <- tPurchase)
+                yield Math.floorDiv(tp, 1000L) - Math.floorDiv(tc, 1000L)))
+          } else if (st.firstViewMs == Long.MaxValue
+              && st.lastSeenMs != Long.MinValue
+              && wm >= st.lastSeenMs + horizonMs) {
+            // viewless user: never part of the funnel output — GC
+            state.remove()
+            Iterator.empty
+          } else {
+            state.update(st)
+            val target =
+              if (st.firstViewMs != Long.MaxValue) st.firstViewMs + horizonMs
+              else st.lastSeenMs + horizonMs
+            state.setTimeoutTimestamp(math.max(target, wm + 1L))
+            Iterator.empty
+          }
+      }
   }
 }

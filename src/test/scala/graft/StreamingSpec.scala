@@ -214,6 +214,120 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming gap-fill emits the dense zero-filled hourly spine == batch (q123 face)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.expressions.Window
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(id: Long, minute: Long, u: Long, tpe: String) =
+      Ev(id, new Timestamp(t0 + minute * 60000L), u, tpe, 1.0)
+    // both types have events in the global first (10:00) and last
+    // (13:00) hours, so the per-type streaming spine coincides with the
+    // batch global-bounds spine; 'click' skips hours 11 AND 12,
+    // 'view' skips hour 12 only — the zero-fill under test
+    val real = Seq(
+      ev(1, 5, 1, "click"), ev(2, 10, 2, "view"), ev(3, 20, 1, "view"),
+      ev(4, 70, 3, "view"),                       // view hour 11
+      ev(5, 185, 1, "click"), ev(6, 190, 2, "click"), ev(7, 200, 3, "view"))
+    val stream = MemoryStream[Ev]
+    // deliver out of (event-time) order across two micro-batches: the
+    // hour-11 view arrives AFTER hour-13 data, inside the watermark
+    stream.addData(real.filter(_.event_id != 4))
+    // 3 h delay: the hour-11 view arrives a micro-batch after hour-13
+    // data, i.e. ~2 h event-time late — it must be INSIDE the watermark
+    val query = EventStreams.gapFillStream(stream.toDF(), watermarkDelay = "3 hours")
+      .writeStream.format("memory").queryName("gapfill_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(Seq(real.find(_.event_id == 4).get))
+      query.processAllAvailable()
+      // sentinel advances the watermark past the end of hour 13 so every
+      // real hour closes; its own hour stays open and must not emit
+      stream.addData(Seq(ev(99, 7 * 60 + 30, 9, "click")))
+      query.processAllAvailable()
+      val streamed = spark.table("gapfill_test")
+        .select("event_type", "hr", "n", "running_n", "was_gap")
+        .orderBy("event_type", "hr").collect().toSeq
+      // the batch q123 shape over the same (real) events
+      val evDf = real.toDF()
+      val bounds = evDf.agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val hours = bounds.select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hr"))
+      val types = evDf.select(col("event_type")).distinct()
+      val spine = hours.crossJoin(broadcast(types))
+      val counts = evDf.groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("cn"))
+      val batch = spine.join(counts, Seq("hr", "event_type"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("cn"), lit(0L)).as("n"), col("cn").isNull.as("was_gap"))
+        .withColumn("running_n", sum(col("n")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("hr"))))
+        .select("event_type", "hr", "n", "running_n", "was_gap")
+        .orderBy("event_type", "hr").collect().toSeq
+      assert(streamed == batch, s"stream:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+      assert(streamed.count(_.getBoolean(4)) == 3, "three zero-filled gap hours expected")
+    } finally query.stop()
+  }
+
+  test("streaming funnel finalizes per-user stages at the horizon == batch (q124 face)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def ev(id: Long, minute: Long, u: Long, tpe: String) =
+      Ev(id, new Timestamp(t0 + minute * 60000L), u, tpe, 1.0)
+    // user 1: clean view -> click -> purchase
+    // user 2: pre-view click (must not count), late-arriving view,
+    //         pre-click purchase (must not count), then real purchase
+    // user 3: view only;  user 4: viewless (no funnel row, GC'd)
+    val real = Seq(
+      ev(1, 0, 1, "view"), ev(2, 5, 1, "click"), ev(3, 20, 1, "purchase"),
+      ev(4, 0, 2, "click"), ev(5, 10, 2, "view"), ev(6, 15, 2, "click"),
+      ev(7, 5, 2, "purchase"), ev(8, 30, 2, "purchase"),
+      ev(9, 8, 3, "view"),
+      ev(10, 3, 4, "click"), ev(11, 12, 4, "purchase"))
+    val stream = MemoryStream[Ev]
+    // user 2's view arrives in a LATER micro-batch than her clicks —
+    // the late-earlier-view re-qualification path
+    stream.addData(real.filter(_.event_id != 5))
+    val query = EventStreams.funnelStream(stream.toDF(),
+        horizonMinutes = 120, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      stream.addData(Seq(real.find(_.event_id == 5).get))
+      query.processAllAvailable()
+      // sentinel pushes the watermark past every first_view + horizon
+      stream.addData(Seq(ev(99, 8 * 60, 9, "noise")))
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_test")
+        .select("user_id", "clicked", "purchased", "sec_to_click", "sec_to_purchase")
+        .orderBy("user_id").collect().toSeq
+      // the batch q124 shape over the same (real) events
+      val evDf = real.toDF()
+      val v = evDf.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = evDf.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val pp = evDf.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      val batch = v.join(c, Seq("user_id"), "left").join(pp, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("t_click").isNotNull.as("clicked"),
+          col("t_purchase").isNotNull.as("purchased"),
+          when(col("t_click").isNotNull,
+            unix_timestamp(col("t_click")) - unix_timestamp(col("t_view"))).as("sec_to_click"),
+          when(col("t_purchase").isNotNull,
+            unix_timestamp(col("t_purchase")) - unix_timestamp(col("t_click"))).as("sec_to_purchase"))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch, s"stream:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+      assert(streamed.map(_.getLong(0)) == Seq(1L, 2L, 3L), "users 1-3 only (4 is viewless)")
+    } finally query.stop()
+  }
+
   test("batch sessionize splits a user at the inactivity gap") {
     import spark.implicits._
     val t0 = Timestamp.valueOf("2024-01-01 10:00:00").getTime
