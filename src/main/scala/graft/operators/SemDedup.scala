@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — semantic deduplication via embedding-space clustering
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication"): k-means cluster the embeddings,
+  * then compare pairs only WITHIN a cluster and drop one side of every
+  * pair above a cosine threshold. The point at 100 TB: the quadratic
+  * pair search is confined to cluster-sized chunks (choose c so
+  * clusters stay bounded), and the cluster assignment is the SAME
+  * artifact the IVF ANN index persists — [[Ann.ivfFit]]'s model plus
+  * [[Ann.ivfEncode]]'s (vec_id, ve, cluster) table serve both search
+  * and dedup, so a pipeline that already maintains the ANN index gets
+  * semantic dedup for one extra intra-bucket join.
+  *
+  * This differs from [[Ann.cosineDupPairs]] (q71) in the bucketing
+  * model: LSH hyperplane buckets are data-independent (fixed recall
+  * from multi-probe), k-means cells ADAPT to the corpus (the paper's
+  * posture — tighter candidate sets where density is high). Both end
+  * in the same exact-cosine verify.
+  */
+object SemDedup {
+
+  /** Duplicate pairs (va < vb, cosine ≥ threshold) from a fitted index
+    * table — [[Ann.ivfEncode]] output (vec_id, ve, cluster). The join
+    * is a cluster equi-join (never an all-pairs BNLJ); with the index
+    * persisted bucketed-by-cluster it is co-located and shuffle-free.
+    * Output: (va, vb, sim) — cluster ids are float-k-means artifacts
+    * and deliberately NOT exposed.
+    */
+  def dupPairsFromIndex(index: DataFrame, threshold: Double): DataFrame = {
+    val a = index.select(col("cluster"), col("vec_id").as("va"), col("ve").as("vea"))
+    val b = index.select(col("cluster"), col("vec_id").as("vb"), col("ve").as("veb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("sim", round(Ann.cosine("vea", "veb"), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("va"), col("vb"), col("sim"))
+  }
+
+  /** Self-contained composition: fit the coarse quantizer, encode the
+    * corpus, emit intra-cluster duplicate pairs. Deployments reuse a
+    * maintained IVF index instead (see [[dupPairsFromIndex]]).
+    */
+  def dupPairs(corpus: DataFrame, threshold: Double, c: Int = 16,
+               iters: Int = 2, trainMod: Int = 1): DataFrame = {
+    val cents = Ann.ivfFit(corpus, c, iters, trainMod)
+    dupPairsFromIndex(Ann.ivfEncode(corpus, cents), threshold)
+  }
+}

@@ -1367,5 +1367,67 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165)
+  // ---- q175: DSIR importance selection (Xie et al. NeurIPS 2023) ---------
+  // Target-by-example data selection: hashed unigram+bigram bag model,
+  // importance weight = log p_target − log p_raw per bucket, quantized
+  // once to integer micro-units (q165 discipline) so per-doc scores are
+  // exact int64 on both engines. Target = the lang='en' subset; B=1024
+  // buckets; top-50 selection (TakeOrderedAndProject). The oracle
+  // replays the md5-60 bucket hash, the add-one smoothing, and the
+  // quantized log ratios bit-for-bit.
+  val q175 = {
+    val B = 1024; val K = 50
+    Q(
+      "q175_dsir",
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS is_target,
+         |            coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+         |f AS (SELECT doc_id, is_target, list_concat(w,
+         |        list_transform(range(1, greatest(len(w) - 1, 0) + 1), i -> w[i] || ' ' || w[i+1])) AS feats
+         |      FROM d),
+         |occ AS (SELECT doc_id, is_target,
+         |          unnest(list_transform(feats, x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % $B)) AS bucket
+         |        FROM f),
+         |cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rc,
+         |          CAST(count(*) FILTER (WHERE is_target) AS BIGINT) AS tc
+         |        FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot, CAST(sum(tc) AS BIGINT) AS ttot FROM cnt),
+         |ratio AS (SELECT bucket,
+         |    CAST(floor(ln(CAST(tc + 1 AS DOUBLE) / CAST(ttot + $B AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |  - CAST(floor(ln(CAST(rc + 1 AS DOUBLE) / CAST(rtot + $B AS DOUBLE)) * 1000000.0) AS BIGINT) AS ratio_micro
+         |  FROM cnt, tot),
+         |sc AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |         CAST(sum(ratio.ratio_micro) AS BIGINT) AS score_micro
+         |       FROM occ JOIN ratio USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_feats, score_micro FROM sc
+         |ORDER BY score_micro DESC, doc_id LIMIT $K""".stripMargin) { (s, d) =>
+      graft.operators.Dsir.importanceTopK(
+        Tables.documents(s, d), isTarget = col("lang") === "en", b = B, k = K)
+    }
+  }
+
+  // ---- q176: SemDeDup semantic dedup (Abbas et al. 2023) -----------------
+  // k-means cells bound the pair search; exact cosine verifies. FULL
+  // oracle via planted twins (the q87 discipline): every vec_id % 10 = 3
+  // vector gets an identical copy under id+100000 — identical floats
+  // assign to the SAME cell deterministically, so the intra-cell join
+  // must recover every twin pair at cosine exactly 1.0, independent of
+  // the float k-means. Threshold 0.8 sits far above the corpus's
+  // measured max NATURAL pair cosine (0.60 at sf0.1), so the result set
+  // is exactly the twin set — missed twins (candidate collapse) AND
+  // phantom pairs both fail the row hash. Cluster ids are float
+  // artifacts and not exposed.
+  val q176 = Q(
+    "q176_semdedup",
+    """SELECT vec_id AS va, vec_id + 100000 AS vb, CAST(1.0 AS DOUBLE) AS sim
+      |FROM embeddings WHERE vec_id % 10 = 3 ORDER BY va""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    val twins = embs.filter(col("vec_id") % 10 === 3)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    graft.operators.SemDedup
+      .dupPairs(embs.unionByName(twins), threshold = 0.8, c = 16, iters = 2,
+        trainMod = 4)
+      .orderBy("va")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176)
 }

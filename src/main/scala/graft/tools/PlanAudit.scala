@@ -89,7 +89,9 @@ object PlanAudit {
     "q137_split_drift" -> "single-row per-split totals side",
     "q140_bm25" -> "single-row corpus stats (N, avgdl) side",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
-    "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides")
+    "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
+    "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
+    "q176_semdedup" -> "model-sized k-means assignment join (c = 16 centroid rows)")
 
   private val joinClasses = Set(
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, SemDedup}
+
+/** SemDeDup semantic dedup (q176 / graft.operators.SemDedup). */
+class SemDedupSpec extends SparkSpec {
+
+  private def embs = Tables.embeddings(spark, sfDir)
+
+  private def withTwins = {
+    val twins = embs.filter(col("vec_id") % 10 === 3)
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    embs.unionByName(twins)
+  }
+
+  test("every planted twin pair is recovered at cosine 1.0, nothing else at 0.8") {
+    val expected = embs.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val pairs = SemDedup.dupPairs(withTwins, threshold = 0.8, c = 16).collect()
+    assert(pairs.nonEmpty)
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.forall { case (va, vb, sim) =>
+      expected.contains(va) && vb == va + 100000L && sim == 1.0
+    }, s"unexpected pair among ${got.take(5)}")
+    assert(got.map(_._1).toSet == expected, "a twin pair was missed")
+  }
+
+  test("reusing a maintained IVF index gives identical pairs (deployment face)") {
+    val corpus = withTwins
+    val cents = Ann.ivfFit(corpus, c = 16, iters = 2)
+    val index = Ann.ivfEncode(corpus, cents)
+    val a = SemDedup.dupPairsFromIndex(index, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = SemDedup.dupPairs(corpus, threshold = 0.8, c = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("pair search is an equi-join on cluster, never a nested loop") {
+    val plan = SemDedup.dupPairs(withTwins, threshold = 0.8, c = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the only BNLJ allowed is the c-row centroid-model assignment join,
+    // which the cluster self-join's plan STRING prints once per side
+    // (the executed topology builds the encode subtree per branch)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    val smjOrHash = plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin")
+    assert(smjOrHash, "intra-cluster pair join must be an equi-join")
+    assert(bnlj <= 2, s"unexpected nested loops: $bnlj")
+  }
+
+  test("below-threshold natural pairs are excluded (threshold actually binds)") {
+    // with no twins planted, this corpus has no pair at >= 0.8
+    // (measured max natural cosine 0.60 at sf0.1, lower here)
+    val pairs = SemDedup.dupPairs(embs, threshold = 0.8, c = 16)
+    assert(pairs.count() == 0)
+    // loosening the threshold to 0 must surface intra-cluster pairs
+    val loose = SemDedup.dupPairs(embs, threshold = 0.0, c = 16)
+    assert(loose.count() > 0)
+  }
+}
