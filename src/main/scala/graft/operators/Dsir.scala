@@ -29,12 +29,13 @@ import graft.functions.Text
   * score, which plans as TakeOrderedAndProject (per-partition top-k +
   * a k-sized merge — never a global sort). At 100 TB the only
   * corpus-sized cost is the scan + one narrow shuffle of
-  * (doc_id, int64) partial sums. [[importanceTopK]] derives the ratio
-  * table and the scores from two declarative passes over the same
-  * occurrence projection (count, then score) — a deployment that pays
-  * real scan cost persists the occurrence table (or scores a
-  * DIFFERENT corpus against a ratio table fitted once, the usual DSIR
-  * posture: fit on a sample, select over the full corpus).
+  * (doc_id, int64) partial sums. [[importanceTopK]] is fully
+  * declarative, so the occurrence projection is recomputed per
+  * consumer (bucket counts, their totals, scores — three scans, the
+  * q136/q165 single-row-stats precedent); a deployment that pays real
+  * scan cost persists the occurrence table, or scores a DIFFERENT
+  * corpus against a ratio table fitted once — the usual DSIR posture:
+  * fit on a sample, select over the full corpus.
   */
 object Dsir {
 

@@ -1429,5 +1429,30 @@ object PipelineQueries extends QueryFamily {
       .orderBy("va")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176)
+  // ---- q177: BPE pair statistics (Sennrich et al. ACL 2016) --------------
+  // The tokenizer-training inner loop's distributed statistics pass:
+  // overlapping adjacent-pair counts rank merge candidates (get_stats),
+  // the non-overlapping replace-based count gives each candidate's
+  // actual token reduction. After one corpus scan everything runs on
+  // the VOCAB-sized word-frequency table — the property that makes BPE
+  // training feasible at 100 TB.
+  val q177 = Q(
+    "q177_bpe_stats",
+    s"""WITH d AS (SELECT doc_id, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(w) AS word FROM d) GROUP BY 1),
+       |p AS (SELECT substr(word, CAST(i AS INTEGER), 2) AS pair, freq
+       |      FROM wf, unnest(range(1, len(word))) AS t(i)
+       |      WHERE len(word) >= 2),
+       |top AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS n_adjacent
+       |        FROM p GROUP BY 1 ORDER BY n_adjacent DESC, pair LIMIT 20)
+       |SELECT top.pair AS pair, top.n_adjacent AS n_adjacent,
+       |  CAST(sum(freq * ((len(word) - len(replace(word, top.pair, ''))) // 2)) AS BIGINT) AS n_merge_apply
+       |FROM top CROSS JOIN wf
+       |GROUP BY 1, 2 ORDER BY n_adjacent DESC, pair""".stripMargin) { (s, d) =>
+    graft.operators.Bpe.pairStats(Tables.documents(s, d), k = 20)
+      .orderBy(col("n_adjacent").desc, col("pair"))
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177)
 }

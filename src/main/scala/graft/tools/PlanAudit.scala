@@ -91,7 +91,8 @@ object PlanAudit {
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
     "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
     "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
-    "q176_semdedup" -> "model-sized k-means assignment join (c = 16 centroid rows)")
+    "q176_semdedup" -> "model-sized k-means assignment join (c = 16 centroid rows)",
+    "q177_bpe_stats" -> "k-row merge-candidate side (k = 20) against the vocab table")
 
   private val joinClasses = Set(
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
