@@ -1411,11 +1411,13 @@ object PipelineQueries extends QueryFamily {
   // vector gets an identical copy under id+100000 — identical floats
   // assign to the SAME cell deterministically, so the intra-cell join
   // must recover every twin pair at cosine exactly 1.0, independent of
-  // the float k-means. Threshold 0.8 sits far above the corpus's
-  // measured max NATURAL pair cosine (0.60 at sf0.1), so the result set
-  // is exactly the twin set — missed twins (candidate collapse) AND
-  // phantom pairs both fail the row hash. Cluster ids are float
-  // artifacts and not exposed.
+  // the float k-means. Threshold 0.9 sits far above the corpus's
+  // measured max NATURAL pair cosine (0.60 at sf0.1) while twins sit at
+  // exactly 1.0 — margin on BOTH sides against a testdata regen
+  // shifting the embedding distribution — so the result set is exactly
+  // the twin set: missed twins (candidate collapse) AND phantom pairs
+  // both fail the row hash. Cluster ids are float artifacts and not
+  // exposed.
   val q176 = Q(
     "q176_semdedup",
     """SELECT vec_id AS va, vec_id + 100000 AS vb, CAST(1.0 AS DOUBLE) AS sim
@@ -1424,7 +1426,7 @@ object PipelineQueries extends QueryFamily {
     val twins = embs.filter(col("vec_id") % 10 === 3)
       .withColumn("vec_id", col("vec_id") + 100000L)
     graft.operators.SemDedup
-      .dupPairs(embs.unionByName(twins), threshold = 0.8, c = 16, iters = 2,
+      .dupPairs(embs.unionByName(twins), threshold = 0.9, c = 16, iters = 2,
         trainMod = 4)
       .orderBy("va")
   }

@@ -14,10 +14,10 @@ class SemDedupSpec extends SparkSpec {
     embs.unionByName(twins)
   }
 
-  test("every planted twin pair is recovered at cosine 1.0, nothing else at 0.8") {
+  test("every planted twin pair is recovered at cosine 1.0, nothing else at 0.9") {
     val expected = embs.filter(col("vec_id") % 10 === 3)
       .select(col("vec_id")).collect().map(_.getLong(0)).toSet
-    val pairs = SemDedup.dupPairs(withTwins, threshold = 0.8, c = 16).collect()
+    val pairs = SemDedup.dupPairs(withTwins, threshold = 0.9, c = 16).collect()
     assert(pairs.nonEmpty)
     val got = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got.forall { case (va, vb, sim) =>
@@ -30,15 +30,15 @@ class SemDedupSpec extends SparkSpec {
     val corpus = withTwins
     val cents = Ann.ivfFit(corpus, c = 16, iters = 2)
     val index = Ann.ivfEncode(corpus, cents)
-    val a = SemDedup.dupPairsFromIndex(index, threshold = 0.8)
+    val a = SemDedup.dupPairsFromIndex(index, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-    val b = SemDedup.dupPairs(corpus, threshold = 0.8, c = 16)
+    val b = SemDedup.dupPairs(corpus, threshold = 0.9, c = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(a == b)
   }
 
   test("pair search is an equi-join on cluster, never a nested loop") {
-    val plan = SemDedup.dupPairs(withTwins, threshold = 0.8, c = 16)
+    val plan = SemDedup.dupPairs(withTwins, threshold = 0.9, c = 16)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     // the only BNLJ allowed is the c-row centroid-model assignment join,
@@ -52,9 +52,9 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("below-threshold natural pairs are excluded (threshold actually binds)") {
-    // with no twins planted, this corpus has no pair at >= 0.8
+    // with no twins planted, this corpus has no pair at >= 0.9
     // (measured max natural cosine 0.60 at sf0.1, lower here)
-    val pairs = SemDedup.dupPairs(embs, threshold = 0.8, c = 16)
+    val pairs = SemDedup.dupPairs(embs, threshold = 0.9, c = 16)
     assert(pairs.count() == 0)
     // loosening the threshold to 0 must surface intra-cluster pairs
     val loose = SemDedup.dupPairs(embs, threshold = 0.0, c = 16)
