@@ -194,9 +194,18 @@ object Ann {
     * model, then equi-join the probe set against the index on
     * `cluster`. At 100 TB this reads nprobe/c of the index and nothing
     * else; the raw corpus is never re-assigned.
+    *
+    * `excludeSelf` drops candidates whose vec_id EQUALS the query's —
+    * correct when queries are drawn from the indexed corpus (the inline
+    * Knn faces, where the self-match would waste a rank slot), WRONG
+    * when query and index id spaces are independent (an unrelated index
+    * vector sharing a query's id would be silently lost — possibly its
+    * true top-1). Deployments with separate id spaces pass false.
+    * Applies to [[pqSearch]]/[[ivfPqSearch]] identically.
     */
   def ivfSearch(cents: Seq[(Int, Seq[Double])], index: DataFrame,
-                queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+                queries: DataFrame, k: Int, nprobe: Int = 4,
+                excludeSelf: Boolean = true): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val centDf = broadcast(cents.toDF("cid", "ce"))
@@ -210,7 +219,8 @@ object Ann {
         .select(col("qid"), col("qe"), col("cid").as("cluster")))
     val cand = index.select(col("vec_id").as("cvid"), col("ve").as("cve"), col("cluster"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cvid"))
-    cand.join(qprobes, Seq("cluster")).filter(col("qid") =!= col("cvid"))
+    cand.join(qprobes, Seq("cluster"))
+      .filter(if (excludeSelf) col("qid") =!= col("cvid") else lit(true))
       .withColumn("sim", round(cosine("qe", "cve"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -415,7 +425,7 @@ object Ann {
     */
   def pqSearch(cents: Seq[(Int, Int, Seq[Double])], index: DataFrame,
                queries: DataFrame, k: Int, m: Int = 4,
-               dim: Int = 64): DataFrame = {
+               dim: Int = 64, excludeSelf: Boolean = true): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val centDf = broadcast(cents.toDF("sub", "code", "ce"))
@@ -429,7 +439,7 @@ object Ann {
     index.join(qtab, Seq("sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("d2")), 4).as("adist"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .withColumnRenamed("vec_id", "cid")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -504,7 +514,13 @@ object Ann {
   def ivfPqEncode(corpus: DataFrame, coarse: Seq[(Int, Seq[Double])],
                   pqCents: Seq[(Int, Int, Seq[Double])], m: Int = 16,
                   dim: Int = 64): DataFrame = {
-    val assigned = ivfPqAssign(corpus, coarse, "vec_id")
+    // materialize the assignment once: it feeds BOTH join branches
+    // below. Catalyst's ReusedExchange CAN dedupe the identical
+    // assignment subtree, but that is an optimizer decision (fragile
+    // under AQE re-planning); the checkpoint makes single-execution
+    // structural. At warehouse scale a deployment writes the encode
+    // output to its index table anyway — one materialization either way.
+    val assigned = ivfPqAssign(corpus, coarse, "vec_id").localCheckpoint()
     pqEncode(assigned.select(col("vec_id"), col("resid").as("embedding")),
         pqCents, m, dim)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))
@@ -518,7 +534,8 @@ object Ann {
   def ivfPqSearch(coarse: Seq[(Int, Seq[Double])],
                   pqCents: Seq[(Int, Int, Seq[Double])], index: DataFrame,
                   queries: DataFrame, k: Int, nprobe: Int = 4,
-                  m: Int = 16, dim: Int = 64): DataFrame = {
+                  m: Int = 16, dim: Int = 64,
+                  excludeSelf: Boolean = true): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val coarseDf = broadcast(coarse.toDF("cl", "cce"))
@@ -544,7 +561,7 @@ object Ann {
     index.join(qtab, Seq("cluster", "sub", "code"))
       .groupBy(col("qid"), col("vec_id"))
       .agg(round(sum(col("d2")), 4).as("adist"))
-      .filter(col("qid") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("qid") =!= col("vec_id") else lit(true))
       .withColumnRenamed("vec_id", "cid")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

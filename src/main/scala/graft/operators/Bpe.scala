@@ -53,12 +53,16 @@ object Bpe {
       .orderBy(col("n_adjacent").desc, col("pair"))
       .limit(k)
     // non-overlapping application count for each candidate: k-row
-    // broadcast against the vocab table (bounded by construction)
+    // broadcast against the vocab table (bounded by construction).
+    // The final orderBy re-establishes the ranking the join+groupBy
+    // discards (aggregate output order is unspecified) — it sorts k
+    // rows, and it is what makes "the first row IS the merge" true.
     broadcast(top).join(wf)
       .groupBy(col("pair"), col("n_adjacent"))
       .agg(sum(col("freq") *
         expr("(length(word) - length(replace(word, pair, ''))) div 2")).as("n_merge_apply"))
       .select(col("pair"), col("n_adjacent"), col("n_merge_apply"))
+      .orderBy(col("n_adjacent").desc, col("pair"))
   }
 
   /** (word, freq) over the corpus — the table BPE training iterates

@@ -47,6 +47,11 @@ object SemDedup {
   def dupPairs(corpus: DataFrame, threshold: Double, c: Int = 16,
                iters: Int = 2, trainMod: Int = 1): DataFrame = {
     val cents = Ann.ivfFit(corpus, c, iters, trainMod)
-    dupPairsFromIndex(Ann.ivfEncode(corpus, cents), threshold)
+    // materialize the encode once for the cluster self-join: without a
+    // cut, single execution of the assignment subtree depends on
+    // Catalyst's ReusedExchange firing (an optimizer decision, fragile
+    // under AQE re-planning); the checkpoint makes it structural. The
+    // deployment face gets this for free from its persisted index table.
+    dupPairsFromIndex(Ann.ivfEncode(corpus, cents).localCheckpoint(), threshold)
   }
 }

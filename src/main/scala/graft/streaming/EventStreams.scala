@@ -253,6 +253,15 @@ object EventStreams {
     * span the result equals the unwindowed batch funnel
     * (StreamingSpec asserts exactly that).
     *
+    * Re-emission contract: finalization drops the user's state, so a
+    * user who RETURNS — a new view admitted after their window
+    * finalized — starts a NEW conversion window and emits another row.
+    * Output is one row per (user, conversion window), not one per
+    * user: the product-analytics reading of an unbounded stream
+    * (remembering every finalized user forever would be unbounded
+    * state). With horizon ≥ the data span no second window can open,
+    * which is where the batch-parity claim lives.
+    *
     * State per user: first view (compacted to the min — it only ever
     * decreases, which can only widen the `> t_view` click set), plus
     * the click/purchase timestamps inside the horizon (kept raw: a
@@ -288,7 +297,12 @@ object EventStreams {
             st = st.copy(lastSeenMs = math.max(st.lastSeenMs, t))
           }
           val wm = state.getCurrentWatermarkMs()
-          if (st.firstViewMs != Long.MaxValue && wm >= st.firstViewMs + horizonMs) {
+          // STRICT >: the qualification window is inclusive of
+          // first_view + horizon, and an event timestamped exactly there
+          // is not yet late at wm == hEnd (drop predicate is ts < wm) —
+          // finalizing at equality could lose it (gapFillStream's
+          // h + HourMs <= wm is the same watermark-safe form)
+          if (st.firstViewMs != Long.MaxValue && wm > st.firstViewMs + horizonMs) {
             // finalize: resolve the stage picks from the buffered
             // candidates, emit once, drop the state
             val tView = st.firstViewMs
@@ -304,7 +318,7 @@ object EventStreams {
                 yield Math.floorDiv(tp, 1000L) - Math.floorDiv(tc, 1000L)))
           } else if (st.firstViewMs == Long.MaxValue
               && st.lastSeenMs != Long.MinValue
-              && wm >= st.lastSeenMs + horizonMs) {
+              && wm > st.lastSeenMs + horizonMs) {
             // viewless user: never part of the funnel output — GC
             state.remove()
             Iterator.empty

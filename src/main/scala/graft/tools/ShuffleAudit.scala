@@ -38,6 +38,10 @@ object ShuffleAudit {
     def mb(b: Long): String = f"${b / 1048576.0}%.2f"
     // optional regex filter (same knob as Bench/PlanAudit)
     val filter = sys.env.get("SPARK_GRAFT_FILTER").map(_.r)
+    // snapshot provenance: shuffle_diff's flap re-measurement must run
+    // against the SAME data the snapshot was taken at, or a cross-SF
+    // reading could mask a real regression as a flap
+    println(s"[shuffle-meta] sf_dir=$d")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
       .foreach { case (name, fn) =>

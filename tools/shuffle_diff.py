@@ -40,20 +40,24 @@ def near(value, target):
     """GATE tolerance: within 20% or 1 MB of the adjudicated value."""
     return abs(value - target) <= max(0.2 * target, 1.0)
 
-def remeasure(name):
+def remeasure(name, sf_dir=None):
     """Re-run ShuffleAudit for one query and return its fresh MB value
     (None if the re-measurement could not run or parse). A flagged
     reading can be a one-off plan flap (borderline broadcast estimate);
     the r8 adjudication protocol was two readings before believing one
-    — this mechanizes reading #2. Disable with SHUFFLE_DIFF_NO_REMEASURE=1
-    (e.g. when diffing historical snapshots on a machine without the
-    build/testdata)."""
+    — this mechanizes reading #2. `sf_dir` is the NEW snapshot's
+    recorded [shuffle-meta] provenance: the re-measurement must run at
+    the snapshot's own scale factor, or a cross-SF reading (snapshot at
+    sf1, machine default sf0.1) would sit far below the old baseline
+    and mask every real regression as a flap. Disable with
+    SHUFFLE_DIFF_NO_REMEASURE=1 (e.g. when diffing historical snapshots
+    on a machine without the build/testdata)."""
     if os.environ.get("SHUFFLE_DIFF_NO_REMEASURE"):
         return None
     tools = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ,
                SPARK_GRAFT_FILTER=f"^{re.escape(name)}$",
-               SPARK_GRAFT_SF_DIR=os.environ.get(
+               SPARK_GRAFT_SF_DIR=sf_dir or os.environ.get(
                    "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     try:
         out = subprocess.run(
@@ -65,15 +69,24 @@ def remeasure(name):
     return float(m.group(1)) if m else None
 
 def load(path):
-    out = {}
+    out, sf_dir = {}, None
     for line in open(path):
+        meta = re.match(r"\[shuffle-meta\] sf_dir=(\S+)", line)
+        if meta:
+            sf_dir = meta.group(1)
         m = re.match(r"\[shuffle\] (\S+)\s+shuffle_mb=([\d.]+)\s+shuffle_rows=(\d+)", line)
         if m:
             out[m.group(1)] = (float(m.group(2)), int(m.group(3)))
-    return out
+    return out, sf_dir
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_sf), (new, new_sf) = load(sys.argv[1]), load(sys.argv[2])
+    if old_sf and new_sf and old_sf != new_sf:
+        # cross-SF diffs are meaningless byte-for-byte — refuse early
+        # rather than flag everything (or worse, flap-pass everything)
+        print(f"FAIL: snapshots taken at different scale factors "
+              f"({old_sf} vs {new_sf}) — not comparable")
+        sys.exit(1)
     flagged = []
     # a query that disappears from the new snapshot (crashed mid-audit,
     # or renamed without updating RENAMED_OR_REMOVED) fails the gate —
@@ -95,7 +108,7 @@ def main():
                 print(f"BISTABLE  {name}: {omb:.2f} MB -> {nmb:.2f} MB "
                       f"(adjudicated values: {BISTABLE[name]})")
                 continue
-            fresh = remeasure(name)
+            fresh = remeasure(name, new_sf)
             if fresh is not None and not (fresh > omb * 1.2 and fresh - omb > 1.0):
                 print(f"FLAPPED   {name}: {omb:.2f} MB -> {nmb:.2f} MB, "
                       f"re-measured {fresh:.2f} MB — one-off plan flap, not a regression "
