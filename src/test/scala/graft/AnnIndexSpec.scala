@@ -105,4 +105,40 @@ class AnnIndexSpec extends SparkSpec {
       s"search ($searchJobs jobs) must be lighter than fit+encode ($fitJobs)")
     assert(searchJobs <= 12, s"query path launched $searchJobs jobs — training leaked in?")
   }
+
+  test("excludeSelf=false returns the self-match at rank 1 (independent id spaces)") {
+    // queries share ids with the corpus here, so with excludeSelf=false
+    // each query's own vector is a candidate and must win rank 1 — the
+    // deployment contract for separate id spaces, where dropping an
+    // index vector that HAPPENS to share a query's id would be wrong
+    val cents = Ann.ivfFit(embs, c = 4, iters = 1)
+    val index = Ann.ivfEncode(embs, cents)
+    val ivf = Ann.ivfSearch(cents, index, queries, k = 3, nprobe = 2,
+        excludeSelf = false)
+      .filter(col("rn") === 1).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0),
+      "with the self-match admitted, rank 1 must be the query itself at cosine 1.0")
+    // the default keeps the inline-oracle behavior: self never returned
+    val dflt = Ann.ivfSearch(cents, index, queries, k = 3, nprobe = 2).collect()
+    assert(dflt.forall(r => r.getLong(0) != r.getLong(1)))
+    // PQ face: the self-match's ADC distance is its own quantization
+    // error, which is the per-subspace argmin over the codebook — so it
+    // must TIE the rank-1 adist for its query (another vector sharing
+    // the same codes can win the id tie-break, so rank 1 itself is not
+    // guaranteed; the argmin property is)
+    val pq = Ann.pqFit(embs, m = 8, ksub = 8, iters = 1)
+    val pqIdx = Ann.pqEncode(embs, pq, m = 8)
+    val pqAll = Ann.pqSearch(pq, pqIdx, queries, k = 50, m = 8, excludeSelf = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = pqAll.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (qid, rows) =>
+      val self = rows.find(r => r._2 == qid)
+      assert(self.isDefined, s"self-match for $qid missing with excludeSelf=false")
+      val best = rows.minBy(_._4)._3
+      assert(self.get._3 == best,
+        s"self adist ${self.get._3} must equal the rank-1 adist $best for $qid")
+    }
+  }
 }
