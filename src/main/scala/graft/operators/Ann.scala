@@ -517,10 +517,18 @@ object Ann {
     // materialize the assignment once: it feeds BOTH join branches
     // below. Catalyst's ReusedExchange CAN dedupe the identical
     // assignment subtree, but that is an optimizer decision (fragile
-    // under AQE re-planning); the checkpoint makes single-execution
-    // structural. At warehouse scale a deployment writes the encode
-    // output to its index table anyway — one materialization either way.
-    val assigned = ivfPqAssign(corpus, coarse, "vec_id").localCheckpoint()
+    // under AQE re-planning); the eager persist makes single-execution
+    // structural. persist (catalog-managed cache), NOT localCheckpoint:
+    // checkpoint blocks are only freed when the ContextCleaner GCs the
+    // RDD, invisible to the clearCache-between-queries hygiene Bench/
+    // Verify pin (§2.7) — over a 177-query session they linger
+    // nondeterministically. A cache eviction before consumption merely
+    // recomputes from lineage. At warehouse scale a deployment writes
+    // the encode output to its index table anyway — one materialization
+    // either way.
+    val assigned = ivfPqAssign(corpus, coarse, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count() // eager: both consumers below must read the cache
     pqEncode(assigned.select(col("vec_id"), col("resid").as("embedding")),
         pqCents, m, dim)
       .join(assigned.select(col("vec_id"), col("cluster")), Seq("vec_id"))

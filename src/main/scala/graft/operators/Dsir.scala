@@ -28,14 +28,16 @@ import graft.functions.Text
   * doc_id-keyed sum with map-side combine; selection is top-k by
   * score, which plans as TakeOrderedAndProject (per-partition top-k +
   * a k-sized merge — never a global sort). At 100 TB the only
-  * corpus-sized cost is the scan + one narrow shuffle of
-  * (doc_id, int64) partial sums. [[importanceTopK]] is fully
-  * declarative, so the occurrence projection is recomputed per
-  * consumer (bucket counts, their totals, scores — three scans, the
-  * q136/q165 single-row-stats precedent); a deployment that pays real
-  * scan cost persists the occurrence table, or scores a DIFFERENT
-  * corpus against a ratio table fitted once — the usual DSIR posture:
-  * fit on a sample, select over the full corpus.
+  * corpus-sized cost is ONE scan + one narrow shuffle of
+  * (doc_id, int64) partial sums: [[importanceTopK]] materializes the
+  * occurrence projection eagerly (catalog-managed persist, so the
+  * clearCache-between-queries hygiene releases it) and both consumers
+  * — the ratio fit and the scoring pass — read that one
+  * materialization instead of re-deriving it from the corpus (the r9
+  * shape rescanned three times). The other deployment posture, fit on
+  * a sample then select over a different/full corpus, is the explicit
+  * [[ratioTable]] → [[scoreAgainst]] split (the ANN fit/search
+  * discipline).
   */
 object Dsir {
 
@@ -46,8 +48,13 @@ object Dsir {
     * exactly the buckets with occurrences (smoothing denominators
     * still use the full bucket count `b`).
     */
-  def ratioTable(docs: DataFrame, isTarget: Column, b: Int): DataFrame = {
-    val occ = occurrences(docs, isTarget, b)
+  def ratioTable(docs: DataFrame, isTarget: Column, b: Int): DataFrame =
+    ratioFromOccurrences(occurrences(docs, isTarget, b), b)
+
+  /** Ratio fit over an already-derived occurrence table — the face
+    * [[importanceTopK]] shares its single materialization with.
+    */
+  private def ratioFromOccurrences(occ: DataFrame, b: Int): DataFrame = {
     val counts = occ.groupBy(col("bucket"))
       .agg(count(lit(1)).as("rc"),
         sum(when(col("is_target"), 1L).otherwise(0L)).as("tc"))
@@ -70,14 +77,39 @@ object Dsir {
     */
   def importanceTopK(docs: DataFrame, isTarget: Column, b: Int = 1024,
                      k: Int = 50): DataFrame = {
-    val ratios = broadcast(ratioTable(docs, isTarget, b))
-    occurrences(docs, isTarget, b)
-      .join(ratios, Seq("bucket"))
+    // one corpus scan: the occurrence projection feeds both the ratio
+    // fit and the scoring pass, so materialize it eagerly and let both
+    // read the cache (eviction before consumption merely recomputes
+    // from lineage — correct, just slower). persist, not
+    // localCheckpoint: the catalog-managed cache is what the session's
+    // clearCache hygiene releases (§2.7).
+    val occ = occurrences(docs, isTarget, b)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    occ.count()
+    val ratios = broadcast(ratioFromOccurrences(occ, b))
+    occ.join(ratios, Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("ratio_micro")).as("score_micro"))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Score a corpus against an already-fitted ratio table and keep the
+    * top `k` — the deployment split (fit the ratios once on a sample
+    * via [[ratioTable]], persist the B-row result, then select over
+    * the full 100 TB corpus with ONE scan and zero re-fitting; the
+    * Ann.fit/search discipline). Output schema matches
+    * [[importanceTopK]]. `isTarget` is irrelevant to scoring; the
+    * occurrence projection needs a value, so a literal is bound.
+    */
+  def scoreAgainst(docs: DataFrame, ratios: DataFrame, b: Int = 1024,
+                   k: Int = 50): DataFrame =
+    occurrences(docs, lit(false), b)
+      .join(broadcast(ratios), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("ratio_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
 
   /** floor(ln(x)·1e6) as int64 — the one float step, applied per
     * BUCKET (q165's quantize-once discipline), identical spelling on

@@ -50,8 +50,14 @@ object SemDedup {
     // materialize the encode once for the cluster self-join: without a
     // cut, single execution of the assignment subtree depends on
     // Catalyst's ReusedExchange firing (an optimizer decision, fragile
-    // under AQE re-planning); the checkpoint makes it structural. The
-    // deployment face gets this for free from its persisted index table.
-    dupPairsFromIndex(Ann.ivfEncode(corpus, cents).localCheckpoint(), threshold)
+    // under AQE re-planning); the eager persist makes it structural.
+    // persist, NOT localCheckpoint: checkpoint blocks bypass the
+    // catalog, so the clearCache-between-queries hygiene (§2.7) never
+    // frees them — cache blocks it does. The deployment face gets the
+    // cut for free from its persisted index table.
+    val index = Ann.ivfEncode(corpus, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    dupPairsFromIndex(index, threshold)
   }
 }

@@ -193,9 +193,15 @@ object EventQueries extends QueryFamily {
 
   // Ordered conversion funnel view → click → purchase: each stage's
   // timestamp is the earliest event of that type AFTER the previous
-  // stage (conditional min-aggregation per stage — one shuffle per
-  // stage on user_id, no self-join fan-out). The staple
-  // product-analytics query shape.
+  // stage. ALL stages ride ONE user_id-partitioned window (stage N's
+  // conditional min references stage N-1's window output — same
+  // partition spec, so Catalyst stacks the Window operators over a
+  // single exchange+sort), then one same-key aggregate collapses to a
+  // row per user with zero further shuffles (hash partitioning on
+  // user_id already satisfies the groupBy). The r9 per-stage
+  // conditional-min chain re-shuffled on user_id per stage: 6
+  // exchanges / 5 joins for 3 stages; this is the 2-exchange form
+  // (window + the 150-row result sort) the semantics actually need.
   val q124 = Q(
     "q124_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -215,15 +221,20 @@ object EventQueries extends QueryFamily {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+          col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+          col("ts"))).over(w))
+      .filter(col("t_view").isNotNull) // funnel entry: user has a view
+      .groupBy(col("user_id")) // per-user constants; no exchange (same key)
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
       .select(col("user_id"),
         col("t_click").isNotNull.as("clicked"),
         col("t_purchase").isNotNull.as("purchased"),

@@ -1382,32 +1382,59 @@ object FunctionQueries extends QueryFamily {
       |FROM m
       |ORDER BY order_a""".stripMargin) { (s, d) =>
     // The output is 200 adjacent-order pairs, so only ~201 orders' maps
-    // are ever consumed — select the pair keys THIN first (distinct
-    // orderkeys self-joined on +1, top-200), then build the wide
-    // (partkey, weight) maps only for the ≤ 400 surviving orders. The
-    // old shape aggregated sparse vectors for the WHOLE fact table and
-    // threw away all but 200 pairs (31 MB shuffled at sf0.1 → 2.6 MB).
-    val okeys = Tables.lineitem(s, d).select(col("l_orderkey")).distinct()
-    val pairKeys = okeys.as("ka")
-      .join(okeys.as("kb"), col("kb.l_orderkey") === col("ka.l_orderkey") + 1)
-      .select(col("ka.l_orderkey").as("order_a"))
-      .orderBy("order_a").limit(200)
+    // are ever consumed — select the pair keys THIN first, then build
+    // the wide (partkey, weight) maps only for the ≤ 400 surviving
+    // orders (the r6 rewrite's byte diet: 31 MB → 0.9 MB at sf0.1).
+    // The r9 shape then spent 11 exchanges re-deriving keys; this is
+    // the 3-exchange form: (1) adjacency detection is ONE thin
+    // aggregation — every lineitem row flags pair-candidate ids
+    // l_orderkey (as left member) and l_orderkey−1 (as right member),
+    // map-side combined, and a pair (k, k+1) exists iff id k collected
+    // both flags — no okey self-join, no second key shuffle; (2) the
+    // ≤400-row keep-set dedup; (3) one repartition on l_orderkey that
+    // carries BOTH map-building aggregates (hash partitioning on the
+    // subset key satisfies the (okey, pkey) pre-aggregation AND the
+    // okey rollup — zero further exchanges). Pair assembly is
+    // broadcast-only (≤400 rows by construction) and the 200-row
+    // result is totally ordered via coalesce(1)+sortWithinPartitions,
+    // not a range exchange.
+    val li = Tables.lineitem(s, d)
+    val pairKeys = li
+      .select(explode(array(
+        struct(col("l_orderkey").as("pid"), lit(1).as("rb")),
+        struct((col("l_orderkey") - 1).as("pid"), lit(2).as("rb")))).as("e"))
+      .select(col("e.pid").as("order_a"), col("e.rb").as("rb"))
+      .groupBy(col("order_a"))
+      .agg(bit_or(col("rb")).as("roles")) // one agg slot, not two: thinner rows
+      .filter(col("roles") === 3)
+      .select(col("order_a"))
+      .orderBy("order_a").limit(200) // TakeOrdered: per-partition top-k
     val keepIds = pairKeys
       .select(explode(array(col("order_a"), col("order_a") + 1)).as("l_orderkey"))
-      .distinct()
-    val base = Tables.lineitem(s, d)
+      .dropDuplicates("l_orderkey")
+    val maps = li
       .join(broadcast(keepIds), "l_orderkey")
+      .repartition(col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("wq"))
-    val maps = base.groupBy(col("l_orderkey"))
+      .groupBy(col("l_orderkey"))
       .agg(map_from_entries(sort_array(collect_list(
         struct(col("l_partkey").as("k"), col("wq").as("v"))))).as("m"))
-    maps.as("a")
-      .join(maps.as("b"), col("b.l_orderkey") === col("a.l_orderkey") + 1)
-      .select(col("a.l_orderkey").as("order_a"), col("b.l_orderkey").as("order_b"),
-        col("a.m").as("ma"), col("b.m").as("mb"))
-      .join(broadcast(pairKeys), "order_a")
-      .select(col("order_a"), col("order_b"),
+    // pair assembly WITHOUT a maps self-join (a self-reference would
+    // plan the maps subtree twice pre-AQE-reuse): each order's map is
+    // exploded into its two roles — left member of pair okey, right
+    // member of pair okey−1 — and one ≤800-row regroup zips (ma, mb).
+    // Membership in the top-200 pair set guarantees both sides exist,
+    // so the ignoreNulls firsts are total and see ≤1 non-null each.
+    maps.select(explode(array(
+        struct(col("l_orderkey").as("order_a"), lit(0).as("side"), col("m").as("mm")),
+        struct((col("l_orderkey") - 1).as("order_a"), lit(1).as("side"), col("m").as("mm")))).as("e"))
+      .select(col("e.order_a").as("order_a"), col("e.side").as("side"), col("e.mm").as("mm"))
+      .join(broadcast(pairKeys), "order_a") // exact top-200 guard
+      .groupBy(col("order_a"))
+      .agg(first(when(col("side") === 0, col("mm")), ignoreNulls = true).as("ma"),
+        first(when(col("side") === 1, col("mm")), ignoreNulls = true).as("mb"))
+      .select(col("order_a"), (col("order_a") + 1).as("order_b"),
         expr("aggregate(map_values(map_zip_with(ma, mb, " +
           "(k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), 0L, (a, v) -> a + v)").as("dot"),
         expr("aggregate(map_values(ma), 0L, (a, v) -> a + v * v)").as("na2"),
@@ -1415,7 +1442,7 @@ object FunctionQueries extends QueryFamily {
         expr("size(map_filter(ma, (k, v) -> map_contains_key(mb, k)))").as("n_common"))
       .select(col("order_a"), col("order_b"), col("dot"), col("n_common"),
         round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6).as("cos_sim"))
-      .orderBy("order_a")
+      .coalesce(1).sortWithinPartitions("order_a") // 200 rows: total order, no exchange
   }
 
   // word_stem + soundex (reference string.rst:258 word_stem,

@@ -19,23 +19,35 @@ object SearchProbe {
     val embs = graft.Tables.embeddings(spark, sfDir)
     val queries = embs.filter(pmod(col("vec_id"), lit(200)) === 0)
       .withColumn("vec_id", col("vec_id") + 1000000L)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ann").toString
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_ann")
+    val dir = dirPath.toString
 
-    // fit + encode once (untimed), persist all artifacts
-    val (coarse, pqCents) = Ann.ivfPqFit(embs, c = 8, m = 16, trainMod = 4)
-    Ann.ivfModelDf(spark, coarse).write.parquet(s"$dir/coarse")
-    Ann.pqModelDf(spark, pqCents).write.parquet(s"$dir/pq")
-    Ann.ivfPqEncode(embs, coarse, pqCents).write.parquet(s"$dir/index")
+    try {
+      // fit + encode once (untimed), persist all artifacts
+      val (coarse, pqCents) = Ann.ivfPqFit(embs, c = 8, m = 16, trainMod = 4)
+      Ann.ivfModelDf(spark, coarse).write.parquet(s"$dir/coarse")
+      Ann.pqModelDf(spark, pqCents).write.parquet(s"$dir/pq")
+      Ann.ivfPqEncode(embs, coarse, pqCents).write.parquet(s"$dir/index")
 
-    // reload; search twice, report both (run 1 carries codegen warmup)
-    val rc = Ann.ivfModelFrom(spark.read.parquet(s"$dir/coarse"))
-    val rp = Ann.pqModelFrom(spark.read.parquet(s"$dir/pq"))
-    val index = spark.read.parquet(s"$dir/index")
-    for (i <- 1 to 2) {
-      val t0 = System.nanoTime()
-      val n = Ann.ivfPqSearch(rc, rp, index, queries, k = 5).count()
-      println(f"SEARCH run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // reload; search twice, report both (run 1 carries codegen warmup).
+      // excludeSelf = false: the probe's query ids live in a deliberately
+      // SEPARATE id space (vec_id + 1e6), so the measured plan must be the
+      // documented separate-id-space deployment path — no self-id filter.
+      val rc = Ann.ivfModelFrom(spark.read.parquet(s"$dir/coarse"))
+      val rp = Ann.pqModelFrom(spark.read.parquet(s"$dir/pq"))
+      val index = spark.read.parquet(s"$dir/index")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = Ann.ivfPqSearch(rc, rp, index, queries, k = 5,
+          excludeSelf = false).count()
+        println(f"SEARCH run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    } finally {
+      spark.stop()
+      // a probe must not leave artifacts behind
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    spark.stop()
   }
 }

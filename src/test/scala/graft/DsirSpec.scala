@@ -52,6 +52,30 @@ class DsirSpec extends SparkSpec {
     assert(byBucket.exists(_._2 > 0) && byBucket.exists(_._2 < 0))
   }
 
+  test("fit/score split == self-contained composition (deployment face)") {
+    // the ANN fit/search discipline: fit ratios once, persist, score a
+    // corpus against the loaded table — must equal importanceTopK when
+    // the fit corpus IS the scored corpus
+    val ratios = Dsir.ratioTable(corpus, col("is_t"), b = 256)
+    val split = Dsir.scoreAgainst(corpus, ratios, b = 256, k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val inline = Dsir.importanceTopK(corpus, col("is_t"), b = 256, k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(split == inline)
+  }
+
+  test("scoring a ratio table fitted elsewhere ranks by target likeness") {
+    import spark.implicits._
+    val ratios = Dsir.ratioTable(corpus, col("is_t"), b = 256)
+    val fresh = Seq(
+      (301L, "alpha beta gamma delta"), // target-vocabulary
+      (302L, "zeta eta theta iota")     // noise-vocabulary
+    ).toDF("doc_id", "text")
+    val scores = Dsir.scoreAgainst(fresh, ratios, b = 256, k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scores(301L) > scores(302L))
+  }
+
   test("empty and sub-1-word docs produce no occurrences and are never selected") {
     import spark.implicits._
     val withEmpty = corpus.unionByName(

@@ -38,17 +38,18 @@ class SemDedupSpec extends SparkSpec {
   }
 
   test("pair search is an equi-join on cluster, never a nested loop") {
-    val plan = SemDedup.dupPairs(withTwins, threshold = 0.9, c = 16)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
-    // the only BNLJ allowed is the c-row centroid-model assignment join,
-    // which the cluster self-join's plan STRING prints once per side
-    // (the executed topology builds the encode subtree per branch)
-    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    val smjOrHash = plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
-      plan.contains("BroadcastHashJoin")
-    assert(smjOrHash, "intra-cluster pair join must be an equi-join")
-    assert(bnlj <= 2, s"unexpected nested loops: $bnlj")
+    // structural count (the PlanAudit discipline): the persisted encode
+    // build plan is counted ONCE, however many sides scan the cache
+    val df = SemDedup.dupPairs(withTwins, threshold = 0.9, c = 16)
+    val (joins, _, _) =
+      graft.tools.PlanAudit.structuralCounts(df.queryExecution.executedPlan)
+    assert(joins.getOrElse("CartesianProduct", 0) == 0)
+    // the only BNLJ allowed is the c-row centroid-model assignment join
+    assert(joins.getOrElse("BroadcastNestedLoopJoin", 0) <= 1,
+      s"unexpected nested loops: $joins")
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(joins.getOrElse(_, 0) > 0),
+      s"intra-cluster pair join must be an equi-join: $joins")
   }
 
   test("below-threshold natural pairs are excluded (threshold actually binds)") {
@@ -59,5 +60,23 @@ class SemDedupSpec extends SparkSpec {
     // loosening the threshold to 0 must surface intra-cluster pairs
     val loose = SemDedup.dupPairs(embs, threshold = 0.0, c = 16)
     assert(loose.count() > 0)
+  }
+
+  test("q176 twin offset stays outside the natural vec_id space at every SF") {
+    // q176's oracle plants twins at vec_id + 100000 and ASSUMES that id
+    // space is disjoint from natural ids; a testdata regen with >= 100000
+    // embeddings would silently collide two different vectors under one
+    // id and break the oracle with no guard firing. Fail loudly here
+    // instead, across every SF the driver exercises.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      if (new java.io.File(dir).isDirectory) {
+        val maxId = Tables.embeddings(spark, dir)
+          .agg(max(col("vec_id"))).collect()(0).getLong(0)
+        assert(maxId < 100000L,
+          s"$sf max vec_id=$maxId collides with q176's twin offset 100000 — " +
+            "raise the offset in q176's query AND oracle together")
+      }
+    }
   }
 }

@@ -54,6 +54,14 @@ def remeasure(name, sf_dir=None):
     on a machine without the build/testdata)."""
     if os.environ.get("SHUFFLE_DIFF_NO_REMEASURE"):
         return None
+    if sf_dir and not os.path.isdir(sf_dir):
+        # snapshot from another machine: its recorded sf_dir does not
+        # exist here, so a FAIL line below means "could not re-measure",
+        # not "reproduced regression" — say so instead of failing mutely
+        print(f"NOTE      {name}: snapshot sf_dir {sf_dir} not present on "
+              f"this machine — flap re-measurement skipped; the flag below "
+              f"is unverified, re-run the diff where the data exists")
+        return None
     tools = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ,
                SPARK_GRAFT_FILTER=f"^{re.escape(name)}$",
