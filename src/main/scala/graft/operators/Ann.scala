@@ -209,22 +209,175 @@ object Ann {
     val spark = index.sparkSession
     import spark.implicits._
     val centDf = broadcast(cents.toDF("cid", "ce"))
-    val qprobes = broadcast(
+    val qprobes =
       queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
         .join(centDf)
         .withColumn("csim", cosine("qe", "ce"))
         .withColumn("rn", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
         .filter(col("rn") <= nprobe)
-        .select(col("qid"), col("qe"), col("cid").as("cluster")))
+        .select(col("qid"), col("qe"), col("cid").as("cluster"))
+    probeIndex(index, qprobes, k, excludeSelf)
+  }
+
+  /** Shared query tail of the IVF family: candidates = probe-set
+    * equi-join against the index on `cluster`, exact-cosine rank,
+    * top-k. `qprobes`: (qid, qe, cluster), broadcast here (bounded
+    * query batch × nprobe rows).
+    */
+  private def probeIndex(index: DataFrame, qprobes: DataFrame, k: Int,
+                         excludeSelf: Boolean): DataFrame = {
     val cand = index.select(col("vec_id").as("cvid"), col("ve").as("cve"), col("cluster"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cvid"))
-    cand.join(qprobes, Seq("cluster"))
+    cand.join(broadcast(qprobes), Seq("cluster"))
       .filter(if (excludeSelf) col("qid") =!= col("cvid") else lit(true))
       .withColumn("sim", round(cosine("qe", "cve"), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cvid").as("cid"), col("sim"), col("rn"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Two-level (hierarchical) coarse quantizer. At 100 TB the IVF family
+  // wants c ≈ √n ≈ 10⁴–10⁵ cells (FAISS's rule of thumb; the SemDeDup
+  // paper clusters at ~10⁴), and the flat assignment join materializes
+  // n·c candidate rows with a c×dim broadcast model — both dead at
+  // c = 65k. Routing through cSuper super-cells and then ONLY that
+  // super-cell's cChild children costs n·(cSuper + cChild) candidate
+  // rows — n·2√c at the balanced split — and each broadcast level
+  // stays model-sized (√c×dim). Leaf cluster ids are global
+  // (parent·cChild + childIdx), so the encode output is schema- and
+  // semantics-compatible with everything downstream of [[ivfEncode]]:
+  // [[probeIndex]] search, SemDedup.dupPairsFromIndex, persisted
+  // bucketed index tables.
+  // ---------------------------------------------------------------------
+
+  /** Fit the two-level model: a cSuper-cell level-1 quantizer (via
+    * [[ivfFit]]), then per-super-cell children trained in SHARED Lloyd
+    * jobs — one (parent, cid)-keyed assignment join per round over the
+    * parent-tagged training band (the pqFit multi-subspace pattern;
+    * never a per-parent driver loop of √c separate jobs). Returns
+    * (superCents (scid, ce), children (parent, cid, ce)); both halves
+    * are model-sized driver collects. Empty children (no training
+    * vector assigned) drop out — leaf ids are sparse in
+    * [0, cSuper·cChild).
+    */
+  def ivfFitHier(corpus: DataFrame, cSuper: Int = 16, cChild: Int = 16,
+                 iters: Int = 2, trainMod: Int = 1)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Int, Seq[Double])]) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val superCents = ivfFit(corpus, cSuper, iters, trainMod)
+    val supDf = broadcast(superCents.toDF("scid", "sce"))
+    // parent-tag the training band once; child Lloyd rounds iterate on
+    // this working set, never re-routing through level 1
+    val assigned = trainSample(corpus, trainMod)
+      .select(col("vec_id"), asDouble("embedding").as("ve"))
+      .join(supDf)
+      .withColumn("sim", cosine("ve", "sce"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), col("scid"))).as("best"), first(col("ve")).as("ve"))
+      .select(col("vec_id"), col("ve"), col("best.scid").as("parent"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deterministic init: the cChild lowest vec_ids within each parent
+    var children: Seq[(Int, Int, Seq[Double])] = assigned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("parent")).orderBy(col("vec_id"))))
+      .filter(col("rn") <= cChild)
+      .select(col("parent"), (col("rn") - 1).cast("int").as("cid"), col("ve"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+    for (_ <- 1 to iters) {
+      val chDf = broadcast(children.toDF("parent", "cid", "ce"))
+      val a2 = assigned.join(chDf, Seq("parent")) // children of OWN parent only
+        .withColumn("sim", cosine("ve", "ce"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), col("parent"), col("cid"))).as("best"),
+          first(col("ve")).as("ve"))
+        .select(col("best.parent").as("parent"), col("best.cid").as("cid"), col("ve"))
+      children = centroidMean(a2, Seq("parent", "cid"))
+        .as[(Int, Int, Seq[Double])].collect().toSeq
+    }
+    assigned.unpersist(blocking = true)
+    (superCents, children.sortBy(c => (c._1, c._2)))
+  }
+
+  /** The two-level index table: (vec_id, ve, cluster) with global leaf
+    * ids — [[ivfEncode]]'s schema, built in two broadcast stages of
+    * n·cSuper + n·cChild candidate rows instead of flat n·c.
+    */
+  def ivfEncodeHier(corpus: DataFrame, superCents: Seq[(Int, Seq[Double])],
+                    children: Seq[(Int, Int, Seq[Double])],
+                    cChild: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val supDf = broadcast(superCents.toDF("scid", "sce"))
+    val chDf = broadcast(children.toDF("parent", "ccid", "ce"))
+    corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
+      .join(supDf)
+      .withColumn("sim", cosine("ve", "sce"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), col("scid"))).as("best"), first(col("ve")).as("ve"))
+      .select(col("vec_id"), col("ve"), col("best.scid").as("parent"))
+      .join(chDf, Seq("parent"))
+      .withColumn("sim", cosine("ve", "ce"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"), col("parent"), col("ccid"))).as("best"),
+        first(col("ve")).as("ve"))
+      .select(col("vec_id"), col("ve"),
+        (col("best.parent") * cChild + col("best.ccid")).cast("int").as("cluster"))
+  }
+
+  /** Two-level query routing: rank super-cells (keep `nprobeSuper`),
+    * rank children WITHIN each probed super (keep `nprobePerSuper`
+    * leaves each), then the shared [[probeIndex]] cluster equi-join.
+    * Per query: cSuper + nprobeSuper·cChild centroid comparisons —
+    * 2√c-ish, vs flat c. Per-super child ranking (not one global leaf
+    * ranking) keeps probing balanced AND makes a structural guarantee
+    * the oracle leans on: a vector identical to an indexed one routes
+    * to the same rank-1 super and rank-1 child, so its twin's leaf is
+    * ALWAYS in the probe set.
+    */
+  def ivfSearchHier(superCents: Seq[(Int, Seq[Double])],
+                    children: Seq[(Int, Int, Seq[Double])], index: DataFrame,
+                    queries: DataFrame, k: Int, cChild: Int = 16,
+                    nprobeSuper: Int = 2, nprobePerSuper: Int = 2,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val supDf = broadcast(superCents.toDF("scid", "sce"))
+    val chDf = broadcast(children.toDF("parent", "ccid", "ce"))
+    val qprobes =
+      queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+        .join(supDf)
+        .withColumn("ssim", cosine("qe", "sce"))
+        // .desc id tie-breaks MATCH the encode argmax (max(struct) prefers
+        // the higher id on an exact sim tie) — the twin guarantee above
+        // holds even on degenerate float ties
+        .withColumn("srn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("ssim").desc, col("scid").desc)))
+        .filter(col("srn") <= nprobeSuper)
+        .select(col("qid"), col("qe"), col("scid").as("parent"))
+        .join(chDf, Seq("parent"))
+        .withColumn("csim", cosine("qe", "ce"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid"), col("parent"))
+            .orderBy(col("csim").desc, col("ccid").desc)))
+        .filter(col("rn") <= nprobePerSuper)
+        .select(col("qid"), col("qe"),
+          (col("parent") * cChild + col("ccid")).cast("int").as("cluster"))
+    probeIndex(index, qprobes, k, excludeSelf)
+  }
+
+  /** Hierarchical-IVF top-k — fit∘encode∘search composition (the
+    * self-contained oracle shape; deployments persist the middle).
+    */
+  def ivfKnnHier(corpus: DataFrame, queries: DataFrame, k: Int,
+                 cSuper: Int = 8, cChild: Int = 8, nprobeSuper: Int = 2,
+                 nprobePerSuper: Int = 2, iters: Int = 2,
+                 trainMod: Int = 1): DataFrame = {
+    val (sup, ch) = ivfFitHier(corpus, cSuper, cChild, iters, trainMod)
+    ivfSearchHier(sup, ch, ivfEncodeHier(corpus, sup, ch, cChild), queries,
+      k, cChild, nprobeSuper, nprobePerSuper)
   }
 
   /** IVF-bucketed approximate top-k: corpus vectors are assigned to

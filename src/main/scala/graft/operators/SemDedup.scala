@@ -60,4 +60,23 @@ object SemDedup {
     index.count()
     dupPairsFromIndex(index, threshold)
   }
+
+  /** The scale configuration: cluster via the TWO-LEVEL coarse
+    * quantizer ([[Ann.ivfFitHier]]/[[Ann.ivfEncodeHier]]), then the
+    * same intra-cluster pair search. SemDeDup's contract — "choose c
+    * so clusters stay bounded" — forces c toward the paper's ~10⁴ at
+    * 100 TB, where flat assignment (n·c candidate rows, one c×dim
+    * broadcast) dies; two-level routing costs n·(cSuper + cChild) ≈
+    * n·2√c with model-sized broadcasts per level. Same output
+    * contract as [[dupPairs]].
+    */
+  def dupPairsHier(corpus: DataFrame, threshold: Double, cSuper: Int = 16,
+                   cChild: Int = 16, iters: Int = 2,
+                   trainMod: Int = 1): DataFrame = {
+    val (sup, ch) = Ann.ivfFitHier(corpus, cSuper, cChild, iters, trainMod)
+    val index = Ann.ivfEncodeHier(corpus, sup, ch, cChild)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    dupPairsFromIndex(index, threshold)
+  }
 }

@@ -1456,5 +1456,20 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("n_adjacent").desc, col("pair"))
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177)
+  // ---- q178: hierarchical (two-level) IVF ANN ---------------------------
+  // The 100 TB configuration of the IVF family: at c ≈ √n ≈ 10⁴–10⁵
+  // cells the flat n·c assignment join dies; two-level routing costs
+  // n·2√c (Ann.ivfFitHier/ivfEncodeHier/ivfSearchHier). Same
+  // planted-twin FULL oracle as q87: the twin routes to the SAME
+  // rank-1 super and child (tie-breaks aligned), so top-1 identity at
+  // cosine 1.0 is invariant at any sf and any (cSuper, cChild) split.
+  val q178 = Q("q178_hier_ivf_ann", annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim")) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    annTop1Summary(
+      Ann.ivfKnnHier(embs, annPlantQueries(embs), k = 5, cSuper = 8, cChild = 8,
+        nprobeSuper = 2, nprobePerSuper = 2, trainMod = 4),
+      simCol = Some("sim"), k = 5)
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178)
 }

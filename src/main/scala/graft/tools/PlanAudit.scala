@@ -92,7 +92,9 @@ object PlanAudit {
     "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
     "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
     "q176_semdedup" -> "model-sized k-means assignment join (c = 16 centroid rows)",
-    "q177_bpe_stats" -> "k-row merge-candidate side (k = 20) against the vocab table")
+    "q177_bpe_stats" -> "k-row merge-candidate side (k = 20) against the vocab table",
+    "q178_hier_ivf_ann" ->
+      "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)")
 
   private val joinClasses = Set(
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",

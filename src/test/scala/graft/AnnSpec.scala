@@ -149,4 +149,70 @@ class AnnSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("two-level IVF at a c=256 leaf budget: one encode row per vector, global leaf ids") {
+    // the 100 TB configuration the flat quantizer cannot afford:
+    // 16 supers × 16 children = 256 leaves; routing is n·(16+16)
+    // candidate rows, never n·256
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val (sup, ch) = Ann.ivfFitHier(big, cSuper = 16, cChild = 16, iters = 2, trainMod = 4)
+    assert(sup.size == 16 && sup.forall(_._2.length == 64))
+    assert(ch.nonEmpty && ch.forall(_._3.length == 64))
+    assert(ch.map(c => (c._1, c._2)).distinct.size == ch.size, "duplicate child key")
+    assert(ch.forall(c => c._1 >= 0 && c._1 < 16 && c._2 >= 0 && c._2 < 16))
+    val index = Ann.ivfEncodeHier(big, sup, ch, cChild = 16)
+    assert(index.count() == big.count(), "exactly one encode row per vector")
+    val mm = index.agg(min(col("cluster")), max(col("cluster"))).collect()(0)
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < 256, "leaf ids global in [0, 256)")
+  }
+
+  test("two-level IVF search: a planted twin routes to the same leaf and ranks top-1") {
+    import spark.implicits._
+    val (sup, ch) = Ann.ivfFitHier(embs, cSuper = 8, cChild = 8, iters = 2)
+    val twins = embs.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    val index = Ann.ivfEncodeHier(embs.unionByName(twins), sup, ch, cChild = 8)
+    // identical vectors land in identical leaves (tie-breaks aligned)
+    val leaves = index.filter(col("vec_id") < 10 || col("vec_id") >= 1000000L)
+      .select(pmod(col("vec_id"), lit(1000000L)).as("base"), col("cluster"))
+      .groupBy("base").agg(countDistinct(col("cluster")).as("nleaf")).collect()
+    assert(leaves.forall(_.getAs[Long]("nleaf") == 1L), "twin split across leaves")
+    // and the twin is rank-1 at cosine 1.0 through the two-level router
+    val res = Ann.ivfSearchHier(sup, ch, Ann.ivfEncodeHier(embs, sup, ch, cChild = 8),
+        twins, k = 5, cChild = 8, nprobeSuper = 2, nprobePerSuper = 2,
+        excludeSelf = false).collect()
+    val top1 = res.filter(_.getAs[Int]("rn") == 1)
+    assert(top1.length == 10)
+    assert(top1.forall(r => r.getAs[Long]("cid") == r.getAs[Long]("qid") - 1000000L
+      && r.getAs[Double]("sim") == 1.0))
+  }
+
+  test("two-level IVF holds recall parity with the flat fit at the same leaf count") {
+    val big = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val queries = big.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnn(big, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val rows = df.collect()
+      val s = rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    // parity frame: moving to the SCALE config must not cost recall vs
+    // the old flat config at matched candidate-scan fraction. Flat
+    // c=16/nprobe=4 scans 4/16 = 25% of the corpus with 16 routing
+    // comparisons; two-level 16×16 (256 leaves — the budget flat
+    // routing cannot afford at 10⁴+) probing 8 supers × 8 children
+    // scans 64/256 = 25% with 16 + 8·16 = 144 comparisons ≪ the 256 a
+    // flat router would pay at the same leaf count. trainMod = 1 here:
+    // 256 children need every one of this corpus's 2000 points (the
+    // k-means rule — training points must exceed cells by a healthy
+    // multiple; measured, trainMod=4's 500 points for 256 cells drops
+    // recall 0.94 → 0.67). At 100 TB the SAME rule holds with a
+    // sample: pick trainMod so n/trainMod ≫ c, not a fixed fraction.
+    val flat = recallOf(Ann.ivfKnn(big, queries, k = 5, c = 16, nprobe = 4))
+    val hier = recallOf(Ann.ivfKnnHier(big, queries, k = 5, cSuper = 16, cChild = 16,
+      nprobeSuper = 8, nprobePerSuper = 8, trainMod = 1))
+    assert(hier >= flat - 0.1 && hier >= 0.5,
+      f"two-level recall@5 = $hier%.2f vs flat $flat%.2f")
+  }
 }

@@ -62,6 +62,22 @@ class SemDedupSpec extends SparkSpec {
     assert(loose.count() > 0)
   }
 
+  test("two-level quantizer at a 256-leaf budget recovers every twin pair (scale config)") {
+    // the 100 TB posture: SemDeDup's bounded-cluster contract forces
+    // c toward ~10⁴ where flat assignment dies; the hierarchical face
+    // must preserve the planted-twin invariant — identical vectors
+    // co-locate in one leaf regardless of the (cSuper, cChild) split
+    val expected = embs.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val pairs = SemDedup.dupPairsHier(withTwins, threshold = 0.9,
+      cSuper = 16, cChild = 16).collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.forall { case (va, vb, sim) =>
+      expected.contains(va) && vb == va + 100000L && sim == 1.0
+    }, s"unexpected pair among ${got.take(5)}")
+    assert(got.map(_._1).toSet == expected, "a twin pair was missed")
+  }
+
   test("q176 twin offset stays outside the natural vec_id space at every SF") {
     // q176's oracle plants twins at vec_id + 100000 and ASSUMES that id
     // space is disjoint from natural ids; a testdata regen with >= 100000
