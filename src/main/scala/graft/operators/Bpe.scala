@@ -41,7 +41,13 @@ object Bpe {
     * first row IS the round's merge).
     */
   def pairStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    // the vocab table feeds BOTH the candidate ranking and the
+    // merge-apply count — persist it so the corpus is scanned once
+    // (r10 scan audit; it is also the table the multi-round training
+    // loop iterates on)
     val wf = wordFreq(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wf.count()
     // overlapping adjacent-pair counts: every 2-char substring of every
     // distinct word, weighted by word frequency (Sennrich get_stats)
     val top = wf.filter(length(col("word")) >= 2)

@@ -43,10 +43,20 @@ object LmScore {
     * driver-side collect of N.
     */
   def unigramModel(docs: DataFrame, v: Int): (DataFrame, DataFrame) = {
-    val toks = docs
+    // ONE corpus scan for the whole model fit: the vocab-sized unigram
+    // count table is persisted (catalog cache, clearCache-released) and
+    // feeds both the total-token count and the top-V selection — the r9
+    // shape re-scanned the corpus for totals, counts, and again for the
+    // caller's OOV row (which derives from `totals` and now reads the
+    // cache). Scoring is the one other corpus pass ([[score]]'s dt) —
+    // the fit/score two-pass minimum, the DSIR posture.
+    val counts = docs
       .select(explode(tokens(col("text"))).as("term"))
-    val totals = toks.agg(count(lit(1)).as("nn"))
-    val model = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    counts.count()
+    val totals = counts.agg(coalesce(sum(col("c")), lit(0L)).as("nn"))
+    val model = counts
       .crossJoin(broadcast(totals))
       .orderBy(col("c").desc, col("term")).limit(v)
       .withColumn("lnp_micro", expr(

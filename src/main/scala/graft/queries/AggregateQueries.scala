@@ -460,10 +460,23 @@ object AggregateQueries extends QueryFamily {
     import graft.functions.Sketches
     import graft.plans.NativeFunctions
     val o = Tables.orders(s, d)
-    val hashed = o.select(col("o_orderpriority").as("grp"),
-      Sketches.hllHash("o_custkey").as("h"))
-    val perGroup = hashed.groupBy("grp")
+    // ONE orders scan: the persisted distinct (grp, custkey) projection
+    // (the oracle's own `d` CTE) feeds the sketch side AND both exact
+    // sides — the r9 shape re-derived each branch from orders (5 scans).
+    // KMV sketches dedupe by hash, so sketching the distinct projection
+    // is identical to sketching the raw rows.
+    val pairs = o.select(col("o_orderpriority").as("grp"), col("o_custkey"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
+    val perGroup = pairs
+      .select(col("grp"), Sketches.hllHash("o_custkey").as("h"))
+      .groupBy("grp")
       .agg(NativeFunctions.kmvSketch(col("h"), kmvK).as("sk"))
+      // 5 sketch rows, referenced by three consumers below — persist so
+      // the group aggregation runs once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    perGroup.count()
     // union rollup: the sketches' own elements re-aggregated — no second
     // pass over the data, the production shape for a 100 TB daily→total
     // distinct rollup
@@ -471,9 +484,10 @@ object AggregateQueries extends QueryFamily {
       .agg(NativeFunctions.kmvSketch(col("h"), kmvK).as("sk"))
       .select(lit("ALL").as("grp"), col("sk"))
     val sketches = perGroup.unionByName(allRow)
-    val exact = o.groupBy(col("o_orderpriority").as("grp"))
-      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
-      .unionByName(o.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    val exact = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("exact_distinct"))
+      .unionByName(pairs.select(col("o_custkey")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
         .select(lit("ALL").as("grp"), col("exact_distinct")))
     val urgent = sketches.filter(col("grp") === "1-URGENT")
       .select(col("sk").as("usk"))
@@ -1073,7 +1087,12 @@ object AggregateQueries extends QueryFamily {
       // rank window — the sketch contents and the counts from the same scan
       val gc = hashed.groupBy("grp", "h").agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy("grp").orderBy("h")
+      // ≤ k rows per group after the rank filter; persisted so the three
+      // consumers (sketch, urgent side, hash_counts8) share ONE orders
+      // scan instead of re-deriving the window per branch (r9: 3 scans)
       val ranked = gc.withColumn("rk", row_number().over(w)).where(col("rk") <= sdK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranked.count()
       val sk = ranked.groupBy("grp").agg(sort_array(collect_list(col("h"))).as("sk"))
       val usk = sk.where(col("grp") === "1-URGENT").select(col("sk").as("usk"))
       val merged = sk.crossJoin(broadcast(usk))

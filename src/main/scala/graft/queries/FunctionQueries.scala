@@ -1424,16 +1424,20 @@ object FunctionQueries extends QueryFamily {
     // plan the maps subtree twice pre-AQE-reuse): each order's map is
     // exploded into its two roles — left member of pair okey, right
     // member of pair okey−1 — and one ≤800-row regroup zips (ma, mb).
-    // Membership in the top-200 pair set guarantees both sides exist,
-    // so the ignoreNulls firsts are total and see ≤1 non-null each.
+    // A group with both sides present IS a top-200 pair, exactly: both
+    // sides ⟺ {x, x+1} ⊆ keepIds with both real orderkeys, and the
+    // smallest-200 selection is downward-closed (a valid pair key below
+    // a selected one is always itself selected), so no guard join back
+    // to pairKeys is needed — which also keeps this a TWO-scan query
+    // (thin key pass + wide map pass), not three.
     maps.select(explode(array(
         struct(col("l_orderkey").as("order_a"), lit(0).as("side"), col("m").as("mm")),
         struct((col("l_orderkey") - 1).as("order_a"), lit(1).as("side"), col("m").as("mm")))).as("e"))
       .select(col("e.order_a").as("order_a"), col("e.side").as("side"), col("e.mm").as("mm"))
-      .join(broadcast(pairKeys), "order_a") // exact top-200 guard
       .groupBy(col("order_a"))
       .agg(first(when(col("side") === 0, col("mm")), ignoreNulls = true).as("ma"),
         first(when(col("side") === 1, col("mm")), ignoreNulls = true).as("mb"))
+      .filter(col("ma").isNotNull && col("mb").isNotNull)
       .select(col("order_a"), (col("order_a") + 1).as("order_b"),
         expr("aggregate(map_values(map_zip_with(ma, mb, " +
           "(k, x, y) -> coalesce(x, 0L) * coalesce(y, 0L))), 0L, (a, v) -> a + v)").as("dot"),

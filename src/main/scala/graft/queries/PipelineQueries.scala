@@ -409,8 +409,15 @@ object PipelineQueries extends QueryFamily {
        |FROM q WHERE quality >= 0.3
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val canon = Dedup.exactGroups(docs).select(col("canonical_id").as("doc_id"))
-    val base = docs.join(canon, "doc_id")
+    // canonical-doc selection as a hash-partitioned window (rank 1 by
+    // doc_id within each content hash == min(doc_id) per hash), not a
+    // groupBy + join-back — ONE documents scan and one shuffle instead
+    // of two of each (r10 scan audit)
+    val canonWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(Text.normText(col("text")))).orderBy(col("doc_id"))
+    val base = docs
+      .withColumn("rn", row_number().over(canonWin))
+      .filter(col("rn") === 1)
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(Seq(col("doc_id"), col("w"), size(col("w")).as("n_words")) ++
         Text.stopwords.map { case (lang, ws) =>
@@ -788,12 +795,20 @@ object PipelineQueries extends QueryFamily {
        |FROM r WHERE rk <= 3
        |ORDER BY doc_id, rk""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val tf = docs
-      .select(col("doc_id"), explode(Text.words(col("text"))).as("term"))
-      .filter(col("term") =!= "")
+    // ONE documents scan: the persisted (doc_id, term, tf) table — the
+    // materialization a real TF-IDF pipeline keeps anyway — feeds tf,
+    // df AND the corpus doc count. explode_outer keeps a null-term row
+    // per zero-term doc so n_docs counts EVERY document (the oracle's
+    // count(*) FROM documents), not just docs with terms.
+    val tf0 = docs
+      .select(col("doc_id"),
+        explode_outer(filter(Text.words(col("text")), t => t =!= "")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tf0.count()
+    val tf = tf0.filter(col("term").isNotNull)
     val dfTerm = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = tf0.agg(countDistinct(col("doc_id")).as("n_docs"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("weight").desc, col("term"))
     tf.join(dfTerm, "term")
@@ -929,11 +944,19 @@ object PipelineQueries extends QueryFamily {
          |FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val words = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
-      val dl = words.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
-      val ad = dl.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
-      val tf = words.select(col("doc_id"), explode(col("w")).as("term"))
-        .filter(col("term").isin(terms: _*))
+      // ONE documents scan: a thin persisted projection — per doc, its
+      // length and ONLY the query's terms (the match-list a search
+      // engine's posting intersection produces) — feeds doc lengths,
+      // corpus stats, tf and df. The r9 shape re-derived each from the
+      // corpus: 4 scans.
+      val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+          expr(s"filter(w, t -> t IN ($termList))").as("qterms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val dl = base.select(col("doc_id"), col("dl"))
+      val ad = base.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
+      val tf = base.select(col("doc_id"), explode(col("qterms")).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
       val sc = tf.join(broadcast(dfT), "term")

@@ -96,20 +96,91 @@ object PlanAudit {
     "q178_hier_ivf_ann" ->
       "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)")
 
+  /** Queries allowed to scan a source table more than once, each with
+    * the proof the repetition is intentional — a semantically distinct
+    * second pass (self-join role, set-operation branch, exact-vs-sketch
+    * contract, thin-keys-then-wide) where each extra pass reads a
+    * PRUNED projection that costs less than materializing the shared
+    * input — not an accidental recompute of one projection (the r9
+    * DSIR class this audit exists to catch; r10 closed that class in
+    * q99/q118/q123/q136/q140/q160/q165/q175/q177/q93).
+    */
+  val multiScanWhitelist: Map[String, String] = {
+    val subquery = "scalar/correlated-subquery semantics: a single-row " +
+      "threshold side plus the detail side — materializing the corpus " +
+      "to save the single-row pass costs more than the pruned rescan"
+    val thinKeys = "thin-keys-then-wide: a thin key-selection pass picks " +
+      "the top-n keys, the wide pass builds rows only for survivors — " +
+      "the r6 q118 byte-diet idiom; the key pass reads 1-2 pruned columns"
+    val sketchVsExact = "sketch-vs-exact output contract: the exact " +
+      "column is part of the query's result, a semantically separate " +
+      "aggregation pipeline over the same table"
+    val selfJoin = "self-join semantics: the table plays two (or more) " +
+      "distinct roles in the join"
+    val fitEncode = "inline fit∘encode∘search oracle shape: training " +
+      "pass + encoding pass; the deployment split persists the model/" +
+      "index and pays each once (AnnIndexSpec pins the zero-training " +
+      "search path)"
+    Map(
+      "q17_scalar_subquery" -> subquery,
+      "q19_correlated_subquery" -> subquery,
+      "q20_cte" -> "CTE referenced by two consumers — SQL semantics under test",
+      "q82_tpch_q22" -> subquery,
+      "q100_array_funcs2" -> thinKeys, "q101_map_funcs2" -> thinKeys,
+      "q114_numeric_histogram" -> thinKeys, "q115_jsonpath_wildcard" -> thinKeys,
+      "q149_cdf_funcs2" -> thinKeys, "q173_zip_regexp_split" -> thinKeys,
+      "q103_geo_polygon" ->
+        "per-nation envelope/centroid fit + point-membership test pass — two aggregate projections by contract",
+      "q118_sparse_cosine" -> (thinKeys + " (2 scans: key pass + map pass)"),
+      "q49_approx_sketches" -> sketchVsExact, "q57_hll_sketch_union" -> sketchVsExact,
+      "q95_regression_aggs" ->
+        "regression aggregates cross-checked against their window-based expansions — two aggregate pipelines by contract",
+      "q134_set_aggs" ->
+        "set-aggregate demo joins two independent aggregate projections of the corpus",
+      "q135_classification_eval" ->
+        "per-class eval side + global-stats side, two aggregate projections",
+      "q137_split_drift" ->
+        "per-split distributions + whole-corpus reference distribution, compared by contract",
+      "q145_domain_quota" ->
+        "quota fit (per-domain counts) + quota application pass — the operator's two phases",
+      "q152_corpus_mix" ->
+        "mix-weight fit (per-source counts) + sampling pass — the operator's two phases",
+      "q163_sequence_packing" ->
+        "pack-summary pass (per-partition prefix sums) + emit pass — the two-phase distributed prefix sum",
+      "q165_lm_quality" ->
+        "model fit + scoring are the two-pass minimum (the DSIR fit/score posture); fit itself is one scan (persisted vocab counts)",
+      "q155_dedup_threshold_calibration" ->
+        "calibration runs BOTH pipelines by definition: exact truth (shingle self-join, 2 scans) + minhash candidates (1)",
+      "q58_set_ops_all" ->
+        "INTERSECT ALL/EXCEPT ALL branches: four operand derivations of the table — the operator under test",
+      "q61_dedup_ngram_jaccard" -> selfJoin, "q63_dedup_simhash" -> selfJoin,
+      "q88_interval_join" -> selfJoin,
+      "q64_embedding_knn_brute" ->
+        "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
+      "q65_embedding_knn_lsh" ->
+        "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
+      "q71_dedup_embedding_cosine" -> selfJoin,
+      "q87_ivf_ann" -> fitEncode, "q138_pq_ann" -> fitEncode,
+      "q176_semdedup" -> fitEncode, "q178_hier_ivf_ann" -> fitEncode,
+      "q128_decontamination" ->
+        "train split + eval split drawn from the same table: two roles by contract",
+      "q72_tpch_q7" -> "nation plays two roles (supplier nation, customer nation) — TPC-H Q7 semantics",
+      "q73_tpch_q8" -> "nation plays two roles — TPC-H Q8 semantics",
+      "q79_tpch_q15" -> "revenue view consumed twice (view + its max) — TPC-H Q15 semantics",
+      "q81_tpch_q21" -> "lineitem plays three roles (l1, l2, l3) and orders two — TPC-H Q21 semantics")
+  }
+
   private val joinClasses = Set(
     "BroadcastHashJoinExec", "SortMergeJoinExec", "ShuffledHashJoinExec",
     "BroadcastNestedLoopJoinExec", "CartesianProductExec")
 
-  /** (join-class → count, shuffle-exchange count, un-partitioned-window
-    * count) over the plan's true execution topology: descends into the
-    * AQE wrapper's input plan, physical subquery plans, and each
-    * DISTINCT cached relation's build plan exactly once.
+  /** Shared structural walker: visits every node of the plan's true
+    * execution topology — descends into the AQE wrapper's input plan,
+    * physical subquery plans, and each DISTINCT cached relation's
+    * build plan exactly once (it executes once).
     */
-  def structuralCounts(root: SparkPlan): (Map[String, Int], Int, Int) = {
+  private def walk(root: SparkPlan)(f: SparkPlan => Unit): Unit = {
     val seenCaches = mutable.Set[AnyRef]()
-    val joins = mutable.Map.empty[String, Int].withDefaultValue(0)
-    var exchanges = 0
-    var globalWins = 0
     def visit(p: SparkPlan): Unit = p.foreach { node =>
       node match {
         // initialPlan, not inputPlan: exchanges are only inserted by the
@@ -117,12 +188,7 @@ object PlanAudit {
         case a: AdaptiveSparkPlanExec => visit(a.initialPlan)
         case s: InMemoryTableScanExec =>
           if (seenCaches.add(s.relation.cacheBuilder)) visit(s.relation.cachedPlan)
-        case _: ShuffleExchangeExec => exchanges += 1
-        case w: WindowExec if w.partitionSpec.isEmpty => globalWins += 1
-        case n if joinClasses(n.getClass.getSimpleName) =>
-          val k = n.getClass.getSimpleName.stripSuffix("Exec")
-          joins(k) = joins(k) + 1
-        case _ => ()
+        case _ => f(node)
       }
       node.expressions.foreach(_.foreach {
         case pe: PlanExpression[_] => pe.plan match {
@@ -133,7 +199,45 @@ object PlanAudit {
       })
     }
     visit(root)
+  }
+
+  /** (join-class → count, shuffle-exchange count, un-partitioned-window
+    * count) over the plan's true execution topology.
+    */
+  def structuralCounts(root: SparkPlan): (Map[String, Int], Int, Int) = {
+    val joins = mutable.Map.empty[String, Int].withDefaultValue(0)
+    var exchanges = 0
+    var globalWins = 0
+    walk(root) {
+      case _: ShuffleExchangeExec => exchanges += 1
+      case w: WindowExec if w.partitionSpec.isEmpty => globalWins += 1
+      case n if joinClasses(n.getClass.getSimpleName) =>
+        val k = n.getClass.getSimpleName.stripSuffix("Exec")
+        joins(k) = joins(k) + 1
+      case _ => ()
+    }
     (joins.toMap, exchanges, globalWins)
+  }
+
+  /** Scans per SOURCE TABLE (file-scan leaves, keyed by the parquet
+    * file's basename) over the true execution topology — cached builds
+    * counted once. A table appearing N ≥ 2 times means the query
+    * recomputes a projection of it N times (the r9 DSIR finding: 3
+    * corpus scans where 1 + a persisted occurrence table suffices) —
+    * at 100 TB a repeated scan IS the dominant cost, so every
+    * multi-scan must be whitelisted with its justification or the
+    * audit exits non-zero.
+    */
+  def tableScans(root: SparkPlan): Map[String, Int] = {
+    val scans = mutable.Map.empty[String, Int].withDefaultValue(0)
+    walk(root) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        val name = s.relation.location.rootPaths.headOption
+          .map(_.getName.stripSuffix(".parquet")).getOrElse("?")
+        scans(name) = scans(name) + 1
+      case _ => ()
+    }
+    scans.toMap
   }
 
   def main(args: Array[String]): Unit = {
@@ -168,7 +272,19 @@ object PlanAudit {
               violations ::= name
               " nestedLoop UNBOUNDED-NOT-WHITELISTED"
           }
-        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges$winFlag$nlFlag")
+        val scans = tableScans(df.queryExecution.executedPlan)
+        val scanStr = scans.toSeq.sortBy(_._1)
+          .map { case (t, n) => if (n > 1) s"$t x$n" else t }.mkString(",")
+        val multi = scans.filter(_._2 > 1)
+        val scanFlag =
+          if (multi.isEmpty) s" scans=$scanStr"
+          else multiScanWhitelist.get(name) match {
+            case Some(reason) => s" scans=$scanStr (multi ok: $reason)"
+            case None =>
+              violations ::= name
+              s" scans=$scanStr MULTI-SCAN-NOT-WHITELISTED"
+          }
+        println(f"[plan] $name%-28s ${joins.mkString(", ")}%-60s shuffles=$exchanges$winFlag$nlFlag$scanFlag")
       } catch {
         case e: Throwable => println(s"[plan] $name ERROR ${e.getMessage.take(60)}")
       }
@@ -176,7 +292,7 @@ object PlanAudit {
     spark.stop()
     if (violations.nonEmpty) {
       System.err.println(
-        s"[plan] FAIL: un-whitelisted global windows / nested-loop joins in: " +
+        s"[plan] FAIL: un-whitelisted global windows / nested-loop joins / multi-scans in: " +
           violations.sorted.mkString(", "))
       sys.exit(1)
     }

@@ -53,6 +53,26 @@ class PlanAuditSpec extends SparkSpec {
       s"stale whitelist entries: ${PlanAudit.boundedWhitelist.keySet -- registered}")
     assert(PlanAudit.bnljWhitelist.keySet.subsetOf(registered),
       s"stale bnlj whitelist entries: ${PlanAudit.bnljWhitelist.keySet -- registered}")
+    assert(PlanAudit.multiScanWhitelist.keySet.subsetOf(registered),
+      s"stale multi-scan whitelist entries: ${PlanAudit.multiScanWhitelist.keySet -- registered}")
+  }
+
+  test("tableScans counts each file-scan leaf, and a cached build only once") {
+    val li = Tables.lineitem(spark, sfDir)
+    // self-join: the table genuinely scans twice
+    val twice = li.select(col("l_orderkey"))
+      .join(li.select(col("l_orderkey").as("k2")), col("l_orderkey") === col("k2"))
+    assert(PlanAudit.tableScans(twice.queryExecution.executedPlan)
+      .getOrElse("lineitem", 0) == 2)
+    // persisted: both consumers read ONE cached build — one scan
+    val cached = li.select(col("l_orderkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+    val shared = cached.join(cached.select(col("l_orderkey").as("k2")),
+      col("l_orderkey") === col("k2"))
+    assert(PlanAudit.tableScans(shared.queryExecution.executedPlan)
+      .getOrElse("lineitem", 0) == 1)
+    cached.unpersist(blocking = true)
   }
 
   test("structural counts see a nested-loop join through the AQE wrapper") {
