@@ -79,4 +79,77 @@ object Bpe {
       .select(explode(filter(Text.words(col("text")), w => w =!= lit(""))).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
+
+  /** The FULL multi-round Sennrich training loop (q177 is one round's
+    * statistics): `rounds` merge rounds, each (1) counting adjacent
+    * SYMBOL pairs over the vocab weighted by word frequency
+    * (overlapping — get_stats), (2) choosing the top pair with the
+    * deterministic (count desc, pair asc) ranking, (3) re-tokenizing
+    * the vocab with a left-to-right non-overlapping merge and
+    * (4) recording the corpus token count after the merge. Returns one
+    * row per round: (round, pair_a, pair_b, n_adjacent,
+    * n_tokens_after) — n_tokens_after strictly decreases, the loop's
+    * progress invariant.
+    *
+    * Scale shape: after ONE corpus scan builds the persisted
+    * word-frequency table, every round touches only vocab-sized data
+    * (pair explode ≈ Σ|word| rows over DISTINCT words; merge is a
+    * per-row fold). The per-round top-1 collect is a 1-row
+    * model-sized driver read — the merge DECISION, like ivfFit's
+    * centroid collect. Each round's vocab is re-persisted and the
+    * previous round released, so peak cache is 2× vocab.
+    *
+    * The merge fold represents a word's symbols as a '|'-delimited
+    * string: step(acc, s) appends s WITHOUT a delimiter when acc ends
+    * with '|'+pa and s = pb (fusing the trailing pa into pa·pb, whose
+    * tail no longer matches — non-overlap falls out), else '|'+s.
+    * Replayable in DuckDB as list_reduce over list_prepend('', syms).
+    * Training vocabulary is restricted to ^[a-z0-9]+$ word forms so
+    * the delimiter cannot occur inside a symbol (BPE corpora are
+    * pre-normalized; punctuation-bearing forms are out of the merge
+    * alphabet).
+    */
+  def trainMerges(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = wordFreq(docs)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
+        col("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        val next = vocab.select(expr(
+          s"split(substring(aggregate(syms, '', (acc, s) -> " +
+            s"CASE WHEN endswith(acc, concat('|', '$pa')) AND s = '$pb' " +
+            s"THEN concat(acc, s) ELSE concat(acc, '|', s) END), 2), '\\\\|')").as("syms"),
+          col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nAfter = next.agg(sum(size(col("syms")).cast("long") * col("freq")))
+          .collect()(0).getLong(0)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        merges += ((r, pa, pb, cnt, nAfter))
+        r += 1
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "pair_a", "pair_b", "n_adjacent", "n_tokens_after")
+  }
 }

@@ -1494,5 +1494,43 @@ object PipelineQueries extends QueryFamily {
       simCol = Some("sim"), k = 5)
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178)
+  // ---- q179: multi-round BPE training loop (Sennrich, full loop) --------
+  // q177 is one round's statistics; this is the actual training loop:
+  // count pairs → pick top merge → re-tokenize the vocab → recount, for
+  // k rounds. The oracle UNROLLS the same k rounds in SQL — DuckDB's
+  // list_reduce over list_prepend('', syms) replays the '|'-delimited
+  // left-to-right non-overlapping merge fold exactly (see
+  // Bpe.trainMerges), so pair choice, overlapping counts, AND the
+  // post-merge corpus token count are compared bit-for-bit per round.
+  private val bpeRounds = 6
+  val q179 = Q(
+    "q179_bpe_train", {
+      val sb = new StringBuilder
+      sb ++= s"""WITH d AS (SELECT coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+                |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+                |       FROM (SELECT unnest(w) AS word FROM d)
+                |       WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+                |v0 AS (SELECT list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, freq FROM wf)""".stripMargin
+      for (r <- 1 to bpeRounds) {
+        val p = r - 1
+        sb ++= s""",
+                  |p$r AS (SELECT syms[CAST(i AS INTEGER)] AS pa, syms[CAST(i AS INTEGER)+1] AS pb, freq
+                  |       FROM v$p, unnest(range(1, len(syms))) AS t(i) WHERE len(syms) >= 2),
+                  |t$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1,2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+                  |v$r AS (SELECT string_split(substr(list_reduce(list_prepend('', syms),
+                  |         (acc, s) -> CASE WHEN ends_with(acc, '|' || pa) AND s = pb THEN acc || s ELSE acc || '|' || s END), 2), '|') AS syms, freq
+                  |       FROM v$p CROSS JOIN t$r),
+                  |n$r AS (SELECT CAST(sum(len(syms) * freq) AS BIGINT) AS n_after FROM v$r),
+                  |m$r AS (SELECT $r AS round, pa AS pair_a, pb AS pair_b, cnt AS n_adjacent, n_after AS n_tokens_after FROM t$r, n$r)""".stripMargin
+      }
+      sb ++= "\nSELECT CAST(round AS INTEGER) AS round, pair_a, pair_b, n_adjacent, n_tokens_after FROM (" +
+        (1 to bpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ") +
+        ") ORDER BY round"
+      sb.toString
+    }) { (s, d) =>
+    graft.operators.Bpe.trainMerges(Tables.documents(s, d), rounds = bpeRounds)
+      .orderBy("round")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179)
 }

@@ -57,4 +57,64 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  /** Serial in-memory Sennrich loop — the reference fold the
+    * distributed trainMerges must reproduce round-for-round.
+    */
+  private def serialTrain(words: Map[String, Long],
+                          rounds: Int): Seq[(Int, String, String, Long, Long)] = {
+    var vocab: Seq[(Vector[String], Long)] =
+      words.toSeq.map { case (w, f) => w.toVector.map(_.toString) -> f }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.nonEmpty) {
+        val ((pa, pb), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        vocab = vocab.map { case (syms, f) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
+              merged += pa + pb; i += 2 // left-to-right, non-overlapping
+            } else { merged += syms(i); i += 1 }
+          }
+          merged.result() -> f
+        }
+        val nAfter = vocab.map { case (s, f) => s.length * f }.sum
+        out += ((r, pa, pb, cnt, nAfter))
+      }
+    }
+    out.toSeq
+  }
+
+  test("multi-round training matches the serial Sennrich loop round-for-round") {
+    // the Sennrich paper's worked vocabulary plus repetition-heavy
+    // forms that exercise the overlap rule ("aaaa" under pair (a,a))
+    val corpus = docs(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest aaaa aaaa aa"),
+      (3L, "the cat the hat the cat"))
+    val wordCounts = corpus.collect()
+      .flatMap(_.getString(1).split(" "))
+      .groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    val expected = serialTrain(wordCounts, rounds = 5)
+    val got = Bpe.trainMerges(corpus, rounds = 5).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // progress invariant: every merge strictly shrinks the corpus
+    val toks = got.map(_._5)
+    assert(toks.zip(toks.tail).forall { case (a, b) => b < a })
+  }
+
+  test("training restricts the merge alphabet to delimiter-safe word forms") {
+    // a word containing '|' (the fold delimiter) must not poison the
+    // vocab — it is excluded by the ^[a-z0-9]+$ gate, merges still run
+    val corpus = docs((1L, "ab|cd ab|cd abab abab abab"))
+    val got = Bpe.trainMerges(corpus, rounds = 2).collect()
+    assert(got.length == 2)
+    assert(got.forall(r => !r.getString(1).contains("|") && !r.getString(2).contains("|")))
+  }
 }
