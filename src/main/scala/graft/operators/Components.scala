@@ -25,16 +25,73 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** TARGETED hot-key salting for an equi-join whose key distribution
+    * can concentrate (a near-dup hub's fan-in; converging labels).
+    * Keys whose LEFT-side row count reaches `hotThreshold` are salted:
+    * left rows get hash(saltBy) % salt, the matching right rows are
+    * replicated `salt`×; every other key keeps salt 0 with a single
+    * right copy — so the replication cost is per-HOT-KEY (≤ salt × the
+    * number of hot keys ≤ salt × n/threshold right rows), never a
+    * blanket salt× blow-up of the right side. The hot-key table is
+    * bounded by construction (≤ n/hotThreshold rows) and broadcast.
+    * `salt` ≤ 1 degrades to a plain join. Matches are EXACTLY the
+    * plain join's: a left row meets each of its right matches under
+    * precisely one salt value.
+    */
+  def saltedHotKeyJoin(left: DataFrame, right: DataFrame,
+                       cond: org.apache.spark.sql.Column, how: String,
+                       saltBy: org.apache.spark.sql.Column,
+                       leftKey: org.apache.spark.sql.Column,
+                       rightKey: org.apache.spark.sql.Column,
+                       salt: Int, hotThreshold: Long = 50000L): DataFrame =
+    if (salt <= 1) left.join(right, cond, how)
+    else {
+      // map-side combined count: reducer input is #distinct-keys-sized
+      val hot = broadcast(
+        left.groupBy(leftKey.as("__hk")).agg(count(lit(1)).as("__kc"))
+          .filter(col("__kc") >= hotThreshold).select(col("__hk")))
+      val l = left.join(hot, leftKey === col("__hk"), "left")
+        .withColumn("__lsalt", when(col("__hk").isNotNull,
+          pmod(xxhash64(saltBy), lit(salt.toLong))).otherwise(lit(0L)))
+        .drop("__hk")
+      val r = right.join(hot, rightKey === col("__hk"), "left")
+        .withColumn("__rsalt", explode(when(col("__hk").isNotNull,
+          expr(s"sequence(0L, ${salt - 1}L)")).otherwise(array(lit(0L)))))
+        .drop("__hk")
+      l.join(r, cond && col("__lsalt") === col("__rsalt"), how)
+        .drop("__lsalt", "__rsalt")
+    }
+
   /** edges: two integral columns (a, b). Returns (id, cluster) where
     * cluster = min node id reachable — deterministic under any
     * partitioning.
+    *
+    * `salt` > 1 spreads the two HOT-KEY joins — the hub's fan-in into
+    * the neighbor join, and the pointer-jump join where converging
+    * labels concentrate every row onto few cluster keys — over `salt`
+    * sub-keys: the streamed side is salted by a hash of its own row
+    * id, the looked-up side replicated `salt`× (it is node-sized, so
+    * the replication is a bounded constant factor per round). Per-task
+    * input for any single key drops to ~1/salt. Default 1 (no salting)
+    * relies on AQE's skew-join split, which handles exactly this at
+    * production byte scales but splits at MAPPER-OUTPUT granularity —
+    * a toy-sized input coalesced to one mapper leaves it nothing to
+    * split, which is how the 100k-star spec exercises the salted path.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          salt: Int = 1): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).as("a"), col(cols(1)).as("b"))
     // symmetric closure, one row per direction
     val sym = e0.unionByName(e0.select(col("b").as("a"), col("a").as("b"))).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def saltedJoin(left: DataFrame, right: DataFrame,
+                   cond: org.apache.spark.sql.Column, how: String,
+                   saltBy: org.apache.spark.sql.Column,
+                   leftKey: org.apache.spark.sql.Column,
+                   rightKey: org.apache.spark.sql.Column): DataFrame =
+      Components.saltedHotKeyJoin(left, right, cond, how, saltBy,
+        leftKey, rightKey, salt)
     // localCheckpoint (not just persist) each round: an iterative
     // DataFrame whose plan references the previous round's plan grows
     // its lineage exponentially — by round ~30 the plan tree alone OOMs
@@ -50,8 +107,12 @@ object Components {
       // min neighbor label per node (pre-aggregated BEFORE the join
       // with own labels — less data through the join, and no
       // Union-of-join plan, whose constraint propagation chokes on the
-      // duplicate attribute ids of an iterated self-referential plan)
-      val neigh = sym.join(labels, sym("b") === labels("id"))
+      // duplicate attribute ids of an iterated self-referential plan).
+      // The groupBy itself is map-side combined, so the aggregation's
+      // reducer input is bounded; the salt (when set) bounds the JOIN
+      // task reading a hub's fan-in.
+      val neigh = saltedJoin(sym, labels, sym("b") === labels("id"),
+          "inner", sym("a"), sym("b"), labels("id"))
         .select(sym("a").as("id"), col("cluster"))
         .groupBy("id").agg(min(col("cluster")).as("ncl"))
       val prop = labels.join(neigh, Seq("id"), "left")
@@ -63,9 +124,10 @@ object Components {
       // remaining path depth per round — O(log diameter) rounds total,
       // so even adversarial long chains converge in ~log2(n) shuffles
       // instead of n.
-      val next = prop.as("p")
-        .join(prop.select(col("id").as("cid"), col("cluster").as("cc")).as("q"),
-          col("p.cluster") === col("cid"), "left")
+      val next = saltedJoin(prop.as("p"),
+          prop.select(col("id").as("cid"), col("cluster").as("cc")).as("q"),
+          col("p.cluster") === col("cid"), "left", col("p.id"),
+          col("p.cluster"), col("cid"))
         .select(col("p.id").as("id"),
           coalesce(col("cc"), col("p.cluster")).as("cluster"))
         .localCheckpoint(true)
@@ -81,10 +143,16 @@ object Components {
   }
 
   /** Convenience: components + per-cluster size, for dedup reporting. */
-  def dedupClusters(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val comp = connectedComponents(edges, maxIter)
+  def dedupClusters(edges: DataFrame, maxIter: Int = 20,
+                    salt: Int = 1): DataFrame = {
+    val comp = connectedComponents(edges, maxIter, salt)
+    // map-side combined: reducer input is #clusters-sized
     val sizes = comp.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "cluster")
+    // the size join-back shares the pointer-jump joins' hot-key shape
+    // (a giant cluster concentrates every row on one key) — same salt
+    val r = sizes.withColumnRenamed("cluster", "scl")
+    saltedHotKeyJoin(comp, r, col("cluster") === col("scl"), "inner",
+        col("id"), col("cluster"), col("scl"), salt)
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("cluster_size"))
   }
 }

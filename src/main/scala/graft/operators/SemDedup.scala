@@ -70,6 +70,28 @@ object SemDedup {
     * n·2√c with model-sized broadcasts per level. Same output
     * contract as [[dupPairs]].
     */
+  /** Incremental SemDeDup ingestion (the Ann.lshDupsAgainst shape,
+    * for Structured Streaming foreachBatch loops): a NEW batch is
+    * encoded against the already-FITTED model — broadcast centroids
+    * only, no re-clustering — and probes the accumulated index with a
+    * cluster equi-join; exact cosine verifies. Returns (new_id,
+    * old_id, sim). Appending `Ann.ivfEncode(batch, cents)` to the
+    * index is the caller's merge step, exactly how the persisted
+    * bucketed index table grows at 100 TB: batch-sized encode, no
+    * recompute of history.
+    */
+  def dupsAgainstIndex(newVecs: DataFrame, cents: Seq[(Int, Seq[Double])],
+                       index: DataFrame, threshold: Double): DataFrame = {
+    val enc = Ann.ivfEncode(newVecs, cents)
+      .select(col("cluster"), col("vec_id").as("new_id"), col("ve").as("nve"))
+    enc.join(index.select(col("cluster"), col("vec_id").as("old_id"), col("ve").as("ove")),
+        Seq("cluster"))
+      .filter(col("new_id") =!= col("old_id"))
+      .withColumn("sim", round(Ann.cosine("nve", "ove"), 4))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("old_id"), col("sim"))
+  }
+
   def dupPairsHier(corpus: DataFrame, threshold: Double, cSuper: Int = 16,
                    cChild: Int = 16, iters: Int = 2,
                    trainMod: Int = 1): DataFrame = {
