@@ -409,15 +409,15 @@ object PipelineQueries extends QueryFamily {
        |FROM q WHERE quality >= 0.3
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    // canonical-doc selection as a hash-partitioned window (rank 1 by
-    // doc_id within each content hash == min(doc_id) per hash), not a
-    // groupBy + join-back — ONE documents scan and one shuffle instead
-    // of two of each (r10 scan audit)
-    val canonWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(Text.normText(col("text")))).orderBy(col("doc_id"))
-    val base = docs
-      .withColumn("rn", row_number().over(canonWin))
-      .filter(col("rn") === 1)
+    // canonical-doc selection stays the groupBy + join-back TWO-PASS
+    // deliberately (r10 scan audit adjudication): a content-hash window
+    // would do it in one scan but ships the full TEXT column through
+    // its exchange — corpus-sized shuffle bytes at real document sizes
+    // — where this shape's two pruned scans shuffle only 32-byte
+    // hashes + ids. Shuffle bytes, not scans, dominate this query at
+    // 100 TB; whitelisted in PlanAudit.multiScanWhitelist.
+    val canon = Dedup.exactGroups(docs).select(col("canonical_id").as("doc_id"))
+    val base = docs.join(canon, "doc_id")
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(Seq(col("doc_id"), col("w"), size(col("w")).as("n_words")) ++
         Text.stopwords.map { case (lang, ws) =>

@@ -167,7 +167,9 @@ object PlanAudit {
       "q72_tpch_q7" -> "nation plays two roles (supplier nation, customer nation) — TPC-H Q7 semantics",
       "q73_tpch_q8" -> "nation plays two roles — TPC-H Q8 semantics",
       "q79_tpch_q15" -> "revenue view consumed twice (view + its max) — TPC-H Q15 semantics",
-      "q81_tpch_q21" -> "lineitem plays three roles (l1, l2, l3) and orders two — TPC-H Q21 semantics")
+      "q81_tpch_q21" -> "lineitem plays three roles (l1, l2, l3) and orders two — TPC-H Q21 semantics",
+      "q93_pipeline_e2e" ->
+        "canonical-id pass + detail pass, ADJUDICATED over the 1-scan window form: the window ships corpus TEXT through its exchange where this shape shuffles 32-byte hashes — shuffle bytes dominate at scale")
   }
 
   private val joinClasses = Set(
