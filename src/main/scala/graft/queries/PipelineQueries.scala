@@ -327,8 +327,21 @@ object PipelineQueries extends QueryFamily {
   // projection is the per-query summary (top1 + shape invariants);
   // AnnSpec holds recall ≥ 50% vs brute force for the accuracy claim.
   private val annPlant = 1000000L
+  // Every planted-twin oracle hard-codes its id offset in SQL text, so
+  // the natural vec_id space must stay strictly below it — a testdata
+  // regen with ≥offset embeddings would otherwise alias two different
+  // vectors under one id and corrupt the oracle with no guard firing
+  // (r9 ADVICE). One thin max() job, outside the audited query plan.
+  private def requirePlantHeadroom(embs: DataFrame, offset: Long): DataFrame = {
+    val top = embs.agg(max(col("vec_id")).cast("long")).head
+    require(top.isNullAt(0) || top.getLong(0) < offset,
+      s"planted-twin offset $offset collides with the natural vec_id space " +
+        s"(max ${top.getLong(0)}) — the hard-coded oracle id arithmetic is no " +
+        "longer injective; regenerate with a larger offset")
+    embs
+  }
   private def annPlantQueries(embs: DataFrame): DataFrame =
-    embs.filter(col("vec_id") < 10)
+    requirePlantHeadroom(embs, annPlant).filter(col("vec_id") < 10)
       .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
   // Oracled projection = top1 + a scale-independent shape bit: rank-1
   // identity (and cosine 1.0) is the invariant the planted twin
@@ -1440,12 +1453,14 @@ object PipelineQueries extends QueryFamily {
   // shifting the embedding distribution — so the result set is exactly
   // the twin set: missed twins (candidate collapse) AND phantom pairs
   // both fail the row hash. Cluster ids are float artifacts and not
-  // exposed.
+  // exposed. The +100000 twin id space must be disjoint from the
+  // natural ids — requirePlantHeadroom fails loudly if a regen grows
+  // the corpus into it.
   val q176 = Q(
     "q176_semdedup",
     """SELECT vec_id AS va, vec_id + 100000 AS vb, CAST(1.0 AS DOUBLE) AS sim
       |FROM embeddings WHERE vec_id % 10 = 3 ORDER BY va""".stripMargin) { (s, d) =>
-    val embs = Tables.embeddings(s, d)
+    val embs = requirePlantHeadroom(Tables.embeddings(s, d), 100000L)
     val twins = embs.filter(col("vec_id") % 10 === 3)
       .withColumn("vec_id", col("vec_id") + 100000L)
     graft.operators.SemDedup
