@@ -135,10 +135,7 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val (pa, pb, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        val next = vocab.select(expr(
-          s"split(substring(aggregate(syms, '', (acc, s) -> " +
-            s"CASE WHEN endswith(acc, concat('|', '$pa')) AND s = '$pb' " +
-            s"THEN concat(acc, s) ELSE concat(acc, '|', s) END), 2), '\\\\|')").as("syms"),
+        val next = vocab.select(expr(mergeFoldSql(pa, pb)).as("syms"),
           col("freq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nAfter = next.agg(sum(size(col("syms")).cast("long") * col("freq")))
@@ -151,5 +148,52 @@ object Bpe {
     }
     vocab.unpersist(blocking = false)
     merges.toSeq.toDF("round", "pair_a", "pair_b", "n_adjacent", "n_tokens_after")
+  }
+
+  /** The left-to-right non-overlapping merge of symbol pair (pa, pb)
+    * as a SQL fold over a syms array — the single primitive both
+    * training rounds and encode application repeat. pa/pb come from
+    * the `^[a-z0-9]+$` training alphabet (enforced at wordFreq
+    * filtering), so embedding them in the expression text and using
+    * '|' as the delimiter are both safe.
+    */
+  private def mergeFoldSql(pa: String, pb: String): String =
+    s"split(substring(aggregate(syms, '', (acc, s) -> " +
+      s"CASE WHEN endswith(acc, concat('|', '$pa')) AND s = '$pb' " +
+      s"THEN concat(acc, s) ELSE concat(acc, '|', s) END), 2), '\\\\|')"
+
+  /** BPE APPLICATION — tokenize the corpus with an already-trained
+    * merge list ([[trainMerges]] output order): the deployment face
+    * that closes the tokenizer loop (train once, encode every corpus
+    * snapshot). Returns the top-`k` subword tokens by corpus
+    * occurrence count: (token, freq), ranked (freq desc, token asc).
+    *
+    * Scale shape — the same property that makes training feasible:
+    * merges apply to the DISTINCT-WORD table, never per corpus
+    * occurrence. One corpus scan builds (word, freq); the M merge
+    * folds are M chained vocab-sized projections in ONE stage (no
+    * shuffle between folds — whole-stage codegen keeps the word's
+    * symbol array in flight); the final explode+aggregate is one
+    * map-side-combined hash shuffle over vocab-sized input. A 100 TB
+    * corpus pays the scan; the tokenizer math costs |vocab|·M.
+    *
+    * Same alphabet contract as training: only `^[a-z0-9]+$` word
+    * forms participate (BPE corpora are pre-normalized; punctuation-
+    * bearing forms are outside the merge alphabet).
+    */
+  def encodeTokens(docs: DataFrame, merges: Seq[(String, String)],
+                   k: Int = 30): DataFrame = {
+    var vocab = wordFreq(docs)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
+        col("freq"))
+    for ((pa, pb) <- merges)
+      vocab = vocab.select(expr(mergeFoldSql(pa, pb)).as("syms"), col("freq"))
+    vocab.select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
   }
 }

@@ -36,10 +36,17 @@ object Pack {
     * 0). `orderCol` values must be unique — ties would make the split
     * across a partition boundary order-ambiguous.
     */
-  def globalOffsets(docs: DataFrame, orderCol: String, nCol: String): DataFrame = {
-    val ranged = docs.repartitionByRange(col(orderCol))
+  def globalOffsets(docs: DataFrame, orderCol: String, nCol: String): DataFrame =
+    globalOffsets(docs, Seq(orderCol), nCol)
+
+  /** Multi-column order variant: the order key is the ascending
+    * lexicographic tuple of `orderCols` (together unique — e.g. a
+    * seeded shuffle hash disambiguated by doc id).
+    */
+  def globalOffsets(docs: DataFrame, orderCols: Seq[String], nCol: String): DataFrame = {
+    val ranged = docs.repartitionByRange(orderCols.map(col): _*)
       .withColumn("_pid", spark_partition_id())
-    val intraW = Window.partitionBy("_pid").orderBy(orderCol)
+    val intraW = Window.partitionBy("_pid").orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val intra = ranged.withColumn("_run", sum(col(nCol).cast("long")).over(intraW))
     val totals = intra.groupBy(col("_pid")).agg(max(col("_run")).as("_tot"))
@@ -70,5 +77,71 @@ object Pack {
         expr(s"(global_start + n_tokens - 1) div ${seqLen}L") - col("bin") + 1)
       .select(col("doc_id"), col("n_tokens"), col("global_start"),
         col("bin"), col("offset"), col("bins_spanned"))
+  }
+
+  /** Knuth multiplicative shuffle key, replayable on any SQL engine:
+    * h = ((id mod p) * 2654435761 + seed) mod p with p = 2^31 - 1.
+    * The inner mod keeps the product below 2^63 for ANY int64 id, so
+    * the arithmetic is overflow-free (DuckDB BIGINT errors on
+    * overflow rather than wrapping — the expression must never rely
+    * on wraparound). NOT unique per id (p is small); always order by
+    * (h, id).
+    */
+  private val shufP = 2147483647L // 2^31 - 1
+  def shuffleKey(id: Column, seed: Long): Column =
+    pmod(pmod(id, lit(shufP)) * lit(2654435761L) + lit(seed), lit(shufP))
+
+  /** Deterministic training-shard plan — the OUTPUT stage of a
+    * pretraining data pipeline: documents are (1) globally shuffled by
+    * a seeded hash (decorrelates adjacent source docs; replayable, so
+    * a re-run or a resumed job produces the identical layout),
+    * (2) packed densely into `seqLen`-token bins via the two-phase
+    * prefix sum, (3) bins grouped into contiguous `binsPerShard`
+    * ranges — shard s owns the token interval
+    * [s·binsPerShard·seqLen, (s+1)·binsPerShard·seqLen), so a trainer
+    * reads each shard sequentially. Returns the per-shard manifest:
+    * (shard_id, n_docs_starting, n_docs_touching, n_tokens,
+    * first_bin, last_bin) — n_tokens sums each document's overlap with
+    * the shard's token interval (a straddling document contributes to
+    * both sides), so Σ n_tokens over shards equals the corpus token
+    * count exactly: the writer/trainer integrity check.
+    *
+    * Scale shape: one corpus-thin (id, n_tokens) projection through
+    * the prefix sum, then an explode of `shards_spanned` per document
+    * — ≤ ⌈n_tokens/(binsPerShard·seqLen)⌉ + 1 rows each, ~1 for any
+    * document shorter than a shard — and one hash aggregation on
+    * shard_id. No corpus text moves; the manifest is shard-count
+    * sized.
+    */
+  def shardManifest(docs: DataFrame, seqLen: Int = 512,
+                    binsPerShard: Int = 16, seed: Long = 42L): DataFrame = {
+    val shardTokens = binsPerShard.toLong * seqLen
+    val counted = docs.select(col("doc_id"),
+        size(graft.functions.Text.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("h", shuffleKey(col("doc_id"), seed))
+    val placed = globalOffsets(counted, Seq("h", "doc_id"), "n_tokens")
+      .withColumn("first_shard", expr(s"global_start div ${shardTokens}L"))
+      .withColumn("last_shard",
+        expr(s"(global_start + n_tokens - 1) div ${shardTokens}L"))
+    placed
+      .select(col("doc_id"), col("global_start"), col("n_tokens"),
+        col("first_shard"),
+        explode(sequence(col("first_shard"), col("last_shard"))).as("shard_id"))
+      .withColumn("tok_in_shard",
+        least(col("global_start") + col("n_tokens"),
+            (col("shard_id") + 1) * shardTokens)
+          - greatest(col("global_start"), col("shard_id") * shardTokens))
+      .groupBy(col("shard_id"))
+      .agg(
+        sum(when(col("first_shard") === col("shard_id"), 1L).otherwise(0L))
+          .as("n_docs_starting"),
+        count(lit(1)).as("n_docs_touching"),
+        sum(col("tok_in_shard")).as("n_tokens"),
+        max(expr(s"(global_start + n_tokens - 1) div ${seqLen}L"))
+          .as("_max_end_bin"))
+      .withColumn("first_bin", col("shard_id") * binsPerShard)
+      .withColumn("last_bin",
+        least(col("_max_end_bin"), (col("shard_id") + 1) * binsPerShard - 1))
+      .drop("_max_end_bin")
   }
 }

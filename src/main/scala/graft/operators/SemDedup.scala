@@ -92,6 +92,31 @@ object SemDedup {
       .select(col("new_id"), col("old_id"), col("sim"))
   }
 
+  /** Cross-corpus semantic decontamination — the embedding-space
+    * counterpart of n-gram decontamination (q128's GPT-3-style shape):
+    * fit the coarse quantizer on the TRAINING corpus, encode it as the
+    * IVF index, probe with the EVAL set; any training vector within
+    * `threshold` cosine of an eval vector is contaminated and returned
+    * as (eval_id, train_id, sim). The eval side is benchmark-sized —
+    * it probes the index exactly like a query batch, so a deployment
+    * that maintains the ANN index ([[Ann.ivfFit]]/[[Ann.ivfEncode]]
+    * persisted as the bucketed table) decontaminates against a new
+    * benchmark with ONE eval-sized encode + one cluster equi-join,
+    * never rescanning 100 TB of training embeddings.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, threshold: Double,
+                    c: Int = 16, iters: Int = 2,
+                    trainMod: Int = 1): DataFrame = {
+    val cents = Ann.ivfFit(train, c, iters, trainMod)
+    // same persist-not-localCheckpoint cut as dupPairs (§2.7 hygiene)
+    val index = Ann.ivfEncode(train, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    dupsAgainstIndex(eval, cents, index, threshold)
+      .select(col("new_id").as("eval_id"), col("old_id").as("train_id"),
+        col("sim"))
+  }
+
   def dupPairsHier(corpus: DataFrame, threshold: Double, cSuper: Int = 16,
                    cChild: Int = 16, iters: Int = 2,
                    trainMod: Int = 1): DataFrame = {

@@ -199,15 +199,18 @@ object EventQueries extends QueryFamily {
 
   // Ordered conversion funnel view → click → purchase: each stage's
   // timestamp is the earliest event of that type AFTER the previous
-  // stage. ALL stages ride ONE user_id-partitioned window (stage N's
-  // conditional min references stage N-1's window output — same
-  // partition spec, so Catalyst stacks the Window operators over a
-  // single exchange+sort), then one same-key aggregate collapses to a
-  // row per user with zero further shuffles (hash partitioning on
-  // user_id already satisfies the groupBy). The r9 per-stage
-  // conditional-min chain re-shuffled on user_id per stage: 6
-  // exchanges / 5 joins for 3 stages; this is the 2-exchange form
-  // (window + the 150-row result sort) the semantics actually need.
+  // stage (conditional min-aggregation per stage). The r10 "fold all
+  // stages onto one user_id window" rewrite was tried and REVERTED on
+  // measurement (the q93 adjudication class): the single window must
+  // see EVERY event row — 1.65 MB / 101.5k rows through its exchange
+  // at sf0.1 — where this staged shape map-side-combines each stage
+  // to per-user minima BEFORE its shuffle (0.09 MB / 6k rows, 18×
+  // less). At 100 TB the gap widens: views (the fattest stage) never
+  // cross the wire as events under partial aggregation, and each
+  // stage's type filter pushes to the scan. More exchanges, but each
+  // is user-count-, not event-count-, sized — shuffle bytes, not
+  // exchange count, dominate this query. Whitelisted in
+  // PlanAudit.multiScanWhitelist (per-stage type-pruned scans).
   val q124 = Q(
     "q124_funnel",
     """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -227,20 +230,21 @@ object EventQueries extends QueryFamily {
       |FROM v LEFT JOIN c ON v.user_id = c.user_id LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    ev
-      .withColumn("t_view",
-        min(when(col("event_type") === "view", col("ts"))).over(w))
-      .withColumn("t_click",
-        min(when(col("event_type") === "click" && col("ts") > col("t_view"),
-          col("ts"))).over(w))
-      .withColumn("t_purchase",
-        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
-          col("ts"))).over(w))
-      .filter(col("t_view").isNotNull) // funnel entry: user has a view
-      .groupBy(col("user_id")) // per-user constants; no exchange (same key)
-      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
-        min(col("t_purchase")).as("t_purchase"))
+    // v and c each feed TWO consumers (the next stage + the final
+    // join); persist the user-sized minima so each stage's type-pruned
+    // events slice is scanned exactly once (3 scans total, the staged
+    // form's minimum — catalog-managed cache, §2.7 hygiene)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
       .select(col("user_id"),
         col("t_click").isNotNull.as("clicked"),
         col("t_purchase").isNotNull.as("purchased"),

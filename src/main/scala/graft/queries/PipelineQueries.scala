@@ -1518,34 +1518,124 @@ object PipelineQueries extends QueryFamily {
   // Bpe.trainMerges), so pair choice, overlapping counts, AND the
   // post-merge corpus token count are compared bit-for-bit per round.
   private val bpeRounds = 6
+  // The unrolled k-round training CTE chain, shared by q179 (reads the
+  // per-round merge records m$r) and q182 (reads the final vocab
+  // v$bpeRounds — DuckDB inlines only referenced CTEs, the unused m$r
+  // blocks cost nothing there).
+  private def bpeOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH d AS (SELECT coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+              |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+              |       FROM (SELECT unnest(w) AS word FROM d)
+              |       WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
+              |v0 AS (SELECT list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, freq FROM wf)""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb ++= s""",
+                |p$r AS (SELECT syms[CAST(i AS INTEGER)] AS pa, syms[CAST(i AS INTEGER)+1] AS pb, freq
+                |       FROM v$p, unnest(range(1, len(syms))) AS t(i) WHERE len(syms) >= 2),
+                |t$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1,2 ORDER BY cnt DESC, pa, pb LIMIT 1),
+                |v$r AS (SELECT string_split(substr(list_reduce(list_prepend('', syms),
+                |         (acc, s) -> CASE WHEN ends_with(acc, '|' || pa) AND s = pb THEN acc || s ELSE acc || '|' || s END), 2), '|') AS syms, freq
+                |       FROM v$p CROSS JOIN t$r),
+                |n$r AS (SELECT CAST(sum(len(syms) * freq) AS BIGINT) AS n_after FROM v$r),
+                |m$r AS (SELECT $r AS round, pa AS pair_a, pb AS pair_b, cnt AS n_adjacent, n_after AS n_tokens_after FROM t$r, n$r)""".stripMargin
+    }
+    sb.toString
+  }
   val q179 = Q(
-    "q179_bpe_train", {
-      val sb = new StringBuilder
-      sb ++= s"""WITH d AS (SELECT coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
-                |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-                |       FROM (SELECT unnest(w) AS word FROM d)
-                |       WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
-                |v0 AS (SELECT list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, freq FROM wf)""".stripMargin
-      for (r <- 1 to bpeRounds) {
-        val p = r - 1
-        sb ++= s""",
-                  |p$r AS (SELECT syms[CAST(i AS INTEGER)] AS pa, syms[CAST(i AS INTEGER)+1] AS pb, freq
-                  |       FROM v$p, unnest(range(1, len(syms))) AS t(i) WHERE len(syms) >= 2),
-                  |t$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1,2 ORDER BY cnt DESC, pa, pb LIMIT 1),
-                  |v$r AS (SELECT string_split(substr(list_reduce(list_prepend('', syms),
-                  |         (acc, s) -> CASE WHEN ends_with(acc, '|' || pa) AND s = pb THEN acc || s ELSE acc || '|' || s END), 2), '|') AS syms, freq
-                  |       FROM v$p CROSS JOIN t$r),
-                  |n$r AS (SELECT CAST(sum(len(syms) * freq) AS BIGINT) AS n_after FROM v$r),
-                  |m$r AS (SELECT $r AS round, pa AS pair_a, pb AS pair_b, cnt AS n_adjacent, n_after AS n_tokens_after FROM t$r, n$r)""".stripMargin
-      }
-      sb ++= "\nSELECT CAST(round AS INTEGER) AS round, pair_a, pair_b, n_adjacent, n_tokens_after FROM (" +
-        (1 to bpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ") +
-        ") ORDER BY round"
-      sb.toString
-    }) { (s, d) =>
+    "q179_bpe_train",
+    bpeOracleCtes(bpeRounds) +
+      "\nSELECT CAST(round AS INTEGER) AS round, pair_a, pair_b, n_adjacent, n_tokens_after FROM (" +
+      (1 to bpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ") +
+      ") ORDER BY round") { (s, d) =>
     graft.operators.Bpe.trainMerges(Tables.documents(s, d), rounds = bpeRounds)
       .orderBy("round")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179)
+  // ---- q180: cross-corpus semantic decontamination ----------------------
+  // The embedding-space counterpart of q128's n-gram decontamination:
+  // eval vectors probe the TRAINING corpus's persisted IVF index
+  // (SemDedup.decontaminate — eval-sized encode + cluster equi-join,
+  // never a training rescan). FULL oracle via planted twins (the q176
+  // discipline): every vec_id % 10 = 7 training vector doubles as an
+  // eval query under id + 10^6 — identical floats route to the same
+  // cell, so the probe must flag exactly that training vector at
+  // cosine 1.0 (natural pair cosines max 0.60, far under the 0.9
+  // threshold on both sides). requirePlantHeadroom guards the offset.
+  val q180 = Q(
+    "q180_semantic_decontam",
+    """SELECT CAST(vec_id + 1000000 AS BIGINT) AS eval_id, vec_id AS train_id,
+      |  CAST(1.0 AS DOUBLE) AS sim
+      |FROM embeddings WHERE vec_id % 10 = 7 ORDER BY eval_id""".stripMargin) { (s, d) =>
+    val train = requirePlantHeadroom(Tables.embeddings(s, d), annPlant)
+    val evalSet = train.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+    graft.operators.SemDedup
+      .decontaminate(train, evalSet, threshold = 0.9, c = 16, iters = 2,
+        trainMod = 4)
+      .orderBy("eval_id")
+  }
+
+  // ---- q181: deterministic training-shard manifest -----------------------
+  // The pipeline's OUTPUT stage: seeded-hash global shuffle (Knuth
+  // multiplicative key — replayable on any engine, so re-runs and
+  // resumed jobs lay out identically), dense packing via the q163
+  // two-phase prefix sum, contiguous bin ranges per shard (sequential
+  // trainer reads). Σ n_tokens over shards == corpus token count
+  // exactly — the integrity check a writer validates against.
+  val q181 = {
+    val L = 512; val BPS = 16; val SEED = 42L
+    val ST = BPS.toLong * L
+    Q(
+      "q181_shard_manifest",
+      s"""WITH d AS (SELECT doc_id, CAST(len($WORDS) AS BIGINT) AS n_tokens,
+         |            ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h
+         |          FROM documents),
+         |c AS (SELECT doc_id, n_tokens, h,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+         |      FROM d),
+         |e AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+         |        (gs + n_tokens - 1) // $ST AS last_shard FROM c),
+         |x AS (SELECT e.*, CAST(s AS BIGINT) AS shard_id
+         |      FROM e, unnest(range(first_shard, last_shard + 1)) AS t(s))
+         |SELECT shard_id,
+         |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+         |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+         |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+         |  shard_id * $BPS AS first_bin,
+         |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+         |FROM x GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      graft.operators.Pack
+        .shardManifest(Tables.documents(s, d), seqLen = L, binsPerShard = BPS,
+          seed = SEED)
+        .orderBy("shard_id")
+    }
+  }
+
+  // ---- q182: BPE application (tokenize with trained merges) --------------
+  // Closes the tokenizer loop: q179 trains the merge list, this applies
+  // it — merges fold over the DISTINCT-word table (M chained vocab-sized
+  // projections, one stage), then one hash aggregation ranks the
+  // resulting subword tokens. The oracle reuses q179's unrolled training
+  // CTEs and reads the final vocab v6, so merge choice AND application
+  // are compared end-to-end against the serial DuckDB replay.
+  private val bpeTopTokens = 30
+  val q182 = Q(
+    "q182_bpe_encode",
+    bpeOracleCtes(bpeRounds) +
+      s"""
+         |SELECT token, CAST(sum(freq) AS BIGINT) AS freq
+         |FROM (SELECT unnest(syms) AS token, freq FROM v$bpeRounds)
+         |GROUP BY 1 ORDER BY freq DESC, token LIMIT $bpeTopTokens""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe.trainMerges(docs, rounds = bpeRounds)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.encodeTokens(docs, merges, k = bpeTopTokens)
+      .orderBy(col("freq").desc, col("token"))
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182)
 }

@@ -68,7 +68,9 @@ object PlanAudit {
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
-      "global window on per-partition pack summaries: input <= #partitions rows")
+      "global window on per-partition pack summaries: input <= #partitions rows",
+    "q181_shard_manifest" ->
+      "global window on per-partition pack summaries: input <= #partitions rows (the q163 two-phase prefix sum)")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else
@@ -94,7 +96,9 @@ object PlanAudit {
     "q176_semdedup" -> "model-sized k-means assignment join (c = 16 centroid rows)",
     "q177_bpe_stats" -> "k-row merge-candidate side (k = 20) against the vocab table",
     "q178_hier_ivf_ann" ->
-      "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)")
+      "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)",
+    "q180_semantic_decontam" ->
+      "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)")
 
   /** Queries allowed to scan a source table more than once, each with
     * the proof the repetition is intentional — a semantically distinct
@@ -147,6 +151,8 @@ object PlanAudit {
         "mix-weight fit (per-source counts) + sampling pass — the operator's two phases",
       "q163_sequence_packing" ->
         "pack-summary pass (per-partition prefix sums) + emit pass — the two-phase distributed prefix sum",
+      "q181_shard_manifest" ->
+        "pack-summary pass (per-partition prefix sums) + emit pass — the two-phase distributed prefix sum",
       "q165_lm_quality" ->
         "model fit + scoring are the two-pass minimum (the DSIR fit/score posture); fit itself is one scan (persisted vocab counts)",
       "q155_dedup_threshold_calibration" ->
@@ -162,8 +168,12 @@ object PlanAudit {
       "q71_dedup_embedding_cosine" -> selfJoin,
       "q87_ivf_ann" -> fitEncode, "q138_pq_ann" -> fitEncode,
       "q176_semdedup" -> fitEncode, "q178_hier_ivf_ann" -> fitEncode,
+      "q180_semantic_decontam" -> (fitEncode +
+        "; here the second embeddings scan is the eval probe side drawn from the same table"),
       "q128_decontamination" ->
         "train split + eval split drawn from the same table: two roles by contract",
+      "q124_funnel" ->
+        "per-stage type-pruned scans, ADJUDICATED over the 1-scan window form: the window ships every event through one exchange (1.65 MB) where each staged scan map-side-combines to per-user minima before shuffling (0.09 MB) — shuffle bytes dominate at scale",
       "q72_tpch_q7" -> "nation plays two roles (supplier nation, customer nation) — TPC-H Q7 semantics",
       "q73_tpch_q8" -> "nation plays two roles — TPC-H Q8 semantics",
       "q79_tpch_q15" -> "revenue view consumed twice (view + its max) — TPC-H Q15 semantics",

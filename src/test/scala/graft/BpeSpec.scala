@@ -109,6 +109,43 @@ class BpeSpec extends SparkSpec {
     assert(toks.zip(toks.tail).forall { case (a, b) => b < a })
   }
 
+  test("encode lands exactly on the training loop's final token count") {
+    // the train→apply contract: tokenizing the SAME corpus with the
+    // trained merge list must reproduce n_tokens_after of the last round
+    val corpus = docs(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest aaaa aaaa aa"),
+      (3L, "the cat the hat the cat"))
+    val trained = Bpe.trainMerges(corpus, rounds = 5).orderBy("round").collect()
+    val merges = trained.map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokens = Bpe.encodeTokens(corpus, merges, k = 1000).collect()
+    assert(tokens.map(_.getLong(1)).sum == trained.last.getLong(4))
+  }
+
+  test("encode with zero merges is character frequency; ranking is (freq desc, token asc)") {
+    val got = Bpe.encodeTokens(docs((1L, "ab ba ab")), Seq.empty, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L), ("b", 3L)))
+  }
+
+  test("encode applies merges greedily left-to-right in training order") {
+    // vocab {abab x2, abc x1}; merges (a,b) then (ab,ab):
+    // abab → [ab,ab] → [abab]; abc → [ab,c] (second merge can't fire)
+    val corpus = docs((1L, "abab abab abc"))
+    val got = Bpe.encodeTokens(corpus, Seq(("a", "b"), ("ab", "ab")), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("abab" -> 2L, "ab" -> 1L, "c" -> 1L))
+  }
+
+  test("encode runs on the vocab table, not the corpus (scale shape)") {
+    // token totals scale with corpus frequency while the merge folds
+    // see each distinct word once — 50 identical docs, one vocab row
+    val corpus = docs((1L to 50L).map(i => (i, "table table")): _*)
+    val got = Bpe.encodeTokens(corpus, Seq(("t", "a"), ("ta", "b")), k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("tab" -> 100L, "l" -> 100L, "e" -> 100L))
+  }
+
   test("training restricts the merge alphabet to delimiter-safe word forms") {
     // a word containing '|' (the fold delimiter) must not poison the
     // vocab — it is excluded by the ^[a-z0-9]+$ gate, merges still run

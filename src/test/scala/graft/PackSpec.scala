@@ -41,6 +41,63 @@ class PackSpec extends SparkSpec {
     assert(next == packed.map(_.getAs[Long]("n_tokens")).sum)
   }
 
+  test("shard manifest conserves tokens and docs exactly; full shards hold exactly their capacity") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val totalTokens = docs
+      .select(sum(size(graft.functions.Text.words(col("text"))).cast("long")))
+      .as[Long].head()
+    val m = Pack.shardManifest(docs, seqLen = 512, binsPerShard = 16, seed = 42L)
+      .collect()
+    assert(m.map(_.getAs[Long]("n_tokens")).sum == totalTokens,
+      "token mass must be conserved across shards (straddlers split exactly)")
+    assert(m.map(_.getAs[Long]("n_docs_starting")).sum == docs.count(),
+      "every document starts in exactly one shard")
+    val byId = m.sortBy(_.getAs[Long]("shard_id"))
+    assert(byId.map(_.getAs[Long]("shard_id")).toSeq ==
+      (0L until m.length).toSeq, "shard ids must be contiguous from 0")
+    // dense packing: every shard but the last is exactly full
+    byId.init.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 16L * 512,
+        s"shard ${r.getAs[Long]("shard_id")} not full")
+    }
+    byId.foreach { r =>
+      assert(r.getAs[Long]("first_bin") == r.getAs[Long]("shard_id") * 16)
+      assert(r.getAs[Long]("last_bin") < (r.getAs[Long]("shard_id") + 1) * 16)
+    }
+  }
+
+  test("shard manifest replays the serial seeded-shuffle layout, under any partitioning") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val counted = docs.select(col("doc_id"),
+        size(graft.functions.Text.words(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect()
+    // serial reference: Knuth key, order by (h, doc_id), pack, manifest
+    val p = 2147483647L
+    val ordered = counted
+      .map { case (id, n) => (((id % p) * 2654435761L + 42L) % p, id, n) }
+      .sortBy(t => (t._1, t._2))
+    val st = 16L * 512
+    var gs = 0L
+    val agg = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    ordered.foreach { case (_, _, n) =>
+      val first = gs / st; val last = (gs + n - 1) / st
+      (first to last).foreach { s =>
+        val tok = math.min(gs + n, (s + 1) * st) - math.max(gs, s * st)
+        val (ds, dt, tk) = agg.getOrElse(s, (0L, 0L, 0L))
+        agg(s) = (ds + (if (s == first) 1L else 0L), dt + 1L, tk + tok)
+      }
+      gs += n
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Pack.shardManifest(docs.repartition(parts), seqLen = 512,
+          binsPerShard = 16, seed = 42L).collect()
+        .map(r => r.getAs[Long]("shard_id") ->
+          (r.getAs[Long]("n_docs_starting"), r.getAs[Long]("n_docs_touching"),
+            r.getAs[Long]("n_tokens"))).toMap
+      assert(got == agg.toMap, s"parts=$parts: manifest diverges from serial replay")
+    }
+  }
+
   test("the data-sized window is partition-parallel; only partition totals hit the global window") {
     val rows = (1 to 10000).map(i => (i.toLong, 3L)).toDF("doc_id", "n")
     val plan = Pack.globalOffsets(rows, "doc_id", "n")

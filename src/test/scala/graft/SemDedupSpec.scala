@@ -78,6 +78,32 @@ class SemDedupSpec extends SparkSpec {
     assert(got.map(_._1).toSet == expected, "a twin pair was missed")
   }
 
+  test("cross-corpus decontamination flags exactly the planted eval twins") {
+    val expected = embs.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val evalSet = embs.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val got = SemDedup.decontaminate(embs, evalSet, threshold = 0.9, c = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (e, t, sim) =>
+      expected.contains(t) && e == t + 1000000L && sim == 1.0
+    }, s"unexpected contamination among ${got.take(5)}")
+    assert(got.map(_._2).toSet == expected,
+      "a contaminated training vector was missed")
+  }
+
+  test("decontamination against a disjoint training corpus flags nothing") {
+    // remove the eval sources from training: the probes are now genuinely
+    // novel vectors, and no NATURAL training vector sits within 0.9
+    // (measured max natural pair cosine 0.60) — zero flags, not noise
+    val train = embs.filter(col("vec_id") % 10 =!= 7)
+    val evalSet = embs.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    assert(SemDedup.decontaminate(train, evalSet, threshold = 0.9, c = 16)
+      .count() == 0)
+  }
+
   test("q176 twin offset stays outside the natural vec_id space at every SF") {
     // q176's oracle plants twins at vec_id + 100000 and ASSUMES that id
     // space is disjoint from natural ids; a testdata regen with >= 100000
