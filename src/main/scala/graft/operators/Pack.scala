@@ -114,23 +114,64 @@ object Pack {
     * sized.
     */
   def shardManifest(docs: DataFrame, seqLen: Int = 512,
-                    binsPerShard: Int = 16, seed: Long = 42L): DataFrame = {
+                    binsPerShard: Int = 16, seed: Long = 42L): DataFrame =
+    manifestFromPlacement(
+      shardPlacement(docs, seqLen, binsPerShard, seed), seqLen, binsPerShard)
+
+  /** Per-(document, shard) placement rows — what a shard writer
+    * actually consumes: (doc_id, shard_id, global_start, n_tokens,
+    * first_shard, slice_start, slice_len) where the document
+    * contributes its token interval [slice_start, slice_start +
+    * slice_len) to shard `shard_id` (slice_start is an offset INTO the
+    * document; a straddler appears once per shard it touches).
+    * `baseTokens` shifts every offset — the INCREMENTAL face: a new
+    * batch packs immediately after an existing corpus of `baseTokens`
+    * tokens without touching it (append-ordered packing; the seeded
+    * shuffle then applies within the batch). One corpus-thin
+    * projection through the two-phase prefix sum, explode of
+    * shards-spanned rows per doc.
+    */
+  def shardPlacement(docs: DataFrame, seqLen: Int = 512,
+                     binsPerShard: Int = 16, seed: Long = 42L,
+                     baseTokens: Long = 0L): DataFrame = {
     val shardTokens = binsPerShard.toLong * seqLen
     val counted = docs.select(col("doc_id"),
         size(graft.functions.Text.words(col("text"))).cast("long").as("n_tokens"))
       .withColumn("h", shuffleKey(col("doc_id"), seed))
-    val placed = globalOffsets(counted, Seq("h", "doc_id"), "n_tokens")
+    globalOffsets(counted, Seq("h", "doc_id"), "n_tokens")
+      .withColumn("global_start", col("global_start") + baseTokens)
       .withColumn("first_shard", expr(s"global_start div ${shardTokens}L"))
       .withColumn("last_shard",
         expr(s"(global_start + n_tokens - 1) div ${shardTokens}L"))
-    placed
       .select(col("doc_id"), col("global_start"), col("n_tokens"),
         col("first_shard"),
         explode(sequence(col("first_shard"), col("last_shard"))).as("shard_id"))
-      .withColumn("tok_in_shard",
+      .withColumn("slice_start",
+        greatest(col("global_start"), col("shard_id") * shardTokens)
+          - col("global_start"))
+      .withColumn("slice_len",
         least(col("global_start") + col("n_tokens"),
             (col("shard_id") + 1) * shardTokens)
           - greatest(col("global_start"), col("shard_id") * shardTokens))
+      .drop("h")
+  }
+
+  /** Materialize the shard plan on disk: the placement rows written
+    * `partitionBy(shard_id)` — one directory per shard, so a trainer
+    * (or the token writer that cuts `slice_start`/`slice_len` from
+    * each document) reads its shard's file list and nothing else.
+    * Partition pruning on shard_id is the read-path contract
+    * (`SourcesSpec`'s partitioned-write discipline).
+    */
+  def writeShards(docs: DataFrame, path: String, seqLen: Int = 512,
+                  binsPerShard: Int = 16, seed: Long = 42L): Unit =
+    shardPlacement(docs, seqLen, binsPerShard, seed)
+      .write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
+  private def manifestFromPlacement(placed: DataFrame, seqLen: Int,
+                                    binsPerShard: Int): DataFrame = {
+    placed
+      .withColumn("tok_in_shard", col("slice_len"))
       .groupBy(col("shard_id"))
       .agg(
         sum(when(col("first_shard") === col("shard_id"), 1L).otherwise(0L))

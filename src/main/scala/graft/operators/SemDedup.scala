@@ -81,16 +81,36 @@ object SemDedup {
     * recompute of history.
     */
   def dupsAgainstIndex(newVecs: DataFrame, cents: Seq[(Int, Seq[Double])],
-                       index: DataFrame, threshold: Double): DataFrame = {
-    val enc = Ann.ivfEncode(newVecs, cents)
-      .select(col("cluster"), col("vec_id").as("new_id"), col("ve").as("nve"))
-    enc.join(index.select(col("cluster"), col("vec_id").as("old_id"), col("ve").as("ove")),
+                       index: DataFrame, threshold: Double): DataFrame =
+    probeIndexJoin(Ann.ivfEncode(newVecs, cents), index, threshold)
+
+  /** [[dupsAgainstIndex]] over a TWO-LEVEL index ([[Ann.ivfFitHier]]/
+    * [[Ann.ivfEncodeHier]] — the 100 TB cluster-count configuration):
+    * the batch is routed super→child (n·2√c work, model-sized
+    * broadcasts per level) into the SAME global leaf-id space the
+    * index persists, then the identical cluster equi-join probes it.
+    */
+  def dupsAgainstIndexHier(newVecs: DataFrame,
+                           superCents: Seq[(Int, Seq[Double])],
+                           children: Seq[(Int, Int, Seq[Double])],
+                           cChild: Int, index: DataFrame,
+                           threshold: Double): DataFrame =
+    probeIndexJoin(Ann.ivfEncodeHier(newVecs, superCents, children, cChild),
+      index, threshold)
+
+  /** The shared probe: encoded batch (vec_id, ve, cluster) against an
+    * accumulated index of the same schema — cluster equi-join, exact
+    * cosine verify, (new_id, old_id, sim).
+    */
+  private def probeIndexJoin(enc: DataFrame, index: DataFrame,
+                             threshold: Double): DataFrame =
+    enc.select(col("cluster"), col("vec_id").as("new_id"), col("ve").as("nve"))
+      .join(index.select(col("cluster"), col("vec_id").as("old_id"), col("ve").as("ove")),
         Seq("cluster"))
       .filter(col("new_id") =!= col("old_id"))
       .withColumn("sim", round(Ann.cosine("nve", "ove"), 4))
       .filter(col("sim") >= threshold)
       .select(col("new_id"), col("old_id"), col("sim"))
-  }
 
   /** Cross-corpus semantic decontamination — the embedding-space
     * counterpart of n-gram decontamination (q128's GPT-3-style shape):

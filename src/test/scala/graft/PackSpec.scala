@@ -98,6 +98,92 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("writeShards lands one pruned directory per shard; read-back equals in-memory placement") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Pack.writeShards(docs, dir)
+      val mem = Pack.shardPlacement(docs)
+      val shardDirs = new java.io.File(dir).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("shard_id=")).map(_.getName)
+      assert(shardDirs.length == mem.select("shard_id").distinct().count())
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getAs[Long]("doc_id"), r.getAs[Number]("shard_id").longValue(),
+          r.getAs[Long]("global_start"), r.getAs[Long]("slice_start"),
+          r.getAs[Long]("slice_len"))
+      val back = spark.read.parquet(dir)
+      assert(back.collect().map(key).sorted.toSeq ==
+        mem.collect().map(key).sorted.toSeq)
+      // the read-path contract: a single-shard read prunes partitions
+      val plan = back.filter(col("shard_id") === 0)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(shard_id"),
+        s"no partition filter in:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("incremental append placement stays dense across micro-batches and conserves tokens") {
+    import java.sql.Timestamp
+    implicit val sq = spark.sqlContext
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .orderBy("doc_id").limit(30)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val batches = all.grouped(10).toSeq
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    var base = 0L
+    val placements = collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)] // (doc_id, shard_id, global_start, slice_len)
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = batch.select("doc_id", "text")
+        val placed = Pack.shardPlacement(docs, seqLen = 64, binsPerShard = 4,
+          seed = 42L, baseTokens = base).collect()
+        placements ++= placed.map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("shard_id"), r.getAs[Long]("global_start"),
+          r.getAs[Long]("slice_len")))
+        base += placed.filter(r =>
+            r.getAs[Long]("first_shard") == r.getAs[Long]("shard_id"))
+          .map(_.getAs[Long]("n_tokens")).sum
+        ()
+      }.start()
+    try {
+      batches.foreach { b =>
+        stream.addData(b.map { case (id, tx) => Doc(id, tx, t0) })
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // serial replay: within each batch the seeded hash order, batches
+    // appended in arrival order — offsets must be dense over the whole
+    // stream and the sliced token mass must equal the corpus total.
+    // Token counts come from the operator's OWN tokenizer (one Spark
+    // lookup), so the replay checks ORDER and DENSITY, not a parallel
+    // re-implementation of text normalization.
+    val nTok = all.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(graft.functions.Text.words(col("text"))).cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val p = 2147483647L
+    var expectStart = 0L
+    val starts = placements.map(x => (x._1, x._3)).toSet // distinct (doc, start)
+    batches.foreach { b =>
+      b.map { case (id, _) => ((((id % p) * 2654435761L + 42L) % p), id) }
+        .sortBy(identity).foreach { case (_, id) =>
+          assert(starts.contains((id, expectStart)),
+            s"doc $id expected at offset $expectStart")
+          expectStart += nTok(id)
+        }
+    }
+    val sliceMass = placements.map(_._4).sum
+    assert(sliceMass == expectStart, "sliced token mass must equal the stream total")
+  }
+
   test("the data-sized window is partition-parallel; only partition totals hit the global window") {
     val rows = (1 to 10000).map(i => (i.toLong, 3L)).toDF("doc_id", "n")
     val plan = Pack.globalOffsets(rows, "doc_id", "n")

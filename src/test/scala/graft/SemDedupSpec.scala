@@ -104,6 +104,25 @@ class SemDedupSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("cross-corpus probe through the TWO-LEVEL index flags the same twin set (scale config)") {
+    // the 100 TB decontamination posture: the maintained index is the
+    // hierarchical one; the eval batch routes super→child into the same
+    // global leaf-id space and the identical equi-join probes it
+    val expected = embs.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val evalSet = embs.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val (sup, ch) = Ann.ivfFitHier(embs, cSuper = 16, cChild = 16)
+    val index = Ann.ivfEncodeHier(embs, sup, ch, cChild = 16)
+    val got = SemDedup.dupsAgainstIndexHier(evalSet, sup, ch, 16, index, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got.forall { case (e, t, sim) =>
+      expected.contains(t) && e == t + 1000000L && sim == 1.0
+    }, s"unexpected flag among ${got.take(5)}")
+    assert(got.map(_._2).toSet == expected, "a contaminated vector was missed")
+  }
+
   test("q176 twin offset stays outside the natural vec_id space at every SF") {
     // q176's oracle plants twins at vec_id + 100000 and ASSUMES that id
     // space is disjoint from natural ids; a testdata regen with >= 100000
