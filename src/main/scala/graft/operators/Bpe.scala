@@ -182,7 +182,22 @@ object Bpe {
     * bearing forms are outside the merge alphabet).
     */
   def encodeTokens(docs: DataFrame, merges: Seq[(String, String)],
-                   k: Int = 30): DataFrame = {
+                   k: Int = 30): DataFrame =
+    encodeTokenFreq(docs, merges)
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** The FULL (token, freq) table behind [[encodeTokens]] — also the
+    * per-micro-batch unit of the STREAMING ingestion face: each batch
+    * of arriving documents is tokenized against the fixed trained
+    * merge list and its counts merged into a running token-frequency
+    * table (sum per token — associative, so batch boundaries cannot
+    * change the totals; `StreamingBpeSpec` pins stream == batch). The
+    * live "tokens ingested so far per subword" telemetry of a corpus
+    * build, at per-batch vocab-sized cost.
+    */
+  def encodeTokenFreq(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
     var vocab = wordFreq(docs)
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .select(expr(
@@ -193,7 +208,13 @@ object Bpe {
     vocab.select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("freq"))
-      .orderBy(col("freq").desc, col("token"))
-      .limit(k)
   }
+
+  /** Merge a batch's token counts into the accumulated table — the
+    * foreachBatch step. Both sides are token-vocabulary-sized.
+    */
+  def mergeTokenFreq(acc: DataFrame, batch: DataFrame): DataFrame =
+    acc.unionByName(batch)
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
 }

@@ -14,9 +14,10 @@ distributional structure, measured from sf0.1 itself:
   and cluster structure.
 
 Deterministic (seed 421). Output: target/testdata/sf1/*.parquet —
-never under /root/testdata (read-only driver data). Correctness is NOT
-claimed at sf1 (no oracle run); this data exists to measure whether
-the heavy pipeline queries scale ~linearly one decade past the bench SF.
+never under /root/testdata (read-only driver data). Originally
+BENCH-only; late r10 ALSO ran the full oracle here (Verify +
+tools/check.py against this directory): 182/182 pass at sf1, so the
+decade is both a throughput and a correctness point.
 """
 import os
 import random
