@@ -298,7 +298,20 @@ object Ann {
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
     assigned.unpersist(blocking = true)
-    (superCents, children.sortBy(c => (c._1, c._2)))
+    // empty-cell backfill: classic k-means can leave a FINAL super
+    // centroid that wins zero TRAINING-band vectors (amplified by
+    // trainMod subsampling), so no children trained under that parent
+    // — but a full-corpus vector can still argmax to it at encode
+    // time, and ivfEncodeHier's parent equi-join would silently DROP
+    // it (and ivfSearchHier silently skip the probe). Give every
+    // childless parent its own centroid as a single child: the join
+    // is total by construction, recall unaffected (the leaf IS the
+    // cell).
+    val covered = children.map(_._1).toSet
+    val backfill = superCents.collect {
+      case (scid, sce) if !covered.contains(scid) => (scid, 0, sce)
+    }
+    (superCents, (children ++ backfill).sortBy(c => (c._1, c._2)))
   }
 
   /** The two-level index table: (vec_id, ve, cluster) with global leaf

@@ -46,10 +46,19 @@ object Components {
                        salt: Int, hotThreshold: Long = 50000L): DataFrame =
     if (salt <= 1) left.join(right, cond, how)
     else {
-      // map-side combined count: reducer input is #distinct-keys-sized
-      val hot = broadcast(
-        left.groupBy(leftKey.as("__hk")).agg(count(lit(1)).as("__kc"))
-          .filter(col("__kc") >= hotThreshold).select(col("__hk")))
+      // map-side combined count: reducer input is #distinct-keys-sized.
+      // The hot set feeds BOTH join branches below, so it is collected
+      // into a driver-local relation — single execution by
+      // construction, not by hoping ReusedExchange fires twice (the
+      // fragility this file's callers pay localCheckpoint to avoid).
+      // Bounded by construction: ≤ |left| / hotThreshold keys, the
+      // same model-sized payload the broadcast would ship anyway.
+      val hotDf = left.groupBy(leftKey.as("__hk"))
+        .agg(count(lit(1)).as("__kc"))
+        .filter(col("__kc") >= hotThreshold).select(col("__hk"))
+      val spark = left.sparkSession
+      val hot = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(hotDf.collect(): _*), hotDf.schema))
       val l = left.join(hot, leftKey === col("__hk"), "left")
         .withColumn("__lsalt", when(col("__hk").isNotNull,
           pmod(xxhash64(saltBy), lit(salt.toLong))).otherwise(lit(0L)))

@@ -130,6 +130,14 @@ object Pack {
     * shuffle then applies within the batch). One corpus-thin
     * projection through the two-phase prefix sum, explode of
     * shards-spanned rows per doc.
+    *
+    * Invariant the arithmetic leans on: n_tokens ≥ 1 for EVERY
+    * document ([[packSequences]]' tokenizer contract — split of ""
+    * is [""]), so last_shard ≥ first_shard always and the
+    * `sequence(first, last)` explode can never see a descending
+    * (first, first − 1) range (Spark would silently emit it with
+    * step −1 where the DuckDB oracle's `range` emits nothing —
+    * `PackSpec` pins the empty-doc case).
     */
   def shardPlacement(docs: DataFrame, seqLen: Int = 512,
                      binsPerShard: Int = 16, seed: Long = 42L,

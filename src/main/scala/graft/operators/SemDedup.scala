@@ -80,9 +80,18 @@ object SemDedup {
     * bucketed index table grows at 100 TB: batch-sized encode, no
     * recompute of history.
     */
+  /** `excludeSelf` (default true) drops pairs whose ids are EQUAL —
+    * correct when the batch and the index share one id space (the
+    * streaming ingestion loop, where a batch may be re-processed
+    * against an index that already contains it). Pass false when the
+    * two sides carry INDEPENDENT id spaces (the [[decontaminate]]
+    * posture): there an id equality is a coincidence that must NOT
+    * suppress a real match — the Ann.ivfSearch excludeSelf contract.
+    */
   def dupsAgainstIndex(newVecs: DataFrame, cents: Seq[(Int, Seq[Double])],
-                       index: DataFrame, threshold: Double): DataFrame =
-    probeIndexJoin(Ann.ivfEncode(newVecs, cents), index, threshold)
+                       index: DataFrame, threshold: Double,
+                       excludeSelf: Boolean = true): DataFrame =
+    probeIndexJoin(Ann.ivfEncode(newVecs, cents), index, threshold, excludeSelf)
 
   /** [[dupsAgainstIndex]] over a TWO-LEVEL index ([[Ann.ivfFitHier]]/
     * [[Ann.ivfEncodeHier]] — the 100 TB cluster-count configuration):
@@ -94,20 +103,22 @@ object SemDedup {
                            superCents: Seq[(Int, Seq[Double])],
                            children: Seq[(Int, Int, Seq[Double])],
                            cChild: Int, index: DataFrame,
-                           threshold: Double): DataFrame =
+                           threshold: Double,
+                           excludeSelf: Boolean = true): DataFrame =
     probeIndexJoin(Ann.ivfEncodeHier(newVecs, superCents, children, cChild),
-      index, threshold)
+      index, threshold, excludeSelf)
 
   /** The shared probe: encoded batch (vec_id, ve, cluster) against an
     * accumulated index of the same schema — cluster equi-join, exact
     * cosine verify, (new_id, old_id, sim).
     */
   private def probeIndexJoin(enc: DataFrame, index: DataFrame,
-                             threshold: Double): DataFrame =
+                             threshold: Double,
+                             excludeSelf: Boolean): DataFrame =
     enc.select(col("cluster"), col("vec_id").as("new_id"), col("ve").as("nve"))
       .join(index.select(col("cluster"), col("vec_id").as("old_id"), col("ve").as("ove")),
         Seq("cluster"))
-      .filter(col("new_id") =!= col("old_id"))
+      .filter(if (excludeSelf) col("new_id") =!= col("old_id") else lit(true))
       .withColumn("sim", round(Ann.cosine("nve", "ove"), 4))
       .filter(col("sim") >= threshold)
       .select(col("new_id"), col("old_id"), col("sim"))
@@ -132,7 +143,11 @@ object SemDedup {
     val index = Ann.ivfEncode(train, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index.count()
-    dupsAgainstIndex(eval, cents, index, threshold)
+    // excludeSelf = false: eval and train carry INDEPENDENT id spaces,
+    // so a numeric id collision (eval benchmark row 42 copied from
+    // train row 42) is a real contamination that the same-id filter
+    // would silently swallow — the documented ivfSearch contract.
+    dupsAgainstIndex(eval, cents, index, threshold, excludeSelf = false)
       .select(col("new_id").as("eval_id"), col("old_id").as("train_id"),
         col("sim"))
   }

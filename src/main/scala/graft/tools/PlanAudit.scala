@@ -239,6 +239,17 @@ object PlanAudit {
     * at 100 TB a repeated scan IS the dominant cost, so every
     * multi-scan must be whitelisted with its justification or the
     * audit exits non-zero.
+    *
+    * KNOWN BLIND SPOT (documented, not fixable at this layer):
+    * driver-looped training queries (q179 trainMerges — its result is
+    * a collected local table; q182's training phase; every ivfFit-
+    * style centroid collect) execute their corpus scans at query
+    * CONSTRUCTION, before the returned plan exists — the audit sees a
+    * LocalTableScan or only the final apply pass. Scan regressions
+    * inside those loops are covered by their operator specs (BpeSpec's
+    * vocab-sized-round assertions, AnnIndexSpec's zero-training-jobs
+    * count) and by wall-clock in the bench record, not by this
+    * counter.
     */
   def tableScans(root: SparkPlan): Map[String, Int] = {
     val scans = mutable.Map.empty[String, Int].withDefaultValue(0)

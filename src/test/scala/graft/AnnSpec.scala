@@ -8,6 +8,22 @@ class AnnSpec extends SparkSpec {
 
   private def embs = Tables.embeddings(spark, sfDir)
 
+  test("hier fit backfills childless supers: encode covers every vector under starved training") {
+    // aggressive subsampling leaves fewer training points than super
+    // cells — classic empty-cell k-means. Every FINAL super centroid
+    // must still carry >= 1 child (backfill: the parent centroid
+    // itself), or ivfEncodeHier's parent equi-join silently DROPS any
+    // corpus vector that argmaxes to a childless super.
+    val n = embs.count()
+    val (sup, ch) = Ann.ivfFitHier(embs, cSuper = 16, cChild = 4,
+      iters = 2, trainMod = 16)
+    assert(sup.map(_._1).toSet.subsetOf(ch.map(_._1).toSet),
+      s"childless supers: ${sup.map(_._1).toSet -- ch.map(_._1).toSet}")
+    val enc = Ann.ivfEncodeHier(embs, sup, ch, cChild = 4)
+    assert(enc.count() == n, "encode must emit exactly one row per corpus vector")
+    assert(enc.select("vec_id").distinct().count() == n)
+  }
+
   test("brute-force knn: a vector's nearest neighbour set never contains itself") {
     val res = Ann.bruteKnn(embs, embs.filter(col("vec_id") < 5), k = 3).collect()
     assert(res.nonEmpty)

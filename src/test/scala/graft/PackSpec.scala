@@ -98,6 +98,22 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("empty and whitespace-only docs count 1 token and land in exactly one shard") {
+    // the n_tokens >= 1 invariant behind the sequence(first, last)
+    // explode: a 0-token doc at a shard boundary would make the range
+    // DESCEND (phantom rows in Spark, absent rows in the oracle)
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "a b c")).toDF("doc_id", "text")
+    val placed = Pack.shardPlacement(docs, seqLen = 4, binsPerShard = 1, seed = 1L)
+      .collect()
+    val byDoc = placed.groupBy(_.getAs[Long]("doc_id"))
+    for (id <- Seq(1L, 2L)) {
+      assert(byDoc(id).length == 1, s"doc $id must touch exactly one shard")
+      assert(byDoc(id).head.getAs[Long]("n_tokens") >= 1L)
+      assert(byDoc(id).head.getAs[Long]("slice_len") == byDoc(id).head.getAs[Long]("n_tokens"))
+    }
+    assert(placed.forall(r => r.getAs[Long]("slice_len") > 0L))
+  }
+
   test("writeShards lands one pruned directory per shard; read-back equals in-memory placement") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString

@@ -93,6 +93,20 @@ class SemDedupSpec extends SparkSpec {
       "a contaminated training vector was missed")
   }
 
+  test("decontamination reports a match even when eval and train ids numerically collide") {
+    // independent id spaces: eval benchmark row 42 can be a verbatim
+    // copy of train row 42 — a same-id filter would silently swallow
+    // exactly that contamination (the Ann.ivfSearch excludeSelf
+    // contract; decontaminate must pass excludeSelf = false)
+    val evalSet = embs.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), col("embedding")) // SAME ids as train
+    val expected = evalSet.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val got = SemDedup.decontaminate(embs, evalSet, threshold = 0.9, c = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.filter { case (e, t) => e == t }.map(_._2).toSet == expected,
+      "self-id contamination pairs must be reported, not filtered")
+  }
+
   test("decontamination against a disjoint training corpus flags nothing") {
     // remove the eval sources from training: the probes are now genuinely
     // novel vectors, and no NATURAL training vector sits within 0.9
