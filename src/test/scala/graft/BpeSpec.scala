@@ -146,6 +146,30 @@ class BpeSpec extends SparkSpec {
     assert(got == Map("tab" -> 100L, "l" -> 100L, "e" -> 100L))
   }
 
+  test("multi-round training matches the serial loop on seeded random corpora") {
+    // property-style hardening of the fixed-corpus equality: short
+    // words over a 3-letter alphabet maximize pair collisions, overlap
+    // cases ("aaa…"), and tie-breaks — the adversarial surface for the
+    // merge fold and the (count desc, pair asc) ranking
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val words = (1 to 12).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val corpus = docs(words.grouped(4).zipWithIndex
+        .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+      val wordCounts = words.groupBy(identity)
+        .map { case (w, a) => w -> a.length.toLong }
+      val expected = serialTrain(wordCounts, rounds = 3)
+      val got = Bpe.trainMerges(corpus, rounds = 3).orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected,
+        s"trial $trial over '${words.mkString(" ")}':\ngot      $got\nexpected $expected")
+    }
+  }
+
   test("training restricts the merge alphabet to delimiter-safe word forms") {
     // a word containing '|' (the fold delimiter) must not poison the
     // vocab — it is excluded by the ^[a-z0-9]+$ gate, merges still run

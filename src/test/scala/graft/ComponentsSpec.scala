@@ -107,6 +107,30 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("clustering equals serial union-find on seeded random graphs, salted and not") {
+    // property-style hardening: random multigraphs with self-loops and
+    // duplicate edges; min-root union-find is the serial truth (always
+    // attach the larger root under the smaller, so every root IS its
+    // component's min id — the operator's cluster contract)
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 6) {
+      val n = 30 + rnd.nextInt(20)
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Components.connectedComponents(edges.toDF("a", "b"),
+          salt = if (trial % 2 == 0) 4 else 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n) diverges from union-find")
+    }
+  }
+
   test("salted and unsalted clustering agree on a mixed graph") {
     val edges = Seq(
       (2L, 1L), (2L, 3L), (3L, 4L),
