@@ -1633,6 +1633,13 @@ object PipelineQueries extends QueryFamily {
     val merges = graft.operators.Bpe.trainMerges(docs, rounds = bpeRounds)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    // the oracle unrolls EXACTLY bpeRounds rounds; a corpus too small
+    // to sustain them (trainMerges exhausts early) would silently
+    // diverge — its t_r CTE goes empty and the cross join annihilates
+    // the oracle vocab while Spark applies fewer merges. Fail loudly.
+    require(merges.length == bpeRounds,
+      s"BPE training exhausted after ${merges.length}/$bpeRounds rounds — " +
+        "corpus too small for the unrolled oracle; lower bpeRounds")
     graft.operators.Bpe.encodeTokens(docs, merges, k = bpeTopTokens)
       .orderBy(col("freq").desc, col("token"))
   }

@@ -42,6 +42,23 @@ object SearchProbe {
           excludeSelf = false).count()
         println(f"SEARCH run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
+
+      // decontamination deployment path: eval batch probes a reloaded
+      // IVF model + raw-vector index (SemDedup.dupsAgainstIndex with
+      // excludeSelf=false — the independent-id-space decontaminate
+      // contract). The warm number is what a new benchmark costs
+      // against an already-maintained training index.
+      val ivfCents = Ann.ivfFit(embs, c = 16, trainMod = 4)
+      Ann.ivfModelDf(spark, ivfCents).write.parquet(s"$dir/ivf")
+      Ann.ivfEncode(embs, ivfCents).write.parquet(s"$dir/ivfindex")
+      val rIvf = Ann.ivfModelFrom(spark.read.parquet(s"$dir/ivf"))
+      val rIdx = spark.read.parquet(s"$dir/ivfindex")
+      for (i <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.operators.SemDedup.dupsAgainstIndex(queries, rIvf,
+          rIdx, threshold = 0.9, excludeSelf = false).count()
+        println(f"DECONTAM run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     } finally {
       spark.stop()
       // a probe must not leave artifacts behind
