@@ -12,9 +12,11 @@ import graft.{Q, QueryFamily, Tables}
   * tpch/q07.sql:1 … q22.sql:1). q01/q03/q04/q05/q06/q17/q18 forms are
   * already covered by q02–q06/q17/q18 in RelationalQueries; this family
   * adds the remaining shapes expressible against the reduced test schema:
-  * Q7 Q8 Q9 Q10 Q12 Q13 Q14 Q15 Q19 Q21 Q22. Q2/Q11/Q16/Q20 need the
-  * `partsupp` table, which the synthetic schema omits — documented as
-  * unexpressible in SURVEY.md §2.8. Columns the schema lacks
+  * Q7 Q8 Q9 Q10 Q12 Q13 Q14 Q15 Q19 Q21 Q22 — and, since late r10,
+  * Q2/Q11/Q16/Q20 via a DERIVED deterministic `partsupp` (the dbgen
+  * assignment formula replayed identically in both engines; see the
+  * partsupp block below), which closed the last §2.8 exclusion that was
+  * actually a query shape. Columns the schema lacks
   * (l_shipmode, l_commitdate/receiptdate, p_container, c_phone) are
   * substituted by semantically-equivalent predicates on existing columns,
   * preserving each query's operator shape (join graph, correlation
@@ -409,6 +411,193 @@ object TpchQueries extends QueryFamily {
       .orderBy("cntrycode")
   }
 
+  // ---- partsupp-dependent shapes (Q2/Q11/Q16/Q20, late r10) --------------
+  // The synthetic schema omits partsupp, which kept these four shapes on
+  // the exclusion list through r9. They are unblocked by DERIVING a
+  // deterministic partsupp from part × supplier with the public TPC-H
+  // dbgen assignment formula (TPC-H spec §4.2.3: supplier k of part p,
+  // copy i ∈ 0..3, is (p + i·(S/4 + (p−1)/S)) mod S + 1), plus
+  // arithmetic availqty/supplycost columns — all integer math, replayed
+  // IDENTICALLY in the Spark program and the DuckDB oracle, so the four
+  // query shapes (min-cost-per-part correlated lookup, value-share
+  // scalar-subquery HAVING, excluded-supplier distinct count, correlated
+  // half-of-shipments semi-join) run fully oracled on the driver's own
+  // testdata. Money stays in integer CENTS end to end — no decimal
+  // rendering crosses the oracle boundary. With small S the formula can
+  // emit a duplicate (part, supplier) pair; both engines derive the
+  // identical multiset, and every query aggregates/dedups over it.
+  private def partsuppOf(parts: DataFrame, nSupp: Long): DataFrame =
+    parts.withColumnRenamed("p_partkey", "ps_partkey")
+      .select(col("*"), explode(expr("sequence(0L, 3L)")).as("i"))
+      .withColumn("ps_suppkey", expr(
+        s"(ps_partkey + i * (${nSupp / 4}L + (ps_partkey - 1) div ${nSupp}L)) % ${nSupp}L + 1"))
+      .withColumn("ps_availqty",
+        expr("(ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1"))
+      .withColumn("ps_supplycost_cents",
+        expr("(ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000"))
+      .drop("i")
+
+  /** The matching oracle CTE chain: `partFilter` is a WHERE tail on
+    * part, `attrs` extra part columns to carry (", p_brand, ...").
+    */
+  private def psSql(partFilter: String, attrs: String): String =
+    s"""s0 AS (SELECT CAST(count(*) AS BIGINT) AS s FROM supplier),
+       |ps0 AS (SELECT p_partkey AS ps_partkey$attrs,
+       |         (p_partkey + i * (s // 4 + (p_partkey - 1) // s)) % s + 1 AS ps_suppkey
+       |       FROM part, s0, unnest(range(0, 4)) AS t(i)$partFilter),
+       |ps AS (SELECT *,
+       |       (ps_partkey * 7 + ps_suppkey * 3) % 9999 + 1 AS ps_availqty,
+       |       (ps_partkey * 31 + ps_suppkey * 17) % 90000 + 10000 AS ps_supplycost_cents
+       |       FROM ps0)""".stripMargin
+
+  /** TPC-H Q2 — min-supplycost supplier per qualifying part within a
+    * region (the correlated-min lookup shape; size/type filters (p_size <= 15, one type) stand
+    * in for the spec's size + '%BRASS' pair on this schema's flat
+    * p_type domain). The part filter pushes INTO the derivation — at
+    * scale partsupp rows are only materialized for qualifying parts.
+    */
+  val q183 = Q(
+    "q183_tpch_q2",
+    s"""WITH ${psSql(" WHERE p_size <= 15 AND p_type = 'STANDARD'", ", p_brand")},
+       |eu AS (SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+       |       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |       JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+       |c AS (SELECT ps.*, eu.s_name, eu.s_acctbal, eu.n_name
+       |      FROM ps JOIN eu ON ps_suppkey = s_suppkey),
+       |m AS (SELECT ps_partkey, min(ps_supplycost_cents) AS mc FROM c GROUP BY 1)
+       |SELECT c.s_acctbal, c.s_name, c.n_name, c.ps_partkey AS p_partkey,
+       |  c.p_brand, CAST(c.ps_supplycost_cents AS BIGINT) AS cost_cents
+       |FROM c JOIN m ON c.ps_partkey = m.ps_partkey AND c.ps_supplycost_cents = m.mc
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin) { (s, d) =>
+    val nSupp = Tables.supplier(s, d).count()
+    val parts = Tables.part(s, d)
+      .filter(col("p_size") <= 15 && col("p_type") === "STANDARD")
+      .select("p_partkey", "p_brand")
+    val eu = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 2).as("s_acctbal"), col("n_name"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))
+    partsuppOf(parts, nSupp)
+      .join(eu, col("ps_suppkey") === col("s_suppkey"))
+      .withColumn("mc", min(col("ps_supplycost_cents")).over(w))
+      .filter(col("ps_supplycost_cents") === col("mc"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("ps_partkey").as("p_partkey"), col("p_brand"),
+        col("ps_supplycost_cents").as("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q11 — a nation's partsupp value share with the
+    * total-threshold scalar subquery (HAVING value > total/1000 in
+    * exact integer arithmetic).
+    */
+  val q184 = Q(
+    "q184_tpch_q11",
+    s"""WITH ${psSql("", "")},
+       |np AS (SELECT ps_partkey, ps_supplycost_cents * ps_availqty AS v
+       |       FROM ps JOIN supplier ON ps_suppkey = s_suppkey
+       |       JOIN nation ON s_nationkey = n_nationkey
+       |       WHERE n_name = 'NATION_3'),
+       |g AS (SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents FROM np GROUP BY 1),
+       |tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t FROM g)
+       |SELECT ps_partkey, value_cents FROM g, tot
+       |WHERE value_cents * 1000 > t
+       |ORDER BY value_cents DESC, ps_partkey""".stripMargin) { (s, d) =>
+    val nSupp = Tables.supplier(s, d).count()
+    val np = partsuppOf(Tables.part(s, d).select("p_partkey"), nSupp)
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("ps_partkey"),
+        (col("ps_supplycost_cents") * col("ps_availqty")).as("v"))
+    // the grand total derives from the per-part aggregate (exact
+    // integer sum-of-sums), and g feeds BOTH the threshold side and
+    // the output — persist it so the partsupp derivation runs once
+    // (the r10 scan-audit discipline; g is |part|-sized, thin)
+    val g = np.groupBy(col("ps_partkey")).agg(sum(col("v")).as("value_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    g.count()
+    g.crossJoin(broadcast(g.agg(sum(col("value_cents")).as("t"))))
+      .filter(col("value_cents") * 1000 > col("t"))
+      .select(col("ps_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 — supplier count per (brand, type, size) with brand/
+    * type exclusions and an excluded-supplier anti-join (negative
+    * account balance stands in for the spec's complaint-comment scan
+    * on this schema).
+    */
+  val q185 = Q(
+    "q185_tpch_q16",
+    s"""WITH ${psSql(
+        " WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)",
+        ", p_brand, p_type, p_size")}
+       |SELECT p_brand, p_type, p_size,
+       |  CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM ps
+       |WHERE ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val nSupp = Tables.supplier(s, d).count()
+    val parts = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    partsuppOf(parts, nSupp)
+      .join(Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey")),
+        col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q20 — suppliers holding excess stock of a part class they
+    * actually shipped: availqty > half the year's shipped quantity for
+    * that (part, supplier), exact via 2·availqty > Σqty in decimal
+    * (p_type stands in for the spec's p_name prefix scan).
+    */
+  val q186 = Q(
+    "q186_tpch_q20",
+    s"""WITH ${psSql(" WHERE p_type = 'ECONOMY'", "")},
+       |q AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+       |      FROM lineitem
+       |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |        AND l_shipdate < TIMESTAMP '1997-01-01'
+       |      GROUP BY 1, 2),
+       |el AS (SELECT DISTINCT ps_suppkey FROM ps
+       |       JOIN q ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |       WHERE CAST(2 * ps_availqty AS DECIMAL(18,2)) > sq)
+       |SELECT s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE n_name = 'NATION_3' AND s_suppkey IN (SELECT ps_suppkey FROM el)
+       |ORDER BY s_name""".stripMargin) { (s, d) =>
+    val nSupp = Tables.supplier(s, d).count()
+    val q = Tables.lineitem(s, d)
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND l_shipdate < timestamp'1997-01-01'"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+    val el = partsuppOf(
+        Tables.part(s, d).filter(col("p_type") === "ECONOMY").select("p_partkey"),
+        nSupp)
+      .join(q, col("ps_partkey") === col("l_partkey") &&
+        col("ps_suppkey") === col("l_suppkey"))
+      .filter((col("ps_availqty") * 2).cast("decimal(18,2)") > col("sq"))
+      .select(col("ps_suppkey")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(el, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+      .select(col("s_name"))
+      .orderBy("s_name")
+  }
+
   val all: Seq[Q] =
-    Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82)
+    Seq(q72, q73, q74, q75, q76, q77, q78, q79, q80, q81, q82,
+      q183, q184, q185, q186)
 }

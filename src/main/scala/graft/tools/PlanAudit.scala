@@ -98,7 +98,8 @@ object PlanAudit {
     "q178_hier_ivf_ann" ->
       "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)",
     "q180_semantic_decontam" ->
-      "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)")
+      "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)",
+    "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery")
 
   /** Queries allowed to scan a source table more than once, each with
     * the proof the repetition is intentional — a semantically distinct
