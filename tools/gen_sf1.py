@@ -16,7 +16,7 @@ distributional structure, measured from sf0.1 itself:
 Deterministic (seed 421). Output: target/testdata/sf1/*.parquet —
 never under /root/testdata (read-only driver data). Originally
 BENCH-only; late r10 ALSO ran the full oracle here (Verify +
-tools/check.py against this directory): 182/182 pass at sf1, so the
+tools/check.py against this directory): 186/186 pass at sf1 (the full registered surface at the time of the final r10 run), so the
 decade is both a throughput and a correctness point.
 """
 import os
