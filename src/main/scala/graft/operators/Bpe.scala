@@ -112,11 +112,7 @@ object Bpe {
   def trainMerges(docs: DataFrame, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = wordFreq(docs)
-      .filter(col("word").rlike("^[a-z0-9]+$"))
-      .select(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
-        col("freq"))
+    var vocab = charVocab(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     vocab.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
@@ -157,10 +153,16 @@ object Bpe {
     * filtering), so embedding them in the expression text and using
     * '|' as the delimiter are both safe.
     */
-  private def mergeFoldSql(pa: String, pb: String): String =
+  private def mergeFoldSql(pa: String, pb: String): String = {
+    // enforce the alphabet contract loudly: a pair containing ' , | or \
+    // would otherwise silently corrupt tokenization or throw a SQL
+    // parse error from inside the generated expression text
+    require(pa.matches("[a-z0-9]+") && pb.matches("[a-z0-9]+"),
+      s"BPE merge pair ('$pa', '$pb') outside the [a-z0-9]+ training alphabet")
     s"split(substring(aggregate(syms, '', (acc, s) -> " +
       s"CASE WHEN endswith(acc, concat('|', '$pa')) AND s = '$pb' " +
       s"THEN concat(acc, s) ELSE concat(acc, '|', s) END), 2), '\\\\|')"
+  }
 
   /** BPE APPLICATION — tokenize the corpus with an already-trained
     * merge list ([[trainMerges]] output order): the deployment face
@@ -198,17 +200,44 @@ object Bpe {
     */
   def encodeTokenFreq(docs: DataFrame,
                       merges: Seq[(String, String)]): DataFrame = {
-    var vocab = wordFreq(docs)
-      .filter(col("word").rlike("^[a-z0-9]+$"))
-      .select(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
+    val vocab = charVocab(docs)
+    val encoded =
+      if (merges.isEmpty) vocab
+      else vocab.select(
+        graft.plans.NativeFunctions.bpeEncode(col("syms"), merges).as("syms"),
         col("freq"))
+    encoded.select(explode(col("syms")).as("token"), col("freq"))
+      .groupBy(col("token"))
+      .agg(sum(col("freq")).as("freq"))
+  }
+
+  /** The pre-kernel formulation of [[encodeTokenFreq]]: M chained
+    * interpreted `aggregate()` folds, one per merge. Kept as the
+    * differential-parity counterpart for the native kernel
+    * (`BpeSpec` pins kernel == fold on trained merge lists) — the
+    * kernel is the deployment face because M chained HOF projections
+    * cannot reach a real 32k-merge vocabulary (CodegenFallback per
+    * fold, Catalyst analysis on an M-deep projection chain).
+    */
+  def encodeTokenFreqFold(docs: DataFrame,
+                          merges: Seq[(String, String)]): DataFrame = {
+    var vocab = charVocab(docs)
     for ((pa, pb) <- merges)
       vocab = vocab.select(expr(mergeFoldSql(pa, pb)).as("syms"), col("freq"))
     vocab.select(explode(col("syms")).as("token"), col("freq"))
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("freq"))
   }
+
+  /** (syms, freq) at the character stage over the training alphabet —
+    * the table every BPE face starts from.
+    */
+  private def charVocab(docs: DataFrame): DataFrame =
+    wordFreq(docs)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
+        col("freq"))
 
   /** Merge a batch's token counts into the accumulated table — the
     * foreachBatch step. Both sides are token-vocabulary-sized.

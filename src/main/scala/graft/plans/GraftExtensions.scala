@@ -96,6 +96,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordStem].getName, "graft_word_stem"),
       (children: Seq[Expression]) => WordStem(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("graft_bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
+      (children: Seq[Expression]) => BpeEncode(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[Normalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => Normalize(children.head,
@@ -358,6 +362,14 @@ object NativeFunctions {
 
   def wordStem(c: Column): Column =
     Bridge.column(WordStem(col2expr(c)))
+
+  /** Apply a trained BPE merge list (rank order) to a symbol-array
+    * column in one codegen'd kernel — see [[BpeEncode]].
+    */
+  def bpeEncode(syms: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(col2expr(syms),
+      col2expr(org.apache.spark.sql.functions.lit(
+        merges.map { case (pa, pb) => s"$pa $pb" }.toArray))))
 
   def normalize(c: Column, form: String = "NFC"): Column =
     Bridge.column(Normalize(col2expr(c), form))

@@ -170,6 +170,112 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  // ---- native kernel (graft_bpe_encode) ---------------------------------
+
+  test("kernel == chained fold on a trained merge list (differential parity)") {
+    val corpus = docs(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest aaaa aaaa aa"),
+      (3L, "the cat the hat the cat"))
+    val merges = Bpe.trainMerges(corpus, rounds = 6).orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val kernel = Bpe.encodeTokenFreq(corpus, merges)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val fold = Bpe.encodeTokenFreqFold(corpus, merges)
+      .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kernel == fold, s"\nkernel $kernel\nfold   $fold")
+  }
+
+  test("kernel survives a 1000+ merge vocabulary with bounded plan and run time") {
+    // the chained-fold formulation is structurally dead here (M
+    // CodegenFallback projections + an M-deep Catalyst plan); the
+    // kernel takes the whole list as ONE literal. Synthetic valid
+    // rank list: 150 distinct 8-char words, each fused left-to-right
+    // by 7 merges (each pair's left symbol is created by the previous
+    // merge — the invariant every trained list has), 1050 merges total.
+    val rnd = new scala.util.Random(11)
+    val words = scala.collection.mutable.LinkedHashSet.empty[String]
+    while (words.size < 150)
+      words += (1 to 8).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val merges = words.toSeq.flatMap { w =>
+      (2 to w.length).map(i => (w.substring(0, i - 1), w.substring(i - 1, i)))
+    }
+    assert(merges.length == 1050)
+    val corpus = docs(words.toSeq.grouped(10).zipWithIndex
+      .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+    // chains of different words interfere (a low-rank pair from one
+    // word fires inside another), so the expectation is the serial
+    // greedy loop, not whole-word collapse
+    // first occurrence of a duplicate pair wins (sequential semantics:
+    // the later pass finds nothing left to fuse), matching the kernel
+    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
+    for (((a, b), i) <- merges.zipWithIndex)
+      if (!ranks.contains((a, b))) ranks((a, b)) = i
+    def serialGreedy(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go && syms.length >= 2) {
+        val cands = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(p -> _))
+        if (cands.isEmpty) go = false
+        else {
+          val (pa, pb) = cands.minBy(_._2)._1
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
+              out += pa + pb; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val expected = words.toSeq.flatMap(serialGreedy)
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val t0 = System.nanoTime()
+    val got = Bpe.encodeTokenFreq(corpus, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == expected)
+    assert(secs < 60.0, s"1050-merge encode took ${secs}s — kernel ceiling regressed")
+  }
+
+  test("kernel SQL face: graft_bpe_encode over a literal merge list") {
+    val row = spark.sql(
+      "SELECT graft_bpe_encode(array('a','b','a','b','c'), array('a b', 'ab c'))")
+      .collect()(0).getSeq[String](0)
+    // greedy lowest-rank: fuse both (a,b), then the second ab meets c
+    assert(row == Seq("ab", "abc"))
+  }
+
+  test("kernel rejects merge entries outside the training alphabet, loudly") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array('a'), array('a|b c'))").collect()
+    }
+    assert(ex.getMessage.contains("bpe_encode") ||
+      (ex.getCause != null && ex.getCause.getMessage.contains("bpe_encode")))
+  }
+
+  test("kernel and fold agree on seeded random corpora end-to-end through training") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val words = (1 to 15).map { _ =>
+        val len = 2 + rnd.nextInt(5)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val corpus = docs(words.grouped(5).zipWithIndex
+        .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+      val trained = Bpe.trainMerges(corpus, rounds = 4).orderBy("round").collect()
+      val merges = trained.map(r => (r.getString(1), r.getString(2))).toSeq
+      val kernel = Bpe.encodeTokenFreq(corpus, merges)
+        .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val fold = Bpe.encodeTokenFreqFold(corpus, merges)
+        .orderBy("token").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(kernel == fold, s"trial $trial over '${words.mkString(" ")}'")
+    }
+  }
+
   test("training restricts the merge alphabet to delimiter-safe word forms") {
     // a word containing '|' (the fold delimiter) must not poison the
     // vocab — it is excluded by the ^[a-z0-9]+$ gate, merges still run
