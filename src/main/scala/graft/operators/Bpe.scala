@@ -146,6 +146,119 @@ object Bpe {
     merges.toSeq.toDF("round", "pair_a", "pair_b", "n_adjacent", "n_tokens_after")
   }
 
+  /** [[trainMerges]] with BATCHED rounds — the production-scale face of
+    * the training loop. The serial loop pays 2 driver-synchronized jobs
+    * per merge (stats top-1 + post-merge recount); at a real 32k-merge
+    * vocabulary that is ~64k sequential jobs on vocab-sized data, where
+    * per-job latency (not data volume) is the wall. This variant selects
+    * up to `batch` merges from ONE statistics pass and applies them in
+    * ONE vocab-sized kernel projection — ~batch× fewer driver round
+    * trips for an IDENTICAL merge list (BpeSpec pins batched == serial
+    * row-for-row; the q179 oracle replays the serial semantics, so the
+    * driver's DuckDB gate holds the equivalence every round).
+    *
+    * Why the output is exactly the serial loop's: candidates are walked
+    * in the serial ranking (count desc, pa, pb) and selected while
+    * MUTUALLY INDEPENDENT — a candidate is rejected (and the batch
+    * boundary recorded) as soon as any of {pa, pb, pa·pb} touches a
+    * selected pair's components or fused symbol. Independent merges
+    * cannot perturb each other's pair counts (their match sites share
+    * no symbol occurrence, and the fused symbol of one can never equal
+    * or create a component of another), so after applying the first i
+    * selected merges the (i+1)-th still holds its original count while
+    * every perturbed-or-created pair is bounded by the count of some
+    * CONFLICTING pair — all of which rank at or below the recorded
+    * boundary. Selected pairs tied WITH the boundary count are trimmed
+    * (a newly created pair could tie them and win the lexicographic
+    * break — see BpeSpec's counterexample corpus), leaving a strict
+    * count gap that makes the serial choice provably ours. Batch
+    * application via the greedy [[graft.plans.BpeEncode]] kernel equals
+    * the sequential per-merge folds because independent merges commute
+    * and cannot enable or disable one another.
+    */
+  def trainMergesBatched(docs: DataFrame, rounds: Int = 6,
+                         batch: Int = 4): DataFrame = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // candidate horizon per stats pass: enough rank-ordered candidates
+    // to find the batch AND its first conflicting boundary; if the
+    // horizon fills without a conflict, the last candidate's count is
+    // the (conservative) boundary — anything beyond ranks below it
+    val horizon = math.max(batch * 4, 16)
+    var vocab = charVocab(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one job: materialize the persisted vocab AND read the starting
+    // corpus token count — per-round counts then telescope with no
+    // recount jobs (independent merges fuse a fixed, precomputed number
+    // of sites each)
+    val row0 = vocab.agg(sum(size(col("syms")).cast("long") * col("freq")))
+      .collect()(0)
+    var nTokens = if (row0.isNullAt(0)) 0L else row0.getLong(0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var exhausted = false
+    while (merges.length < rounds && !exhausted) {
+      val cands = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS pa, element_at(syms, i + 1) AS pb))")).as("p"),
+          col("freq"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(horizon).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cands.isEmpty) exhausted = true
+      else {
+        val want = math.min(batch, rounds - merges.length)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val touched = scala.collection.mutable.Set.empty[String]
+        // the count of the highest-ranked candidate CONFLICTING with the
+        // selection — the bound on every pair a selected merge perturbs
+        // or creates. Disjoint-but-over-budget candidates are skipped
+        // without closing the scan: they perturb nothing.
+        var bound: Option[Long] = None
+        var i = 0
+        while (bound.isEmpty && i < cands.length) {
+          val (pa, pb, cnt) = cands(i)
+          val parts = Seq(pa, pb, pa + pb)
+          if (parts.exists(touched.contains)) bound = Some(cnt)
+          else if (selected.length < want) {
+            selected += ((pa, pb, cnt)); touched ++= parts
+          }
+          i += 1
+        }
+        if (bound.isEmpty && cands.length == horizon)
+          bound = Some(cands.last._3)
+        // strict-gap trim: the round's FIRST merge is serial's choice by
+        // definition; later ones must out-count the boundary outright
+        val kept = selected.head +:
+          selected.tail.takeWhile(s => bound.forall(s._3 > _))
+        // one job: every kept merge's non-overlapping fusion count on
+        // the round-START vocab (independence keeps each count valid at
+        // its serial application point)
+        val applyCols: Seq[Column] = kept.toSeq.zipWithIndex.map { case ((pa, pb, _), j) =>
+          sum(col("freq") *
+            (size(col("syms")) - size(expr(mergeFoldSql(pa, pb)))).cast("long")).as(s"a$j")
+        }
+        val counts = vocab.agg(applyCols.head, applyCols.tail: _*).collect()(0)
+        val next = vocab.select(
+          graft.plans.NativeFunctions.bpeEncode(
+            col("syms"), kept.map(t => (t._1, t._2)).toSeq).as("syms"),
+          col("freq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vocab.unpersist(blocking = false)
+        vocab = next
+        for (((pa, pb, cnt), j) <- kept.zipWithIndex) {
+          nTokens -= counts.getLong(j)
+          merges += ((merges.length + 1, pa, pb, cnt, nTokens))
+        }
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "pair_a", "pair_b", "n_adjacent", "n_tokens_after")
+  }
+
   /** The left-to-right non-overlapping merge of symbol pair (pa, pb)
     * as a SQL fold over a syms array — the single primitive both
     * training rounds and encode application repeat. pa/pb come from

@@ -60,8 +60,12 @@ case class BpeEncode(left: Expression, right: Expression)
 
   // built once per task (interpreted path) or once at codegen time and
   // shipped as a reference object (codegen path) — never per row
-  @transient private lazy val ranks: java.util.HashMap[String, Integer] =
-    BpeEncode.buildRanks(right.eval(null).asInstanceOf[ArrayData])
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val arr = right.eval(null)
+    require(arr != null,
+      "graft_bpe_encode: merge list literal is null — pass array() for no merges")
+    BpeEncode.buildRanks(arr.asInstanceOf[ArrayData])
+  }
 
   override protected def nullSafeEval(syms: Any, merges: Any): Any =
     BpeEncode.compute(syms.asInstanceOf[ArrayData], ranks)
@@ -111,10 +115,20 @@ object BpeEncode {
     */
   def compute(symsIn: ArrayData, ranks: java.util.HashMap[String, Integer]): ArrayData = {
     var n = symsIn.numElements()
+    // dataType declares containsNull = false: a null symbol must fail
+    // loudly here (on EVERY path, including the early returns below)
+    // rather than flow downstream as a schema-contract violation
+    var i = 0
+    while (i < n) {
+      if (symsIn.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_bpe_encode: symbol array contains null at index $i — " +
+          "symbols must be non-null strings")
+      i += 1
+    }
     if (n < 2 || ranks.isEmpty)
       return new GenericArrayData(symsIn.toObjectArray(StringType))
     var syms = new Array[String](n)
-    var i = 0
+    i = 0
     while (i < n) { syms(i) = symsIn.getUTF8String(i).toString; i += 1 }
     var done = false
     while (!done && n >= 2) {

@@ -1549,7 +1549,11 @@ object PipelineQueries extends QueryFamily {
       "\nSELECT CAST(round AS INTEGER) AS round, pair_a, pair_b, n_adjacent, n_tokens_after FROM (" +
       (1 to bpeRounds).map(r => s"SELECT * FROM m$r").mkString(" UNION ALL ") +
       ") ORDER BY round") { (s, d) =>
-    graft.operators.Bpe.trainMerges(Tables.documents(s, d), rounds = bpeRounds)
+    // the BATCHED trainer is the deployment face (~batch× fewer driver
+    // round trips); the oracle above replays the SERIAL loop, so this
+    // gate also holds batched == serial every round
+    graft.operators.Bpe.trainMergesBatched(Tables.documents(s, d),
+      rounds = bpeRounds, batch = 3)
       .orderBy("round")
   }
 
@@ -1630,7 +1634,8 @@ object PipelineQueries extends QueryFamily {
          |FROM (SELECT unnest(syms) AS token, freq FROM v$bpeRounds)
          |GROUP BY 1 ORDER BY freq DESC, token LIMIT $bpeTopTokens""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
-    val merges = graft.operators.Bpe.trainMerges(docs, rounds = bpeRounds)
+    val merges = graft.operators.Bpe
+      .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     // the oracle unrolls EXACTLY bpeRounds rounds; a corpus too small

@@ -203,6 +203,54 @@ class AnnSpec extends SparkSpec {
       && r.getAs[Double]("sim") == 1.0))
   }
 
+  test("two-level IVF at the 1024-leaf design budget: n·2√c routing rows, recall parity") {
+    // the design claim is 10⁴–10⁵ leaves at 100 TB; 256 leaves (above)
+    // exercises the mechanism, this pins the ≥1024 configuration the
+    // claim actually rests on: 32×32 on the sf1 decade (20k vectors).
+    // trainMod = 1 per the measured points ≫ cells rule — 20k points
+    // for 1024 cells (~20×); at 100 TB the same rule picks the sample.
+    val dir = "target/testdata/sf1"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      "sf1 decade missing — run tools/gen_sf1.py first (round-close gate)")
+    val big = Tables.embeddings(spark, dir)
+    val n = big.count()
+    val (sup, ch) = Ann.ivfFitHier(big, cSuper = 32, cChild = 32, iters = 2, trainMod = 1)
+    assert(sup.size == 32)
+    assert(ch.size > 512 && ch.size <= 1024,
+      s"${ch.size} leaves — expected most of the 32×32 budget trained")
+    val index = Ann.ivfEncodeHier(big, sup, ch, cChild = 32)
+    assert(index.count() == n, "exactly one encode row per vector")
+    // routing cost: stage 1 is n·cSuper candidate rows; stage 2 is
+    // Σ_v |children(parent(v))| ≤ n·cChild — measured exactly from the
+    // encode output (cluster div 32 = parent), the same rows a
+    // ShuffleAudit weighs. Flat routing at this leaf count would be
+    // n·1024; two-level must stay at n·2√c = n·64.
+    val perParent = ch.groupBy(_._1).map { case (p, cs) => p -> cs.size.toLong }
+    val stage2 = index.select((col("cluster") / 32).cast("int").as("parent"))
+      .groupBy("parent").count().collect()
+      .map(r => r.getLong(1) * perParent(r.getInt(0))).sum
+    val routingRows = n * 32 + stage2
+    assert(stage2 <= n * 32, s"stage-2 candidate rows $stage2 exceed n·cChild")
+    assert(routingRows <= n * 64, s"routing rows $routingRows exceed n·2√c")
+    assert(routingRows * 8 <= n * 1024,
+      s"routing rows $routingRows not far under the flat n·c join")
+    // recall parity at matched scan fraction: flat 16/4 scans 25%;
+    // 32×32 probing 16 supers × 16 children = 256/1024 = 25% with
+    // 32 + 16·32 = 544 comparisons vs the flat router's 1024
+    val queries = big.filter(col("vec_id") < 20)
+    val exact = Ann.bruteKnn(big, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("cid"))).toSet
+      (exact & s).size.toDouble / exact.size
+    }
+    val flat = recallOf(Ann.ivfKnn(big, queries, k = 5, c = 16, nprobe = 4))
+    val hier = recallOf(Ann.ivfSearchHier(sup, ch, index, queries, k = 5,
+      cChild = 32, nprobeSuper = 16, nprobePerSuper = 16))
+    assert(hier >= flat - 0.1 && hier >= 0.5,
+      f"1024-leaf recall@5 = $hier%.2f vs flat $flat%.2f")
+  }
+
   test("two-level IVF holds recall parity with the flat fit at the same leaf count") {
     val big = Tables.embeddings(spark, "/root/testdata/sf0.1")
     val queries = big.filter(col("vec_id") < 20)

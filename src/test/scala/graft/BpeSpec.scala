@@ -276,6 +276,113 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  // ---- batched training (trainMergesBatched) ----------------------------
+
+  test("batched training == serial loop row-for-row on the fixed corpus") {
+    val corpus = docs(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest widest aaaa aaaa aa"),
+      (3L, "the cat the hat the cat"))
+    val serial = Bpe.trainMerges(corpus, rounds = 6).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    for (b <- Seq(1, 2, 3, 4, 8)) {
+      val batched = Bpe.trainMergesBatched(corpus, rounds = 6, batch = b)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(batched == serial, s"batch=$b:\nbatched $batched\nserial  $serial")
+    }
+  }
+
+  test("batched training trims count-ties with the conflict boundary (counterexample corpus)") {
+    // words axy, ax, cc: pairs (a,x):2, (c,c):1, (x,y):1. A naive batch
+    // selects {(a,x), (c,c)} — (c,c) is disjoint and next in rank order
+    // — but serially, merging (a,x) CREATES pair (ax,y) at count 1,
+    // which beats (c,c) lexicographically ("ax" < "c"). The strict-gap
+    // trim must drop (c,c) because it ties the conflicting boundary
+    // pair (x,y) at count 1, so batched round 2 recounts and finds
+    // (ax,y) exactly like the serial loop.
+    val corpus = docs((1L, "axy ax cc"))
+    val serial = Bpe.trainMerges(corpus, rounds = 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(serial.map(m => (m._2, m._3)).take(2) == Seq(("a", "x"), ("ax", "y")),
+      s"counterexample corpus lost its shape: $serial")
+    val batched = Bpe.trainMergesBatched(corpus, rounds = 3, batch = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(batched == serial, s"\nbatched $batched\nserial  $serial")
+  }
+
+  test("batched training == serial loop on seeded random corpora") {
+    // 3-letter alphabet, short words: maximal pair conflicts, overlap
+    // runs, and count ties — the adversarial surface for the disjoint
+    // selection and the strict-gap trim
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 6) {
+      val words = (1 to 14).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val corpus = docs(words.grouped(5).zipWithIndex
+        .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+      val serial = Bpe.trainMerges(corpus, rounds = 6).orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      val batched = Bpe.trainMergesBatched(corpus, rounds = 6, batch = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(batched == serial,
+        s"trial $trial over '${words.mkString(" ")}':\nbatched $batched\nserial  $serial")
+    }
+  }
+
+  test("batched training runs ~batch-fold fewer driver jobs for the same merge list") {
+    // 12 mutually independent frequent pairs with distinct counts — the
+    // best case for batching, isolating the job-count claim. Job counts
+    // measured via job groups (public statusTracker API).
+    val words = "ab cd ef gh ij kl mn op qr st uv wx".split(" ")
+    val corpus = docs(words.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(20 - i)(w)
+    }.grouped(8).zipWithIndex.map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+    val sc = spark.sparkContext
+    def jobsIn(group: String)(body: => Unit): Int = {
+      sc.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
+    }
+    val serialJobs = jobsIn("bpe-serial") {
+      Bpe.trainMerges(corpus, rounds = 12).collect()
+    }
+    val batchedJobs = jobsIn("bpe-batched") {
+      val got = Bpe.trainMergesBatched(corpus, rounds = 12, batch = 4).collect()
+      assert(got.length == 12)
+    }
+    // serial: ~2 jobs/merge (24+); batched at b=4: ~2 jobs/round over 3
+    // rounds (~7). Assert the ratio, not exact counts.
+    assert(batchedJobs * 2 < serialJobs,
+      s"batched=$batchedJobs vs serial=$serialJobs driver jobs — batching regressed")
+  }
+
+  test("kernel rejects a null merge-list literal and null symbol elements loudly") {
+    // non-foldable left keeps ConstantFolding from short-circuiting the
+    // null literal before the rank table is ever built
+    val exList = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array(CAST(id AS STRING)), CAST(NULL AS ARRAY<STRING>)) FROM range(2)").collect()
+    }
+    assert((exList.getMessage != null && exList.getMessage.contains("merge list literal is null")) ||
+      (exList.getCause != null && exList.getCause.getMessage.contains("merge list literal is null")))
+    val exSym = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array('a', CAST(NULL AS STRING), 'b'), array('a b'))").collect()
+    }
+    assert((exSym.getMessage != null && exSym.getMessage.contains("contains null")) ||
+      (exSym.getCause != null && exSym.getCause.getMessage.contains("contains null")))
+    // the early-return paths (short array / empty ranks) must hold the
+    // containsNull = false contract too, not smuggle the null through
+    val exShort = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(array(CAST(NULL AS STRING)), CAST(array() AS ARRAY<STRING>))").collect()
+    }
+    assert((exShort.getMessage != null && exShort.getMessage.contains("contains null")) ||
+      (exShort.getCause != null && exShort.getCause.getMessage.contains("contains null")))
+  }
+
   test("training restricts the merge alphabet to delimiter-safe word forms") {
     // a word containing '|' (the fold delimiter) must not poison the
     // vocab — it is excluded by the ^[a-z0-9]+$ gate, merges still run
