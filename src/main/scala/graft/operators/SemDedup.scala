@@ -152,6 +152,40 @@ object SemDedup {
         col("sim"))
   }
 
+  /** COMBINED decontamination — both hygiene passes of the published
+    * pre-training recipes in one operator (GPT-3's appendix-C n-gram
+    * overlap scrub AND an embedding-space probe, run together because
+    * each catches leaks the other misses: paraphrased benchmark items
+    * have low shingle overlap but high cosine; templated/numeric items
+    * have high shingle overlap but unremarkable embeddings). The n-gram
+    * branch is [[Dedup.decontaminate]] (corpus streams against a
+    * broadcast benchmark shingle index); the semantic branch is
+    * [[decontaminate]] (eval-sized encode probes the persisted IVF
+    * index). Flag sets are full-outer-merged per training doc with
+    * PROVENANCE: (train_id, ngram_flag, sem_flag, overlap, max_sim) —
+    * overlap/max_sim null where that branch did not fire. Both
+    * branches persist their own projections, so each corpus table is
+    * scanned once; the merge joins two flagged-doc-sized tables.
+    */
+  def decontaminateCombined(docs: DataFrame, trainEmbs: DataFrame,
+                            evalEmbs: DataFrame,
+                            evalDocPred: org.apache.spark.sql.Column,
+                            minOverlap: Double, semThreshold: Double,
+                            c: Int = 16, iters: Int = 2,
+                            trainMod: Int = 1): DataFrame = {
+    val ngram = Dedup.decontaminate(docs, evalDocPred, minOverlap)
+      .select(col("train_id"), col("overlap"), lit(true).as("ngram_hit"))
+    val sem = decontaminate(trainEmbs, evalEmbs, semThreshold, c, iters, trainMod)
+      .groupBy(col("train_id"))
+      .agg(max(col("sim")).as("max_sim"))
+      .withColumn("sem_hit", lit(true))
+    ngram.join(sem, Seq("train_id"), "full_outer")
+      .select(col("train_id"),
+        coalesce(col("ngram_hit"), lit(false)).as("ngram_flag"),
+        coalesce(col("sem_hit"), lit(false)).as("sem_flag"),
+        col("overlap"), col("max_sim"))
+  }
+
   def dupPairsHier(corpus: DataFrame, threshold: Double, cSuper: Int = 16,
                    cChild: Int = 16, iters: Int = 2,
                    trainMod: Int = 1): DataFrame = {

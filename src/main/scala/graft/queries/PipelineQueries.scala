@@ -1649,5 +1649,49 @@ object PipelineQueries extends QueryFamily {
       .orderBy(col("freq").desc, col("token"))
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182)
+  // ---- q187: combined decontamination (n-gram + semantic, provenance) ----
+  // The published pre-training recipes run BOTH hygiene passes (GPT-3
+  // appendix C's 13-gram overlap scrub; semantic probes for paraphrased
+  // leaks): q128's n-gram branch and q180's semantic branch against the
+  // same corpus, flag sets full-outer-merged per training doc with
+  // per-branch provenance. Both branches keep their exact replays — the
+  // n-gram CTE chain is q128's, the semantic side is the planted-twin
+  // discipline (vec_id % 10 = 7 twins at +10^6, cosine exactly 1.0,
+  // natural pairs max 0.60 ≪ the 0.9 threshold) — so the UNION is
+  // fully oracled.
+  val q187 = Q(
+    "q187_combined_decontam",
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |shd AS (SELECT DISTINCT doc_id, s
+       |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
+       |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
+       |shf AS (SELECT shd.doc_id, shd.s FROM shd JOIN ok USING (s)),
+       |ev AS (SELECT doc_id AS eval_id, s FROM shf WHERE doc_id % 50 = 0),
+       |tr AS (SELECT doc_id, s FROM shf WHERE doc_id % 50 <> 0),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+       |hits AS (SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared
+       |         FROM tr JOIN ev USING (s) GROUP BY 1),
+       |ng AS (SELECT h.doc_id AS train_id,
+       |         round(CAST(n_shared AS DOUBLE) / n_sh, 6) AS overlap
+       |       FROM hits h JOIN cnt c ON h.doc_id = c.doc_id
+       |       WHERE round(CAST(n_shared AS DOUBLE) / n_sh, 6) >= 0.05),
+       |sm AS (SELECT vec_id AS train_id, CAST(1.0 AS DOUBLE) AS max_sim
+       |       FROM embeddings WHERE vec_id % 10 = 7)
+       |SELECT coalesce(ng.train_id, sm.train_id) AS train_id,
+       |  ng.train_id IS NOT NULL AS ngram_flag,
+       |  sm.train_id IS NOT NULL AS sem_flag,
+       |  ng.overlap AS overlap, sm.max_sim AS max_sim
+       |FROM ng FULL OUTER JOIN sm ON ng.train_id = sm.train_id
+       |ORDER BY train_id""".stripMargin) { (s, d) =>
+    val train = requirePlantHeadroom(Tables.embeddings(s, d), annPlant)
+    val evalVecs = train.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+    graft.operators.SemDedup.decontaminateCombined(
+        Tables.documents(s, d), train, evalVecs,
+        evalDocPred = col("doc_id") % 50 === 0,
+        minOverlap = 0.05, semThreshold = 0.9, c = 16, iters = 2, trainMod = 4)
+      .orderBy("train_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187)
 }

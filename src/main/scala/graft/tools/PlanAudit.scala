@@ -99,7 +99,9 @@ object PlanAudit {
       "model-sized two-level assignment joins (cSuper = 8 and cChild = 8 centroid rows per level)",
     "q180_semantic_decontam" ->
       "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)",
-    "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery")
+    "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery",
+    "q187_combined_decontam" ->
+      "model-sized k-means assignment joins (c = 16 centroid rows) — the q180 semantic branch's encode + eval probe")
 
   /** Queries allowed to scan a source table more than once, each with
     * the proof the repetition is intentional — a semantically distinct
@@ -173,6 +175,8 @@ object PlanAudit {
         "; here the second embeddings scan is the eval probe side drawn from the same table"),
       "q128_decontamination" ->
         "train split + eval split drawn from the same table: two roles by contract",
+      "q187_combined_decontam" ->
+        "the union of its branches' contracts: documents x2 is q128's train/eval split roles, embeddings x2 is q180's fit∘encode + eval-probe roles — each branch persists its own projection, one scan per role",
       "q124_funnel" ->
         "per-stage type-pruned scans, ADJUDICATED over the 1-scan window form: the window ships every event through one exchange (1.65 MB) where each staged scan map-side-combines to per-user minima before shuffling (0.09 MB) — shuffle bytes dominate at scale",
       "q72_tpch_q7" -> "nation plays two roles (supplier nation, customer nation) — TPC-H Q7 semantics",

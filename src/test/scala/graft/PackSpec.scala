@@ -142,6 +142,64 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("trainer round-trip: each shard reads back as one contiguous token run; docs reassemble exactly") {
+    // the consumer protocol writeShards promises: a trainer opens ONE
+    // shard directory, sorts its slices by absolute token position, and
+    // gets the shard's full token interval with no gap, overlap, or
+    // seek into another shard; across shards the intervals concatenate
+    // to exactly the corpus, and every document's slices reassemble to
+    // exactly its token count.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_rt").toString
+    try {
+      val (seqLen, bps) = (64, 4)
+      val st = bps.toLong * seqLen
+      Pack.writeShards(docs, dir, seqLen = seqLen, binsPerShard = bps, seed = 42L)
+      val nTok = docs.select(col("doc_id"),
+          size(graft.functions.Text.words(col("text"))).cast("long").as("n"))
+        .as[(Long, Long)].collect().toMap
+      val corpusTokens = nTok.values.sum
+      val shardIds = new java.io.File(dir).listFiles
+        .filter(_.getName.startsWith("shard_id="))
+        .map(_.getName.stripPrefix("shard_id=").toLong).sorted.toSeq
+      assert(shardIds == (0L until shardIds.length), s"shard ids not dense: $shardIds")
+      var total = 0L
+      for (sid <- shardIds) {
+        // the trainer's read is ONLY this shard's directory
+        val slices = spark.read.parquet(s"$dir/shard_id=$sid")
+          .select((col("global_start") + col("slice_start")).as("abs_start"),
+            col("slice_len"))
+          .as[(Long, Long)].collect().sortBy(_._1)
+        var pos = sid * st
+        for ((start, len) <- slices) {
+          assert(start == pos, s"shard $sid: gap/overlap at token $pos (next slice $start)")
+          pos += len
+        }
+        val expectedEnd = math.min((sid + 1) * st, corpusTokens)
+        assert(pos == expectedEnd, s"shard $sid ends at $pos, interval end $expectedEnd")
+        total += pos - sid * st
+      }
+      assert(total == corpusTokens, s"shards carry $total of $corpusTokens corpus tokens")
+      // document reassembly across shard boundaries: slices tile [0, n)
+      val byDoc = spark.read.parquet(dir)
+        .select(col("doc_id"), col("slice_start"), col("slice_len"))
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+      assert(byDoc.keySet == nTok.keySet, "every document lands in some shard")
+      for ((id, rows) <- byDoc) {
+        var pos = 0L
+        for ((_, s, l) <- rows.sortBy(_._2)) {
+          assert(s == pos, s"doc $id: slice gap at in-doc offset $pos")
+          pos += l
+        }
+        assert(pos == nTok(id), s"doc $id reassembles to $pos of ${nTok(id)} tokens")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("incremental append placement stays dense across micro-batches and conserves tokens") {
     import java.sql.Timestamp
     implicit val sq = spark.sqlContext

@@ -107,6 +107,41 @@ class SemDedupSpec extends SparkSpec {
       "self-id contamination pairs must be reported, not filtered")
   }
 
+  test("combined decontamination carries per-branch provenance and unions the flag sets") {
+    // docs corpus where the n-gram branch fires (train doc 103 shares
+    // all its shingles with eval doc 0 — NOT id 100, which is % 50 == 0
+    // and lands on the eval side itself) and the embeddings corpus where the
+    // semantic branch fires (planted twins on %10==7 ids) — the merged
+    // output must flag both sets, each with ONLY its own branch's
+    // provenance, and the metric of the other branch null
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval doc (id % 50 == 0)
+      (103L, "alpha beta gamma delta epsilon zeta"), // verbatim train copy
+      (101L, "totally different words here entirely now")).toDF("doc_id", "text")
+    val got = SemDedup.decontaminateCombined(
+        docs, embs, embs.filter(col("vec_id") % 10 === 7)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        evalDocPred = col("doc_id") % 50 === 0,
+        minOverlap = 0.05, semThreshold = 0.9, c = 16)
+      .collect()
+      .map(r => r.getAs[Long]("train_id") ->
+        ((r.getAs[Boolean]("ngram_flag"), r.getAs[Boolean]("sem_flag"),
+          Option(r.getAs[java.lang.Double]("overlap")),
+          Option(r.getAs[java.lang.Double]("max_sim"))))).toMap
+    val semIds = embs.filter(col("vec_id") % 10 === 7)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got.keySet == semIds + 103L, s"flag union wrong: ${got.keySet}")
+    assert(got(103L)._1 && !got(103L)._2, "doc 103 is an n-gram-only hit")
+    assert(got(103L)._3.exists(_ >= 0.05) && got(103L)._4.isEmpty,
+      "n-gram-only rows carry overlap and a null max_sim")
+    for (id <- semIds) {
+      assert(!got(id)._1 && got(id)._2, s"vec $id is a semantic-only hit")
+      assert(got(id)._3.isEmpty && got(id)._4.contains(1.0),
+        s"semantic-only rows carry max_sim 1.0 and a null overlap")
+    }
+  }
+
   test("decontamination against a disjoint training corpus flags nothing") {
     // remove the eval sources from training: the probes are now genuinely
     // novel vectors, and no NATURAL training vector sits within 0.9
