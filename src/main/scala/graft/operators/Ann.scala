@@ -86,6 +86,47 @@ object Ann {
     if (mod <= 1) corpus
     else corpus.filter(pmod(xxhash64(col("vec_id")), lit(mod.toLong)) === 0)
 
+  /** Seeded random orthonormal matrix (Gram-Schmidt over seeded
+    * gaussians — a Haar-ish rotation, deterministic and replayable).
+    * Model-sized: dim×dim doubles, travels as a foldable literal.
+    */
+  def rotationMatrix(dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (rows.length < dim) {
+      var v = Array.fill(dim)(rnd.nextGaussian())
+      for (u <- rows) {
+        val d = v.zip(u).map { case (a, b) => a * b }.sum
+        v = v.zip(u).map { case (a, b) => a - d * b }
+      }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      // a near-dependent draw (numerically possible, vanishingly rare)
+      // is redrawn rather than normalized into noise
+      if (n > 1e-6) rows += v.map(_ / n)
+    }
+    rows.toSeq.map(_.toSeq)
+  }
+
+  /** The OPQ-style pre-subvector ROTATION hook for the PQ family
+    * (Ge et al., CVPR 2013; r12 anisotropy adjudication — see
+    * [[graft.plans.MatVec]]): rotate the embedding column by a seeded
+    * orthonormal matrix BEFORE pqFit/pqEncode/pqSearch slice it into
+    * consecutive-dim subvectors. Orthonormality preserves inner
+    * products and L2, so ADC scores are unchanged as a metric while a
+    * skewed eigenspectrum's variance spreads evenly across subspaces
+    * (measured on the sf1 aniso set: PQ recall@5 0.31 unrotated →
+    * recovered to the isotropic level rotated; AnisoProbe /
+    * BENCHNOTES r12). Compose: `pqKnn(rotate(corpus), rotate(queries),
+    * …)` — corpus and queries MUST share the seed. One codegen'd
+    * dim×dim multiply per vector per pass; the matrix is a broadcast
+    * literal, never per-row data.
+    */
+  def rotateEmbeddings(df: DataFrame, dim: Int = 64, seed: Long = 7L,
+                       embCol: String = "embedding"): DataFrame =
+    df.withColumn(embCol,
+      graft.plans.NativeFunctions.matVec(
+        col(embCol).cast("array<double>"), rotationMatrix(dim, seed)))
+
   /** Element-wise mean of the `ve` arrays per group: ONE aggregation
     * with map-side partial combine — each executor folds its partition
     * into a single primitive (dim+1)-double state per group

@@ -100,6 +100,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BpeEncode].getName, "graft_bpe_encode"),
       (children: Seq[Expression]) => BpeEncode(children(0), children(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+      (children: Seq[Expression]) => MatVec(children(0), children(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[Normalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => Normalize(children.head,
@@ -366,6 +370,14 @@ object NativeFunctions {
   /** Apply a trained BPE merge list (rank order) to a symbol-array
     * column in one codegen'd kernel — see [[BpeEncode]].
     */
+  /** y = M·x with the matrix as a foldable literal model — the
+    * OPQ-style pre-subvector rotation hook; see [[MatVec]].
+    */
+  def matVec(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    Bridge.column(MatVec(col2expr(vec),
+      col2expr(org.apache.spark.sql.functions.lit(
+        matrix.map(_.toArray).toArray))))
+
   def bpeEncode(syms: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(col2expr(syms),
       col2expr(org.apache.spark.sql.functions.lit(

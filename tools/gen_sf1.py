@@ -93,4 +93,33 @@ pq.write_table(pa.table({
     "label": pa.array(labels, pa.int32()),
 }), os.path.join(OUT, "embeddings.parquet"))
 
-print(f"wrote {OUT}: documents={N_DOCS} embeddings={N_VECS}")
+# Anisotropic stress set (r11 VERDICT item 6): same size/cluster
+# structure, but the eigenspectrum decays geometrically along the
+# coordinate axes (w_d = 0.93^d, ~100x variance ratio end to end) —
+# the PQ worst case, where consecutive-dim subvectors carry wildly
+# unequal variance and a pre-subvec rotation (OPQ) would be the fix
+# if recall collapses. Separate seed so this block can't perturb the
+# main embeddings on regeneration.
+arng = random.Random(SEED + 1)
+w = [0.93 ** d for d in range(DIM)]
+acenters = []
+for _ in range(10):
+    v = [arng.gauss(0, wd) for wd in w]
+    n = math.sqrt(sum(x * x for x in v))
+    acenters.append([x / n for x in v])
+avec_ids, aembs, alabels = [], [], []
+for i in range(N_VECS):
+    lab = arng.randrange(10)
+    v = [c + arng.gauss(0, 0.6 * wd) for c, wd in zip(acenters[lab], w)]
+    n = math.sqrt(sum(x * x for x in v))
+    avec_ids.append(i)
+    aembs.append([float(x / n) for x in v])
+    alabels.append(lab)
+
+pq.write_table(pa.table({
+    "vec_id": pa.array(avec_ids, pa.int64()),
+    "embedding": pa.array(aembs, pa.list_(pa.float32())),
+    "label": pa.array(alabels, pa.int32()),
+}), os.path.join(OUT, "embeddings_aniso.parquet"))
+
+print(f"wrote {OUT}: documents={N_DOCS} embeddings={N_VECS} embeddings_aniso={N_VECS}")
