@@ -196,6 +196,15 @@ object Bpe {
       .collect()(0)
     var nTokens = if (row0.isNullAt(0)) 0L else row0.getLong(0)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    // the PREVIOUS round's vocab, released only after the next stats
+    // job has materialized its child: the serial loop's recount job
+    // materialized `next` before unpersisting the parent, but here the
+    // token counts telescope with no recount — an eager unpersist
+    // would evict the parent while `next` is still lazy and send every
+    // later round back to the CORPUS scan (caught by the r12
+    // shuffle_diff gate: 0.90 → 2.57 MB, one word-count shuffle per
+    // round instead of one total)
+    var prev: Option[DataFrame] = None
     var exhausted = false
     while (merges.length < rounds && !exhausted) {
       val cands = vocab.filter(size(col("syms")) >= 2)
@@ -208,6 +217,10 @@ object Bpe {
         .orderBy(col("cnt").desc, col("pa"), col("pb"))
         .limit(horizon).collect()
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // the stats collect above materialized `vocab`'s cache — the
+      // previous round's table is now safe to release
+      prev.foreach(_.unpersist(blocking = false))
+      prev = None
       if (cands.isEmpty) exhausted = true
       else {
         val want = math.min(batch, rounds - merges.length)
@@ -247,7 +260,7 @@ object Bpe {
             col("syms"), kept.map(t => (t._1, t._2)).toSeq).as("syms"),
           col("freq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        vocab.unpersist(blocking = false)
+        prev = Some(vocab)
         vocab = next
         for (((pa, pb, cnt), j) <- kept.zipWithIndex) {
           nTokens -= counts.getLong(j)
@@ -255,6 +268,7 @@ object Bpe {
         }
       }
     }
+    prev.foreach(_.unpersist(blocking = false))
     vocab.unpersist(blocking = false)
     merges.toSeq.toDF("round", "pair_a", "pair_b", "n_adjacent", "n_tokens_after")
   }
