@@ -470,12 +470,18 @@ object Ann {
       s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
     val n = lshIndex(newVecs, nBits)
       .select(col("vec_id").as("new_id"), col("emb").as("ne"), explode(probes).as("bucket"))
+    // verify + threshold BEFORE the pair dedup (the cosineDupPairs
+    // ordering, measured there): sim is functionally determined by the
+    // pair, so the filter commutes with dropDuplicates — ordered the
+    // other way the dedup exchange dragged BOTH embedding arrays
+    // (~1 KB/row) for every multi-probe candidate instead of 24-byte
+    // survivor rows
     n.join(index.select(col("vec_id").as("old_id"), col("emb").as("oe"), col("bucket")), Seq("bucket"))
       .filter(col("new_id") =!= col("old_id"))
-      .dropDuplicates("new_id", "old_id")
       .withColumn("sim", round(cosine("ne", "oe"), 4))
       .filter(col("sim") >= threshold)
       .select(col("new_id"), col("old_id"), col("sim"))
+      .dropDuplicates("new_id", "old_id")
   }
 
   /** Embedding near-duplicate pairs with cosine ≥ threshold, found by
@@ -506,11 +512,18 @@ object Ann {
     // (With one exploded side and array_union'd probes each ≤1-bit pair
     // matches in exactly one bucket — the dedup is a cheap invariant
     // guard, not a hot path.)
+    // threshold BEFORE the dedup exchange: sim is functionally
+    // determined by (va, vb), so the filter commutes with
+    // dropDuplicates — but Catalyst cannot push a non-key filter
+    // through the aggregate itself, and the order decides whether the
+    // dedup exchange carries every CANDIDATE pair or only survivors
+    // (measured at the sf1 decade, threshold 0.4: 851 → 11.4 MB
+    // shuffled, identical 62 675-pair output — Q71Probe/BENCHNOTES r12)
     a.join(b, Seq("bucket")).filter(col("va") < col("vb"))
       .withColumn("sim", round(cosine("ea", "eb"), 4))
+      .filter(col("sim") >= threshold)
       .select(col("va"), col("vb"), col("sim"))
       .dropDuplicates("va", "vb")
-      .filter(col("sim") >= threshold)
   }
 
   // ---------------------------------------------------------------------

@@ -926,6 +926,25 @@ object PipelineQueries extends QueryFamily {
       simCol = None, k = 5)
   }
 
+  // The ROTATED PQ face (r12; the OPQ-style anisotropy fix — Ge et al.
+  // CVPR 2013, measured in AnisoProbe/BENCHNOTES r12: a skewed
+  // eigenspectrum starves consecutive-dim subquantizers, recall@5
+  // 0.41→0.31 unrotated vs 0.60 rotated on the sf1 aniso set): corpus
+  // AND queries pass through the seeded orthonormal rotation
+  // (graft_matvec, one codegen'd dim×dim multiply per vector) before
+  // the subvector split. Orthonormality preserves ALL pairwise
+  // geometry, so q138's planted-twin oracle carries over verbatim —
+  // the twin is still an exact copy in rotated space and must rank
+  // top-1 regardless of codebook float details.
+  val q188 = Q("q188_pq_ann_rotated", annTop1Oracle("")) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    annTop1Summary(
+      Ann.pqKnn(Ann.rotateEmbeddings(embs),
+        Ann.rotateEmbeddings(annPlantQueries(embs)),
+        k = 5, m = 32, ksub = 16, trainMod = 4),
+      simCol = None, k = 5)
+  }
+
   // BM25 document scoring (Robertson–Spärck Jones; k1=1.2, b=0.75)
   // against a literal query-term set — the retrieval-quality ranker a
   // training pipeline uses for targeted corpus selection. Only rows for
@@ -1693,5 +1712,5 @@ object PipelineQueries extends QueryFamily {
       .orderBy("train_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188)
 }

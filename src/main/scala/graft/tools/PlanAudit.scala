@@ -170,6 +170,7 @@ object PlanAudit {
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
       "q71_dedup_embedding_cosine" -> selfJoin,
       "q87_ivf_ann" -> fitEncode, "q138_pq_ann" -> fitEncode,
+      "q188_pq_ann_rotated" -> fitEncode,
       "q176_semdedup" -> fitEncode, "q178_hier_ivf_ann" -> fitEncode,
       "q180_semantic_decontam" -> (fitEncode +
         "; here the second embeddings scan is the eval probe side drawn from the same table"),
