@@ -123,9 +123,39 @@ object Ann {
     */
   def rotateEmbeddings(df: DataFrame, dim: Int = 64, seed: Long = 7L,
                        embCol: String = "embedding"): DataFrame =
+    rotateEmbeddings(df, rotationMatrix(dim, seed), embCol)
+
+  /** Rotate by an EXPLICIT matrix — the deployment form: the rotation
+    * is part of the PQ model (codes are only meaningful in the rotated
+    * basis), so a rotated deployment persists it alongside the
+    * codebooks ([[rotationDf]]/[[rotationFrom]]) and every later
+    * encode or query batch rotates with the RELOADED matrix, never a
+    * re-derived one.
+    */
+  def rotateEmbeddings(df: DataFrame, rot: Seq[Seq[Double]],
+                       embCol: String): DataFrame =
     df.withColumn(embCol,
-      graft.plans.NativeFunctions.matVec(
-        col(embCol).cast("array<double>"), rotationMatrix(dim, seed)))
+      graft.plans.NativeFunctions.matVec(col(embCol).cast("array<double>"), rot))
+
+  /** The rotation as a (row_idx, r) DataFrame — the persistence face
+    * (write as parquet next to the codebooks; reload with
+    * [[rotationFrom]]). Model-sized: dim×dim doubles.
+    */
+  def rotationDf(spark: org.apache.spark.sql.SparkSession,
+                 rot: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    rot.zipWithIndex.map { case (r, i) => (i, r) }.toDF("row_idx", "r")
+  }
+
+  /** Reload a rotation from its persisted (row_idx, r) table — the
+    * sanctioned model-sized collect.
+    */
+  def rotationFrom(df: DataFrame): Seq[Seq[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("row_idx").cast("int"), col("r").cast("array<double>"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1).map(_._2)
+  }
 
   /** Element-wise mean of the `ve` arrays per group: ONE aggregation
     * with map-side partial combine — each executor folds its partition

@@ -208,6 +208,60 @@ object Dedup {
     materializeAndRelease(pairs, indexed)
   }
 
+  /** LEARNED-threshold near-dup pairs — the calibrate→deploy
+    * composition (SURVEY §7's "learned-threshold dedup"): run the q155
+    * calibration sweep (exact Jaccard ground truth on the sample,
+    * positives at exact ≥ 0.5 among pairs ≥ 0.3; minhash candidates at
+    * a deliberately low 0.25 floor; thresholds i/20 for i ∈ 6..18, F1
+    * per grid point in integer micro-units), pick the LOWEST threshold
+    * attaining the maximum F1 (deterministic tie-break), and emit the
+    * candidate pairs at that learned threshold with the threshold
+    * attached. The candidate table is built ONCE and persisted — the
+    * calibration sweep and the deployment filter read the same index
+    * (at warehouse scale the sweep runs on a calibration sample while
+    * the learned threshold filters the full candidate stream).
+    *
+    * The argmax is a 13-row driver decision (the ivfFit centroid-
+    * collect discipline) with the oracle's exact arithmetic: F1
+    * compared after round-to-6 in micro-units, so no float drift can
+    * flip the grid choice between engines.
+    */
+  def learnedThresholdPairs(docs: DataFrame): DataFrame = {
+    val cands = minhashCandidates(docs, minEstJaccard = 0.25)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands.count()
+    val candsM = cands.select(col("doc_a"), col("doc_b"),
+      round(col("est_jaccard") * 1000000).cast("long").as("est_m"))
+    val truth = jaccardPairs(docs, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard") * 1000000).cast("long").as("exact_m"))
+    val sweep = truth.join(candsM, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("exact_m"), lit(0L)).as("exact_m"),
+        coalesce(col("est_m"), lit(-1L)).as("est_m"))
+      .select(col("exact_m"), col("est_m"), explode(expr("sequence(6, 18)")).as("i"))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("exact_m") >= 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("exact_m") < 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("exact_m") >= 500000L && col("est_m") < col("i") * 50000L, 1L).otherwise(0L)).as("fn"))
+      .collect()
+    // the q155 oracle's exact selection: f1 rounded to 6 decimals (−1
+    // when undefined), max over the grid, LOWEST threshold on a tie
+    val f1ByI = sweep.map { r =>
+      val (i, tp, fp, fn) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val f1 = if (2 * tp + fp + fn > 0)
+        math.round(2.0 * tp / (2 * tp + fp + fn) * 1e6) / 1e6 else -1.0
+      (i, f1)
+    }
+    require(f1ByI.nonEmpty, "learned-threshold calibration saw an empty grid")
+    val bestF1 = f1ByI.map(_._2).max
+    val bi = f1ByI.filter(_._2 == bestF1).map(_._1).min
+    cands
+      .filter(round(col("est_jaccard") * 1000000).cast("long") >= bi * 50000L)
+      .select(round(lit(bi.toDouble) / 20.0, 2).as("threshold"),
+        col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
   /** Incremental MinHash dedup: candidates between a NEW batch and an
     * EXISTING banded signature index ([[minhashBands]] output, persisted
     * at scale) — the continuous-ingestion path. Only the new batch is

@@ -1170,9 +1170,10 @@ object PipelineQueries extends QueryFamily {
   // joins, df/band caps); the sweep is a 13× explode of those pairs
   // with one aggregation shuffle — calibration-sample-sized, never
   // corpus-sized.
-  val q155 = {
-    val truthSql =
-      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+  // exact-Jaccard ground truth for calibration (shared by q155/q189):
+  // pairs ≥ 0.3 with micro-unit jaccard
+  private val calibTruthSql =
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
          |shd AS (SELECT DISTINCT doc_id, s
          |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
          |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
@@ -1185,9 +1186,10 @@ object PipelineQueries extends QueryFamily {
          | CAST(round(round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) * 1000000) AS BIGINT) AS exact_m
          |FROM jp JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
          |WHERE round(CAST(shared AS DOUBLE) / (ca.n + cb.n - shared), 6) >= 0.3""".stripMargin
-    Q(
+
+  val q155 = Q(
       "q155_dedup_threshold_calibration",
-      s"""WITH truth AS (SELECT * FROM ($truthSql)),
+      s"""WITH truth AS (SELECT * FROM ($calibTruthSql)),
          |cands AS (SELECT doc_a, doc_b, CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_m
          |          FROM (${minhashPairsSql("0.25")})),
          |p AS (SELECT coalesce(t.exact_m, 0) AS exact_m, coalesce(c.est_m, -1) AS est_m
@@ -1238,6 +1240,38 @@ object PipelineQueries extends QueryFamily {
           col("precision"), col("recall"), col("f1"), col("best_f1"))
         .orderBy("threshold")
     }
+
+  // ---- q189: learned-threshold dedup (calibrate → deploy) ----------------
+  // The composition SURVEY §7 named as remaining depth: q155 LEARNS the
+  // minhash threshold (argmax F1 against exact ground truth, lowest
+  // threshold on a tie), and this query DEPLOYS it — the candidate
+  // table is built once (persisted) and serves both the calibration
+  // sweep and the final filter; the argmax itself is a 13-row driver
+  // decision in the oracle's exact micro-unit arithmetic. The oracle
+  // replays the whole composition: sweep → best i → filtered pairs.
+  val q189 = Q(
+    "q189_learned_threshold_dedup",
+    s"""WITH truth AS (SELECT * FROM ($calibTruthSql)),
+       |cands AS (SELECT doc_a, doc_b, est_jaccard,
+       |            CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_m
+       |          FROM (${minhashPairsSql("0.25")})),
+       |p AS (SELECT coalesce(t.exact_m, 0) AS exact_m, coalesce(c.est_m, -1) AS est_m
+       |      FROM truth t FULL OUTER JOIN cands c USING (doc_a, doc_b)),
+       |sweep AS (SELECT i,
+       |   CAST(sum(CASE WHEN exact_m >= 500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |   CAST(sum(CASE WHEN exact_m <  500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |   CAST(sum(CASE WHEN exact_m >= 500000 AND est_m <  i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       | FROM p, (SELECT unnest(range(6, 19)) AS i) g GROUP BY 1),
+       |stats AS (SELECT i,
+       |   CASE WHEN 2 * tp + fp + fn > 0 THEN round(2.0 * tp / (2 * tp + fp + fn), 6) ELSE -1.0 END AS f1
+       | FROM sweep),
+       |best AS (SELECT min(i) AS bi FROM stats
+       |         WHERE f1 = (SELECT max(f1) FROM stats))
+       |SELECT round(bi / 20.0, 2) AS threshold, doc_a, doc_b, est_jaccard
+       |FROM cands, best WHERE est_m >= bi * 50000
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    graft.operators.Dedup.learnedThresholdPairs(Tables.documents(s, d))
+      .orderBy("doc_a", "doc_b")
   }
 
   // ---- q161: winnowing duplicated-span detection (MOSS) ------------------
@@ -1712,5 +1746,5 @@ object PipelineQueries extends QueryFamily {
       .orderBy("train_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189)
 }

@@ -83,6 +83,36 @@ class AnnIndexSpec extends SparkSpec {
     assert(searchJobs <= 10, s"query path launched $searchJobs jobs — training leaked in?")
   }
 
+  test("rotated PQ: the rotation persists WITH the codebooks; reloaded rotation serves queries") {
+    // the OPQ-hook deployment contract (r12): PQ codes are only
+    // meaningful in the rotated basis, so the rotation is part of the
+    // model — persisted next to the codebooks, and every later query
+    // batch rotates with the RELOADED matrix, never a re-derived one
+    val dir = tmp("pqrot")
+    val rot = Ann.rotationMatrix(64, seed = 7L)
+    val (_, fitJobs) = countJobs {
+      val rEmbs = Ann.rotateEmbeddings(embs, rot, "embedding")
+      val cents = Ann.pqFit(rEmbs, m = 4, ksub = 8, iters = 2)
+      Ann.rotationDf(spark, rot).write.mode("overwrite").parquet(s"$dir/rotation")
+      Ann.pqModelDf(spark, cents).write.mode("overwrite").parquet(s"$dir/model")
+      Ann.pqEncode(rEmbs, cents, m = 4).write.mode("overwrite").parquet(s"$dir/codes")
+    }
+    val reloadedRot = Ann.rotationFrom(spark.read.parquet(s"$dir/rotation"))
+    assert(reloadedRot == rot, "rotation must survive the parquet round-trip bit-exact")
+    val model = Ann.pqModelFrom(spark.read.parquet(s"$dir/model"))
+    val codes = spark.read.parquet(s"$dir/codes")
+    val (got, searchJobs) = countJobs {
+      rows(Ann.pqSearch(model, codes,
+        Ann.rotateEmbeddings(queries, reloadedRot, "embedding"), k = 5, m = 4))
+    }
+    val want = rows(Ann.pqKnn(Ann.rotateEmbeddings(embs, rot, "embedding"),
+      Ann.rotateEmbeddings(queries, rot, "embedding"), k = 5, m = 4, ksub = 8))
+    assert(got == want, "reloaded-rotation search must reproduce the inline rotated composition")
+    assert(searchJobs < fitJobs,
+      s"search ($searchJobs jobs) must be lighter than fit+encode ($fitJobs)")
+    assert(searchJobs <= 10, s"query path launched $searchJobs jobs — training leaked in?")
+  }
+
   test("IVF-PQ: reloaded models+index serve queries with no training jobs; split == inline") {
     val dir = tmp("ivfpq")
     val (_, fitJobs) = countJobs {

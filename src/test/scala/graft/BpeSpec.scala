@@ -312,6 +312,29 @@ class BpeSpec extends SparkSpec {
     assert(batched == serial, s"\nbatched $batched\nserial  $serial")
   }
 
+  test("batched selection treats a fused-symbol collision as a conflict (concat rule)") {
+    // single-letter corpora maximize concat collisions: merging (a,a)
+    // creates NEW "aa" symbols, so any later candidate involving "aa"
+    // — including (aa,a)/(a,aa) — must close the batch even though its
+    // components are disjoint from nothing... and in later rounds a
+    // candidate pair whose CONCATENATION equals an existing symbol
+    // ("a"+"aa" = "aaa") must conflict too. The serial loop is the
+    // ground truth for every such case.
+    for ((corpus, rounds) <- Seq(
+        (docs((1L, "aaaaaaa aaaa aaaaaa aaa aa")), 5),
+        (docs((1L, "ababab abab ab aabb baba")), 6),
+        (docs((1L, "aaa bbb aaabbb ab ba aabb")), 6))) {
+      val serial = Bpe.trainMerges(corpus, rounds).orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+      for (b <- Seq(2, 4)) {
+        val batched = Bpe.trainMergesBatched(corpus, rounds, batch = b)
+          .orderBy("round").collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+        assert(batched == serial, s"batch=$b:\nbatched $batched\nserial  $serial")
+      }
+    }
+  }
+
   test("batched training == serial loop on seeded random corpora") {
     // 3-letter alphabet, short words: maximal pair conflicts, overlap
     // runs, and count ties — the adversarial surface for the disjoint

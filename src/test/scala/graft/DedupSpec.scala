@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(_.getAs[Long]("new_id") == 9101L))
   }
 
+  test("learned threshold is the q155 sweep's argmax (lowest on ties) and gates the pair set") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = Dedup.learnedThresholdPairs(docs).collect()
+    assert(out.nonEmpty, "calibration corpus must yield pairs")
+    val thresholds = out.map(_.getAs[Double]("threshold")).distinct
+    assert(thresholds.length == 1, s"one learned threshold, got ${thresholds.toSeq}")
+    val thr = thresholds.head
+    assert(thr >= 0.30 && thr <= 0.90, s"threshold $thr outside the sweep grid")
+    // cross-operator consistency: the q155 calibration program's
+    // best_f1 rows must contain this threshold, and the LOWEST flagged
+    // threshold must be it (the deterministic tie-break)
+    val sweep = queries.PipelineQueries.q155.fn(spark, sfDir).collect()
+    val flagged = sweep.filter(_.getAs[Boolean]("best_f1"))
+      .map(_.getAs[Double]("threshold"))
+    assert(flagged.nonEmpty && flagged.min == thr,
+      s"learned $thr vs sweep argmax ${flagged.toSeq.sorted}")
+    // the pair set is exactly the candidates at the learned threshold
+    val want = Dedup.minhashCandidates(docs, minEstJaccard = 0.25)
+      .filter(round(col("est_jaccard") * 1000000).cast("long") >=
+        math.round(thr * 20) * 50000L)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val got = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(got == want, s"pair set mismatch: extra ${got -- want}, missing ${want -- got}")
+  }
+
   test("simhash puts the exact copy at hamming 0 and excludes unrelated docs") {
     val cands = Dedup.simhashCandidates(docsWithPlants, maxHamming = 3)
       .filter(col("doc_b") >= 9001).collect()
