@@ -227,24 +227,13 @@ object Dedup {
     * flip the grid choice between engines.
     */
   def learnedThresholdPairs(docs: DataFrame): DataFrame = {
+    // both inputs come back persisted+materialized (materializeAndRelease
+    // inside each); released below once the sweep and the deployment
+    // filter no longer need them
     val cands = minhashCandidates(docs, minEstJaccard = 0.25)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands.count()
-    val candsM = cands.select(col("doc_a"), col("doc_b"),
-      round(col("est_jaccard") * 1000000).cast("long").as("est_m"))
     val truth = jaccardPairs(docs, threshold = 0.3)
-      .select(col("doc_a"), col("doc_b"),
-        round(col("jaccard") * 1000000).cast("long").as("exact_m"))
-    val sweep = truth.join(candsM, Seq("doc_a", "doc_b"), "full_outer")
-      .select(coalesce(col("exact_m"), lit(0L)).as("exact_m"),
-        coalesce(col("est_m"), lit(-1L)).as("est_m"))
-      .select(col("exact_m"), col("est_m"), explode(expr("sequence(6, 18)")).as("i"))
-      .groupBy(col("i"))
-      .agg(
-        sum(when(col("exact_m") >= 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("exact_m") < 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("exact_m") >= 500000L && col("est_m") < col("i") * 50000L, 1L).otherwise(0L)).as("fn"))
-      .collect()
+    val sweep = calibrationSweep(truth, cands).collect()
+    truth.unpersist(blocking = true)
     // the q155 oracle's exact selection: f1 rounded to 6 decimals (−1
     // when undefined), max over the grid, LOWEST threshold on a tie
     val f1ByI = sweep.map { r =>
@@ -256,10 +245,37 @@ object Dedup {
     require(f1ByI.nonEmpty, "learned-threshold calibration saw an empty grid")
     val bestF1 = f1ByI.map(_._2).max
     val bi = f1ByI.filter(_._2 == bestF1).map(_._1).min
-    cands
+    val out = cands
       .filter(round(col("est_jaccard") * 1000000).cast("long") >= bi * 50000L)
       .select(round(lit(bi.toDouble) / 20.0, 2).as("threshold"),
         col("doc_a"), col("doc_b"), col("est_jaccard"))
+    materializeAndRelease(out, cands)
+  }
+
+  /** The calibration grid sweep shared by the q155 report and the
+    * learned-threshold deployment above: join exact ground truth
+    * ([[jaccardPairs]] output) with minhash candidates
+    * ([[minhashCandidates]] output) full-outer on the pair key, and
+    * count tp/fp/fn per grid point i ∈ 6..18 (threshold i/20) in
+    * integer micro-units — positives at exact ≥ 0.5, predictions at
+    * est ≥ i/20, an LSH-missed true pair (est NULL → −1) counting
+    * against recall at EVERY threshold. One 13× explode of the
+    * (sample-sized, capped) pair tables + one aggregation shuffle.
+    */
+  def calibrationSweep(truth: DataFrame, cands: DataFrame): DataFrame = {
+    val t = truth.select(col("doc_a"), col("doc_b"),
+      round(col("jaccard") * 1000000).cast("long").as("exact_m"))
+    val c = cands.select(col("doc_a"), col("doc_b"),
+      round(col("est_jaccard") * 1000000).cast("long").as("est_m"))
+    t.join(c, Seq("doc_a", "doc_b"), "full_outer")
+      .select(coalesce(col("exact_m"), lit(0L)).as("exact_m"),
+        coalesce(col("est_m"), lit(-1L)).as("est_m"))
+      .select(col("exact_m"), col("est_m"), explode(expr("sequence(6, 18)")).as("i"))
+      .groupBy(col("i"))
+      .agg(
+        sum(when(col("exact_m") >= 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("exact_m") < 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("exact_m") >= 500000L && col("est_m") < col("i") * 50000L, 1L).otherwise(0L)).as("fn"))
   }
 
   /** Incremental MinHash dedup: candidates between a NEW batch and an

@@ -367,9 +367,6 @@ object NativeFunctions {
   def wordStem(c: Column): Column =
     Bridge.column(WordStem(col2expr(c)))
 
-  /** Apply a trained BPE merge list (rank order) to a symbol-array
-    * column in one codegen'd kernel — see [[BpeEncode]].
-    */
   /** y = M·x with the matrix as a foldable literal model — the
     * OPQ-style pre-subvector rotation hook; see [[MatVec]].
     */
@@ -378,6 +375,9 @@ object NativeFunctions {
       col2expr(org.apache.spark.sql.functions.lit(
         matrix.map(_.toArray).toArray))))
 
+  /** Apply a trained BPE merge list (rank order) to a symbol-array
+    * column in one codegen'd kernel — see [[BpeEncode]].
+    */
   def bpeEncode(syms: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeEncode(col2expr(syms),
       col2expr(org.apache.spark.sql.functions.lit(

@@ -663,13 +663,22 @@ object MatVec {
   def compute(v: ArrayData, m: Array[Array[Double]]): ArrayData = {
     val rows = m.length
     val cols = m(0).length
+    // same loud-failure contract as buildMatrix: a vector with holes
+    // must not rotate silently (getDouble on a null slot reads 0.0)
+    var c = 0
+    while (c < cols) {
+      if (v.isNullAt(c)) throw new IllegalArgumentException(
+        s"graft_matvec: vector element $c is null")
+      c += 1
+    }
+    val vec = v.toDoubleArray()
     val out = new Array[Any](rows)
     var r = 0
     while (r < rows) {
       val row = m(r)
       var s = 0.0
-      var c = 0
-      while (c < cols) { s += row(c) * v.getDouble(c); c += 1 }
+      c = 0
+      while (c < cols) { s += row(c) * vec(c); c += 1 }
       out(r) = s
       r += 1
     }

@@ -1210,21 +1210,12 @@ object PipelineQueries extends QueryFamily {
          |ORDER BY threshold""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      val truth = Dedup.jaccardPairs(docs, threshold = 0.3)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("jaccard") * 1000000).cast("long").as("exact_m"))
-      val cands = Dedup.minhashCandidates(docs, minEstJaccard = 0.25)
-        .select(col("doc_a"), col("doc_b"),
-          round(col("est_jaccard") * 1000000).cast("long").as("est_m"))
-      val sweep = truth.join(cands, Seq("doc_a", "doc_b"), "full_outer")
-        .select(coalesce(col("exact_m"), lit(0L)).as("exact_m"),
-          coalesce(col("est_m"), lit(-1L)).as("est_m"))
-        .select(col("exact_m"), col("est_m"), explode(expr("sequence(6, 18)")).as("i"))
-        .groupBy(col("i"))
-        .agg(
-          sum(when(col("exact_m") >= 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("tp"),
-          sum(when(col("exact_m") < 500000L && col("est_m") >= col("i") * 50000L, 1L).otherwise(0L)).as("fp"),
-          sum(when(col("exact_m") >= 500000L && col("est_m") < col("i") * 50000L, 1L).otherwise(0L)).as("fn"))
+      // the sweep core is shared with Dedup.learnedThresholdPairs (q189)
+      // — one definition of the grid/micro-unit arithmetic, so the
+      // learned threshold can never desynchronize from this report
+      val sweep = Dedup.calibrationSweep(
+        Dedup.jaccardPairs(docs, threshold = 0.3),
+        Dedup.minhashCandidates(docs, minEstJaccard = 0.25))
       sweep
         .withColumn("threshold", round(col("i") / 20.0, 2))
         .withColumn("precision", when(col("tp") + col("fp") > 0,

@@ -57,6 +57,18 @@ class MatVecSpec extends SparkSpec {
     assert(diff < 1e-9, s"rotation changed a cosine by $diff")
   }
 
+  test("a null vector ELEMENT fails loudly (no silent read-as-zero)") {
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_matvec(array(1.0D, CAST(NULL AS DOUBLE)), " +
+          "array(array(1.0D, 2.0D)))").collect()
+    }
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg(e).contains("vector element 1 is null"), msg(e))
+  }
+
   test("ragged and null-row matrices fail loudly; non-foldable matrices are rejected") {
     val ragged = intercept[Exception] {
       spark.sql("SELECT graft_matvec(array(1.0D), array(array(1.0D), array(1.0D, 2.0D)))").collect()

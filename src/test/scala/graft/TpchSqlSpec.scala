@@ -55,8 +55,11 @@ class TpchSqlSpec extends SparkSpec {
       // (the driver's own compare is sorted-by-name; here we go exact)
       val sqlDf = spark.sql(sqlText)
         .select(df.schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-      val got = sqlDf.collect().toSeq
-      val want = df.collect().toSeq
+      // canonical-sort both sides (the driver's compare does the same):
+      // ORDER BY columns rarely form a total order, and tied rows may
+      // come back in different physical orders from the two plans
+      val got = sqlDf.collect().toSeq.sortBy(_.toString)
+      val want = df.collect().toSeq.sortBy(_.toString)
       assert(got == want,
         s"SQL text vs DataFrame program diverged for $key:\n" +
           s"sql  ${got.take(5)}\nprog ${want.take(5)}")

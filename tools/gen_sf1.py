@@ -95,7 +95,8 @@ pq.write_table(pa.table({
 
 # Anisotropic stress set (r11 VERDICT item 6): same size/cluster
 # structure, but the eigenspectrum decays geometrically along the
-# coordinate axes (w_d = 0.93^d, ~100x variance ratio end to end) —
+# coordinate axes (w_d = 0.93^d as the per-dim SIGMA: ~95x sigma
+# ratio, ~9000x variance ratio end to end) —
 # the PQ worst case, where consecutive-dim subvectors carry wildly
 # unequal variance and a pre-subvec rotation (OPQ) would be the fix
 # if recall collapses. Separate seed so this block can't perturb the
