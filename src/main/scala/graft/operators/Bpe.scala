@@ -109,6 +109,27 @@ object Bpe {
     * pre-normalized; punctuation-bearing forms are out of the merge
     * alphabet).
     */
+  /** Truncate the vocab's plan lineage every N rounds: an iterative
+    * DataFrame whose plan references the previous round's plan grows
+    * one fold/kernel layer per round, and by round ~100 the plan tree
+    * alone OOMs the driver while each round re-pays optimization of
+    * the whole depth (the Components.scala pointer-jumping posture;
+    * measured by tools/BpeScaleProbe — 128 serial rounds OOMed an 8g
+    * driver before this cut existed). 16 keeps the oracled k=6 and
+    * every spec path bit-identical (the cut never fires there) while
+    * bounding plan depth for real vocabularies; checkpoint blocks per
+    * cut are vocab-sized and reclaimed by the ContextCleaner as the
+    * loop advances past them.
+    */
+  private val LineageCutEvery = 16
+
+  private def lineageCut(vocab: DataFrame, round: Int): DataFrame =
+    if (round % LineageCutEvery == 0) {
+      val cut = vocab.localCheckpoint(true)
+      vocab.unpersist(blocking = false)
+      cut
+    } else vocab
+
   def trainMerges(docs: DataFrame, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -137,7 +158,7 @@ object Bpe {
         val nAfter = next.agg(sum(size(col("syms")).cast("long") * col("freq")))
           .collect()(0).getLong(0)
         vocab.unpersist(blocking = false)
-        vocab = next
+        vocab = lineageCut(next, r)
         merges += ((r, pa, pb, cnt, nAfter))
         r += 1
       }
@@ -206,6 +227,7 @@ object Bpe {
     // round instead of one total)
     var prev: Option[DataFrame] = None
     var exhausted = false
+    var pass = 0
     while (merges.length < rounds && !exhausted) {
       val cands = vocab.filter(size(col("syms")) >= 2)
         .select(explode(expr(
@@ -261,7 +283,10 @@ object Bpe {
           col("freq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         prev = Some(vocab)
-        vocab = next
+        pass += 1
+        // the cut materializes `next` eagerly, which is exactly when
+        // the deferred parent release becomes safe too
+        vocab = lineageCut(next, pass)
         for (((pa, pb, cnt), j) <- kept.zipWithIndex) {
           nTokens -= counts.getLong(j)
           merges += ((merges.length + 1, pa, pb, cnt, nTokens))
