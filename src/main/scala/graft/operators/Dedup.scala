@@ -234,8 +234,19 @@ object Dedup {
     val truth = jaccardPairs(docs, threshold = 0.3)
     val sweep = calibrationSweep(truth, cands).collect()
     truth.unpersist(blocking = true)
-    // the q155 oracle's exact selection: f1 rounded to 6 decimals (−1
-    // when undefined), max over the grid, LOWEST threshold on a tie
+    val bi = argmaxF1(sweep)
+    val out = cands
+      .filter(round(col("est_jaccard") * 1000000).cast("long") >= bi * 50000L)
+      .select(round(lit(bi.toDouble) / 20.0, 2).as("threshold"),
+        col("doc_a"), col("doc_b"), col("est_jaccard"))
+    materializeAndRelease(out, cands)
+  }
+
+  /** The q155 oracle's exact grid selection over a collected
+    * [[calibrationSweep]]: f1 rounded to 6 decimals (−1 when
+    * undefined), max over the grid, LOWEST threshold index on a tie.
+    */
+  private def argmaxF1(sweep: Array[org.apache.spark.sql.Row]): Int = {
     val f1ByI = sweep.map { r =>
       val (i, tp, fp, fn) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val f1 = if (2 * tp + fp + fn > 0)
@@ -244,12 +255,28 @@ object Dedup {
     }
     require(f1ByI.nonEmpty, "learned-threshold calibration saw an empty grid")
     val bestF1 = f1ByI.map(_._2).max
-    val bi = f1ByI.filter(_._2 == bestF1).map(_._1).min
-    val out = cands
-      .filter(round(col("est_jaccard") * 1000000).cast("long") >= bi * 50000L)
-      .select(round(lit(bi.toDouble) / 20.0, 2).as("threshold"),
-        col("doc_a"), col("doc_b"), col("est_jaccard"))
-    materializeAndRelease(out, cands)
+    f1ByI.filter(_._2 == bestF1).map(_._1).min
+  }
+
+  /** Calibrate only — learn the est-jaccard threshold (i/20 at the
+    * argmax-F1 grid point) WITHOUT emitting pairs, releasing every
+    * intermediate cache. This is the value a CONTINUOUS-ingestion
+    * deployment computes once on a calibration sample and then plugs
+    * into [[minhashCandidatesAgainst]] for every micro-batch
+    * (StreamingDedupSpec pins stream-at-learned-threshold == the
+    * batch [[learnedThresholdPairs]] pair set). Grid thresholds i/20
+    * and signature agreements j/32 are compared after round-to-6;
+    * boundary equality only occurs where both grids coincide (0.5,
+    * 0.75 — dyadic, exactly representable), so the float compare in
+    * the streaming filter cannot diverge from the micro-unit filter.
+    */
+  def learnThreshold(docs: DataFrame): Double = {
+    val cands = minhashCandidates(docs, minEstJaccard = 0.25)
+    val truth = jaccardPairs(docs, threshold = 0.3)
+    val sweep = calibrationSweep(truth, cands).collect()
+    truth.unpersist(blocking = true)
+    cands.unpersist(blocking = true)
+    argmaxF1(sweep) / 20.0
   }
 
   /** The calibration grid sweep shared by the q155 report and the

@@ -54,4 +54,64 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!dups.exists(_._1 == 2L))
     } finally query.stop()
   }
+
+  test("learned threshold deploys on the stream: calibrate once, stream == batch pair set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // clusters of graded similarity (exact dup, one-word swap, half
+    // overlap) + singletons — enough structure for the calibration
+    // grid to have real tp/fp/fn mass at several thresholds
+    val mk = (s: String) => s + " filler words pad the shingle set out to a reasonable length"
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> mk("alpha beta gamma delta epsilon zeta eta theta"),
+      2L -> mk("alpha beta gamma delta epsilon zeta eta theta"),
+      3L -> mk("alpha beta gamma delta epsilon zeta eta iota"),
+      4L -> mk("alpha beta gamma delta nine ten eleven twelve"),
+      5L -> mk("one two three four five six seven eight"),
+      6L -> mk("one two three four five six seven nine"),
+      7L -> mk("totally unrelated content about catalyst plans"),
+      8L -> mk("other unrelated content about shuffle exchanges"))
+    val docsDf = corpus.toDF("doc_id", "text")
+
+    val learned = Dedup.learnThreshold(docsDf)
+    assert(learned >= 0.3 && learned <= 0.9, s"grid range violated: $learned")
+    val batch = Dedup.learnedThresholdPairs(docsDf)
+    // the deployment filter and the calibrate-only helper must agree
+    // on the decision (same sweep, same argmax)
+    assert(batch.select("threshold").head.getDouble(0) == learned)
+    val batchPairs = batch.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "calibration corpus produced no deployed pairs")
+
+    // stream the same corpus in 3 micro-batches; each batch's bands
+    // join the index FIRST so within-batch pairs surface too, then the
+    // batch is checked at the LEARNED threshold (self-matches dropped)
+    val stream = MemoryStream[Doc]
+    var index: DataFrame = Dedup.minhashBands(
+      Dedup.minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    val dups = collection.mutable.Set[(Long, Long)]()
+    val query = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = b.select("doc_id", "text")
+        index = index.unionByName(
+          Dedup.minhashBands(Dedup.minhashSignatures(docs))).localCheckpoint()
+        dups ++= Dedup.minhashCandidatesAgainst(docs, index, minEstJaccard = learned)
+          .filter(col("new_id") =!= col("old_id"))
+          .select("new_id", "old_id").collect()
+          .map(r => (math.min(r.getLong(0), r.getLong(1)),
+            math.max(r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      corpus.grouped(3).foreach { g =>
+        stream.addData(g.map { case (id, tx) => Doc(id, tx, t0) })
+        query.processAllAvailable()
+      }
+      assert(dups.toSet == batchPairs,
+        s"stream ${dups.toSet} != batch $batchPairs at learned=$learned")
+    } finally query.stop()
+  }
 }
