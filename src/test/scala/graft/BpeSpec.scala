@@ -241,6 +241,61 @@ class BpeSpec extends SparkSpec {
     assert(secs < 60.0, s"1050-merge encode took ${secs}s — kernel ceiling regressed")
   }
 
+  test("kernel at the production 32k merge count: exact greedy semantics, bounded time") {
+    // THE claimed number: SURVEY says a real 32k-merge vocabulary is
+    // reachable on the apply path because per-word cost is O(len²)
+    // hash probes independent of M. Pin it at M=32768 exactly — the
+    // probe tool measures wall time on the real corpus; this case
+    // pins semantics: the kernel result equals an in-memory greedy
+    // replay under the full 32k rank table, and char mass (Σ freq·|t|)
+    // matches the zero-merge character frequencies (merges only
+    // concatenate). Chained list from the probe: 1296 char pairs,
+    // then pairs of those fusions — every fused symbol exists before
+    // any merge consuming it, the trained-list invariant.
+    val merges = graft.tools.BpeEncodeScaleProbe.chainedMerges(32768)
+    assert(merges.length == 32768)
+    val rnd = new scala.util.Random(23)
+    val words = (1 to 60).map(_ =>
+      (1 to (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val corpus = docs(words.grouped(6).zipWithIndex
+      .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
+    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
+    for (((a, b), i) <- merges.zipWithIndex)
+      if (!ranks.contains((a, b))) ranks((a, b)) = i
+    def greedy(w: String): Seq[String] = {
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go && syms.length >= 2) {
+        val cands = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(p -> _))
+        if (cands.isEmpty) go = false
+        else {
+          val (pa, pb) = cands.minBy(_._2)._1
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
+              out += pa + pb; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+    val expected = words.flatMap(greedy)
+      .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val t0 = System.nanoTime()
+    val got = Bpe.encodeTokenFreq(corpus, merges).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got == expected)
+    val mass = got.map { case (t, f) => t.length * f }.sum
+    val charMass = Bpe.encodeTokenFreq(corpus, Nil).collect()
+      .map(r => r.getString(0).length * r.getLong(1)).sum
+    assert(mass == charMass, s"char-mass invariant broken: $mass != $charMass")
+    assert(secs < 60.0, s"32768-merge encode took ${secs}s — kernel ceiling regressed")
+  }
+
   test("kernel SQL face: graft_bpe_encode over a literal merge list") {
     val row = spark.sql(
       "SELECT graft_bpe_encode(array('a','b','a','b','c'), array('a b', 'ab c'))")
