@@ -51,6 +51,19 @@ object AnisoProbe {
         Ann.ivfPqKnn(rEmbs, rQueries, k = 5, trainMod = 4))
       println(f"[aniso] $name%-12s pq=$pq%.3f ivfpq=$ivfpq%.3f " +
         f"pq_rot=$pqRot%.3f ivfpq_rot=$ivfpqRot%.3f ivf_control=$ivf%.3f")
+      // budget sweep behind the BENCHNOTES adjudication that rotated
+      // IVF-PQ's recall gap vs rotated flat PQ is the q142 CONFIG's
+      // probe/code budget, not the rotation composition: nprobe=8
+      // probes all c=8 cells (routing misses eliminated — any residual
+      // gap is code resolution), m=32 doubles code resolution at the
+      // default routing budget
+      if (name == "anisotropic") {
+        for ((np, mm) <- Seq((8, 16), (4, 32), (8, 32))) {
+          val r = recallOf(exact, Ann.ivfPqKnn(
+            rEmbs, rQueries, k = 5, nprobe = np, m = mm, trainMod = 4))
+          println(f"[aniso] budget-sweep ivfpq_rot nprobe=$np%2d m=$mm%2d recall=$r%.3f")
+        }
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
