@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-mix construction — hit per-language TARGET token shares
+  * from an arbitrary corpus distribution with a deterministic,
+  * engine-replayable hash draw (the data-mixing stage of published
+  * pre-training recipes; q152's operator, extracted so the SELECTION
+  * composes: q190 feeds the kept set straight into the shard packer).
+  *
+  * Scale shape: token counting is a map-side projection; availability
+  * is ONE stratum-cardinality-sized aggregation broadcast back; the
+  * keep decision is a map-side filter in exact integer arithmetic
+  * (the q145 threshold form — no float at the boundary). The only
+  * corpus-sized cost at 100 TB is the scan.
+  */
+object Mix {
+
+  /** q152's target shares (percent of the token budget per language). */
+  val defaultShares: Column =
+    expr("CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 20 " +
+      "WHEN 'es' THEN 10 ELSE 5 END")
+
+  /** Corpus-thin (doc_id, lang, toks, h): whitespace token counts plus
+    * the content-independent md5 sampling draw (q127's discipline —
+    * reproducible under reprocessing; corpus growth never flips an old
+    * document's draw).
+    */
+  def counted(docs: DataFrame, salt: String = "mix|"): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"),
+      expr(s"cast(conv(substring(md5('$salt' || cast(doc_id as string)), " +
+        "1, 15), 16, 10) as bigint)").as("h"))
+
+  /** Per-language (lang, avail, want): availability from one
+    * stratum-sized aggregation; want = budget·share/100 exact-integer.
+    */
+  def availability(cnt: DataFrame, budgetTokens: Long,
+                   shares: Column = defaultShares): DataFrame =
+    cnt.groupBy(col("lang"))
+      .agg(sum(col("toks")).as("avail"))
+      .withColumn("share_pct", shares)
+      .withColumn("want", expr(s"${budgetTokens}L * share_pct div 100"))
+      .select(col("lang"), col("avail"), col("want"))
+
+  /** Documents kept under rate min(1, want/avail), decided as
+    * h < (2⁶⁰ div avail)·want on the 60-bit md5 draw — integer-exact,
+    * so the keep boundary can never move with float representation.
+    * Availability broadcasts; the filter is map-side. Returns the thin
+    * kept table (doc_id, lang, toks, h, avail, want).
+    */
+  def keep(docs: DataFrame, budgetTokens: Long,
+           shares: Column = defaultShares, salt: String = "mix|"): DataFrame = {
+    val cnt = counted(docs, salt)
+    cnt.join(broadcast(availability(cnt, budgetTokens, shares)), "lang")
+      .where(col("want") >= col("avail") ||
+        col("h") < expr("1152921504606846976L div avail") * col("want"))
+  }
+
+  /** q152's achieved-vs-wanted-vs-available mix report. */
+  def report(docs: DataFrame, budgetTokens: Long,
+             shares: Column = defaultShares, salt: String = "mix|"): DataFrame =
+    keep(docs, budgetTokens, shares, salt)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_kept"),
+        sum(col("toks")).as("tokens_kept"),
+        max(col("want")).as("tokens_wanted"),
+        max(col("avail")).as("tokens_available"))
+}

@@ -118,6 +118,15 @@ object Pack {
     manifestFromPlacement(
       shardPlacement(docs, seqLen, binsPerShard, seed), seqLen, binsPerShard)
 
+  /** [[shardManifest]] over a PRE-COUNTED (doc_id, n_tokens) table —
+    * see [[shardPlacementCounted]].
+    */
+  def shardManifestCounted(counted: DataFrame, seqLen: Int = 512,
+                           binsPerShard: Int = 16, seed: Long = 42L): DataFrame =
+    manifestFromPlacement(
+      shardPlacementCounted(counted, seqLen, binsPerShard, seed),
+      seqLen, binsPerShard)
+
   /** Per-(document, shard) placement rows — what a shard writer
     * actually consumes: (doc_id, shard_id, global_start, n_tokens,
     * first_shard, slice_start, slice_len) where the document
@@ -141,11 +150,26 @@ object Pack {
     */
   def shardPlacement(docs: DataFrame, seqLen: Int = 512,
                      binsPerShard: Int = 16, seed: Long = 42L,
-                     baseTokens: Long = 0L): DataFrame = {
+                     baseTokens: Long = 0L): DataFrame =
+    shardPlacementCounted(
+      docs.select(col("doc_id"),
+        size(graft.functions.Text.words(col("text"))).cast("long").as("n_tokens")),
+      seqLen, binsPerShard, seed, baseTokens)
+
+  /** [[shardPlacement]] over a PRE-COUNTED corpus-thin
+    * (doc_id, n_tokens) table — the composition face: an upstream
+    * selection that already carries token counts (the mix keep table,
+    * a quality gate) feeds the packer without re-deriving counts from
+    * text, and with the thin input persisted the prefix sum's two
+    * passes never re-read the corpus. Caller contract: n_tokens ≥ 1
+    * for every row (the [[packSequences]] tokenizer invariant —
+    * whitespace-split of "" is [""]).
+    */
+  def shardPlacementCounted(counted0: DataFrame, seqLen: Int = 512,
+                            binsPerShard: Int = 16, seed: Long = 42L,
+                            baseTokens: Long = 0L): DataFrame = {
     val shardTokens = binsPerShard.toLong * seqLen
-    val counted = docs.select(col("doc_id"),
-        size(graft.functions.Text.words(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("h", shuffleKey(col("doc_id"), seed))
+    val counted = counted0.withColumn("h", shuffleKey(col("doc_id"), seed))
     globalOffsets(counted, Seq("h", "doc_id"), "n_tokens")
       .withColumn("global_start", col("global_start") + baseTokens)
       .withColumn("first_shard", expr(s"global_start div ${shardTokens}L"))

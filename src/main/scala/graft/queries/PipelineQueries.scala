@@ -1130,25 +1130,9 @@ object PipelineQueries extends QueryFamily {
       |FROM s
       |GROUP BY lang
       |ORDER BY lang""".stripMargin) { (s, d) =>
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"),
-        expr("cast(conv(substring(md5('mix|' || cast(doc_id as string)), 1, 15), 16, 10) as bigint)").as("h"))
-    val targets = expr("CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 20 " +
-      "WHEN 'es' THEN 10 ELSE 5 END")
-    val avail = docs.groupBy(col("lang"))
-      .agg(sum(col("toks")).as("avail"))
-      .withColumn("share_pct", targets)
-      .withColumn("want", expr("30000L * share_pct div 100"))
-      .select(col("lang"), col("avail"), col("want"))
-    docs.join(broadcast(avail), "lang")
-      .where(col("want") >= col("avail") ||
-        col("h") < expr("1152921504606846976L div avail") * col("want"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("docs_kept"),
-        sum(col("toks")).as("tokens_kept"),
-        max(col("want")).as("tokens_wanted"),
-        max(col("avail")).as("tokens_available"))
+    // selection faces live in operators/Mix.scala since the q190
+    // composition; this oracle gates them round over round
+    graft.operators.Mix.report(Tables.documents(s, d), budgetTokens = 30000L)
       .orderBy("lang")
   }
 
@@ -1737,5 +1721,68 @@ object PipelineQueries extends QueryFamily {
       .orderBy("train_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189)
+  // ---- q190: corpus build (mix → shard manifest, the output capstone) ----
+  // The last mile from curated corpus to training shards as ONE
+  // operator: q152's exact-integer mix selection (Mix.keep) feeds
+  // q181's seeded shard packer over the corpus-THIN (doc_id, n_tokens)
+  // kept table — Pack.shardManifestCounted never re-reads text, so at
+  // 100 TB the composition pays the mix's two scan roles (availability
+  // fit + sampling pass) and nothing else; the persisted thin table
+  // serves both prefix-sum passes and is released once the
+  // shard-count-sized manifest materializes. FULL oracle: q152's keep
+  // CTEs chained into q181's cumsum/overlap arithmetic, every step in
+  // exact integer form on both engines.
+  val q190 = {
+    val BPS = 4; val SEED = 7L
+    val L = 512
+    val ST = BPS.toLong * L
+    Q(
+      "q190_corpus_build",
+      s"""WITH d0 AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |  CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         | FROM documents),
+         |t AS (SELECT lang,
+         |  CASE lang WHEN 'en' THEN 40 WHEN 'zh' THEN 25 WHEN 'de' THEN 20
+         |            WHEN 'es' THEN 10 ELSE 5 END AS share_pct
+         | FROM (SELECT DISTINCT lang FROM d0)),
+         |a AS (SELECT d0.lang, share_pct, sum(toks) AS avail,
+         |        CAST(30000 AS BIGINT) * share_pct // 100 AS want
+         | FROM d0 JOIN t ON d0.lang = t.lang GROUP BY d0.lang, share_pct),
+         |kept AS (SELECT d0.doc_id, d0.toks FROM d0 JOIN a ON d0.lang = a.lang
+         | WHERE a.want >= a.avail OR d0.h < (1152921504606846976 // a.avail) * a.want),
+         |d AS (SELECT doc_id, toks AS n_tokens,
+         |        ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h
+         |      FROM kept),
+         |c AS (SELECT doc_id, n_tokens, h,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+         |      FROM d),
+         |e AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+         |        (gs + n_tokens - 1) // $ST AS last_shard FROM c),
+         |x AS (SELECT e.*, CAST(sh AS BIGINT) AS shard_id
+         |      FROM e, unnest(range(first_shard, last_shard + 1)) AS u(sh))
+         |SELECT shard_id,
+         |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+         |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+         |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+         |  shard_id * $BPS AS first_bin,
+         |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+         |FROM x GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      // the kept table is BUDGET-sized by construction (keep rates cap
+      // tokens at ~30k), so materializing it eagerly costs a model-sized
+      // checkpoint, cuts the mix lineage (the prefix sum's two passes
+      // read the thin table, never the corpus), and keeps the pack
+      // topology visible to PlanAudit
+      val kept = graft.operators.Mix
+        .keep(Tables.documents(s, d), budgetTokens = 30000L)
+        .select(col("doc_id"), col("toks").as("n_tokens"))
+        .localCheckpoint()
+      graft.operators.Pack
+        .shardManifestCounted(kept, seqLen = L, binsPerShard = BPS, seed = SEED)
+        .orderBy("shard_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190)
 }

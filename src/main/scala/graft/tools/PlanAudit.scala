@@ -70,7 +70,9 @@ object PlanAudit {
     "q163_sequence_packing" ->
       "global window on per-partition pack summaries: input <= #partitions rows",
     "q181_shard_manifest" ->
-      "global window on per-partition pack summaries: input <= #partitions rows (the q163 two-phase prefix sum)")
+      "global window on per-partition pack summaries: input <= #partitions rows (the q163 two-phase prefix sum)",
+    "q190_corpus_build" ->
+      "global window on per-partition pack summaries over the BUDGET-sized kept table: input <= #partitions rows")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else

@@ -266,4 +266,44 @@ class PackSpec extends SparkSpec {
     // an un-partitioned data-sized window would single-thread the corpus
     assert(plan.contains("SPARK_PARTITION_ID"), s"expected pid-partitioned window:\n$plan")
   }
+
+  test("pre-counted face == text face: shardManifestCounted over derived counts is identical") {
+    // pins the q190 refactor: shardPlacement is now a thin wrapper over
+    // shardPlacementCounted, so the two manifest faces must be
+    // row-identical on the same corpus and knobs
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val counted = docs.select(col("doc_id"),
+      size(graft.functions.Text.words(col("text"))).cast("long").as("n_tokens"))
+    val fromText = Pack.shardManifest(docs, seqLen = 256, binsPerShard = 8, seed = 11L)
+      .orderBy("shard_id").collect().toSeq
+    val fromCounts = Pack
+      .shardManifestCounted(counted, seqLen = 256, binsPerShard = 8, seed = 11L)
+      .orderBy("shard_id").collect().toSeq
+    assert(fromText == fromCounts)
+  }
+
+  test("corpus build composition: the manifest packs exactly the mix's kept tokens") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val kept = graft.operators.Mix.keep(docs, budgetTokens = 30000L)
+    val keptRows = kept.select("doc_id", "toks").as[(Long, Long)].collect()
+    // the draw is content-independent and deterministic: a re-run
+    // selects the identical document set
+    val again = graft.operators.Mix.keep(docs, budgetTokens = 30000L)
+      .select("doc_id", "toks").as[(Long, Long)].collect()
+    assert(keptRows.toSet == again.toSet, "mix selection must be deterministic")
+    // per-language kept tokens can never exceed availability
+    val byLang = kept.groupBy("lang")
+      .agg(sum(col("toks")).as("got"), max(col("avail")).as("avail"))
+      .as[(String, Long, Long)].collect()
+    byLang.foreach { case (lang, got, avail) =>
+      assert(got <= avail, s"$lang kept $got > available $avail")
+    }
+    val manifest = Pack.shardManifestCounted(
+      kept.select(col("doc_id"), col("toks").as("n_tokens")),
+      seqLen = 512, binsPerShard = 4, seed = 7L).collect()
+    assert(manifest.map(_.getAs[Long]("n_tokens")).sum == keptRows.map(_._2).sum,
+      "the shard plan must conserve exactly the sampled corpus's tokens")
+    assert(manifest.map(_.getAs[Long]("n_docs_starting")).sum == keptRows.length,
+      "every kept document starts in exactly one shard")
+  }
 }
