@@ -30,8 +30,11 @@ object Mix {
   def counted(docs: DataFrame, salt: String = "mix|"): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"),
-      expr(s"cast(conv(substring(md5('$salt' || cast(doc_id as string)), " +
-        "1, 15), 16, 10) as bigint)").as("h"))
+      // lit(salt), not string interpolation into an expr: a caller-
+      // supplied salt containing a quote/backslash must hash as-is,
+      // never re-parse as SQL
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long").as("h"))
 
   /** Per-language (lang, avail, want): availability from one
     * stratum-sized aggregation; want = budget·share/100 exact-integer.

@@ -1727,11 +1727,13 @@ object PipelineQueries extends QueryFamily {
   // q181's seeded shard packer over the corpus-THIN (doc_id, n_tokens)
   // kept table — Pack.shardManifestCounted never re-reads text, so at
   // 100 TB the composition pays the mix's two scan roles (availability
-  // fit + sampling pass) and nothing else; the persisted thin table
-  // serves both prefix-sum passes and is released once the
-  // shard-count-sized manifest materializes. FULL oracle: q152's keep
-  // CTEs chained into q181's cumsum/overlap arithmetic, every step in
-  // exact integer form on both engines.
+  // fit + sampling pass) and nothing else. The checkpoint runs the mix
+  // at query CONSTRUCTION (PlanAudit's documented fit-at-construction
+  // blind spot: the plan walker starts at the thin table, so the mix's
+  // corpus scans are gated by q190's shuffle-byte row and the q152
+  // oracle instead). FULL oracle: q152's keep CTEs chained into q181's
+  // cumsum/overlap arithmetic, every step in exact integer form on
+  // both engines.
   val q190 = {
     val BPS = 4; val SEED = 7L
     val L = 512

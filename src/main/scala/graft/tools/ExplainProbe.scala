@@ -8,11 +8,20 @@ import graft._
   */
 object ExplainProbe {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.get()
+    if (args.isEmpty) {
+      System.err.println(
+        "usage: tools/run.sh graft.tools.ExplainProbe <query-name> [sfDir]")
+      sys.exit(2)
+    }
     val name = args(0)
+    val spark = GraftSession.get()
+    val fn = SparkEntry.queries.getOrElse(name, {
+      System.err.println(s"unknown query '$name'; registered names:\n  " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    })
     val d = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val df = SparkEntry.queries(name)(spark, d)
-    df.explain("formatted")
+    fn(spark, d).explain("formatted")
     spark.stop()
   }
 }

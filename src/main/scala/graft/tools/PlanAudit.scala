@@ -251,13 +251,16 @@ object PlanAudit {
     * KNOWN BLIND SPOT (documented, not fixable at this layer):
     * driver-looped training queries (q179 trainMerges — its result is
     * a collected local table; q182's training phase; every ivfFit-
-    * style centroid collect) execute their corpus scans at query
-    * CONSTRUCTION, before the returned plan exists — the audit sees a
+    * style centroid collect) and checkpoint-fronted compositions
+    * (q190's mix stage, localCheckpointed so the pack plan stays
+    * visible) execute their corpus scans at query CONSTRUCTION,
+    * before the returned plan exists — the audit sees a
     * LocalTableScan or only the final apply pass. Scan regressions
     * inside those loops are covered by their operator specs (BpeSpec's
     * vocab-sized-round assertions, AnnIndexSpec's zero-training-jobs
-    * count) and by wall-clock in the bench record, not by this
-    * counter.
+    * count), by each query's shuffle-byte row (a new corpus scan with
+    * a shuffle shows there), and by wall-clock in the bench record,
+    * not by this counter.
     */
   def tableScans(root: SparkPlan): Map[String, Int] = {
     val scans = mutable.Map.empty[String, Int].withDefaultValue(0)

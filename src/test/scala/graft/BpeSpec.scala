@@ -186,6 +186,37 @@ class BpeSpec extends SparkSpec {
     assert(kernel == fold, s"\nkernel $kernel\nfold   $fold")
   }
 
+  /** In-memory greedy lowest-rank replay shared by the large-merge-list
+    * kernel cases. First occurrence of a duplicate pair wins (sequential
+    * semantics: the later pass finds nothing left to fuse), matching the
+    * kernel's buildRanks.
+    */
+  private def greedyReplay(merges: Seq[(String, String)]): String => Seq[String] = {
+    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
+    for (((a, b), i) <- merges.zipWithIndex)
+      if (!ranks.contains((a, b))) ranks((a, b)) = i
+    (w: String) => {
+      var syms = w.map(_.toString).toVector
+      var go = true
+      while (go && syms.length >= 2) {
+        val cands = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(p -> _))
+        if (cands.isEmpty) go = false
+        else {
+          val (pa, pb) = cands.minBy(_._2)._1
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
+              out += pa + pb; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+        }
+      }
+      syms
+    }
+  }
+
   test("kernel survives a 1000+ merge vocabulary with bounded plan and run time") {
     // the chained-fold formulation is structurally dead here (M
     // CodegenFallback projections + an M-deep Catalyst plan); the
@@ -206,31 +237,7 @@ class BpeSpec extends SparkSpec {
     // chains of different words interfere (a low-rank pair from one
     // word fires inside another), so the expectation is the serial
     // greedy loop, not whole-word collapse
-    // first occurrence of a duplicate pair wins (sequential semantics:
-    // the later pass finds nothing left to fuse), matching the kernel
-    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
-    for (((a, b), i) <- merges.zipWithIndex)
-      if (!ranks.contains((a, b))) ranks((a, b)) = i
-    def serialGreedy(w: String): Seq[String] = {
-      var syms = w.map(_.toString).toVector
-      var go = true
-      while (go && syms.length >= 2) {
-        val cands = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(p -> _))
-        if (cands.isEmpty) go = false
-        else {
-          val (pa, pb) = cands.minBy(_._2)._1
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
-              out += pa + pb; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.result()
-        }
-      }
-      syms
-    }
+    val serialGreedy = greedyReplay(merges)
     val expected = words.toSeq.flatMap(serialGreedy)
       .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
     val t0 = System.nanoTime()
@@ -259,29 +266,7 @@ class BpeSpec extends SparkSpec {
       (1 to (3 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
     val corpus = docs(words.grouped(6).zipWithIndex
       .map { case (ws, i) => ((i + 1).toLong, ws.mkString(" ")) }.toSeq: _*)
-    val ranks = scala.collection.mutable.Map.empty[(String, String), Int]
-    for (((a, b), i) <- merges.zipWithIndex)
-      if (!ranks.contains((a, b))) ranks((a, b)) = i
-    def greedy(w: String): Seq[String] = {
-      var syms = w.map(_.toString).toVector
-      var go = true
-      while (go && syms.length >= 2) {
-        val cands = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(p -> _))
-        if (cands.isEmpty) go = false
-        else {
-          val (pa, pb) = cands.minBy(_._2)._1
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == pa && syms(i + 1) == pb) {
-              out += pa + pb; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          syms = out.result()
-        }
-      }
-      syms
-    }
+    val greedy = greedyReplay(merges)
     val expected = words.flatMap(greedy)
       .groupBy(identity).map { case (t, a) => t -> a.length.toLong }
     val t0 = System.nanoTime()
