@@ -47,19 +47,38 @@ object Mix {
       .withColumn("want", expr(s"${budgetTokens}L * share_pct div 100"))
       .select(col("lang"), col("avail"), col("want"))
 
-  /** Documents kept under rate min(1, want/avail), decided as
+  /** Keep rate min(1, want/avail) decided as
     * h < (2⁶⁰ div avail)·want on the 60-bit md5 draw — integer-exact,
     * so the keep boundary can never move with float representation.
-    * Availability broadcasts; the filter is map-side. Returns the thin
-    * kept table (doc_id, lang, toks, h, avail, want).
+    */
+  private def keepPredicate: Column =
+    col("want") >= col("avail") ||
+      col("h") < expr("1152921504606846976L div avail") * col("want")
+
+  /** Documents kept under the exact-integer keep rule. Availability
+    * broadcasts; the filter is map-side. Returns the thin kept table
+    * (doc_id, lang, toks, h, avail, want).
     */
   def keep(docs: DataFrame, budgetTokens: Long,
            shares: Column = defaultShares, salt: String = "mix|"): DataFrame = {
     val cnt = counted(docs, salt)
     cnt.join(broadcast(availability(cnt, budgetTokens, shares)), "lang")
-      .where(col("want") >= col("avail") ||
-        col("h") < expr("1152921504606846976L div avail") * col("want"))
+      .where(keepPredicate)
   }
+
+  /** Per-batch keep decision against a FIXED availability table — the
+    * streaming deployment face (the q189 learnThreshold posture:
+    * calibrate availability ONCE on the corpus or a sample, then gate
+    * every arriving micro-batch at the same exact-integer rates). The
+    * per-document draw is content- and batch-independent, so with the
+    * same calibrated table the streamed keep set equals the batch
+    * [[keep]] set exactly, regardless of how arrivals split into
+    * batches (StreamingMixSpec pins it).
+    */
+  def keepAgainst(batch: DataFrame, avail: DataFrame,
+                  salt: String = "mix|"): DataFrame =
+    counted(batch, salt).join(broadcast(avail), "lang")
+      .where(keepPredicate)
 
   /** q152's achieved-vs-wanted-vs-available mix report. */
   def report(docs: DataFrame, budgetTokens: Long,
