@@ -172,4 +172,67 @@ object Winnow {
       .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
       .agg(countDistinct(col("a.gram")).as("n_spans"))
   }
+
+  /** Span EXCISION — the cut an extents consumer actually performs
+    * (the RefinedWeb-style removal of duplicated passages): for every
+    * document on the CUT side of a [[spanExtents]] pair (keep-earliest
+    * convention — doc_b, the higher id, loses its copy), merge its cut
+    * intervals into maximal spans (overlapping or adjacent intervals
+    * coalesce), drop the covered tokens, and emit the cleaned document:
+    * (doc_id, n_spans, tokens_cut, clean_text) over the normalized word
+    * sequence, affected documents only.
+    *
+    * Scale shape: extents are df-capped upstream; interval merging
+    * windows partition by doc_id over extent rows only (a vanishing
+    * fraction of the corpus); ONLY affected documents re-read their
+    * text and pay the token explode — the cut itself is an anti-join of
+    * (doc, pos) against the merged spans, equi on doc_id.
+    */
+  def exciseSpans(docs: DataFrame, k: Int = 5, w: Int = 8,
+                  maxDf: Int = 50): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cuts = spanExtents(docs, k, w, maxDf)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        col("end_b").as("e"))
+      .distinct()
+    val byDoc = W.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val merged = cuts
+      .withColumn("pme", max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      // extent-count-sized; materializing disambiguates its two
+      // consumers below (span counting + the token range join share
+      // this lineage) and avoids recomputing the window chain
+      .localCheckpoint()
+    val spansPerDoc = merged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"))
+    val tok = docs
+      .select(col("doc_id"), Text.words(col("text")).as("w"))
+      .join(spansPerDoc, "doc_id")
+      .select(col("doc_id"), col("n_spans"),
+        posexplode(col("w")).as(Seq("pos", "word")))
+    // merged intervals are disjoint by construction, so the range join
+    // matches each token at most once — a left join marks cut tokens
+    // without duplicating rows, and ONE aggregation produces counts and
+    // the cleaned text together (one pass over the affected docs)
+    // fresh aliases: spansPerDoc and this range join both descend from
+    // `merged`, so the raw columns would be ambiguous in one plan
+    val iv = merged.select(col("doc_id").as("iv_doc"),
+      col("s").as("iv_s"), col("e").as("iv_e"))
+    val marked = tok.join(iv,
+        tok("doc_id") === col("iv_doc")
+          && tok("pos").between(col("iv_s"), col("iv_e")), "left_outer")
+      .select(tok("doc_id").as("doc_id"), col("n_spans"), col("pos"),
+        col("word"), col("iv_s").isNotNull.as("cut"))
+    marked.groupBy(col("doc_id"), col("n_spans"))
+      .agg(
+        sum(when(col("cut"), 1L).otherwise(0L)).as("tokens_cut"),
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(CASE WHEN NOT cut THEN struct(pos, word) END)), x -> x.word)"))
+          .as("clean_text"))
+      .select(col("doc_id"), col("n_spans"), col("tokens_cut"), col("clean_text"))
+  }
 }

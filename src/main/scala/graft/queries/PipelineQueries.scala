@@ -1786,5 +1786,61 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190)
+  // ---- q191: span excision (cut the duplicated passages) ----------------
+  // The consumer of q162's extents — the RefinedWeb-style REMOVAL of
+  // duplicated passages, keep-earliest convention (doc_b, the higher id
+  // of each pair, loses its copy). Per cut-side document the extents
+  // merge into maximal intervals (overlap/adjacency coalesces), the
+  // covered tokens drop, and the cleaned normalized text is emitted
+  // with span/cut counts. Only AFFECTED documents re-read text and pay
+  // the token explode; interval windows partition per doc over extent
+  // rows only. FULL oracle: q162's extents chain + the same island
+  // merge + a position anti-join replayed exactly (both engines decide
+  // every boundary on integers).
+  val q191 = Q(
+    "q191_span_excision",
+    s"""WITH $winnowFpSql,
+       |shared AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |           FROM fpf a JOIN fpf b
+       |             ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id),
+       |gp AS (SELECT *, pa - lag(pa) OVER
+       |         (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS gap FROM shared),
+       |brks AS (SELECT *, CASE WHEN gap IS NULL OR gap > $WinW THEN 1 ELSE 0 END AS brk FROM gp),
+       |segs AS (SELECT *, sum(brk) OVER
+       |           (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM brks),
+       |cuts AS (SELECT DISTINCT doc_b AS doc_id, min(pb) AS s,
+       |           max(pb) + ${WinK - 1} AS e
+       |         FROM segs GROUP BY doc_a, doc_b, diag, seg),
+       |rm AS (SELECT doc_id, s, e, max(e) OVER
+       |         (PARTITION BY doc_id ORDER BY s, e
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM cuts),
+       |br AS (SELECT *, CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS brk FROM rm),
+       |isl AS (SELECT *, sum(brk) OVER
+       |          (PARTITION BY doc_id ORDER BY s, e
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM br),
+       |m AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, grp),
+       |aff AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM m GROUP BY 1),
+       |w0 AS (SELECT d0.doc_id, $WORDS AS w FROM documents d0
+       |       JOIN aff ON d0.doc_id = aff.doc_id),
+       |tok AS (SELECT w0.doc_id, u.i - 1 AS pos, w[u.i] AS word
+       |        FROM w0, unnest(range(1, len(w) + 1)) AS u(i)),
+       |kept AS (SELECT t.* FROM tok t WHERE NOT EXISTS
+       |           (SELECT 1 FROM m WHERE m.doc_id = t.doc_id
+       |              AND t.pos BETWEEN m.s AND m.e)),
+       |ka AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+       |         count(*) AS n_kept FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, len(w) AS n_tok FROM w0)
+       |SELECT aff.doc_id, aff.n_spans,
+       |  CAST(tot.n_tok - coalesce(ka.n_kept, 0) AS BIGINT) AS tokens_cut,
+       |  coalesce(ka.clean_text, '') AS clean_text
+       |FROM aff JOIN tot USING (doc_id) LEFT JOIN ka USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Winnow.exciseSpans(Tables.documents(s, d), k = WinK, w = WinW,
+        maxDf = WinMaxDf)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191)
 }

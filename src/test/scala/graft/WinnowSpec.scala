@@ -114,6 +114,54 @@ class WinnowSpec extends SparkSpec {
     assert(rows(1).getAs[Long]("start_a") >= pA.length + s1.length + gapLen)
   }
 
+  test("excision cuts the planted span from the higher-id doc only, exactly the merged extent") {
+    for (seed <- 11 to 13) {
+      val rnd = new scala.util.Random(seed)
+      val span = randWords(rnd, 40)
+      val offA = rnd.nextInt(20); val offB = rnd.nextInt(20)
+      val aWords = randWords(rnd, offA) ++ span ++ randWords(rnd, 15)
+      val bWords = randWords(rnd, offB) ++ span ++ randWords(rnd, 15)
+      val noise = (1 to 4).map(i => (100L + i, randWords(rnd, 60).mkString(" ")))
+      val docs = (Seq((1L, aWords.mkString(" ")), (2L, bWords.mkString(" "))) ++ noise)
+        .toDF("doc_id", "text")
+      val out = Winnow.exciseSpans(docs, K, W).collect()
+      // keep-earliest: only doc 2 (the higher id of the pair) is touched
+      assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(2L),
+        s"seed=$seed: expected only doc 2 affected, got ${out.toSeq}")
+      val r = out(0)
+      // the cut must equal the q162 extent verbatim: tokens
+      // [start_b, end_b] removed, everything else kept in order
+      val ext = Winnow.spanExtents(docs, K, W).collect()
+        .filter(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L)
+      assert(ext.length == 1)
+      val (s0, e0) = (ext(0).getAs[Long]("start_b").toInt, ext(0).getAs[Long]("end_b").toInt)
+      val expectClean = (bWords.take(s0) ++ bWords.drop(e0 + 1)).mkString(" ")
+      assert(r.getAs[Long]("n_spans") == 1L)
+      assert(r.getAs[Long]("tokens_cut") == (e0 - s0 + 1).toLong)
+      assert(r.getAs[String]("clean_text") == expectClean,
+        s"seed=$seed: cleaned text diverges from hand-cut [$s0,$e0]")
+    }
+  }
+
+  test("overlapping cut intervals from different pairs merge into one span") {
+    val rnd = new scala.util.Random(31)
+    val shared = randWords(rnd, 30)
+    // doc 3 shares shared[0..19] with doc 1 and shared[10..29] with
+    // doc 2 — its two cut intervals overlap and must merge into ONE
+    val d1 = (randWords(rnd, 8) ++ shared.take(20) ++ randWords(rnd, 12)).mkString(" ")
+    val d2 = (randWords(rnd, 5) ++ shared.drop(10) ++ randWords(rnd, 12)).mkString(" ")
+    val w3 = randWords(rnd, 6) ++ shared ++ randWords(rnd, 10)
+    val docs = Seq((1L, d1), (2L, d2), (3L, w3.mkString(" "))).toDF("doc_id", "text")
+    val out = Winnow.exciseSpans(docs, K, W).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.contains(3L), s"doc 3 must be cut, got ${out.keySet}")
+    assert(out(3L).getAs[Long]("n_spans") == 1L,
+      s"overlapping intervals must merge: ${out(3L)}")
+    // the merged cut stays inside the shared block's extent in doc 3
+    val cut = out(3L).getAs[Long]("tokens_cut")
+    assert(cut > 20 && cut <= shared.length + K - 1, s"cut=$cut")
+  }
+
   test("fingerprint selection is a zero-shuffle projection") {
     // plain scan (Tables.documents adds its corpus-rebalance repartition,
     // which is input staging, not part of the operator)
