@@ -73,11 +73,22 @@ object Mix {
     * per-document draw is content- and batch-independent, so with the
     * same calibrated table the streamed keep set equals the batch
     * [[keep]] set exactly, regardless of how arrivals split into
-    * batches (StreamingMixSpec pins it).
+    * batches (StreamingMixSpec pins it). A batch language ABSENT from
+    * the calibrated table fails loudly — an inner join would silently
+    * drop those documents and under-build the corpus (the
+    * miscalibrated-sample hazard), and this repo's contract is loud
+    * failure over silent data loss.
     */
   def keepAgainst(batch: DataFrame, avail: DataFrame,
                   salt: String = "mix|"): DataFrame =
-    counted(batch, salt).join(broadcast(avail), "lang")
+    counted(batch, salt).join(broadcast(avail), Seq("lang"), "left")
+      // assert_true returns null when it passes, so the isNull filter
+      // keeps every calibrated row and THROWS on an uncalibrated one
+      // (a projected-then-dropped assertion column would be pruned)
+      .filter(assert_true(col("avail").isNotNull,
+        concat(lit("Mix.keepAgainst: language '"), col("lang"),
+          lit("' is missing from the calibrated availability table — " +
+            "recalibrate on a sample covering every arriving language"))).isNull)
       .where(keepPredicate)
 
   /** q152's achieved-vs-wanted-vs-available mix report. */

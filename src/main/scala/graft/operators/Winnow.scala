@@ -191,7 +191,8 @@ object Winnow {
   def exciseSpans(docs: DataFrame, k: Int = 5, w: Int = 8,
                   maxDf: Int = 50): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val cuts = spanExtents(docs, k, w, maxDf)
+    val ext = spanExtents(docs, k, w, maxDf)
+    val cuts = ext
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         col("end_b").as("e"))
       .distinct()
@@ -207,13 +208,17 @@ object Winnow {
       // consumers below (span counting + the token range join share
       // this lineage) and avoids recomputing the window chain
       .localCheckpoint()
+    // spanExtents' persisted output is fully consumed by the checkpoint
+    // above — release it rather than pin it for the session
+    ext.unpersist(blocking = true)
     val spansPerDoc = merged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"))
+    // the big shuffle stays (doc_id, pos, word, cut) — n_spans is
+    // joined back AFTER the per-doc aggregation, never per token
     val tok = docs
       .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .join(spansPerDoc, "doc_id")
-      .select(col("doc_id"), col("n_spans"),
-        posexplode(col("w")).as(Seq("pos", "word")))
+      .join(spansPerDoc.select("doc_id"), "doc_id")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
     // merged intervals are disjoint by construction, so the range join
     // matches each token at most once — a left join marks cut tokens
     // without duplicating rows, and ONE aggregation produces counts and
@@ -225,14 +230,15 @@ object Winnow {
     val marked = tok.join(iv,
         tok("doc_id") === col("iv_doc")
           && tok("pos").between(col("iv_s"), col("iv_e")), "left_outer")
-      .select(tok("doc_id").as("doc_id"), col("n_spans"), col("pos"),
+      .select(tok("doc_id").as("doc_id"), col("pos"),
         col("word"), col("iv_s").isNotNull.as("cut"))
-    marked.groupBy(col("doc_id"), col("n_spans"))
+    marked.groupBy(col("doc_id"))
       .agg(
         sum(when(col("cut"), 1L).otherwise(0L)).as("tokens_cut"),
         concat_ws(" ", expr(
           "transform(array_sort(collect_list(CASE WHEN NOT cut THEN struct(pos, word) END)), x -> x.word)"))
           .as("clean_text"))
+      .join(spansPerDoc, "doc_id")
       .select(col("doc_id"), col("n_spans"), col("tokens_cut"), col("clean_text"))
   }
 }

@@ -1284,6 +1284,21 @@ object PipelineQueries extends QueryFamily {
        |fpf AS (SELECT fp.* FROM fp JOIN ok USING (fh))""".stripMargin
   }
 
+  // Shared extents chain over fpf — diagonal grouping + gap segmentation,
+  // consumed by both q162 (reporting) and q191 (excision): ONE definition,
+  // the winnowFpSql discipline, so the two oracles cannot drift.
+  private val winnowSegsSql: String =
+    s"""shared AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
+       |           FROM fpf a JOIN fpf b
+       |             ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id),
+       |gp AS (SELECT *, pa - lag(pa) OVER
+       |         (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS gap FROM shared),
+       |brks AS (SELECT *, CASE WHEN gap IS NULL OR gap > $WinW THEN 1 ELSE 0 END AS brk FROM gp),
+       |segs AS (SELECT *, sum(brk) OVER
+       |           (PARTITION BY doc_a, doc_b, diag ORDER BY pa
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM brks)""".stripMargin
+
   val q161 =
     Q(
       "q161_winnow_spans",
@@ -1313,16 +1328,7 @@ object PipelineQueries extends QueryFamily {
     Q(
       "q162_winnow_extents",
       s"""WITH $winnowFpSql,
-         |shared AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
-         |           FROM fpf a JOIN fpf b
-         |             ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id),
-         |gp AS (SELECT *, pa - lag(pa) OVER
-         |         (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS gap FROM shared),
-         |brks AS (SELECT *, CASE WHEN gap IS NULL OR gap > $WinW THEN 1 ELSE 0 END AS brk FROM gp),
-         |segs AS (SELECT *, sum(brk) OVER
-         |           (PARTITION BY doc_a, doc_b, diag ORDER BY pa
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM brks)
+         |$winnowSegsSql
          |SELECT doc_a, doc_b,
          |  min(pa) AS start_a, max(pa) + ${WinK - 1} AS end_a,
          |  min(pb) AS start_b, max(pb) + ${WinK - 1} AS end_b,
@@ -1800,16 +1806,7 @@ object PipelineQueries extends QueryFamily {
   val q191 = Q(
     "q191_span_excision",
     s"""WITH $winnowFpSql,
-       |shared AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |             a.pos AS pa, b.pos AS pb, a.pos - b.pos AS diag
-       |           FROM fpf a JOIN fpf b
-       |             ON a.fh = b.fh AND a.gram = b.gram AND a.doc_id < b.doc_id),
-       |gp AS (SELECT *, pa - lag(pa) OVER
-       |         (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS gap FROM shared),
-       |brks AS (SELECT *, CASE WHEN gap IS NULL OR gap > $WinW THEN 1 ELSE 0 END AS brk FROM gp),
-       |segs AS (SELECT *, sum(brk) OVER
-       |           (PARTITION BY doc_a, doc_b, diag ORDER BY pa
-       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM brks),
+       |$winnowSegsSql,
        |cuts AS (SELECT DISTINCT doc_b AS doc_id, min(pb) AS s,
        |           max(pb) + ${WinK - 1} AS e
        |         FROM segs GROUP BY doc_a, doc_b, diag, seg),

@@ -283,23 +283,20 @@ class PackSpec extends SparkSpec {
   }
 
   test("corpus build composition is invariant to input partitioning (seeded random)") {
-    // the q190 shape end-to-end on a seeded random corpus-thin table:
-    // the mix keep decision is per-row deterministic and the packer's
-    // (h, doc_id) order is global, so 1/7/32-partition inputs must
-    // produce the byte-identical manifest
+    // the q190 shape end-to-end THROUGH the production faces (Mix.keep,
+    // not a re-implementation of its hash/predicate): the keep decision
+    // is per-row deterministic and the packer's (h, doc_id) order is
+    // global, so 1/7/32-partition inputs must produce the byte-identical
+    // manifest
     val rnd = new scala.util.Random(17)
     val langs = Array("en", "zh", "de", "es", "fr")
-    val rows = (1L to 4000L).map(i =>
-      (i, langs(rnd.nextInt(langs.length)), 1L + rnd.nextInt(60)))
+    val rows = (1L to 4000L).map { i =>
+      val toks = 1 + rnd.nextInt(60)
+      (i, langs(rnd.nextInt(langs.length)), Seq.fill(toks)("w").mkString(" "))
+    }
     val manifests = Seq(1, 7, 32).map { parts =>
-      val counted = rows.toDF("doc_id", "lang", "toks").repartition(parts)
-        .withColumn("h", conv(substring(
-          md5(concat(lit("mix|"), col("doc_id").cast("string"))), 1, 15),
-          16, 10).cast("long"))
-      val avail = graft.operators.Mix.availability(counted, budgetTokens = 30000L)
-      val kept = counted.join(broadcast(avail), "lang")
-        .where(col("want") >= col("avail") ||
-          col("h") < expr("1152921504606846976L div avail") * col("want"))
+      val docs = rows.toDF("doc_id", "lang", "text").repartition(parts)
+      val kept = graft.operators.Mix.keep(docs, budgetTokens = 30000L)
         .select(col("doc_id"), col("toks").as("n_tokens"))
       Pack.shardManifestCounted(kept, seqLen = 128, binsPerShard = 4, seed = 7L)
         .orderBy("shard_id").collect().toSeq

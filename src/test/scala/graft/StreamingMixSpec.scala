@@ -80,4 +80,19 @@ class StreamingMixSpec extends SparkSpec {
     assert(next == batchKept.values.sum,
       "packed token mass must equal the kept corpus exactly")
   }
+
+  test("a language missing from the calibrated table fails loudly, never drops silently") {
+    import spark.implicits._
+    val sample = Seq(MixDoc(1, "en", "a b c"), MixDoc(2, "de", "d e f")).toDF()
+    val avail = Mix.availability(Mix.counted(sample), budgetTokens = 100L)
+      .localCheckpoint()
+    val batch = Seq(MixDoc(3, "fr", "x y z")).toDF()
+    val e = intercept[Exception] {
+      Mix.keepAgainst(batch, avail).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + messages(t.getCause)
+    assert(messages(e).contains("missing from the calibrated availability"),
+      s"expected the loud calibration failure, got: ${messages(e)}")
+  }
 }
