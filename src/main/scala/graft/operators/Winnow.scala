@@ -190,12 +190,60 @@ object Winnow {
     */
   def exciseSpans(docs: DataFrame, k: Int = 5, w: Int = 8,
                   maxDf: Int = 50): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val ext = spanExtents(docs, k, w, maxDf)
     val cuts = ext
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         col("end_b").as("e"))
       .distinct()
+    val out = cutDocs(docs, cuts)
+    ext.unpersist(blocking = true)
+    out
+  }
+
+  /** The streaming counterpart of [[exciseSpans]]: cut each NEW
+    * document's passages already present in the ACCUMULATED fingerprint
+    * index (the [[spansAgainst]] ingestion shape — df cap over the
+    * index, only the batch side shuffles when the index is bucketed by
+    * fh). Keep-earliest falls out structurally: the indexed copy is by
+    * definition the earlier arrival, so the cut side is ALWAYS the new
+    * document. Same (diagonal, gap ≤ w) segmentation as
+    * [[spanExtents]], extents over the new side only.
+    */
+  def exciseAgainst(newDocs: DataFrame, index: DataFrame,
+                    k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val fp = fingerprints(newDocs, k, w)
+    val hot = index.groupBy(col("fh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDf).select(col("fh"))
+    val shared = fp.as("a")
+      .join(broadcast(hot), Seq("fh"), "left_anti")
+      .join(index.as("b"),
+        col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"),
+        col("a.pos").as("pn"), (col("a.pos") - col("b.pos")).as("diag"))
+      .dropDuplicates("new_id", "old_id", "pn", "diag")
+    val win = W.partitionBy("new_id", "old_id", "diag").orderBy("pn")
+    val cuts = shared
+      .withColumn("gap", col("pn") - lag(col("pn"), 1).over(win))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(
+        win.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy(col("new_id"), col("old_id"), col("diag"), col("seg"))
+      .agg(min(col("pn")).as("s"), (max(col("pn")) + (k - 1)).as("e"))
+      .select(col("new_id").as("doc_id"), col("s"), col("e"))
+      .distinct()
+    cutDocs(newDocs, cuts)
+  }
+
+  /** Merge cut intervals per document into maximal spans and remove the
+    * covered tokens — the machinery [[exciseSpans]] and [[exciseAgainst]]
+    * share. `cuts` is (doc_id, s, e) inclusive token intervals over the
+    * normalized word sequence.
+    */
+  private def cutDocs(docs: DataFrame, cuts: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val byDoc = W.partitionBy("doc_id").orderBy(col("s"), col("e"))
     val merged = cuts
       .withColumn("pme", max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
@@ -206,11 +254,9 @@ object Winnow {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       // extent-count-sized; materializing disambiguates its two
       // consumers below (span counting + the token range join share
-      // this lineage) and avoids recomputing the window chain
+      // this lineage) and avoids recomputing the window chain — and
+      // lets exciseSpans release the spanExtents cache on return
       .localCheckpoint()
-    // spanExtents' persisted output is fully consumed by the checkpoint
-    // above — release it rather than pin it for the session
-    ext.unpersist(blocking = true)
     val spansPerDoc = merged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"))
     // the big shuffle stays (doc_id, pos, word, cut) — n_spans is

@@ -82,4 +82,35 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(pairs.toSet == Set((101L, 50L)),
       s"expected only the unique-span pair, got ${pairs.toSet}")
   }
+
+  test("exciseAgainst cuts an arriving near-dup's span against the index, exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val span = randWords(rnd, 40)
+    val oldDoc = (randWords(rnd, 12) ++ span ++ randWords(rnd, 10)).mkString(" ")
+    val index = Winnow.fingerprints(
+      Seq((1L, oldDoc), (2L, randWords(rnd, 60).mkString(" ")))
+        .toDF("doc_id", "text"), K, W).localCheckpoint()
+    val offN = rnd.nextInt(25)
+    val nWords = randWords(rnd, offN) ++ span ++ randWords(rnd, 14)
+    val newDocs = Seq((10L, nWords.mkString(" ")),
+      (11L, randWords(rnd, 50).mkString(" "))).toDF("doc_id", "text")
+    val out = Winnow.exciseAgainst(newDocs, index, K, W).collect()
+    // only the arriving near-dup is cut — the indexed copy is untouched
+    // by construction (the cut side is always the new document)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L), s"got ${out.toSeq}")
+    val r = out(0)
+    assert(r.getAs[Long]("n_spans") == 1L)
+    // the cut equals the detected extent verbatim: reconstruct it from
+    // the batch spanExtents over {old, new} (same segmentation rules)
+    val ext = Winnow.spanExtents(
+      Seq((1L, oldDoc), (10L, nWords.mkString(" "))).toDF("doc_id", "text"),
+      K, W).collect()
+    assert(ext.length == 1)
+    val (s0, e0) = (ext(0).getAs[Long]("start_b").toInt, ext(0).getAs[Long]("end_b").toInt)
+    val expectClean = (nWords.take(s0) ++ nWords.drop(e0 + 1)).mkString(" ")
+    assert(r.getAs[Long]("tokens_cut") == (e0 - s0 + 1).toLong)
+    assert(r.getAs[String]("clean_text") == expectClean,
+      "streamed cut must equal the batch extent cut")
+  }
 }
