@@ -118,10 +118,44 @@ object Winnow {
   def spanExtents(docs: DataFrame, k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
     val fp = fingerprints(docs, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = fp.groupBy(col("fh"))
+    val out = extentsOfFp(fp, k, w, maxDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    fp.unpersist(blocking = true)
+    out
+  }
+
+  /** fp rows whose fingerprint hash is NOT boilerplate in `capSource`
+    * (more than `maxDf` distinct documents) — the shared df-cap every
+    * pair search applies before joining.
+    */
+  private def dfCapped(fp: DataFrame, capSource: DataFrame, maxDf: Int): DataFrame = {
+    val hot = capSource.groupBy(col("fh"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") > maxDf).select(col("fh"))
-    val ok = fp.join(broadcast(hot), Seq("fh"), "left_anti")
+    fp.join(broadcast(hot), Seq("fh"), "left_anti")
+  }
+
+  /** Append `seg`: contiguous runs of `posCol` within `keys` where
+    * consecutive positions gap by ≤ w — the shared segmentation rule
+    * (inside one shared region winnowing bounds the gap by w).
+    */
+  private def segmented(df: DataFrame, keys: Seq[String], posCol: String,
+                        w: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val win = W.partitionBy(keys.map(col): _*).orderBy(col(posCol))
+    df.withColumn("gap", col(posCol) - lag(col(posCol), 1).over(win))
+      .withColumn("brk", when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
+      .withColumn("seg", sum(col("brk")).over(win.rowsBetween(W.unboundedPreceding, 0)))
+      .drop("gap", "brk")
+  }
+
+  /** The lazy extents core over a fingerprint table — [[spanExtents]]
+    * is this plus persist/materialize lifecycle; [[exciseAgainst]] runs
+    * it over one micro-batch's fingerprints for within-batch cuts.
+    */
+  private def extentsOfFp(fp: DataFrame, k: Int, w: Int, maxDf: Int): DataFrame = {
+    val ok = dfCapped(fp, fp, maxDf)
     val shared = ok.as("a")
       .join(ok.as("b"),
         col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
@@ -130,23 +164,13 @@ object Winnow {
         col("a.pos").as("pa"), col("b.pos").as("pb"),
         (col("a.pos") - col("b.pos")).as("diag"))
       .dropDuplicates("doc_a", "doc_b", "pa", "pb")
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    val segs = shared
-      .withColumn("gap", col("pa") - lag(col("pa"), 1).over(win))
-      .withColumn("brk", when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
-      .withColumn("seg", sum(col("brk")).over(
-        win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    segmented(shared, Seq("doc_a", "doc_b", "diag"), "pa", w)
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("seg"))
       .agg(min(col("pa")).as("start_a"), (max(col("pa")) + (k - 1)).as("end_a"),
         min(col("pb")).as("start_b"), (max(col("pb")) + (k - 1)).as("end_b"),
         count(lit(1)).as("n_fp"))
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("end_a"),
         col("start_b"), col("end_b"), col("n_fp"))
-    val out = segs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    fp.unpersist(blocking = true)
-    out
   }
 
   /** Incremental face: new documents probed against an ACCUMULATED
@@ -159,19 +183,25 @@ object Winnow {
     * are emitted — callers fold the batch into the index afterwards.
     */
   def spansAgainst(newDocs: DataFrame, index: DataFrame,
-                   k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
-    val fp = fingerprints(newDocs, k, w)
-    val hot = index.groupBy(col("fh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDf).select(col("fh"))
-    fp.as("a")
-      .join(broadcast(hot), Seq("fh"), "left_anti")
+                   k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame =
+    indexMatches(fingerprints(newDocs, k, w), index, maxDf)
+      .groupBy(col("new_id"), col("old_id"))
+      .agg(countDistinct(col("gram")).as("n_spans"))
+
+  /** Verified fingerprint matches between a batch's fingerprints and
+    * the accumulated index, df-capped over the INDEX (where boilerplate
+    * accumulates): (new_id, old_id, pn, diag, gram) — shared by
+    * [[spansAgainst]] (detect) and [[exciseAgainst]] (cut).
+    */
+  private def indexMatches(fp: DataFrame, index: DataFrame,
+                           maxDf: Int): DataFrame =
+    dfCapped(fp, index, maxDf).as("a")
       .join(index.as("b"),
         col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
           && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
-      .agg(countDistinct(col("a.gram")).as("n_spans"))
-  }
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"),
+        col("a.pos").as("pn"), (col("a.pos") - col("b.pos")).as("diag"),
+        col("a.gram").as("gram"))
 
   /** Span EXCISION — the cut an extents consumer actually performs
     * (the RefinedWeb-style removal of duplicated passages): for every
@@ -204,37 +234,37 @@ object Winnow {
     * document's passages already present in the ACCUMULATED fingerprint
     * index (the [[spansAgainst]] ingestion shape — df cap over the
     * index, only the batch side shuffles when the index is bucketed by
-    * fh). Keep-earliest falls out structurally: the indexed copy is by
-    * definition the earlier arrival, so the cut side is ALWAYS the new
-    * document. Same (diagonal, gap ≤ w) segmentation as
-    * [[spanExtents]], extents over the new side only.
+    * fh), AND passages duplicated WITHIN the arriving batch (an
+    * intra-batch [[extentsOfFp]] pass over the batch's own
+    * fingerprints — without it two near-dups arriving together would
+    * both enter the index uncut and escape excision forever).
+    *
+    * Keep-earliest semantics: vs the index, the INDEXED copy wins (it
+    * arrived first — arrival order, the deployment semantics, which
+    * coincides with the batch face's id order only when ids are
+    * monotone with arrival); within one batch there is no arrival
+    * order, so the batch face's rule applies (the higher id loses).
+    * Callers running detect + cut per batch share the fingerprint scan
+    * conceptually but this face recomputes it — derive pairs from
+    * [[spansAgainst]] only when you need them separately.
     */
   def exciseAgainst(newDocs: DataFrame, index: DataFrame,
                     k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
     val fp = fingerprints(newDocs, k, w)
-    val hot = index.groupBy(col("fh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDf).select(col("fh"))
-    val shared = fp.as("a")
-      .join(broadcast(hot), Seq("fh"), "left_anti")
-      .join(index.as("b"),
-        col("a.fh") === col("b.fh") && col("a.gram") === col("b.gram")
-          && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"),
-        col("a.pos").as("pn"), (col("a.pos") - col("b.pos")).as("diag"))
-      .dropDuplicates("new_id", "old_id", "pn", "diag")
-    val win = W.partitionBy("new_id", "old_id", "diag").orderBy("pn")
-    val cuts = shared
-      .withColumn("gap", col("pn") - lag(col("pn"), 1).over(win))
-      .withColumn("brk", when(col("gap").isNull || col("gap") > w, 1L).otherwise(0L))
-      .withColumn("seg", sum(col("brk")).over(
-        win.rowsBetween(W.unboundedPreceding, 0)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxCuts = segmented(
+      indexMatches(fp, index, maxDf)
+        .dropDuplicates("new_id", "old_id", "pn", "diag"),
+      Seq("new_id", "old_id", "diag"), "pn", w)
       .groupBy(col("new_id"), col("old_id"), col("diag"), col("seg"))
       .agg(min(col("pn")).as("s"), (max(col("pn")) + (k - 1)).as("e"))
       .select(col("new_id").as("doc_id"), col("s"), col("e"))
-      .distinct()
-    cutDocs(newDocs, cuts)
+    val batchCuts = extentsOfFp(fp, k, w, maxDf)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        col("end_b").as("e"))
+    val out = cutDocs(newDocs, idxCuts.unionByName(batchCuts).distinct())
+    fp.unpersist(blocking = true)
+    out
   }
 
   /** Merge cut intervals per document into maximal spans and remove the

@@ -113,4 +113,57 @@ class StreamingWinnowSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") == expectClean,
       "streamed cut must equal the batch extent cut")
   }
+
+  test("exciseAgainst also cuts near-dups arriving WITHIN one batch (higher id loses)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val span = randWords(rnd, 40)
+    val wA = randWords(rnd, 9) ++ span ++ randWords(rnd, 11)
+    val wB = randWords(rnd, 14) ++ span ++ randWords(rnd, 8)
+    val emptyIndex = Winnow.fingerprints(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), K, W)
+    val batch = Seq((5L, wA.mkString(" ")), (9L, wB.mkString(" ")),
+      (6L, randWords(rnd, 50).mkString(" "))).toDF("doc_id", "text")
+    val out = Winnow.exciseAgainst(batch, emptyIndex, K, W).collect()
+    // nothing is indexed yet, so only the intra-batch pair cuts — and
+    // only its higher id (the batch face's keep-earliest rule)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(9L),
+      s"expected only doc 9 cut within the batch, got ${out.toSeq}")
+    // and it matches the batch exciseSpans over the same pair exactly
+    val batchFace = Winnow.exciseSpans(
+      Seq((5L, wA.mkString(" ")), (9L, wB.mkString(" "))).toDF("doc_id", "text"),
+      K, W).collect()
+    assert(batchFace.length == 1 && batchFace(0).getAs[Long]("doc_id") == 9L)
+    assert(out(0).getAs[String]("clean_text") ==
+      batchFace(0).getAs[String]("clean_text"),
+      "within-batch cut must equal the batch face's cut")
+  }
+
+  test("exciseAgainst df-cap: index-wide boilerplate is never cut, a unique span is") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val boiler = randWords(rnd, W + K - 1)
+    val uniq = randWords(rnd, 40)
+    // boilerplate appears in 10 indexed docs (> maxDf = 5); the unique
+    // span in exactly one
+    val indexed = (1L to 10L).map(i =>
+      (i, (randWords(rnd, 5) ++ boiler ++ randWords(rnd, 5)).mkString(" "))) :+
+      (50L, (randWords(rnd, 8) ++ uniq ++ randWords(rnd, 8)).mkString(" "))
+    val index = Winnow.fingerprints(indexed.toDF("doc_id", "text"), K, W)
+      .localCheckpoint()
+    val nWords = randWords(rnd, 6) ++ boiler ++ randWords(rnd, 4) ++
+      uniq ++ randWords(rnd, 6)
+    val out = Winnow.exciseAgainst(
+      Seq((101L, nWords.mkString(" "))).toDF("doc_id", "text"),
+      index, K, W, maxDf = 5).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("doc_id") == 101L)
+    val clean = out(0).getAs[String]("clean_text")
+    // the boilerplate survives (its fingerprints are df-capped away);
+    // the unique span's INTERIOR is cut — winnowing extents can leave
+    // up to ~w tokens at each span edge (the documented resolution)
+    assert(boiler.forall(clean.contains), s"boilerplate must survive the cap: $clean")
+    val interior = uniq.drop(W).dropRight(W + K - 1)
+    assert(interior.nonEmpty && !interior.exists(clean.contains),
+      s"unique span interior must be cut: $clean")
+  }
 }
