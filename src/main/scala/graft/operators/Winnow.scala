@@ -55,14 +55,12 @@ object Winnow {
       .select(col("doc_id"), Text.words(col("text")).as("w"))
       .withColumn("hs", graft.plans.NativeFunctions
         .shingleHashes(col("w"), k, "md5", graft.plans.Affine.P))
-      .withColumn("comb", expr(s"transform(hs, (h, p) -> h * ${Shift}L + p)"))
-      // window i covers comb[i+1 .. i+w] (1-based slice): its min is the
-      // selected (hash, pos); short docs (< w windows) emit nothing —
-      // the CASE guards sequence() from stepping downward (q61 precedent)
-      .withColumn("sel", expr(
-        s"CASE WHEN size(comb) >= $w THEN array_distinct(transform(" +
-          s"sequence(0, size(comb) - $w), i -> array_min(slice(comb, i + 1, $w)))) " +
-          "ELSE array() END"))
+      // O(n) native window-min selection (plans/WinnowSelect): min of
+      // each length-w window over h·2³⁰+pos, each selected value once.
+      // Replaces the O(n·w) interpreted HOF whose upstream hash chain
+      // projection collapse re-evaluated once PER WINDOW (measured 23×
+      // on the real corpus); WinnowSpec pins kernel == HOF bit-exactly
+      .withColumn("sel", graft.plans.NativeFunctions.winnowSelect(col("hs"), w))
       .select(col("doc_id"), col("w"), explode(col("sel")).as("c"))
       .select(col("doc_id"),
         expr(s"c % ${Shift}L").as("pos"),

@@ -411,6 +411,12 @@ object NativeFunctions {
   def shingleHashes(words: Column, n: Int, algo: String, mod: Long = 0L): Column =
     Bridge.column(ShingleHashes(col2expr(words), n, algo, mod))
 
+  /** O(n) winnowing window-min selection over a gram-hash array —
+    * see [[WinnowSelect]].
+    */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    Bridge.column(WinnowSelect(col2expr(hashes), w))
+
   def slotAgree(a: Column, b: Column): Column =
     Bridge.column(SlotAgreement(col2expr(a), col2expr(b)))
 

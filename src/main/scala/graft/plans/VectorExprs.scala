@@ -685,3 +685,77 @@ object MatVec {
     new GenericArrayData(out)
   }
 }
+
+/** Winnowing fingerprint selection over a gram-hash array (Schleimer/
+  * Wilkerson/Aiken SIGMOD 2003 — the window-min step of the MOSS
+  * algorithm): combines each hash with its position (h·2³⁰ + pos, so
+  * integer min orders by (hash, position) lexicographically), takes the
+  * minimum of every length-`w` window with an O(n) monotonic deque, and
+  * emits each selected value once, in window order.
+  *
+  * Why a kernel: the HOF formulation (`transform(sequence(...), i ->
+  * array_min(slice(comb, i+1, w)))`) is O(n·w) interpreted — and after
+  * projection collapse into the downstream Generate the upstream hash
+  * chain re-evaluated once PER WINDOW (measured 23× on the real corpus:
+  * 15 s cold at sf0.1, 142 s at sf1, against sub-second here). Combined
+  * values are position-unique, so each value's window wins form one
+  * consecutive run — consecutive dedup below is exactly
+  * `array_distinct` keep-first-occurrence.
+  */
+case class WinnowSelect(child: Expression, w: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_select requires a window w >= 1, got $w")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow_select requires an array<bigint> input, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_select"
+
+  override protected def nullSafeEval(v: Any): Any =
+    WinnowSelect.compute(v.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.WinnowSelect.compute($a, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  private val Shift = 1073741824L // 2^30 — pos in the low bits
+
+  def compute(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n < w) return new GenericArrayData(new Array[Long](0))
+    val comb = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (hs.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_winnow_select: hash array contains null at index $i")
+      comb(i) = hs.getLong(i) * Shift + i
+      i += 1
+    }
+    // monotonic increasing deque of indices; comb values are unique
+    // (position low bits), so ties are impossible
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    val out = new Array[Long](n - w + 1)
+    var m = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && comb(dq(tail - 1)) > comb(i)) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) {
+        val sel = comb(dq(head))
+        if (m == 0 || out(m - 1) != sel) { out(m) = sel; m += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}

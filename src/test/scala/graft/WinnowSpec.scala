@@ -162,6 +162,29 @@ class WinnowSpec extends SparkSpec {
     assert(cut > 20 && cut <= shared.length + K - 1, s"cut=$cut")
   }
 
+  test("native winnow selection == the HOF formulation, bit-exactly (seeded random)") {
+    // differential parity for plans/WinnowSelect: the O(n) deque kernel
+    // against the O(n·w) SQL HOF reference (combine h·2³⁰+pos, min per
+    // window, distinct keep-first), including duplicate hash values and
+    // arrays shorter than one window
+    val rnd = new scala.util.Random(71)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(60))(rnd.nextInt(40).toLong))
+    }
+    val df = rows.toDF("id", "hs")
+    val Shift = 1073741824L
+    val kernel = df.select(col("id"),
+      graft.plans.NativeFunctions.winnowSelect(col("hs"), W).as("sel"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    val hof = df.select(col("id"), expr(
+      s"element_at(transform(array(transform(hs, (h, p) -> h * ${Shift}L + p)), " +
+        s"cb -> CASE WHEN size(cb) >= $W THEN array_distinct(transform(" +
+        s"sequence(0, size(cb) - $W), i -> array_min(slice(cb, i + 1, $W)))) " +
+        "ELSE array() END), 1)").as("sel"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+    assert(kernel == hof)
+  }
+
   test("fingerprint selection is a zero-shuffle projection") {
     // plain scan (Tables.documents adds its corpus-rebalance repartition,
     // which is input staging, not part of the operator)
