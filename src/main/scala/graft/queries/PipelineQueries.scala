@@ -112,11 +112,15 @@ object PipelineQueries extends QueryFamily {
        |        THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sh FROM hs),
        |chunks AS (SELECT doc_id, sh, chunk, (sh >> (chunk * 15)) & 32767 AS ckey
        | FROM fp, (SELECT unnest(range(4)) AS chunk) t),
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
-       | FROM chunks a JOIN chunks b
-       |   ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
-       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
-       |FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 6
+       |cn AS (SELECT chunk, ckey, count(*) AS df FROM chunks GROUP BY 1, 2),
+       |bounded AS (SELECT chunks.doc_id, chunks.sh, chunks.chunk, chunks.ckey
+       | FROM chunks JOIN cn USING (chunk, ckey) WHERE cn.df <= 20),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       | FROM bounded a JOIN bounded b
+       |   ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.sh, b.sh)) <= 6)
+       |SELECT doc_a, doc_b, hamming FROM pairs
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     Dedup.simhashCandidates(Tables.documents(s, d), maxHamming = 6)
       .orderBy("doc_a", "doc_b")

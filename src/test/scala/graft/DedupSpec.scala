@@ -97,6 +97,26 @@ class DedupSpec extends SparkSpec {
     assert(!h.keySet.exists(_._2 == 9003L), s"unrelated doc surfaced: $h")
   }
 
+  test("simhash hot-chunk cap bounds the bucket join on planted boilerplate") {
+    import spark.implicits._
+    // 30 identical boilerplate docs: one simhash value, so every chunk
+    // bucket they occupy has df=30 — over the cap. Uncapped, that bucket
+    // alone joins to C(30,2)=435 pairs; capped, it contributes zero and
+    // non-hot verified pairs still surface.
+    val boiler = (0 until 30).map(i =>
+      (8000L + i, "the same boilerplate banner text repeated verbatim in every single document"))
+    val docs = docsWithPlants.unionAll(boiler.toDF("doc_id", "text"))
+    val capped = Dedup.simhashCandidates(docs, maxHamming = 3, maxChunkDf = 20)
+    assert(capped.filter(col("doc_a").between(8000, 8099) &&
+      col("doc_b").between(8000, 8099)).count() == 0L,
+      "hot-chunk bucket must be capped out of the join")
+    assert(capped.filter(col("doc_a") === 0 && col("doc_b") === 9001).count() == 1L,
+      "non-hot verified pair must survive the cap")
+    val uncapped = Dedup.simhashCandidates(docs, maxHamming = 3, maxChunkDf = 1000000)
+      .filter(col("doc_a").between(8000, 8099) && col("doc_b").between(8000, 8099))
+    assert(uncapped.count() == 435L, "uncapped hot bucket goes quadratic (the hazard the cap bounds)")
+  }
+
   test("decontaminate flags the training copy of an eval doc and only it") {
     import spark.implicits._
     // eval = doc_id >= 9000; 9001 is an exact (re-spaced) copy of train
