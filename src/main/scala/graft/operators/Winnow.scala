@@ -219,10 +219,12 @@ object Winnow {
   def exciseSpans(docs: DataFrame, k: Int = 5, w: Int = 8,
                   maxDf: Int = 50): DataFrame = {
     val ext = spanExtents(docs, k, w, maxDf)
+    // no distinct: the interval-merge window in cutDocs coalesces
+    // duplicate intervals (same span cut against several partners) for
+    // free — a pre-dedup exchange would move the same rows once more
     val cuts = ext
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         col("end_b").as("e"))
-      .distinct()
     val out = cutDocs(docs, cuts)
     ext.unpersist(blocking = true)
     out
@@ -260,7 +262,7 @@ object Winnow {
     val batchCuts = extentsOfFp(fp, k, w, maxDf)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         col("end_b").as("e"))
-    val out = cutDocs(newDocs, idxCuts.unionByName(batchCuts).distinct())
+    val out = cutDocs(newDocs, idxCuts.unionByName(batchCuts))
     fp.unpersist(blocking = true)
     out
   }
@@ -269,50 +271,52 @@ object Winnow {
     * covered tokens — the machinery [[exciseSpans]] and [[exciseAgainst]]
     * share. `cuts` is (doc_id, s, e) inclusive token intervals over the
     * normalized word sequence.
+    *
+    * Interval-ARRAY formulation (r13): each affected doc's merged,
+    * disjoint intervals aggregate to ONE array row (extent-count-sized),
+    * which equi-joins to the document scan; the cut is then a single
+    * indexed HOF filter over the word array, map-side — the affected
+    * TEXT never enters an exchange. The r12 shape instead posexploded
+    * affected docs to (doc_id, pos, word) rows, range-joined the
+    * intervals, and REBUILT the text through a collect_list aggregation
+    * — the entire affected corpus crossed that final exchange as
+    * per-token rows (51 MB at sf1 vs ~31 for the extents it consumed).
+    * Here the only shuffles are interval-sized.
+    *
+    * The interval side is broadcast: one row per AFFECTED document
+    * (near-dup victims with their extent arrays), orders of magnitude
+    * under the corpus. At warehouse scale, if the affected set outgrows
+    * a broadcast, drop the hint and bucket both sides by doc_id — the
+    * join is already equi on doc_id, so co-located storage keeps the
+    * text out of the exchange the same way.
     */
   private def cutDocs(docs: DataFrame, cuts: DataFrame): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val byDoc = W.partitionBy("doc_id").orderBy(col("s"), col("e"))
-    val merged = cuts
+    val ivs = cuts
       .withColumn("pme", max(col("e")).over(byDoc.rowsBetween(W.unboundedPreceding, -1)))
       .withColumn("brk",
         when(col("pme").isNull || col("s") > col("pme") + 1, 1L).otherwise(0L))
       .withColumn("grp", sum(col("brk")).over(byDoc.rowsBetween(W.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
-      // extent-count-sized; materializing disambiguates its two
-      // consumers below (span counting + the token range join share
-      // this lineage) and avoids recomputing the window chain — and
-      // lets exciseSpans release the spanExtents cache on return
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"))
+      // extent-count-sized; materializing severs the lineage so callers
+      // (exciseSpans/exciseAgainst) can release their extent/fp caches
+      // on return without the lazy result recomputing them
       .localCheckpoint()
-    val spansPerDoc = merged.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"))
-    // the big shuffle stays (doc_id, pos, word, cut) — n_spans is
-    // joined back AFTER the per-doc aggregation, never per token
-    val tok = docs
-      .select(col("doc_id"), Text.words(col("text")).as("w"))
-      .join(spansPerDoc.select("doc_id"), "doc_id")
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
-    // merged intervals are disjoint by construction, so the range join
-    // matches each token at most once — a left join marks cut tokens
-    // without duplicating rows, and ONE aggregation produces counts and
-    // the cleaned text together (one pass over the affected docs)
-    // fresh aliases: spansPerDoc and this range join both descend from
-    // `merged`, so the raw columns would be ambiguous in one plan
-    val iv = merged.select(col("doc_id").as("iv_doc"),
-      col("s").as("iv_s"), col("e").as("iv_e"))
-    val marked = tok.join(iv,
-        tok("doc_id") === col("iv_doc")
-          && tok("pos").between(col("iv_s"), col("iv_e")), "left_outer")
-      .select(tok("doc_id").as("doc_id"), col("pos"),
-        col("word"), col("iv_s").isNotNull.as("cut"))
-    marked.groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("cut"), 1L).otherwise(0L)).as("tokens_cut"),
-        concat_ws(" ", expr(
-          "transform(array_sort(collect_list(CASE WHEN NOT cut THEN struct(pos, word) END)), x -> x.word)"))
-          .as("clean_text"))
-      .join(spansPerDoc, "doc_id")
-      .select(col("doc_id"), col("n_spans"), col("tokens_cut"), col("clean_text"))
+    docs
+      .join(broadcast(ivs), "doc_id")
+      .select(col("doc_id"), col("n_spans"),
+        Text.words(col("text")).as("w"), col("ivs"))
+      // merged intervals are disjoint, so a token is covered by at most
+      // one — `exists` over the (small) interval array per position
+      .withColumn("kept",
+        expr("filter(w, (x, i) -> NOT exists(ivs, v -> i >= v.s AND i <= v.e))"))
+      .select(col("doc_id"), col("n_spans"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("tokens_cut"),
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 }
