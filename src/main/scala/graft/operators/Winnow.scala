@@ -179,10 +179,24 @@ object Winnow {
     * already-indexed document. The df cap is computed over the INDEX
     * (that is where boilerplate accumulates); only new-vs-indexed pairs
     * are emitted — callers fold the batch into the index afterwards.
+    *
+    * A loop running detect AND cut on the same micro-batch should
+    * compute [[fingerprints]] once, persist it, and call
+    * [[spansAgainstFp]] + [[exciseAgainstFp]] with that handle — this
+    * convenience face derives its own fingerprints per call.
     */
   def spansAgainst(newDocs: DataFrame, index: DataFrame,
                    k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame =
-    indexMatches(fingerprints(newDocs, k, w), index, maxDf)
+    spansAgainstFp(fingerprints(newDocs, k, w), index, maxDf)
+
+  /** [[spansAgainst]] over a caller-held fingerprint table (the shared-
+    * scan streaming face: one [[fingerprints]] pass per micro-batch
+    * feeds detect and cut). `fp` must be the batch's [[fingerprints]]
+    * output, persisted by the caller.
+    */
+  def spansAgainstFp(fp: DataFrame, index: DataFrame,
+                     maxDf: Int = 50): DataFrame =
+    indexMatches(fp, index, maxDf)
       .groupBy(col("new_id"), col("old_id"))
       .agg(countDistinct(col("gram")).as("n_spans"))
 
@@ -244,14 +258,42 @@ object Winnow {
     * coincides with the batch face's id order only when ids are
     * monotone with arrival); within one batch there is no arrival
     * order, so the batch face's rule applies (the higher id loses).
-    * Callers running detect + cut per batch share the fingerprint scan
-    * conceptually but this face recomputes it — derive pairs from
-    * [[spansAgainst]] only when you need them separately.
+    *
+    * Fold protocol (what enters the index after the cut): folding this
+    * batch's UNCUT fingerprints keeps the index matching every future
+    * copy of an excised passage — maximal dedup recall, at the price of
+    * the index diverging from the shipped (cleaned) corpus. A caller
+    * that needs index == shipped corpus should instead fold
+    * `fingerprints(cleaned)` over this method's `clean_text` output
+    * (note unaffected batch docs pass through untouched and still need
+    * folding — union their fp rows or re-fingerprint the whole cleaned
+    * batch). Default recommendation is uncut-fp folding: an excised
+    * passage EXISTS in the corpus (its first copy shipped), so keeping
+    * its fingerprints is semantically "the passage is taken", which is
+    * exactly what future arrivals must learn.
+    *
+    * This convenience face computes its own fingerprint pass; a loop
+    * that also runs [[spansAgainst]] on the same batch should persist
+    * one [[fingerprints]] output and use [[spansAgainstFp]] +
+    * [[exciseAgainstFp]] so the batch is scanned once for both.
     */
   def exciseAgainst(newDocs: DataFrame, index: DataFrame,
                     k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
     val fp = fingerprints(newDocs, k, w)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = exciseAgainstFp(newDocs, fp, index, k, w, maxDf)
+    fp.unpersist(blocking = true)
+    out
+  }
+
+  /** [[exciseAgainst]] over a caller-held fingerprint table: `fp` must
+    * be `fingerprints(newDocs, k, w)`, persisted by the caller (and
+    * released by the caller after the returned frame is consumed — the
+    * result is materialized through the interval checkpoint in
+    * [[cutDocs]], so the fp cache is not needed once this returns).
+    */
+  def exciseAgainstFp(newDocs: DataFrame, fp: DataFrame, index: DataFrame,
+                      k: Int = 5, w: Int = 8, maxDf: Int = 50): DataFrame = {
     val idxCuts = segmented(
       indexMatches(fp, index, maxDf)
         .dropDuplicates("new_id", "old_id", "pn", "diag"),
@@ -262,9 +304,7 @@ object Winnow {
     val batchCuts = extentsOfFp(fp, k, w, maxDf)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         col("end_b").as("e"))
-    val out = cutDocs(newDocs, idxCuts.unionByName(batchCuts))
-    fp.unpersist(blocking = true)
-    out
+    cutDocs(newDocs, idxCuts.unionByName(batchCuts))
   }
 
   /** Merge cut intervals per document into maximal spans and remove the

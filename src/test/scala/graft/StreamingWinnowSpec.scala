@@ -139,6 +139,45 @@ class StreamingWinnowSpec extends SparkSpec {
       "within-batch cut must equal the batch face's cut")
   }
 
+  test("shared-fp face: detect + cut consume ONE fingerprint pass per batch") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val span = randWords(rnd, 40)
+    val oldDoc = (randWords(rnd, 12) ++ span ++ randWords(rnd, 10)).mkString(" ")
+    val index = Winnow.fingerprints(
+      Seq((1L, oldDoc), (2L, randWords(rnd, 60).mkString(" ")))
+        .toDF("doc_id", "text"), K, W).localCheckpoint()
+    val batchRows = Seq(
+      (10L, (randWords(rnd, 7) ++ span ++ randWords(rnd, 9)).mkString(" ")),
+      (11L, randWords(rnd, 50).mkString(" ")))
+    // every text read increments the accumulator; asNondeterministic
+    // stops projection collapse from duplicating the eval, so the count
+    // is exactly (scans of the batch) × (batch rows)
+    val reads = spark.sparkContext.longAccumulator("textReads")
+    val counted = udf { (t: String) => reads.add(1); t }.asNondeterministic()
+    val batch = batchRows.toDF("doc_id", "text")
+      .withColumn("text", counted(col("text")))
+    val fp = Winnow.fingerprints(batch, K, W)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fp.count()
+    val detected = Winnow.spansAgainstFp(fp, index).select("new_id", "old_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = Winnow.exciseAgainstFp(batch, fp, index, K, W).collect()
+    fp.unpersist(blocking = true)
+    assert(detected.toSet == Set((10L, 1L)), s"detect: ${detected.toSeq}")
+    assert(cut.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L), s"cut: ${cut.toSeq}")
+    // one fingerprint pass (fp.count) + one cut-join scan of the batch:
+    // detect and the cut's fingerprint side both read the fp cache
+    assert(reads.value == 2L * batchRows.length,
+      s"expected one fp pass + one cut scan (${2 * batchRows.length} reads), counted ${reads.value}")
+    // and the shared face equals the self-deriving convenience face
+    val conv = Winnow.exciseAgainst(batchRows.toDF("doc_id", "text"), index, K, W)
+      .collect()
+    assert(cut.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).toSeq ==
+      conv.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).toSeq,
+      "shared-fp face must equal exciseAgainst")
+  }
+
   test("exciseAgainst df-cap: index-wide boilerplate is never cut, a unique span is") {
     import spark.implicits._
     val rnd = new scala.util.Random(67)
