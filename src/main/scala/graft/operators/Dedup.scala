@@ -226,13 +226,38 @@ object Dedup {
     * compared after round-to-6 in micro-units, so no float drift can
     * flip the grid choice between engines.
     */
-  def learnedThresholdPairs(docs: DataFrame): DataFrame = {
+  /** Deterministic calibration sample: the q27 hash-bucket filter on
+    * doc_id — `sampleBuckets` of 256 md5 buckets kept (256 = whole
+    * corpus). Content-independent, reproducible across engines and
+    * retries; the DuckDB oracle replays the same predicate.
+    */
+  def inCalibrationSample(c: org.apache.spark.sql.Column,
+                          sampleBuckets: Int): org.apache.spark.sql.Column =
+    if (sampleBuckets >= 256) lit(true)
+    else substring(md5(c.cast("string")), 1, 2) < f"$sampleBuckets%02x"
+
+  def learnedThresholdPairs(docs: DataFrame, sampleBuckets: Int = 192): DataFrame = {
     // both inputs come back persisted+materialized (materializeAndRelease
     // inside each); released below once the sweep and the deployment
-    // filter no longer need them
+    // filter no longer need them.
+    //
+    // The calibration input is explicitly SAMPLE-CAPPED (default 192/256
+    // = 75%, tuned down hard in a deployment — 100 TB wants ~1/256):
+    // the exact-Jaccard ground truth is inherently O(sample²)-shaped, so
+    // the truth join runs on the hash-bucket sample only, and the sweep
+    // reads the candidate table restricted to sample-sample pairs.
+    // Restricting the DEPLOYED candidate table (rather than re-running
+    // minhash on the sample) keeps calibration faithful to deployment:
+    // the hot-bucket cap is the full-corpus one the learned threshold
+    // will actually filter behind. The emitted pairs are the FULL
+    // candidate table at the learned threshold.
     val cands = minhashCandidates(docs, minEstJaccard = 0.25)
-    val truth = jaccardPairs(docs, threshold = 0.3)
-    val sweep = calibrationSweep(truth, cands).collect()
+    val truth = jaccardPairs(
+      docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)), threshold = 0.3)
+    val sweepCands = cands.filter(
+      inCalibrationSample(col("doc_a"), sampleBuckets) &&
+        inCalibrationSample(col("doc_b"), sampleBuckets))
+    val sweep = calibrationSweep(truth, sweepCands).collect()
     truth.unpersist(blocking = true)
     val bi = argmaxF1(sweep)
     val out = cands
@@ -270,10 +295,15 @@ object Dedup {
     * 0.75 — dyadic, exactly representable), so the float compare in
     * the streaming filter cannot diverge from the micro-unit filter.
     */
-  def learnThreshold(docs: DataFrame): Double = {
+  def learnThreshold(docs: DataFrame, sampleBuckets: Int = 192): Double = {
+    // same sample discipline as [[learnedThresholdPairs]]: truth on the
+    // hash-bucket sample, candidates restricted to sample-sample pairs
     val cands = minhashCandidates(docs, minEstJaccard = 0.25)
-    val truth = jaccardPairs(docs, threshold = 0.3)
-    val sweep = calibrationSweep(truth, cands).collect()
+    val truth = jaccardPairs(
+      docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)), threshold = 0.3)
+    val sweep = calibrationSweep(truth, cands.filter(
+      inCalibrationSample(col("doc_a"), sampleBuckets) &&
+        inCalibrationSample(col("doc_b"), sampleBuckets))).collect()
     truth.unpersist(blocking = true)
     cands.unpersist(blocking = true)
     argmaxF1(sweep) / 20.0

@@ -1158,10 +1158,22 @@ object PipelineQueries extends QueryFamily {
   // joins, df/band caps); the sweep is a 13× explode of those pairs
   // with one aggregation shuffle — calibration-sample-sized, never
   // corpus-sized.
+  // calibration sample (r13): the exact-Jaccard truth join is
+  // O(sample²)-shaped, so it runs on a deterministic md5 hash-bucket
+  // sample of doc_id (192/256 = 75% here; a deployment tunes this down
+  // hard) — the q27 tablesample discipline, replayed by the oracle.
+  // Candidates are NOT resampled: the sweep filters the DEPLOYED
+  // candidate table to sample-sample pairs, so calibration measures the
+  // exact candidate stream the learned threshold will gate.
+  private val CalibSampleHex = "c0" // 192/256, = Dedup default
+  private def inSampleSql(c: String): String =
+    s"substr(md5(CAST($c AS VARCHAR)), 1, 2) < '$CalibSampleHex'"
+
   // exact-Jaccard ground truth for calibration (shared by q155/q189):
-  // pairs ≥ 0.3 with micro-unit jaccard
+  // pairs ≥ 0.3 with micro-unit jaccard, over the calibration sample
   private val calibTruthSql =
-    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+    s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents
+         |       WHERE ${inSampleSql("doc_id")}),
          |shd AS (SELECT DISTINCT doc_id, s
          |        FROM (SELECT doc_id, unnest($SHINGLES) AS s FROM d)),
          |ok AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 50),
@@ -1179,7 +1191,8 @@ object PipelineQueries extends QueryFamily {
       "q155_dedup_threshold_calibration",
       s"""WITH truth AS (SELECT * FROM ($calibTruthSql)),
          |cands AS (SELECT doc_a, doc_b, CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_m
-         |          FROM (${minhashPairsSql("0.25")})),
+         |          FROM (${minhashPairsSql("0.25")})
+         |          WHERE ${inSampleSql("doc_a")} AND ${inSampleSql("doc_b")}),
          |p AS (SELECT coalesce(t.exact_m, 0) AS exact_m, coalesce(c.est_m, -1) AS est_m
          |      FROM truth t FULL OUTER JOIN cands c USING (doc_a, doc_b)),
          |sweep AS (SELECT i,
@@ -1202,8 +1215,11 @@ object PipelineQueries extends QueryFamily {
       // — one definition of the grid/micro-unit arithmetic, so the
       // learned threshold can never desynchronize from this report
       val sweep = Dedup.calibrationSweep(
-        Dedup.jaccardPairs(docs, threshold = 0.3),
-        Dedup.minhashCandidates(docs, minEstJaccard = 0.25))
+        Dedup.jaccardPairs(
+          docs.filter(Dedup.inCalibrationSample(col("doc_id"), 192)), threshold = 0.3),
+        Dedup.minhashCandidates(docs, minEstJaccard = 0.25)
+          .filter(Dedup.inCalibrationSample(col("doc_a"), 192) &&
+            Dedup.inCalibrationSample(col("doc_b"), 192)))
       sweep
         .withColumn("threshold", round(col("i") / 20.0, 2))
         .withColumn("precision", when(col("tp") + col("fp") > 0,
@@ -1234,8 +1250,10 @@ object PipelineQueries extends QueryFamily {
        |cands AS (SELECT doc_a, doc_b, est_jaccard,
        |            CAST(round(est_jaccard * 1000000) AS BIGINT) AS est_m
        |          FROM (${minhashPairsSql("0.25")})),
+       |sc AS (SELECT * FROM cands
+       |       WHERE ${inSampleSql("doc_a")} AND ${inSampleSql("doc_b")}),
        |p AS (SELECT coalesce(t.exact_m, 0) AS exact_m, coalesce(c.est_m, -1) AS est_m
-       |      FROM truth t FULL OUTER JOIN cands c USING (doc_a, doc_b)),
+       |      FROM truth t FULL OUTER JOIN sc c USING (doc_a, doc_b)),
        |sweep AS (SELECT i,
        |   CAST(sum(CASE WHEN exact_m >= 500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        |   CAST(sum(CASE WHEN exact_m <  500000 AND est_m >= i * 50000 THEN 1 ELSE 0 END) AS BIGINT) AS fp,

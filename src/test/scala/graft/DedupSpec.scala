@@ -88,6 +88,14 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"pair set mismatch: extra ${got -- want}, missing ${want -- got}")
   }
 
+  test("calibration sample cap: capped (default) threshold == uncapped on the test corpus") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val capped = Dedup.learnThreshold(docs) // default 192/256 hash-bucket sample
+    val uncapped = Dedup.learnThreshold(docs, sampleBuckets = 256)
+    assert(capped == uncapped,
+      s"sampled calibration shifted the learned threshold: $capped vs $uncapped")
+  }
+
   test("simhash puts the exact copy at hamming 0 and excludes unrelated docs") {
     val cands = Dedup.simhashCandidates(docsWithPlants, maxHamming = 3)
       .filter(col("doc_b") >= 9001).collect()
