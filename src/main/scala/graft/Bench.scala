@@ -41,6 +41,37 @@ object Bench {
     // whose reported min exceeds 1.5 s carry their detail in the JSON
     // line itself (compact — only outliers).
     val slowDetail = collection.mutable.ArrayBuffer[(String, String)]()
+    // Slow-watch registry (r12 VERDICT items 2/3/9): local min-of-2
+    // floors measured on this machine (BENCH_LOCAL_r12 /
+    // BENCH_LOCAL_sf1_r12). A run exceeding 1.5× its floor triggers an
+    // INLINE per-stage capture, so the bench record itself carries the
+    // stage-level diagnosis — breaches get profiled, not re-adjudicated
+    // as noise. Floors are machine+SF-specific: the sf1 map covers the
+    // two registered sf1 floors, everything else applies at sf0.1.
+    val floors: Map[String, Double] =
+      if (sfDir.endsWith("sf1")) Map(
+        "q142_ivfpq_ann" -> 6.019, "q189_learned_threshold_dedup" -> 8.21)
+      else Map(
+        "q03_tpch_q3" -> 0.998, "q19_correlated_subquery" -> 0.657,
+        "q142_ivfpq_ann" -> 4.22, "q146_bloom_semi_join" -> 0.656,
+        "q155_dedup_threshold_calibration" -> 0.788,
+        "q162_winnow_extents" -> 0.41, "q163_sequence_packing" -> 0.278,
+        "q189_learned_threshold_dedup" -> 4.686)
+    // stage completions stream in asynchronously; the buffer is cleared
+    // per timed run and snapshotted (after a short drain) only when a
+    // floor breach makes the detail worth keeping
+    val stageBuf =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double, Double, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = s.stageInfo
+        val wall = (for { c <- si.completionTime; b <- si.submissionTime }
+          yield (c - b) / 1e3).getOrElse(0.0)
+        val task = if (si.taskMetrics != null) si.taskMetrics.executorRunTime / 1e3 else 0.0
+        stageBuf.add((si.stageId, si.numTasks, wall, task, si.name.takeWhile(_ != '(')))
+      }
+    })
     // Stride DEFAULT IS NOW 1 — a System.gc() before EVERY query's timed
     // runs, not every 4th. The r5 driver bench showed the stride-4
     // posture is position-dependent under machine load: the divergent
@@ -65,27 +96,50 @@ object Bench {
         .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
         .zipWithIndex.map { case ((name, fn), i) =>
         if (i % gcStride == 0) System.gc()
-        def once(): Either[String, (Double, Long)] = {
+        type Stages = Seq[(Int, Int, Double, Double, String)]
+        def once(): Either[String, (Double, Long, Stages)] = {
+          stageBuf.clear()
           val g0 = gcMillis
           val t0 = System.nanoTime()
           try {
             fn(spark, sfDir).count()
-            Right(((System.nanoTime() - t0) / 1e9, gcMillis - g0))
+            val dt = (System.nanoTime() - t0) / 1e9
+            // floor breach → drain the listener bus briefly (untimed) and
+            // keep the run's heaviest stages for the record
+            val stg: Stages = if (floors.get(name).exists(f => dt > 1.5 * f)) {
+              Thread.sleep(800)
+              import scala.jdk.CollectionConverters._
+              stageBuf.iterator().asScala.toSeq.sortBy(-_._3).take(10)
+            } else Nil
+            Right((dt, gcMillis - g0, stg))
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               Left("err")
           }
         }
+        def logStages(run: String, stg: Stages): Unit = stg.foreach {
+          case (id, n, w, t, nm) => System.err.println(
+            f"[slowstage] $name run=$run id=$id%3d tasks=$n%3d wall=$w%6.2f s task=$t%7.2f s  $nm")
+        }
         val r = (once(), once()) match {
-          case (Right((a, ga)), Right((b, gb))) =>
+          case (Right((a, ga, sa)), Right((b, gb, sb))) =>
             System.err.println(
               f"[bench] $name runs=($a%.3f, $b%.3f) s gc=($ga, $gb) ms cc=${codeCacheUsedMb} MB")
-            if (math.min(a, b) > 1.5)
-              slowDetail += name -> f"""{"a":$a%.2f,"b":$b%.2f,"gc":${math.max(ga, gb)},"cc":$codeCacheUsedMb}"""
+            logStages("a", sa); logStages("b", sb)
+            // the floor-breach stage table rides the slow JSON section:
+            // top 3 stages of the SLOWER breaching run, compact
+            val breach = if (sa.nonEmpty || sb.nonEmpty) {
+              val stg = if (a >= b && sa.nonEmpty || sb.isEmpty) sa else sb
+              stg.take(3).map { case (id, n, w, t, _) =>
+                f"""{"id":$id,"n":$n,"w":$w%.2f,"t":$t%.2f}""" }
+                .mkString(""","stg":[""", ",", "]")
+            } else ""
+            if (math.min(a, b) > 1.5 || breach.nonEmpty)
+              slowDetail += name -> f"""{"a":$a%.2f,"b":$b%.2f,"gc":${math.max(ga, gb)},"cc":$codeCacheUsedMb$breach}"""
             name -> Right(math.min(a, b))
-          case (Right((a, _)), _) => name -> Right(a)
-          case (_, Right((b, _))) => name -> Right(b)
+          case (Right((a, _, sa)), _) => logStages("a", sa); name -> Right(a)
+          case (_, Right((b, _, sb))) => logStages("b", sb); name -> Right(b)
           case _ => name -> Left("err")
         }
         // Isolate queries from each other: drop every cached frame the
