@@ -125,7 +125,18 @@ object Bpe {
 
   private def lineageCut(vocab: DataFrame, round: Int): DataFrame =
     if (round % LineageCutEvery == 0) {
-      val cut = vocab.localCheckpoint(true)
+      // localCheckpoint blocks are NON-REPLAYABLE: an executor loss
+      // mid-training loses the lineage from that point and a long
+      // production run (the 32k-merge case — hours of sequential
+      // rounds) fails unrecoverably. A caller that sets a RELIABLE
+      // checkpoint dir (sc.setCheckpointDir, the standard Spark knob)
+      // opts into durable cuts: vocab-sized writes to checkpoint
+      // storage per cut, replayable across executor loss. Local/bench
+      // runs leave the dir unset and keep the cheap executor-local cut.
+      val cut =
+        if (vocab.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          vocab.checkpoint(true)
+        else vocab.localCheckpoint(true)
       vocab.unpersist(blocking = false)
       cut
     } else vocab

@@ -620,18 +620,15 @@ case class MatVec(left: Expression, right: Expression)
 
   override protected def nullSafeEval(v: Any, m: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    if (mat.length == 0 || x.numElements() != mat(0).length) null
-    else MatVec.compute(x, mat)
+    MatVec.checkDim(x.numElements(), mat)
+    MatVec.compute(x, mat)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val matRef = ctx.addReferenceObj("matvecMat", mat, "double[][]")
     nullSafeCodeGen(ctx, ev, (v, _) => s"""
-      if ($matRef.length == 0 || $v.numElements() != $matRef[0].length) {
-        ${ev.isNull} = true;
-      } else {
-        ${ev.value} = graft.plans.MatVec.compute($v, $matRef);
-      }
+      graft.plans.MatVec.checkDim($v.numElements(), $matRef);
+      ${ev.value} = graft.plans.MatVec.compute($v, $matRef);
     """)
   }
 
@@ -658,6 +655,17 @@ object MatVec {
       i += 1
     }
     out
+  }
+
+  /** Dimension mismatch fails LOUDLY (r13, closing the r12 advice): a
+    * corpus rotated with the wrong dim previously flowed nulls into
+    * pqFit/pqEncode — silent data loss. Null is reserved for genuinely
+    * null input vectors (the nullSafeEval contract).
+    */
+  def checkDim(n: Int, mat: Array[Array[Double]]): Unit = {
+    val cols = if (mat.length == 0) 0 else mat(0).length
+    if (n != cols) throw new IllegalArgumentException(
+      s"graft_matvec: vector length $n does not match rotation matrix columns $cols")
   }
 
   def compute(v: ArrayData, m: Array[Array[Double]]): ArrayData = {

@@ -89,6 +89,26 @@ class BpeSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("lineage cut goes reliable when a checkpoint dir is set, results identical") {
+    import spark.implicits._
+    // ≥17 rounds so the round-16 lineage cut fires on both paths
+    val corpus = Seq(
+      (1L, "abcdefgh ijklmnop qrstuvwx abcdefgh"),
+      (2L, "abcdefgh ijklmnop yzabcdef")).toDF("doc_id", "text")
+    val local = Bpe.trainMerges(corpus, rounds = 17).orderBy("round").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = Bpe.trainMerges(corpus, rounds = 17).orderBy("round").collect().toSeq
+    assert(reliable == local, "reliable-checkpoint training must be bit-identical")
+    // the cut actually wrote replayable state to the reliable dir
+    def files(p: java.io.File): Seq[java.io.File] = {
+      val k = Option(p.listFiles).map(_.toSeq).getOrElse(Nil)
+      k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(files)
+    }
+    assert(files(new java.io.File(dir)).nonEmpty,
+      s"expected checkpoint data under $dir")
+  }
+
   test("multi-round training matches the serial Sennrich loop round-for-round") {
     // the Sennrich paper's worked vocabulary plus repetition-heavy
     // forms that exercise the overlap rule ("aaaa" under pair (a,a))

@@ -18,16 +18,27 @@ class MatVecSpec extends SparkSpec {
     assert(got == Seq(11.0, 17.0, 2.0))
   }
 
-  test("identity matrix is a no-op; dimension mismatch yields null, not a truncated product") {
+  test("identity matrix is a no-op; dimension mismatch fails loudly; null vector stays null") {
     val id = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     import spark.implicits._
     val df = Seq((1L, Seq(3.5, -2.0))).toDF("id", "v")
     val out = df.select(graft.plans.NativeFunctions.matVec(col("v"), id).as("y"))
       .head.getSeq[Double](0)
     assert(out == Seq(3.5, -2.0))
-    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    // wrong-dim corpus must FAIL, not flow nulls into pqFit/pqEncode
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+        .select(graft.plans.NativeFunctions.matVec(col("v"), id).as("y")).head
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("does not match rotation matrix columns")),
+      msgs(e).mkString(" | "))
+    // null reserved for genuinely null input vectors
+    val nullRow = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
       .select(graft.plans.NativeFunctions.matVec(col("v"), id).as("y")).head
-    assert(bad.isNullAt(0), "3-vector through a 2x2 matrix must be null")
+    assert(nullRow.isNullAt(0), "null input vector must stay null")
   }
 
   test("rotationMatrix is orthonormal and deterministic per seed") {
