@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Document quality scoring — the heuristic quality-gate stage of a
+  * pretraining data pipeline (length, word-shape, and stopword-density
+  * features composed into one [0,1] score; the published C4/Gopher-rule
+  * family). q67's operator face, extracted in r13 so the SQL front door
+  * (`graft_quality('docs')`) and the DataFrame face share ONE
+  * implementation — the q67 oracle pins both.
+  *
+  * Scale shape: a pure per-document projection — no shuffle, no state;
+  * at 100 TB this is a map-side pass fused into whatever scan feeds it.
+  */
+object Quality {
+
+  /** Per-document features + composite score over (doc_id, text):
+    * (doc_id, n_chars, n_words, avg_wlen, stop_ratio, short_ratio,
+    * quality). Ratios round to 6 places and the score to 4 — the
+    * engine-portable float discipline (the DuckDB oracle replays the
+    * same arithmetic digit-for-digit).
+    */
+  def score(docs: DataFrame): DataFrame = {
+    val m = docs
+      .select(col("doc_id"), Text.normText(col("text")).as("n"),
+        Text.words(col("text")).as("w"))
+      .select(col("doc_id"),
+        length(col("n")).as("n_chars"),
+        size(col("w")).as("n_words"),
+        round(length(regexp_replace(col("n"), " ", "")).cast("double")
+          / size(col("w")), 6).as("avg_wlen"),
+        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double")
+          / size(col("w")), 6).as("stop_ratio"),
+        round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
+          / size(col("w")), 6).as("short_ratio"))
+    m.select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_wlen"),
+      col("stop_ratio"), col("short_ratio"),
+      round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
+        + lit(0.3) * col("stop_ratio")
+        + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality"))
+  }
+}

@@ -299,6 +299,100 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             Bridge.column(LineInterpolateY(ch(0), ch(1), dc(ch(2)))).as("y")))
       }
     }
+
+    // ---- Pipeline-operator TABLE functions (the SQL front door) ---------
+    // The reference is a SQL engine; a pipeline team's first question is
+    // "can I call this from SQL". Each registration wraps the SAME
+    // DataFrame face the Scala API exposes (one implementation, equality
+    // pinned by SqlSurfaceSpec): the builder resolves the table-name
+    // literal against the active session's catalog (temp view or table),
+    // applies the operator, and hands the analyzer the composed logical
+    // plan — so `SELECT * FROM graft_pack('docs', 128)` is exactly
+    // Pack.packSequences(spark.table("docs"), 128).
+    //
+    // Index-building operators (graft_minhash_pairs, graft_winnow_extents,
+    // graft_excise_spans) materialize their fingerprint/band index when
+    // the statement is ANALYZED — same moment the DataFrame face pays it —
+    // so re-analyzing the same SQL text rebuilds the index; cache the
+    // result (CACHE TABLE / CREATE TEMP VIEW over the output) to reuse it.
+    locally {
+      import org.apache.spark.sql.{DataFrame, SparkSession}
+      import graft.operators.{Dedup, Mix, Pack, Quality, Winnow}
+      def tvf(name: String)(
+          build: (DataFrame, Seq[Expression]) => DataFrame): Unit =
+        ext.injectTableFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          (children: Seq[Expression]) => {
+            if (children.isEmpty) throw new IllegalArgumentException(
+              s"$name(table, ...): missing the table-name argument")
+            val table = GraftExtensions.strLit(children.head, name, "table")
+            build(SparkSession.active.table(table), children.tail)
+              .queryExecution.logical
+          }))
+      // optional positional numeric args (SQL literals; decimals arrive
+      // as Spark Decimal — numLit handles both)
+      def num(a: Seq[Expression], i: Int, dflt: Double, fn: String): Double =
+        if (a.length > i) GraftExtensions.numLit(a(i), fn, s"arg ${i + 2}")
+        else dflt
+      def reqNum(a: Seq[Expression], i: Int, fn: String, what: String): Double =
+        if (a.length > i) GraftExtensions.numLit(a(i), fn, what)
+        else throw new IllegalArgumentException(s"$fn: missing required $what")
+
+      // dedup family
+      tvf("graft_dedup_exact")((docs, _) => Dedup.exactGroups(docs))
+      tvf("graft_jaccard_pairs") { (docs, a) =>
+        Dedup.jaccardPairs(docs,
+          threshold = reqNum(a, 0, "graft_jaccard_pairs", "threshold"),
+          n = num(a, 1, 3, "graft_jaccard_pairs").toInt,
+          maxDf = num(a, 2, 50, "graft_jaccard_pairs").toInt)
+      }
+      tvf("graft_minhash_pairs") { (docs, a) =>
+        Dedup.minhashCandidates(docs,
+          k = num(a, 0, 32, "graft_minhash_pairs").toInt,
+          rowsPerBand = num(a, 1, 4, "graft_minhash_pairs").toInt,
+          maxBucket = num(a, 2, 20, "graft_minhash_pairs").toInt,
+          minEstJaccard = num(a, 3, 0.5, "graft_minhash_pairs"))
+      }
+      tvf("graft_simhash_pairs") { (docs, a) =>
+        Dedup.simhashCandidates(docs,
+          maxHamming = num(a, 0, 3, "graft_simhash_pairs").toInt,
+          maxChunkDf = num(a, 1, 20, "graft_simhash_pairs").toInt)
+      }
+      // winnow family (detect + cut)
+      tvf("graft_winnow_extents") { (docs, a) =>
+        Winnow.spanExtents(docs,
+          k = num(a, 0, 5, "graft_winnow_extents").toInt,
+          w = num(a, 1, 8, "graft_winnow_extents").toInt,
+          maxDf = num(a, 2, 50, "graft_winnow_extents").toInt)
+      }
+      tvf("graft_excise_spans") { (docs, a) =>
+        Winnow.exciseSpans(docs,
+          k = num(a, 0, 5, "graft_excise_spans").toInt,
+          w = num(a, 1, 8, "graft_excise_spans").toInt,
+          maxDf = num(a, 2, 50, "graft_excise_spans").toInt)
+      }
+      // mix family (budget is REQUIRED — a defaulted token budget would
+      // silently gate someone's corpus at an arbitrary size)
+      tvf("graft_mix_keep") { (docs, a) =>
+        Mix.keep(docs, reqNum(a, 0, "graft_mix_keep", "budget_tokens").toLong)
+      }
+      tvf("graft_mix_report") { (docs, a) =>
+        Mix.report(docs, reqNum(a, 0, "graft_mix_report", "budget_tokens").toLong)
+      }
+      // pack family
+      tvf("graft_pack") { (docs, a) =>
+        Pack.packSequences(docs, seqLen = num(a, 0, 512, "graft_pack").toInt)
+      }
+      tvf("graft_shard_manifest") { (docs, a) =>
+        Pack.shardManifest(docs,
+          seqLen = num(a, 0, 512, "graft_shard_manifest").toInt,
+          binsPerShard = num(a, 1, 16, "graft_shard_manifest").toInt,
+          seed = num(a, 2, 42, "graft_shard_manifest").toLong)
+      }
+      // quality gate
+      tvf("graft_quality")((docs, _) => Quality.score(docs))
+    }
   }
 }
 

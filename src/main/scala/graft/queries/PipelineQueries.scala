@@ -228,19 +228,8 @@ object PipelineQueries extends QueryFamily {
        | round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
        |FROM m
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val m = Tables.documents(s, d)
-      .select(col("doc_id"), Text.normText(col("text")).as("n"), Text.words(col("text")).as("w"))
-      .select(col("doc_id"),
-        length(col("n")).as("n_chars"),
-        size(col("w")).as("n_words"),
-        round(length(regexp_replace(col("n"), " ", "")).cast("double") / size(col("w")), 6).as("avg_wlen"),
-        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double") / size(col("w")), 6).as("stop_ratio"),
-        round(expr("size(filter(w, x -> length(x) < 3))").cast("double") / size(col("w")), 6).as("short_ratio"))
-    m.select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_wlen"),
-      col("stop_ratio"), col("short_ratio"),
-      round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
-        + lit(0.3) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality"))
-      .orderBy("doc_id")
+    // one implementation shared with the SQL front door (graft_quality TVF)
+    graft.operators.Quality.score(Tables.documents(s, d)).orderBy("doc_id")
   }
 
   val q68 = Q(

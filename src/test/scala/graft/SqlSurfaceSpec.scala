@@ -31,6 +31,53 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sql.collect().toSeq == df.collect().toSeq)
   }
 
+  test("pipeline operators are callable from literal SQL as table functions, " +
+      "equal to the DataFrame faces") {
+    import graft.operators.{Dedup, Mix, Pack, Quality, Winnow}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.createOrReplaceTempView("sql_docs")
+    // one implementation behind both faces: collect both sides sorted by
+    // every column and compare row-for-row
+    def pin(sql: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = spark.sql(sql)
+      assert(got.columns.toSeq == df.columns.toSeq, s"$sql: column mismatch")
+      val s1 = got.orderBy(got.columns.map(col): _*).collect().toSeq
+      val s2 = df.orderBy(df.columns.map(col): _*).collect().toSeq
+      assert(s1 == s2, s"$sql: ${s1.size} vs ${s2.size} rows")
+      assert(s1.nonEmpty, s"$sql: empty result proves nothing")
+    }
+    pin("SELECT * FROM graft_dedup_exact('sql_docs')", Dedup.exactGroups(docs))
+    pin("SELECT * FROM graft_jaccard_pairs('sql_docs', 0.5)",
+      Dedup.jaccardPairs(docs, 0.5))
+    pin("SELECT * FROM graft_minhash_pairs('sql_docs')",
+      Dedup.minhashCandidates(docs))
+    pin("SELECT * FROM graft_simhash_pairs('sql_docs', 3)",
+      Dedup.simhashCandidates(docs))
+    pin("SELECT * FROM graft_winnow_extents('sql_docs')", Winnow.spanExtents(docs))
+    pin("SELECT * FROM graft_excise_spans('sql_docs')", Winnow.exciseSpans(docs))
+    pin("SELECT * FROM graft_mix_keep('sql_docs', 50000)", Mix.keep(docs, 50000L))
+    pin("SELECT * FROM graft_mix_report('sql_docs', 50000)",
+      Mix.report(docs, 50000L))
+    pin("SELECT * FROM graft_pack('sql_docs', 128)",
+      Pack.packSequences(docs, 128))
+    pin("SELECT * FROM graft_shard_manifest('sql_docs', 128, 4)",
+      Pack.shardManifest(docs, 128, 4))
+    pin("SELECT * FROM graft_quality('sql_docs')", Quality.score(docs))
+    // the TVF output is a real table expression: composable with WHERE /
+    // aggregation / joins in the surrounding statement
+    val kept = spark.sql(
+      """SELECT lang, count(*) AS n FROM graft_mix_keep('sql_docs', 50000)
+        |WHERE toks > 10 GROUP BY lang ORDER BY lang""".stripMargin).collect()
+    assert(kept.nonEmpty)
+    // loud failure on a missing/mistyped argument, not a silent default
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_mix_keep('sql_docs')").collect()
+    }
+    assert(e.getMessage.contains("budget_tokens")
+      || Option(e.getCause).exists(_.getMessage.contains("budget_tokens")),
+      e.getMessage)
+  }
+
   test("star join with CTE + window as literal SQL runs and aggregates") {
     registerTables()
     val rows = spark.sql(
