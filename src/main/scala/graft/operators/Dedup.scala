@@ -408,4 +408,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** KEEP-BEST dedup — the selection step clustering stops short of:
+    * which copy of each near-dup cluster ships. Keep-earliest throws
+    * away information; the production convention (RefinedWeb/
+    * FineWeb-style) keeps the HIGHEST-QUALITY member. Takes the docs
+    * table and a near-dup pair table (any of [[minhashCandidates]] /
+    * [[jaccardPairs]] / [[simhashCandidates]] output), closes the
+    * pairs into clusters ([[Components.dedupClusters]]), scores
+    * quality ONLY for cluster members ([[Quality.score]] after a
+    * semi-join prune — at 100 TB the member set is a vanishing
+    * fraction, so the text HOFs never run on the full corpus), and
+    * flags the per-cluster argmax (quality desc, doc_id tie-break).
+    * Returns one row per CLUSTERED doc: (doc_id, cluster_id,
+    * cluster_size, quality, kept 1/0); unclustered docs survive
+    * trivially and never enter the window — the argmax window
+    * partitions by cluster_id over members only, never a corpus-sized
+    * sort.
+    */
+  def keepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Components.dedupClusters(
+      pairs.select(col("doc_a"), col("doc_b")))
+    val affected = docs.join(clusters.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val scored = Quality.score(affected).select(col("doc_id"), col("quality"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    clusters.join(scored, Seq("doc_id"))
+      .withColumn("kept",
+        when(row_number().over(win) === 1, 1).otherwise(0).cast("int"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("kept"))
+  }
 }

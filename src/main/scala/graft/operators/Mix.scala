@@ -100,4 +100,74 @@ object Mix {
         sum(col("toks")).as("tokens_kept"),
         max(col("want")).as("tokens_wanted"),
         max(col("avail")).as("tokens_available"))
+
+  /** TEMPERATURE-scaled availability shares — the multilingual
+    * α-sampling recipe (UniMax / mT5-style, Chung et al. 2023; Xue et
+    * al. 2021 §3.1): instead of hand-fixed target percentages, each
+    * language's share of the budget is proportional to avail^α, which
+    * up-weights low-resource languages as α falls below 1 (α = 1 is
+    * proportional sampling, α → 0 uniform). Returns (lang, avail,
+    * share_ppm, want) with share_ppm the language's integer
+    * parts-per-1e5 share of the budget.
+    *
+    * Determinism discipline: avail^α is quantized ONCE per language to
+    * integer micro-units, floor(avail^α · 10⁶) — L evaluations per
+    * corpus — and everything downstream is exact int64: share_ppm =
+    * w·10⁵ div Σw, want = budget·share_ppm div 10⁵. The DEFAULT
+    * α = 0.5 goes through IEEE-754 sqrt, which the standard requires
+    * correctly rounded — bit-identical on every engine, so the oracle
+    * replays it exactly. Any other α goes through pow (NOT correctly
+    * rounded — a cross-engine libm ULP can flip a floor boundary);
+    * spec-pinned, not oracled.
+    *
+    * Overflow headroom (the reason for the two-step ppm form): w ≤
+    * 10⁶·√avail, so w·10⁵ and budget·share_ppm both stay under 2⁶³
+    * for any corpus to ~10¹⁴ tokens and budgets to ~10¹³ — a direct
+    * budget·w div Σw would overflow at trillion-token scale.
+    */
+  def availabilityTemperature(cnt: DataFrame, budgetTokens: Long,
+                              alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val av = cnt.groupBy(col("lang")).agg(sum(col("toks")).as("avail"))
+      .withColumn("w", floor((if (alpha == 0.5) sqrt(col("avail").cast("double"))
+        else pow(col("avail").cast("double"), lit(alpha))) * 1e6).cast("long"))
+      // stratum-cardinality-sized: materialize the fit ONCE (the q190
+      // fit-at-construction posture) so the total side and the share
+      // join below read L materialized rows instead of re-deriving the
+      // corpus aggregation — without this the corpus is scanned three
+      // times (fit, total, sampling) instead of twice
+      .localCheckpoint(true)
+    // single-row total side (the q136/q140/q165 broadcast idiom)
+    val tot = av.agg(sum(col("w")).as("wsum"))
+    av.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr("w * 100000L div wsum"))
+      .withColumn("want", expr(s"${budgetTokens}L * share_ppm div 100000L"))
+      .select(col("lang"), col("avail"), col("share_ppm"), col("want"))
+  }
+
+  /** Documents kept under temperature-scaled shares — [[keep]] with
+    * [[availabilityTemperature]] in place of fixed target percentages.
+    * Same exact-integer keep boundary; the want > avail case (a
+    * low-resource language boosted past its availability) caps the
+    * rate at 1, exactly as fixed-share mixing does.
+    */
+  def keepTemperature(docs: DataFrame, budgetTokens: Long,
+                      alpha: Double = 0.5, salt: String = "mix|"): DataFrame = {
+    val cnt = counted(docs, salt)
+    cnt.join(broadcast(availabilityTemperature(cnt, budgetTokens, alpha)), "lang")
+      .where(keepPredicate)
+  }
+
+  /** [[report]] under temperature-scaled shares, with the learned
+    * integer share attached per language.
+    */
+  def reportTemperature(docs: DataFrame, budgetTokens: Long,
+                        alpha: Double = 0.5, salt: String = "mix|"): DataFrame =
+    keepTemperature(docs, budgetTokens, alpha, salt)
+      .groupBy(col("lang"))
+      .agg(max(col("share_ppm")).as("share_ppm"),
+        count(lit(1)).as("docs_kept"),
+        sum(col("toks")).as("tokens_kept"),
+        max(col("want")).as("tokens_wanted"),
+        max(col("avail")).as("tokens_available"))
 }

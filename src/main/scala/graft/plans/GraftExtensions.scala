@@ -372,10 +372,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           w = num(a, 1, 8, "graft_excise_spans").toInt,
           maxDf = num(a, 2, 50, "graft_excise_spans").toInt)
       }
+      tvf("graft_dedup_keep_best") { (docs, a) =>
+        Dedup.keepBest(docs, Dedup.minhashCandidates(docs,
+          minEstJaccard = num(a, 0, 0.5, "graft_dedup_keep_best")))
+      }
       // mix family (budget is REQUIRED — a defaulted token budget would
       // silently gate someone's corpus at an arbitrary size)
       tvf("graft_mix_keep") { (docs, a) =>
         Mix.keep(docs, reqNum(a, 0, "graft_mix_keep", "budget_tokens").toLong)
+      }
+      tvf("graft_mix_keep_temperature") { (docs, a) =>
+        Mix.keepTemperature(docs,
+          reqNum(a, 0, "graft_mix_keep_temperature", "budget_tokens").toLong,
+          alpha = num(a, 1, 0.5, "graft_mix_keep_temperature"))
       }
       tvf("graft_mix_report") { (docs, a) =>
         Mix.report(docs, reqNum(a, 0, "graft_mix_report", "budget_tokens").toLong)

@@ -1850,5 +1850,97 @@ object PipelineQueries extends QueryFamily {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191)
+  // ---- q192: keep-best dedup (cluster → quality argmax survivor) --------
+  // The RefinedWeb/FineWeb-style SELECTION step q121 stops short of:
+  // which copy of each near-dup cluster ships. Keep-earliest (q191's
+  // convention) throws away information — production pipelines keep
+  // the HIGHEST-QUALITY member. Composition: q62's minhash pairs →
+  // q121's connected components → q67's quality score over AFFECTED
+  // docs only → per-cluster argmax (quality desc, doc_id tie-break).
+  // Output is one row per CLUSTERED doc with its kept flag; unclustered
+  // docs survive trivially and never enter the window.
+  //
+  // Scale shape: clusters are pair-derived (a vanishing fraction of
+  // the corpus); quality is scored only for cluster members (the
+  // cluster-id semi join prunes the corpus scan before the text HOFs
+  // run); the argmax window partitions by cluster_id over cluster
+  // members only — never a corpus-sized sort. FULL oracle: the q62
+  // pair CTEs + q121's recursive closure + q67's quality arithmetic +
+  // the same row_number rule, every boundary decided on rounded-once
+  // values with an integer tie-break.
+  val q192 = Q(
+    "q192_dedup_keep_best",
+    s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($q62PairsSql)),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
+       |qm AS (SELECT doc_id,
+       |   CAST(len(w) AS INTEGER) AS n_words,
+       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+       |q AS (SELECT doc_id,
+       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |  FROM qm),
+       |cl AS (SELECT comp.id AS doc_id, cluster_id, cluster_size, q.quality
+       |  FROM comp JOIN sz USING (cluster_id) JOIN q ON q.doc_id = comp.id)
+       |SELECT doc_id, cluster_id, cluster_size, quality,
+       |  CAST(CASE WHEN row_number() OVER
+       |    (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) = 1
+       |    THEN 1 ELSE 0 END AS INTEGER) AS kept
+       |FROM cl
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    Dedup.keepBest(docs, Dedup.minhashCandidates(docs)).orderBy("doc_id")
+  }
+
+  // ---- q193: temperature-scaled corpus mix (UniMax / α-sampling) --------
+  // q152 hits hand-FIXED target shares; the published multilingual
+  // recipe derives shares from the corpus itself: share_l ∝ avail_l^α
+  // (α = 1 proportional, α → 0 uniform; 0.5 here), which boosts
+  // low-resource languages without a hand-tuned table. Same
+  // exact-integer keep boundary as q152 (the md5-60 draw vs a
+  // want/avail threshold); the ONE float step — avail^0.5 — is IEEE
+  // sqrt, correctly rounded by the standard, quantized ONCE per
+  // language to micro-units, so both engines floor identical doubles
+  // and everything downstream is int64 (share in 1e-5 units, the
+  // two-step div keeping every product under 2^63 to trillion-token
+  // budgets — see Mix.availabilityTemperature).
+  val q193 = Q(
+    "q193_mix_temperature",
+    """WITH d AS (SELECT doc_id, lang,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks,
+      |  CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      | FROM documents),
+      |a0 AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS avail,
+      |  CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE)) * 1000000) AS BIGINT) AS w
+      | FROM d GROUP BY lang),
+      |a AS (SELECT lang, avail,
+      |  w * 100000 // CAST((SELECT sum(w) FROM a0) AS BIGINT) AS share_ppm
+      | FROM a0),
+      |a2 AS (SELECT lang, avail, share_ppm,
+      |  CAST(30000 AS BIGINT) * share_ppm // 100000 AS want FROM a),
+      |s AS (SELECT d.doc_id, d.lang, d.toks, a2.share_ppm, a2.want, a2.avail
+      | FROM d JOIN a2 ON d.lang = a2.lang
+      | WHERE a2.want >= a2.avail OR d.h < (1152921504606846976 // a2.avail) * a2.want)
+      |SELECT lang,
+      | CAST(max(share_ppm) AS BIGINT) AS share_ppm,
+      | CAST(count(*) AS BIGINT) AS docs_kept,
+      | CAST(sum(toks) AS BIGINT) AS tokens_kept,
+      | CAST(max(want) AS BIGINT) AS tokens_wanted,
+      | CAST(max(avail) AS BIGINT) AS tokens_available
+      |FROM s
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin) { (s, d) =>
+    graft.operators.Mix
+      .reportTemperature(Tables.documents(s, d), budgetTokens = 30000L)
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193)
 }

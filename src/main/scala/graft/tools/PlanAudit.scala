@@ -102,6 +102,8 @@ object PlanAudit {
     "q180_semantic_decontam" ->
       "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)",
     "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery",
+    "q193_mix_temperature" ->
+      "single-row weight-total side against the stratum-sized (checkpointed) availability table",
     "q187_combined_decontam" ->
       "model-sized k-means assignment joins (c = 16 centroid rows) — the q180 semantic branch's encode + eval probe")
 

@@ -46,6 +46,37 @@ class DedupSpec extends SparkSpec {
     assert(!found.exists(_._2 == 9003L), s"unrelated doc surfaced: $found")
   }
 
+  test("keep-best keeps the highest-quality cluster member, not the earliest") {
+    import spark.implicits._
+    // fluent stopword-rich text scores high; the SAME text trailed by
+    // short junk tokens scores lower (short_ratio up). The high-quality
+    // copy deliberately carries the HIGHER doc_id, so keep-earliest
+    // would pick wrong.
+    val fluent = "the quick brown fox jumps over the lazy dog and runs " +
+      "into the quiet forest where the morning light is soft and warm"
+    val degraded = fluent + " x y z q w x y z q w"
+    val docs = Seq(
+      (50L, degraded), (100L, fluent),          // cluster A: 100 must win
+      (200L, "identical tie text here with the same words exactly matching"),
+      (300L, "identical tie text here with the same words exactly matching"),
+      (999L, "an unclustered document about something else entirely")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((50L, 100L), (200L, 300L)).toDF("doc_a", "doc_b")
+    val out = Dedup.keepBest(docs, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Int]("kept"))).toMap
+    assert(out.keySet == Set(50L, 100L, 200L, 300L),
+      s"unclustered doc must not appear: ${out.keySet}")
+    assert(out(100L)._3 == 1 && out(50L)._3 == 0,
+      s"higher-quality member must win: $out")
+    // equal quality -> lowest doc_id wins
+    assert(out(200L)._3 == 1 && out(300L)._3 == 0, s"tie-break: $out")
+    assert(out(50L)._1 == 50L && out(50L)._2 == 2L)
+    // exactly one survivor per cluster
+    assert(out.values.groupBy(_._1).forall(_._2.count(_._3 == 1) == 1))
+  }
+
   test("incremental minhash finds a new near-dup against the existing index only") {
     import spark.implicits._
     val corpus = Tables.documents(spark, sfDir).select("doc_id", "text")

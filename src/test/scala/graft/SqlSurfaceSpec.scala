@@ -55,7 +55,11 @@ class SqlSurfaceSpec extends SparkSpec {
       Dedup.simhashCandidates(docs))
     pin("SELECT * FROM graft_winnow_extents('sql_docs')", Winnow.spanExtents(docs))
     pin("SELECT * FROM graft_excise_spans('sql_docs')", Winnow.exciseSpans(docs))
+    pin("SELECT * FROM graft_dedup_keep_best('sql_docs')",
+      Dedup.keepBest(docs, Dedup.minhashCandidates(docs)))
     pin("SELECT * FROM graft_mix_keep('sql_docs', 50000)", Mix.keep(docs, 50000L))
+    pin("SELECT * FROM graft_mix_keep_temperature('sql_docs', 50000)",
+      Mix.keepTemperature(docs, 50000L))
     pin("SELECT * FROM graft_mix_report('sql_docs', 50000)",
       Mix.report(docs, 50000L))
     pin("SELECT * FROM graft_pack('sql_docs', 128)",
