@@ -76,22 +76,40 @@ object LmScore {
     * This is the explode_outer below (one null-term row per empty doc)
     * plus the n_tokens=0 guards on the integer divisions.
     */
-  def score(docs: DataFrame, v: Int = 4096, threshold: Double = -9.0): DataFrame = {
+  def score(docs: DataFrame, v: Int = 4096, threshold: Double = -9.0): DataFrame =
+    scoredMicro(docs, v)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("oov_micro6").cast("double") / 1000000.0).as("oov_frac"),
+        (col("avg_micro6").cast("double") / 1000000.0).as("avg_logp"),
+        coalesce(col("avg_micro6") >= lit(math.round(threshold * 1000000).toLong),
+          lit(false)).as("keep"))
+
+  /** INTEGER face of [[score]] — (doc_id, carry..., n_tokens,
+    * oov_micro6, avg_micro6) with both ratios in exact half-up-rounded
+    * micro-units (avg/oov NULL for zero-token docs). `carry` names
+    * passthrough doc columns (e.g. lang) that ride the score
+    * aggregation as group keys, so a consumer needing them pays no
+    * extra corpus scan.
+    */
+  def scoredMicro(docs: DataFrame, v: Int = 4096,
+                  carry: Seq[String] = Nil): DataFrame = {
     val (model, totals) = unigramModel(docs, v)
     val oov = broadcast(totals).select(expr(
       s"cast(floor(ln(cast(1 as double) / cast(nn + $v + 1 as double)) * 1000000.0d) as bigint)")
       .as("oov_micro"))
+    val carryCols = carry.map(col)
     val dt = docs
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+      .select(col("doc_id") +: carryCols :+ tokens(col("text")).as("w"): _*)
+      .select(Seq(col("doc_id")) ++ carryCols ++ Seq(
+        size(col("w")).cast("long").as("n_tokens"),
         explode_outer(expr(
           "transform(array_distinct(w), t -> struct(t as term, size(filter(w, x -> x = t)) as c_dt))"))
-          .as("e"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("e.term").as("term"), col("e.c_dt").cast("long").as("c_dt"))
+          .as("e")): _*)
+      .select(Seq(col("doc_id")) ++ carryCols ++ Seq(col("n_tokens"),
+        col("e.term").as("term"), col("e.c_dt").cast("long").as("c_dt")): _*)
     dt.join(broadcast(model), Seq("term"), "left")
       .crossJoin(broadcast(oov))
-      .groupBy(col("doc_id"), col("n_tokens"))
+      .groupBy(col("doc_id") +: carryCols :+ col("n_tokens"): _*)
       // the null-term row of an empty doc contributes null to both sums
       // (sum skips nulls → null over an all-null group) — coalesce to 0
       .agg(
@@ -109,10 +127,75 @@ object LmScore {
         expr("(2 * oov_toks * 1000000 + n_tokens) div (2 * n_tokens)")))
       .withColumn("avg_micro6", when(col("n_tokens") > 0,
         -expr("(2 * (-sum_micro) + n_tokens) div (2 * n_tokens)")))
-      .select(col("doc_id"), col("n_tokens"),
-        (col("oov_micro6").cast("double") / 1000000.0).as("oov_frac"),
-        (col("avg_micro6").cast("double") / 1000000.0).as("avg_logp"),
-        coalesce(col("avg_micro6") >= lit(math.round(threshold * 1000000).toLong),
-          lit(false)).as("keep"))
+      .drop("oov_toks", "sum_micro")
   }
+
+  /** CCNet head/middle/tail PERPLEXITY BUCKETS (Wenzek et al. 2020
+    * §4.3 — the published recipe partitions each language's documents
+    * into thirds by LM score and trains on head+middle): per-language
+    * tercile CUTOFFS are calibrated on a deterministic hash-bucket
+    * sample (the q27/q189 discipline; 256 = whole corpus), then every
+    * document is assigned MAP-SIDE against the broadcast L×2 cutoff
+    * table — never a corpus-wide per-language sort, which is the naive
+    * ntile formulation's death at 100 TB (one giant sort partition per
+    * language).
+    *
+    * Cutoff rule, exact integer end-to-end: within the sample, rank
+    * per language by (avg_micro desc, doc_id); c1 = the score at rank
+    * ⌈n/3⌉ (the lowest score still in the sample's top third), c2 at
+    * ⌈2n/3⌉. Assignment: score ≥ c1 → head, ≥ c2 → middle, else tail —
+    * boundary ties go to the better bucket (content-deterministic, so
+    * assignment is stable under corpus growth as long as the cutoffs
+    * are held). Zero-token documents bucket 'tail' by contract (no
+    * score → worst bucket, never silently dropped). A language absent
+    * from the calibration sample fails LOUDLY (the Mix.keepAgainst
+    * posture) — an inner join would silently drop its documents.
+    *
+    * Returns (doc_id, lang, n_tokens, avg_logp, bucket).
+    */
+  def ccnetBuckets(docs: DataFrame, v: Int = 4096,
+                   sampleBuckets: Int = 256): DataFrame = {
+    // corpus-THIN (doc_id, lang, n_tokens, am): materialized once so the
+    // cutoff fit and the assignment pass share one scoring pass
+    val scored = scoredMicro(docs, v, carry = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("avg_micro6").as("am"))
+      .localCheckpoint(true)
+    ccnetAssign(scored, ccnetCutoffs(scored, sampleBuckets))
+  }
+
+  /** Per-language (lang, c1, c2) tercile cutoffs from a scored-thin
+    * table — the CALIBRATION face ([[ccnetBuckets]]'s fit step,
+    * exposed so a streaming deployment can calibrate once and assign
+    * every arriving batch with [[ccnetAssign]]).
+    */
+  def ccnetCutoffs(scored: DataFrame, sampleBuckets: Int = 256): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val smp = scored.filter(col("n_tokens") > 0 &&
+      Dedup.inCalibrationSample(col("doc_id"), sampleBuckets))
+    smp
+      .withColumn("r", row_number().over(
+        W.partitionBy(col("lang")).orderBy(col("am").desc, col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(W.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(min(when(col("r") <= expr("(n + 2) div 3"), col("am"))).as("c1"),
+        min(when(col("r") <= expr("(2 * n + 2) div 3"), col("am"))).as("c2"))
+  }
+
+  /** Map-side bucket assignment of a scored-thin table against a FIXED
+    * cutoff table — the deployment face (broadcast join + one CASE).
+    */
+  def ccnetAssign(scored: DataFrame, cuts: DataFrame): DataFrame =
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .filter(assert_true(col("c1").isNotNull,
+        concat(lit("LmScore.ccnetAssign: language '"), col("lang"),
+          lit("' is missing from the calibrated cutoff table — " +
+            "recalibrate on a sample covering every arriving language"))).isNull)
+      .withColumn("bucket",
+        when(col("n_tokens") === 0, lit("tail"))
+          .when(col("am") >= col("c1"), lit("head"))
+          .when(col("am") >= col("c2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("am").cast("double") / 1000000.0).as("avg_logp"), col("bucket"))
 }

@@ -399,8 +399,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           binsPerShard = num(a, 1, 16, "graft_shard_manifest").toInt,
           seed = num(a, 2, 42, "graft_shard_manifest").toLong)
       }
-      // quality gate
+      // quality gates
       tvf("graft_quality")((docs, _) => Quality.score(docs))
+      tvf("graft_ccnet_buckets") { (docs, a) =>
+        graft.operators.LmScore.ccnetBuckets(docs,
+          v = num(a, 0, 4096, "graft_ccnet_buckets").toInt,
+          sampleBuckets = num(a, 1, 256, "graft_ccnet_buckets").toInt)
+      }
     }
   }
 }

@@ -1942,5 +1942,59 @@ object PipelineQueries extends QueryFamily {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193)
+  // ---- q194: CCNet perplexity buckets (head / middle / tail) ------------
+  // Wenzek et al. 2020 §4.3: each language's documents partition into
+  // thirds by LM score (our q165 integer scores); training reads
+  // head+middle. NOT a per-language ntile over the corpus (a giant
+  // per-language sort partition at 100 TB): per-language tercile
+  // CUTOFFS calibrate on a deterministic hash-bucket sample (256 =
+  // whole corpus here, so the oracle replays it; a deployment tunes
+  // the sample down), broadcast L×2, and every document assigns
+  // map-side. Cutoffs and comparisons are exact int64 micro-units;
+  // boundary ties go to the better bucket (content-deterministic).
+  // Zero-token docs bucket 'tail' by contract. V=16 as in q165.
+  val q194 = {
+    val V = 16
+    Q(
+      "q194_ccnet_buckets",
+      s"""WITH d AS (SELECT doc_id, lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+         |dd AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
+         |toks AS (SELECT unnest(w) AS term FROM dd),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+         |model AS (SELECT term, CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnp_micro
+         |          FROM (SELECT * FROM cnt, tot ORDER BY c DESC, term LIMIT $V)),
+         |oov AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS oov_micro FROM tot),
+         |dt AS (SELECT doc_id, n_tokens, unnest(list_transform(list_distinct(w),
+         |         t -> struct_pack(term := t, c_dt := CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))) AS e
+         |       FROM dd),
+         |dt2 AS (SELECT doc_id, n_tokens, e.term AS term, e.c_dt AS c_dt FROM dt),
+         |sc AS (SELECT doc_id, sum(c_dt * coalesce(m.lnp_micro, (SELECT oov_micro FROM oov))) AS sum_micro
+         |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1),
+         |sc2 AS (SELECT dd.doc_id, dd.lang, dd.n_tokens,
+         |          CASE WHEN dd.n_tokens > 0
+         |            THEN -((2 * (-sc.sum_micro) + dd.n_tokens) // (2 * dd.n_tokens)) END AS am
+         |        FROM dd LEFT JOIN sc USING (doc_id)),
+         |rk AS (SELECT lang, doc_id, am,
+         |         row_number() OVER (PARTITION BY lang ORDER BY am DESC, doc_id) AS r,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM sc2 WHERE n_tokens > 0),
+         |cut AS (SELECT lang,
+         |          min(CASE WHEN r <= (n + 2) // 3 THEN am END) AS c1,
+         |          min(CASE WHEN r <= (2 * n + 2) // 3 THEN am END) AS c2
+         |        FROM rk GROUP BY 1)
+         |SELECT doc_id, sc2.lang AS lang, n_tokens,
+         |  CAST(am AS DOUBLE) / 1000000.0 AS avg_logp,
+         |  CASE WHEN n_tokens = 0 THEN 'tail'
+         |       WHEN am >= c1 THEN 'head'
+         |       WHEN am >= c2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc2 JOIN cut ON sc2.lang = cut.lang
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.LmScore.ccnetBuckets(Tables.documents(s, d), v = V)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194)
 }

@@ -45,6 +45,73 @@ class LmScoreSpec extends SparkSpec {
     assert(df(1L).getAs[Boolean]("keep"), "non-empty in-vocab doc still kept")
   }
 
+  test("ccnet buckets: per-language terciles, best scores to head") {
+    // 9 docs, score strictly decreasing as the gibberish tail grows
+    // (each zq* token is OOV under v=5): ranks 1-3 head, 4-6 middle,
+    // 7-9 tail
+    val docs = (1 to 9).map { i =>
+      val gib = (1 to i).map(j => s"zq${i}x$j").mkString(" ")
+      (i.toLong, "xx", s"the cat sat on the mat $gib")
+    }.toDF("doc_id", "lang", "text")
+    val out = LmScore.ccnetBuckets(docs, v = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("bucket"), r.getAs[Double]("avg_logp"))).toMap
+    assert(out.size == 9)
+    assert((1 to 3).forall(i => out(i.toLong)._1 == "head"), out.toString)
+    assert((4 to 6).forall(i => out(i.toLong)._1 == "middle"), out.toString)
+    assert((7 to 9).forall(i => out(i.toLong)._1 == "tail"), out.toString)
+    // assignment is monotone in score by construction — spot-check it
+    assert(out(1L)._2 > out(9L)._2)
+  }
+
+  test("ccnet buckets: boundary ties go to the better bucket; empty docs to tail") {
+    // six identical docs share one score == both cutoffs -> all head
+    val same = (1 to 6).map(i => (i.toLong, "xx", "the cat sat on the mat"))
+    val docs = (same :+ ((99L, "xx", ""))).toDF("doc_id", "lang", "text")
+    val out = LmScore.ccnetBuckets(docs, v = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert((1 to 6).forall(i => out(i.toLong) == "head"), out.toString)
+    assert(out(99L) == "tail", "zero-token doc must bucket tail, never drop")
+  }
+
+  test("ccnet assignment fails loudly for a language missing from the cutoffs") {
+    def scored(rows: Seq[(Long, String, String)]) =
+      LmScore.scoredMicro(rows.toDF("doc_id", "lang", "text"), v = 5,
+          carry = Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("avg_micro6").as("am"))
+    val cuts = LmScore.ccnetCutoffs(
+      scored(Seq((1L, "xx", "the cat sat"), (2L, "xx", "the cat ran"))))
+    val e = intercept[Exception] {
+      LmScore.ccnetAssign(
+        scored(Seq((3L, "yy", "the cat sat"))), cuts).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("missing from the calibrated cutoff table")),
+      msgs(e).mkString(" | "))
+  }
+
+  test("ccnet sampled calibration assigns every doc, monotone per language") {
+    val docs = (1 to 40).map { i =>
+      val gib = (1 to i).map(j => s"g${i}q$j").mkString(" ")
+      (i.toLong, if (i % 2 == 0) "aa" else "bb", s"the cat sat on the mat $gib")
+    }.toDF("doc_id", "lang", "text")
+    val out = LmScore.ccnetBuckets(docs, v = 5, sampleBuckets = 128).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("avg_logp"),
+        r.getAs[String]("bucket")))
+    assert(out.length == 40, "sampled calibration must still assign everyone")
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    for (lang <- Seq("aa", "bb")) {
+      val per = out.filter(_._1 == lang).sortBy(-_._2)
+      // bucket rank never improves as score falls
+      assert(per.sliding(2).forall {
+        case Array(a, b) => rank(a._3) <= rank(b._3); case _ => true
+      }, per.mkString(","))
+    }
+  }
+
   test("score equals the serial all-integer recomputation") {
     val corpus = Seq((1L, "a a a b b c"), (2L, "a b x"), (3L, "c c a"))
     val v = 2 // model = {a (5), b (3)}; c and x are OOV

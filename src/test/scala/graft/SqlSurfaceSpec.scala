@@ -67,6 +67,8 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM graft_shard_manifest('sql_docs', 128, 4)",
       Pack.shardManifest(docs, 128, 4))
     pin("SELECT * FROM graft_quality('sql_docs')", Quality.score(docs))
+    pin("SELECT * FROM graft_ccnet_buckets('sql_docs', 16)",
+      graft.operators.LmScore.ccnetBuckets(docs, v = 16))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
