@@ -402,6 +402,44 @@ object Bpe {
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
         col("freq"))
 
+  /** Per-DOCUMENT subword token counts under a trained merge list —
+    * what a tokenized PACKER consumes (q195: shard layout by real
+    * tokenizer counts, not whitespace counts). The merge fold runs
+    * once per DISTINCT alphabet word (vocab-sized — the
+    * [[encodeTokenFreq]] shape; the tokenizer math costs |vocab|·M,
+    * never corpus·M); per-doc counts come from joining each document's
+    * word usage back to the word → subword-length table.
+    *
+    * Counting contract: word forms outside the training alphabet
+    * (`^[a-z0-9]+$` — punctuation-bearing) count ONE token each (the
+    * UNK convention); zero-word documents count 1 — Pack's
+    * n_tokens ≥ 1 invariant (the shards-spanned sequence explode must
+    * never see a descending range). Returns (doc_id, n_tokens).
+    */
+  def encodeDocCounts(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val wordLen = wordFreq(docs)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .select(col("word"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .select(col("word"),
+        (if (merges.isEmpty) size(col("syms"))
+         else size(graft.plans.NativeFunctions.bpeEncode(col("syms"), merges)))
+          .cast("long").as("n_sub"))
+    // explode_outer keeps zero-word docs as one null-word row (counts 1
+    // through the UNK coalesce below — never dropped)
+    val dw = docs
+      .select(col("doc_id"),
+        explode_outer(filter(graft.functions.Text.words(col("text")),
+          w => w =!= lit(""))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cw"))
+    dw.join(wordLen, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(greatest(sum(col("cw") * coalesce(col("n_sub"), lit(1L))), lit(1L))
+        .as("n_tokens"))
+  }
+
   /** Merge a batch's token counts into the accumulated table — the
     * foreachBatch step. Both sides are token-vocabulary-sized.
     */

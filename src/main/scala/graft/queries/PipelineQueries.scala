@@ -1573,14 +1573,14 @@ object PipelineQueries extends QueryFamily {
               |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
               |       FROM (SELECT unnest(w) AS word FROM d)
               |       WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1),
-              |v0 AS (SELECT list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, freq FROM wf)""".stripMargin
+              |v0 AS (SELECT word, list_transform(range(1, len(word) + 1), i -> substr(word, CAST(i AS INTEGER), 1)) AS syms, freq FROM wf)""".stripMargin
     for (r <- 1 to rounds) {
       val p = r - 1
       sb ++= s""",
                 |p$r AS (SELECT syms[CAST(i AS INTEGER)] AS pa, syms[CAST(i AS INTEGER)+1] AS pb, freq
                 |       FROM v$p, unnest(range(1, len(syms))) AS t(i) WHERE len(syms) >= 2),
                 |t$r AS (SELECT pa, pb, CAST(sum(freq) AS BIGINT) AS cnt FROM p$r GROUP BY 1,2 ORDER BY cnt DESC, pa, pb LIMIT 1),
-                |v$r AS (SELECT string_split(substr(list_reduce(list_prepend('', syms),
+                |v$r AS (SELECT word, string_split(substr(list_reduce(list_prepend('', syms),
                 |         (acc, s) -> CASE WHEN ends_with(acc, '|' || pa) AND s = pb THEN acc || s ELSE acc || '|' || s END), 2), '|') AS syms, freq
                 |       FROM v$p CROSS JOIN t$r),
                 |n$r AS (SELECT CAST(sum(len(syms) * freq) AS BIGINT) AS n_after FROM v$r),
@@ -1996,5 +1996,67 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194)
+  // ---- q195: tokenized packing (shard layout by TRAINED-BPE counts) -----
+  // q163/q181/q190 pack by whitespace token counts; a real training
+  // run packs by the TOKENIZER's counts — a tokenizer-aware corpus
+  // build composes q179 (train merges) → per-doc subword counts
+  // (Bpe.encodeDocCounts: the vocab-sized merge fold joined back to
+  // word usage — tokenizer math costs |vocab|·M, never corpus·M) →
+  // q181's seeded shard packer over the corpus-THIN counted table.
+  // Out-of-alphabet words count 1 (UNK); empty docs count 1 (Pack's
+  // n_tokens ≥ 1 invariant). FULL oracle: q179's unrolled training
+  // CTEs (v6 now carries the word key) → word→subword-length table →
+  // per-doc counts → q190's cumsum/overlap manifest arithmetic, every
+  // step exact integer on both engines.
+  val q195 = {
+    val L = 128; val BPS = 4; val SEED = 11L
+    val ST = BPS.toLong * L
+    Q(
+      "q195_tokenized_packing",
+      bpeOracleCtes(bpeRounds) +
+        s""",
+           |wn AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sub FROM v$bpeRounds),
+           |docw AS (SELECT doc_id, unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word FROM documents),
+           |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM docw GROUP BY 1, 2),
+           |dn AS (SELECT doc_id, greatest(CAST(sum(cw * coalesce(wn.n_sub, 1)) AS BIGINT), 1) AS n_tokens
+           |       FROM dcw LEFT JOIN wn USING (word) GROUP BY 1),
+           |cnt AS (SELECT d0.doc_id, coalesce(dn.n_tokens, 1) AS n_tokens
+           |        FROM (SELECT doc_id FROM documents) d0 LEFT JOIN dn USING (doc_id)),
+           |pd AS (SELECT doc_id, n_tokens,
+           |        ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h FROM cnt),
+           |pc AS (SELECT doc_id, n_tokens, h,
+           |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY h, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+           |       FROM pd),
+           |pe AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+           |        (gs + n_tokens - 1) // $ST AS last_shard FROM pc),
+           |px AS (SELECT pe.*, CAST(sh AS BIGINT) AS shard_id
+           |       FROM pe, unnest(range(first_shard, last_shard + 1)) AS u(sh))
+           |SELECT shard_id,
+           |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+           |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+           |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+           |  shard_id * $BPS AS first_bin,
+           |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+           |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe
+        .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      require(merges.length == bpeRounds,
+        s"BPE training exhausted after ${merges.length}/$bpeRounds rounds — " +
+          "corpus too small for the unrolled oracle; lower bpeRounds")
+      // corpus-THIN (doc_id, n_tokens): materialized so the prefix
+      // sum's two passes read the thin table, never the corpus (the
+      // q190 posture)
+      val counted = graft.operators.Bpe.encodeDocCounts(docs, merges)
+        .localCheckpoint()
+      graft.operators.Pack
+        .shardManifestCounted(counted, seqLen = L, binsPerShard = BPS, seed = SEED)
+        .orderBy("shard_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195)
 }

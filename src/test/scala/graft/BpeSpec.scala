@@ -89,6 +89,28 @@ class BpeSpec extends SparkSpec {
     out.toSeq
   }
 
+  test("per-doc subword counts: hand-computed merges, UNK and empty contracts") {
+    import spark.implicits._
+    // merge (a,a): "aaab" -> [aa, a, b] (3), "cc" -> [c, c] (2)
+    val docs = Seq(
+      (1L, "aaab aaab cc"),     // 3 + 3 + 2 = 8
+      (2L, ""),                 // zero words -> 1
+      (3L, "hello! aaab"),      // UNK(1) + 3 = 4
+      (4L, "zz")                // no merge applies -> 2
+    ).toDF("doc_id", "text")
+    val got = Bpe.encodeDocCounts(docs, Seq(("a", "a"))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 8L, 2L -> 1L, 3L -> 4L, 4L -> 2L), got.toString)
+    // conservation vs the corpus-level token-frequency face on a fully
+    // in-alphabet corpus: per-doc counts sum to the token-freq total
+    val clean = Seq((1L, "aaab aaab cc"), (2L, "zz aaab")).toDF("doc_id", "text")
+    val perDoc = Bpe.encodeDocCounts(clean, Seq(("a", "a")))
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0)
+    val byToken = Bpe.encodeTokenFreq(clean, Seq(("a", "a")))
+      .agg(org.apache.spark.sql.functions.sum("freq")).head.getLong(0)
+    assert(perDoc == byToken, s"$perDoc != $byToken")
+  }
+
   test("lineage cut goes reliable when a checkpoint dir is set, results identical") {
     import spark.implicits._
     // ≥17 rounds so the round-16 lineage cut fires on both paths
