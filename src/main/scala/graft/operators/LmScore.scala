@@ -94,6 +94,19 @@ object LmScore {
   def scoredMicro(docs: DataFrame, v: Int = 4096,
                   carry: Seq[String] = Nil): DataFrame = {
     val (model, totals) = unigramModel(docs, v)
+    scoredMicroAgainst(docs, model, totals, v, carry)
+  }
+
+  /** [[scoredMicro]] against a FIXED model — the streaming deployment
+    * face (the q189/Mix.keepAgainst posture: fit [[unigramModel]] ONCE
+    * on the corpus or a calibration sample, then score every arriving
+    * micro-batch under the same quantized log-probs). Scoring is
+    * per-document given the model, so the streamed scores equal the
+    * batch scores exactly regardless of arrival split
+    * (`StreamingCcnetSpec` pins it).
+    */
+  def scoredMicroAgainst(docs: DataFrame, model: DataFrame, totals: DataFrame,
+                         v: Int = 4096, carry: Seq[String] = Nil): DataFrame = {
     val oov = broadcast(totals).select(expr(
       s"cast(floor(ln(cast(1 as double) / cast(nn + $v + 1 as double)) * 1000000.0d) as bigint)")
       .as("oov_micro"))

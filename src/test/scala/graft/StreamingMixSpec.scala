@@ -81,6 +81,47 @@ class StreamingMixSpec extends SparkSpec {
       "packed token mass must equal the kept corpus exactly")
   }
 
+  test("temperature shares stream: calibrate alpha-availability once, kept set == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val rnd = new scala.util.Random(37)
+    val langs = Array("en", "zh", "de", "es", "fr")
+    val corpus = (1L to 120L).map { i =>
+      val words = 3 + rnd.nextInt(40)
+      MixDoc(i, langs(rnd.nextInt(langs.length)), Seq.fill(words)("w").mkString(" "))
+    }
+    val corpusDf = corpus.toDF()
+    val budget = 1500L
+
+    val batchKept = Mix.keepTemperature(corpusDf, budgetTokens = budget)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept.nonEmpty && batchKept.size < corpus.length,
+      "the budget must actually bind for this test to mean anything")
+
+    // the temperature availability table drops into the SAME keepAgainst
+    // deployment face fixed-share mixing uses (want/avail columns)
+    val avail = Mix.availabilityTemperature(Mix.counted(corpusDf), budget)
+      .localCheckpoint()
+    val stream = MemoryStream[MixDoc]
+    val streamed = collection.mutable.Set[Long]()
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        streamed ++= Mix.keepAgainst(batch.toDF(), avail)
+          .select("doc_id").as[Long].collect()
+        ()
+      }
+      .start()
+    try {
+      corpus.grouped(47).foreach { g =>
+        stream.addData(g)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    assert(streamed.toSet == batchKept,
+      "fixed alpha-calibration must make the streamed keep set equal the batch set")
+  }
+
   test("a language missing from the calibrated table fails loudly, never drops silently") {
     import spark.implicits._
     val sample = Seq(MixDoc(1, "en", "a b c"), MixDoc(2, "de", "d e f")).toDF()
