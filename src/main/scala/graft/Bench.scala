@@ -50,13 +50,15 @@ object Bench {
     // two registered sf1 floors, everything else applies at sf0.1.
     val floors: Map[String, Double] =
       if (sfDir.endsWith("sf1")) Map(
-        "q142_ivfpq_ann" -> 6.019, "q189_learned_threshold_dedup" -> 8.21)
+        "q142_ivfpq_ann" -> 4.825, "q189_learned_threshold_dedup" -> 5.967,
+        "q191_span_excision" -> 5.519, "q195_tokenized_packing" -> 3.705)
       else Map(
-        "q03_tpch_q3" -> 0.998, "q19_correlated_subquery" -> 0.657,
-        "q142_ivfpq_ann" -> 4.22, "q146_bloom_semi_join" -> 0.656,
-        "q155_dedup_threshold_calibration" -> 0.788,
-        "q162_winnow_extents" -> 0.41, "q163_sequence_packing" -> 0.278,
-        "q189_learned_threshold_dedup" -> 4.686)
+        "q03_tpch_q3" -> 0.904, "q19_correlated_subquery" -> 0.657,
+        "q142_ivfpq_ann" -> 3.414, "q146_bloom_semi_join" -> 0.599,
+        "q155_dedup_threshold_calibration" -> 0.618,
+        "q162_winnow_extents" -> 0.287, "q163_sequence_packing" -> 0.234,
+        "q189_learned_threshold_dedup" -> 3.034,
+        "q191_span_excision" -> 2.006, "q195_tokenized_packing" -> 2.807)
     // stage completions stream in asynchronously; the buffer is cleared
     // per timed run and snapshotted (after a short drain) only when a
     // floor breach makes the detail worth keeping
