@@ -122,9 +122,11 @@ object Pack {
     * see [[shardPlacementCounted]].
     */
   def shardManifestCounted(counted: DataFrame, seqLen: Int = 512,
-                           binsPerShard: Int = 16, seed: Long = 42L): DataFrame =
+                           binsPerShard: Int = 16, seed: Long = 42L,
+                           orderPrefix: Seq[String] = Nil): DataFrame =
     manifestFromPlacement(
-      shardPlacementCounted(counted, seqLen, binsPerShard, seed),
+      shardPlacementCounted(counted, seqLen, binsPerShard, seed,
+        orderPrefix = orderPrefix),
       seqLen, binsPerShard)
 
   /** Per-(document, shard) placement rows — what a shard writer
@@ -167,10 +169,16 @@ object Pack {
     */
   def shardPlacementCounted(counted0: DataFrame, seqLen: Int = 512,
                             binsPerShard: Int = 16, seed: Long = 42L,
-                            baseTokens: Long = 0L): DataFrame = {
+                            baseTokens: Long = 0L,
+                            orderPrefix: Seq[String] = Nil): DataFrame = {
     val shardTokens = binsPerShard.toLong * seqLen
     val counted = counted0.withColumn("h", shuffleKey(col("doc_id"), seed))
-    globalOffsets(counted, Seq("h", "doc_id"), "n_tokens")
+    // orderPrefix (e.g. a curriculum band rank) sorts BEFORE the seeded
+    // shuffle: all of band 0's tokens lay out before band 1's, with the
+    // shuffle decorrelating order within each band — the published
+    // anneal-phase layout (highest-quality band last); empty prefix is
+    // the plain seeded shuffle
+    globalOffsets(counted, orderPrefix ++ Seq("h", "doc_id"), "n_tokens")
       .withColumn("global_start", col("global_start") + baseTokens)
       .withColumn("first_shard", expr(s"global_start div ${shardTokens}L"))
       .withColumn("last_shard",

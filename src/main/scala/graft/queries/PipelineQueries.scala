@@ -1953,44 +1953,53 @@ object PipelineQueries extends QueryFamily {
   // map-side. Cutoffs and comparisons are exact int64 micro-units;
   // boundary ties go to the better bucket (content-deterministic).
   // Zero-token docs bucket 'tail' by contract. V=16 as in q165.
+  // shared by q194 (the bucket assignment) and q196 (the curriculum
+  // corpus build over the kept bands): q165's score CTEs + the rank
+  // cutoffs + the CASE, ending in bk(doc_id, lang, n_tokens, am, bucket)
+  private def ccnetOracleCtes(v: Int): String =
+    s"""WITH d AS (SELECT doc_id, lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+       |dd AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
+       |toks AS (SELECT unnest(w) AS term FROM dd),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
+       |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |model AS (SELECT term, CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(nn + ${v + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnp_micro
+       |          FROM (SELECT * FROM cnt, tot ORDER BY c DESC, term LIMIT $v)),
+       |oov AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(nn + ${v + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS oov_micro FROM tot),
+       |dt AS (SELECT doc_id, n_tokens, unnest(list_transform(list_distinct(w),
+       |         t -> struct_pack(term := t, c_dt := CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))) AS e
+       |       FROM dd),
+       |dt2 AS (SELECT doc_id, n_tokens, e.term AS term, e.c_dt AS c_dt FROM dt),
+       |sc AS (SELECT doc_id, sum(c_dt * coalesce(m.lnp_micro, (SELECT oov_micro FROM oov))) AS sum_micro
+       |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1),
+       |sc2 AS (SELECT dd.doc_id, dd.lang, dd.n_tokens,
+       |          CASE WHEN dd.n_tokens > 0
+       |            THEN -((2 * (-sc.sum_micro) + dd.n_tokens) // (2 * dd.n_tokens)) END AS am
+       |        FROM dd LEFT JOIN sc USING (doc_id)),
+       |rk AS (SELECT lang, doc_id, am,
+       |         row_number() OVER (PARTITION BY lang ORDER BY am DESC, doc_id) AS r,
+       |         count(*) OVER (PARTITION BY lang) AS n
+       |       FROM sc2 WHERE n_tokens > 0),
+       |cut AS (SELECT lang,
+       |          min(CASE WHEN r <= (n + 2) // 3 THEN am END) AS c1,
+       |          min(CASE WHEN r <= (2 * n + 2) // 3 THEN am END) AS c2
+       |        FROM rk GROUP BY 1),
+       |bk AS (SELECT doc_id, sc2.lang AS lang, n_tokens, am,
+       |         CASE WHEN n_tokens = 0 THEN 'tail'
+       |              WHEN am >= c1 THEN 'head'
+       |              WHEN am >= c2 THEN 'middle'
+       |              ELSE 'tail' END AS bucket
+       |       FROM sc2 JOIN cut ON sc2.lang = cut.lang)""".stripMargin
+
   val q194 = {
     val V = 16
     Q(
       "q194_ccnet_buckets",
-      s"""WITH d AS (SELECT doc_id, lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
-         |dd AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
-         |toks AS (SELECT unnest(w) AS term FROM dd),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
-         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
-         |model AS (SELECT term, CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS lnp_micro
-         |          FROM (SELECT * FROM cnt, tot ORDER BY c DESC, term LIMIT $V)),
-         |oov AS (SELECT CAST(floor(ln(CAST(1 AS DOUBLE) / CAST(nn + ${V + 1} AS DOUBLE)) * 1000000.0) AS BIGINT) AS oov_micro FROM tot),
-         |dt AS (SELECT doc_id, n_tokens, unnest(list_transform(list_distinct(w),
-         |         t -> struct_pack(term := t, c_dt := CAST(len(list_filter(w, x -> x = t)) AS BIGINT)))) AS e
-         |       FROM dd),
-         |dt2 AS (SELECT doc_id, n_tokens, e.term AS term, e.c_dt AS c_dt FROM dt),
-         |sc AS (SELECT doc_id, sum(c_dt * coalesce(m.lnp_micro, (SELECT oov_micro FROM oov))) AS sum_micro
-         |       FROM dt2 LEFT JOIN model m USING (term) GROUP BY 1),
-         |sc2 AS (SELECT dd.doc_id, dd.lang, dd.n_tokens,
-         |          CASE WHEN dd.n_tokens > 0
-         |            THEN -((2 * (-sc.sum_micro) + dd.n_tokens) // (2 * dd.n_tokens)) END AS am
-         |        FROM dd LEFT JOIN sc USING (doc_id)),
-         |rk AS (SELECT lang, doc_id, am,
-         |         row_number() OVER (PARTITION BY lang ORDER BY am DESC, doc_id) AS r,
-         |         count(*) OVER (PARTITION BY lang) AS n
-         |       FROM sc2 WHERE n_tokens > 0),
-         |cut AS (SELECT lang,
-         |          min(CASE WHEN r <= (n + 2) // 3 THEN am END) AS c1,
-         |          min(CASE WHEN r <= (2 * n + 2) // 3 THEN am END) AS c2
-         |        FROM rk GROUP BY 1)
-         |SELECT doc_id, sc2.lang AS lang, n_tokens,
-         |  CAST(am AS DOUBLE) / 1000000.0 AS avg_logp,
-         |  CASE WHEN n_tokens = 0 THEN 'tail'
-         |       WHEN am >= c1 THEN 'head'
-         |       WHEN am >= c2 THEN 'middle'
-         |       ELSE 'tail' END AS bucket
-         |FROM sc2 JOIN cut ON sc2.lang = cut.lang
-         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      ccnetOracleCtes(V) +
+        s"""
+           |SELECT doc_id, lang, n_tokens,
+           |  CAST(am AS DOUBLE) / 1000000.0 AS avg_logp, bucket
+           |FROM bk
+           |ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.operators.LmScore.ccnetBuckets(Tables.documents(s, d), v = V)
         .orderBy("doc_id")
     }
@@ -2058,5 +2067,56 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195)
+  // ---- q196: curriculum corpus build (ccnet bands → annealed shards) ----
+  // The CCNet DEPLOYMENT composed end-to-end: q194's buckets gate the
+  // corpus (tail dropped — the published recipe trains on head+middle)
+  // and the kept bands lay out into shards in ANNEAL order — all of
+  // middle's tokens first, head's last (the quality-curriculum /
+  // anneal-phase layout: training ends on the best band), the seeded
+  // shuffle decorrelating order WITHIN each band (Pack's new
+  // orderPrefix). Same manifest arithmetic as q181/q190/q195, exact
+  // integer end-to-end; the kept thin table localCheckpoints so the
+  // prefix sum never re-pays the LM scoring.
+  val q196 = {
+    val V = 16; val L = 128; val BPS = 4; val SEED = 13L
+    val ST = BPS.toLong * L
+    Q(
+      "q196_curriculum_build",
+      ccnetOracleCtes(V) +
+        s""",
+           |kept AS (SELECT doc_id, n_tokens,
+           |          CASE WHEN bucket = 'middle' THEN 0 ELSE 1 END AS band_rank
+           |         FROM bk WHERE bucket <> 'tail'),
+           |pd AS (SELECT doc_id, n_tokens, band_rank,
+           |        ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h FROM kept),
+           |pc AS (SELECT doc_id, n_tokens, band_rank, h,
+           |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY band_rank, h, doc_id
+           |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+           |       FROM pd),
+           |pe AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+           |        (gs + n_tokens - 1) // $ST AS last_shard FROM pc),
+           |px AS (SELECT pe.*, CAST(sh AS BIGINT) AS shard_id
+           |       FROM pe, unnest(range(first_shard, last_shard + 1)) AS u(sh))
+           |SELECT shard_id,
+           |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+           |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+           |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+           |  shard_id * $BPS AS first_bin,
+           |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+           |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val kept = graft.operators.LmScore
+        .ccnetBuckets(Tables.documents(s, d), v = V)
+        .filter(col("bucket") =!= "tail")
+        .withColumn("band_rank",
+          when(col("bucket") === "middle", 0L).otherwise(1L))
+        .select(col("doc_id"), col("n_tokens"), col("band_rank"))
+        .localCheckpoint()
+      graft.operators.Pack
+        .shardManifestCounted(kept, seqLen = L, binsPerShard = BPS,
+          seed = SEED, orderPrefix = Seq("band_rank"))
+        .orderBy("shard_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
 }

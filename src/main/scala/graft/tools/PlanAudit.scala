@@ -74,7 +74,9 @@ object PlanAudit {
     "q190_corpus_build" ->
       "global window on per-partition pack summaries over the BUDGET-sized kept table: input <= #partitions rows",
     "q195_tokenized_packing" ->
-      "global window on per-partition pack summaries over the checkpointed counted table: input <= #partitions rows (the q163 two-phase prefix sum)")
+      "global window on per-partition pack summaries over the checkpointed counted table: input <= #partitions rows (the q163 two-phase prefix sum)",
+    "q196_curriculum_build" ->
+      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else

@@ -282,6 +282,41 @@ class PackSpec extends SparkSpec {
     assert(fromText == fromCounts)
   }
 
+  test("orderPrefix curriculum: every band-0 token lays out before band 1, shuffled within band") {
+    val rnd = new scala.util.Random(11)
+    val counted = (1 to 60).map(i =>
+      (i.toLong, 1L + rnd.nextInt(20), (i % 2).toLong))
+      .toDF("doc_id", "n_tokens", "band_rank")
+    val placed = Pack.shardPlacementCounted(counted, seqLen = 8,
+        binsPerShard = 2, seed = 5L, orderPrefix = Seq("band_rank"))
+      .select("doc_id", "global_start", "n_tokens").distinct()
+      .join(counted.select("doc_id", "band_rank"), "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    val (b0, b1) = placed.partition(_._4 == 0L)
+    assert(b0.nonEmpty && b1.nonEmpty)
+    val b0End = b0.map(r => r._2 + r._3).max
+    val b1Start = b1.map(_._2).min
+    assert(b0End <= b1Start,
+      s"band 0 must end ($b0End) before band 1 begins ($b1Start)")
+    // dense across the band boundary too
+    assert(b0End == b1Start, "no gap at the band boundary")
+    // within a band the seeded shuffle still decorrelates: band-0 docs
+    // are NOT laid out in doc_id order
+    val b0ByStart = b0.sortBy(_._2).map(_._1).toSeq
+    assert(b0ByStart != b0ByStart.sorted, "shuffle within band must apply")
+    // a CONSTANT prefix degrades to the default layout exactly
+    val flat = counted.withColumn("band_rank", lit(0L))
+    val withPrefix = Pack.shardPlacementCounted(flat, seqLen = 8,
+        binsPerShard = 2, seed = 5L, orderPrefix = Seq("band_rank"))
+      .select("doc_id", "shard_id", "global_start", "slice_start", "slice_len")
+      .collect().map(_.toSeq).toSet
+    val plain = Pack.shardPlacementCounted(counted.drop("band_rank"), seqLen = 8,
+        binsPerShard = 2, seed = 5L)
+      .select("doc_id", "shard_id", "global_start", "slice_start", "slice_len")
+      .collect().map(_.toSeq).toSet
+    assert(withPrefix == plain)
+  }
+
   test("corpus build composition is invariant to input partitioning (seeded random)") {
     // the q190 shape end-to-end THROUGH the production faces (Mix.keep,
     // not a re-implementation of its hash/predicate): the keep decision
