@@ -2118,5 +2118,44 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
+  // ---- q197: the SQL front door through the driver's oracle gate --------
+  // SqlSurfaceSpec pins TVF == DataFrame equality; this query puts the
+  // TVF PATH ITSELF under the round-over-round DuckDB gate: the Spark
+  // side is LITERAL SQL TEXT composing two pipeline table functions
+  // (graft_pack × graft_quality joined, aggregated per training bin),
+  // exactly what a reference user would type. Per-bin stats avoid
+  // order-dependent float accumulation (count/sum on integers, min/max
+  // on the already-rounded quality), so the oracle is exact.
+  val q197 = Q(
+    "q197_sql_front_door",
+    s"""WITH m AS (SELECT doc_id, $WORDS AS w FROM documents),
+       |qm AS (SELECT doc_id,
+       |   CAST(len(w) AS INTEGER) AS n_words,
+       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |  FROM m),
+       |q2 AS (SELECT doc_id, n_words,
+       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |  FROM qm),
+       |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM m),
+       |c AS (SELECT doc_id, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs FROM t),
+       |b AS (SELECT doc_id, gs // 128 AS bin FROM c)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(q2.n_words) AS BIGINT) AS words,
+       |  min(q2.quality) AS min_q, max(q2.quality) AS max_q
+       |FROM b JOIN q2 USING (doc_id)
+       |GROUP BY bin ORDER BY bin""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).createOrReplaceTempView("graft_docs")
+    s.sql(
+      """SELECT p.bin, count(*) AS n_docs,
+        |  CAST(sum(q.n_words) AS BIGINT) AS words,
+        |  min(q.quality) AS min_q, max(q.quality) AS max_q
+        |FROM graft_pack('graft_docs', 128) p
+        |JOIN graft_quality('graft_docs') q ON p.doc_id = q.doc_id
+        |GROUP BY p.bin
+        |ORDER BY p.bin""".stripMargin)
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 }

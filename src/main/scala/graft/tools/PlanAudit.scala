@@ -76,7 +76,9 @@ object PlanAudit {
     "q195_tokenized_packing" ->
       "global window on per-partition pack summaries over the checkpointed counted table: input <= #partitions rows (the q163 two-phase prefix sum)",
     "q196_curriculum_build" ->
-      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)")
+      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)",
+    "q197_sql_front_door" ->
+      "global window on per-partition pack summaries inside the graft_pack branch: input <= #partitions rows (the q163 two-phase prefix sum)")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else
@@ -162,6 +164,8 @@ object PlanAudit {
         "mix-weight fit (per-source counts) + sampling pass — the operator's two phases",
       "q163_sequence_packing" ->
         "pack-summary pass (per-partition prefix sums) + emit pass — the two-phase distributed prefix sum",
+      "q197_sql_front_door" ->
+        "two independent table-function branches over one view (pack = its two prefix-sum phases + quality) — the composition a SQL user writes; each branch reads a pruned projection",
       "q181_shard_manifest" ->
         "pack-summary pass (per-partition prefix sums) + emit pass — the two-phase distributed prefix sum",
       "q165_lm_quality" ->
