@@ -854,6 +854,36 @@ object Ann {
   /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
     * bounded-query posture as [[bruteKnn]]).
     */
+  /** CONTRASTIVE training-pair mining — the dataset-construction step
+    * of retriever/embedding training (DPR/SimCSE-style): for each
+    * anchor, its POSITIVES are every candidate at sim ≥ `posThreshold`
+    * (the near-dup band — aligned/duplicate texts), and its HARD
+    * NEGATIVES the k MOST similar candidates BELOW the threshold (the
+    * published hard-negative recipe: random negatives are too easy to
+    * teach a margin; the near-miss band is where the gradient is).
+    * Returns (qid, cid, sim, role 'pos'/'neg', rn) with rn ranked
+    * within role by (sim desc, cid) — fully deterministic on the
+    * rounded-once sim. Anchors broadcast; the corpus streams through
+    * one scan (the [[bruteKnn]] posture — the bounded-anchor
+    * correctness baseline; at scale mine candidates with the LSH/IVF
+    * family first and verify exactly, the q71 discipline).
+    */
+  def contrastivePairs(corpus: DataFrame, queries: DataFrame, k: Int,
+                       posThreshold: Double = 0.9): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+    val w = Window.partitionBy(col("qid"), col("role"))
+      .orderBy(col("sim").desc, col("cid"))
+    c.join(q, col("qid") =!= col("cid"))
+      .withColumn("sim", round(cosine("qe", "ce"), 4))
+      .withColumn("role",
+        when(col("sim") >= posThreshold, lit("pos")).otherwise(lit("neg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("role") === "pos" || col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("role"), col("rn"))
+  }
+
   def bruteKnnL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
     val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))

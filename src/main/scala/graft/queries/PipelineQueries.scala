@@ -2157,5 +2157,42 @@ object PipelineQueries extends QueryFamily {
         |ORDER BY p.bin""".stripMargin)
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+  // ---- q198: contrastive pair mining (positives + hard negatives) -------
+  // The dataset-construction step of retriever/embedding training
+  // (DPR/SimCSE-style): per anchor, positives = candidates in the
+  // near-dup band (planted twins at cosine exactly 1.0 — the q176
+  // discipline, margin on both sides of the 0.9 threshold vs the
+  // corpus's 0.60 natural max), hard negatives = the k most similar
+  // candidates BELOW the band (random negatives are too easy; the
+  // near-miss band carries the gradient). FULL oracle replays the
+  // planted union, the rounded-once cosine, and the per-role rank.
+  val q198 = Q(
+    "q198_contrastive_mining",
+    s"""WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |tw AS (SELECT vec_id + $annPlant AS vec_id, emb FROM e0 WHERE vec_id < 10),
+       |e AS (SELECT * FROM e0 UNION ALL SELECT * FROM tw),
+       |q AS (SELECT vec_id AS qid, emb AS qe FROM e0 WHERE vec_id < 10),
+       |sims AS (SELECT qid, c.vec_id AS cid,
+       |           round(list_cosine_similarity(qe, c.emb), 4) AS sim
+       |         FROM q JOIN e c ON qid <> c.vec_id),
+       |r AS (SELECT qid, cid, sim,
+       |        CASE WHEN sim >= 0.9 THEN 'pos' ELSE 'neg' END AS role FROM sims),
+       |rk AS (SELECT qid, cid, sim, role,
+       |         CAST(row_number() OVER (PARTITION BY qid, role
+       |           ORDER BY sim DESC, cid) AS INTEGER) AS rn
+       |       FROM r)
+       |SELECT qid, cid, sim, role, rn FROM rk
+       |WHERE role = 'pos' OR rn <= 5
+       |ORDER BY qid, role, rn""".stripMargin) { (s, d) =>
+    val base = requirePlantHeadroom(Tables.embeddings(s, d), annPlant)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = base.filter(col("vec_id") < 10)
+    val twins = anchors
+      .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+    Ann.contrastivePairs(base.unionByName(twins), anchors, k = 5,
+        posThreshold = 0.9)
+      .orderBy("qid", "role", "rn")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 }

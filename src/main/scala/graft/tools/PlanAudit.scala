@@ -91,6 +91,8 @@ object PlanAudit {
     "q17_scalar_subquery" -> "scalar subquery: single-row threshold side",
     "q64_embedding_knn_brute" ->
       "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
+    "q198_contrastive_mining" ->
+      "bounded planted anchor set (10 rows, broadcast) x corpus — the q64 brute posture; scale path mines candidates via the LSH/IVF family first",
     "q82_tpch_q22" -> "scalar subquery: single-row avg-balance threshold",
     "q87_ivf_ann" -> "bounded planted query set (10 rows) x centroid model",
     "q99_kmv_theta" -> "k-sized sketch state cross join (k = 256 rows)",
@@ -180,6 +182,8 @@ object PlanAudit {
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
       "q65_embedding_knn_lsh" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
+      "q198_contrastive_mining" ->
+        "corpus role + two id-pruned bounded derivations (anchors, their planted twins) drawn from the same table",
       "q71_dedup_embedding_cosine" -> selfJoin,
       "q87_ivf_ann" -> fitEncode, "q138_pq_ann" -> fitEncode,
       "q188_pq_ann_rotated" -> fitEncode,

@@ -24,6 +24,36 @@ class AnnSpec extends SparkSpec {
     assert(enc.select("vec_id").distinct().count() == n)
   }
 
+  test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
+    import spark.implicits._
+    // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);
+    // near-miss at ~0.95 of the threshold band's floor... below 0.9;
+    // mid at cos ~0.71; far orthogonal (cos 0)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0)),          // anchor
+      (100L, v(2, 0)),        // twin direction (cos 1.0) -> pos
+      (2L, v(1, 0.4)),        // cos ~0.93 -> pos (>= 0.9)
+      (3L, v(1, 0.75)),       // cos ~0.80 -> hardest negative
+      (4L, v(1, 1)),          // cos ~0.71 -> next negative
+      (5L, v(0, 1))           // cos 0 -> last negative
+    ).toDF("vec_id", "embedding")
+    val anchors = corpus.filter(col("vec_id") === 1L)
+    val out = Ann.contrastivePairs(corpus, anchors, k = 2, posThreshold = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        (r.getAs[String]("role"), r.getAs[Int]("rn"), r.getAs[Double]("sim")))
+      .toMap
+    assert(out(100L)._1 == "pos" && out(100L)._2 == 1, out.toString)
+    assert(out(2L)._1 == "pos" && out(2L)._2 == 2, out.toString)
+    // k = 2 hard negatives: the NEAREST below-threshold candidates, in
+    // order; the orthogonal far vector is cut
+    assert(out(3L) == ("neg", 1, out(3L)._3) && out(3L)._3 < 0.9, out.toString)
+    assert(out(4L)._1 == "neg" && out(4L)._2 == 2, out.toString)
+    assert(!out.contains(5L), "easy negative beyond k must be cut")
+    assert(!out.contains(1L), "anchor never pairs with itself")
+  }
+
   test("brute-force knn: a vector's nearest neighbour set never contains itself") {
     val res = Ann.bruteKnn(embs, embs.filter(col("vec_id") < 5), k = 3).collect()
     assert(res.nonEmpty)
