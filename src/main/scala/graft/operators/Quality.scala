@@ -23,11 +23,18 @@ object Quality {
     * engine-portable float discipline (the DuckDB oracle replays the
     * same arithmetic digit-for-digit).
     */
-  def score(docs: DataFrame): DataFrame = {
+  def score(docs: DataFrame): DataFrame = score(docs, Nil)
+
+  /** [[score]] with passthrough doc columns (e.g. source, lang) riding
+    * the projection — a consumer needing them pays no join and no
+    * second scan (the scoredMicro carry convention).
+    */
+  def score(docs: DataFrame, carry: Seq[String]): DataFrame = {
+    val cs = carry.map(col)
     val m = docs
-      .select(col("doc_id"), Text.normText(col("text")).as("n"),
-        Text.words(col("text")).as("w"))
-      .select(col("doc_id"),
+      .select(Seq(col("doc_id")) ++ cs ++ Seq(Text.normText(col("text")).as("n"),
+        Text.words(col("text")).as("w")): _*)
+      .select(Seq(col("doc_id")) ++ cs ++ Seq(
         length(col("n")).as("n_chars"),
         size(col("w")).as("n_words"),
         round(length(regexp_replace(col("n"), " ", "")).cast("double")
@@ -35,11 +42,11 @@ object Quality {
         round(Text.vocabHits("w", Text.stopwords.head._2).cast("double")
           / size(col("w")), 6).as("stop_ratio"),
         round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
-          / size(col("w")), 6).as("short_ratio"))
-    m.select(col("doc_id"), col("n_chars"), col("n_words"), col("avg_wlen"),
-      col("stop_ratio"), col("short_ratio"),
+          / size(col("w")), 6).as("short_ratio")): _*)
+    m.select(Seq(col("doc_id")) ++ cs ++ Seq(col("n_chars"), col("n_words"),
+      col("avg_wlen"), col("stop_ratio"), col("short_ratio"),
       round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
         + lit(0.3) * col("stop_ratio")
-        + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality"))
+        + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality")): _*)
   }
 }

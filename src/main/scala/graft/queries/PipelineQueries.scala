@@ -2194,5 +2194,86 @@ object PipelineQueries extends QueryFamily {
       .orderBy("qid", "role", "rn")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+  // ---- q199: corpus report card (per-source health dashboard) -----------
+  // The operations view every corpus team keeps on a wall: per SOURCE,
+  // volume (docs/tokens), language spread (distinct + mode), exact-dup
+  // rate, and quality stats. ONE corpus text scan: quality + the
+  // content hash ride a single projection (Quality.score carry), the
+  // thin scored table localCheckpoints, and every branch below —
+  // dup-hash set (rare by construction, broadcast back), per-source
+  // aggregate, language mode — reads thin rows. Float discipline: the
+  // quality MEAN is computed in integer 1e-4 units with the half-up
+  // integer division (the q165 rounding form — a float sum's order
+  // could flip the 4th decimal); dup_rate is one division of identical
+  // integers; min/max are order-free.
+  val q199 = Q(
+    "q199_corpus_report",
+    s"""WITH m AS (SELECT doc_id, source, lang, $NORM AS nrm, $WORDS AS w FROM documents),
+       |qm AS (SELECT doc_id, source, lang, md5(nrm) AS ch,
+       |   CAST(len(w) AS BIGINT) AS n_words,
+       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |  FROM m),
+       |q AS (SELECT doc_id, source, lang, ch, n_words,
+       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |  FROM qm),
+       |dup AS (SELECT ch FROM q GROUP BY ch HAVING count(*) > 1),
+       |b AS (SELECT q.*, CASE WHEN dup.ch IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       |        CAST(round(quality * 10000) AS BIGINT) AS q4
+       |      FROM q LEFT JOIN dup USING (ch)),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |        CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |        CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |        CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+       |        CAST(sum(q4) AS BIGINT) AS sq4,
+       |        min(quality) AS min_q, max(quality) AS max_q
+       |      FROM b GROUP BY 1),
+       |lm AS (SELECT source, lang, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |tm AS (SELECT source, lang AS top_lang FROM (
+       |        SELECT source, lang, row_number() OVER
+       |          (PARTITION BY source ORDER BY cnt DESC, lang) AS rn FROM lm)
+       |       WHERE rn = 1)
+       |SELECT a.source AS source, n_docs, n_tokens, n_langs, top_lang, dup_docs,
+       |  round(CAST(dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+       |  CAST((2 * sq4 + n_docs) // (2 * n_docs) AS DOUBLE) / 10000.0 AS avg_quality,
+       |  min_q, max_q
+       |FROM a JOIN tm ON a.source = tm.source
+       |ORDER BY source""".stripMargin) { (s, d) =>
+    import graft.operators.Quality
+    val docs = Tables.documents(s, d)
+      .withColumn("ch", md5(Text.normText(col("text"))))
+    // corpus-THIN (no text): one projection carries source/lang/hash
+    // through the quality scan; both branches below read it materialized
+    val scored = Quality.score(docs, carry = Seq("source", "lang", "ch"))
+      .select(col("doc_id"), col("source"), col("lang"), col("ch"),
+        col("n_words").cast("long").as("n_words"), col("quality"))
+      .localCheckpoint()
+    val dupHashes = scored.groupBy(col("ch")).agg(count(lit(1)).as("nh"))
+      .filter(col("nh") > 1).select(col("ch")).withColumn("d1", lit(1L))
+    val base = scored.join(broadcast(dupHashes), Seq("ch"), "left")
+      .withColumn("is_dup", coalesce(col("d1"), lit(0L)))
+      .withColumn("q4", round(col("quality") * 10000).cast("long"))
+    val agg = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("is_dup")).as("dup_docs"),
+      sum(col("q4")).as("sq4"),
+      min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+    val mode = base.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lg"))).as("mm"))
+      .select(col("source"), col("mm.lg").as("top_lang"))
+    agg.join(broadcast(mode), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("top_lang"), col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        (expr("(2 * sq4 + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+          .as("avg_quality"),
+        col("min_q"), col("max_q"))
+      .orderBy("source")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
 }
