@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Per-source corpus REPORT CARD (q199) decomposed into MERGEABLE
+  * partials, so the same arithmetic serves the batch dashboard and the
+  * streaming one (accumulate per-batch partials, finalize on demand —
+  * the operations view of a live ingestion). All state is
+  * aggregate-sized except the content-hash counts (doc-count-thin, the
+  * accumulated-index posture minhash/winnow ingestion already uses).
+  *
+  * Exactness: every merged quantity is an int64 count/sum or an
+  * order-free min/max; the quality MEAN finalizes from integer 1e-4
+  * units with the half-up integer division (the q165 rounding form),
+  * so batch boundaries cannot move any output digit — stream == batch
+  * exactly (`StreamingReportSpec`).
+  */
+object Report {
+
+  /** Corpus-thin per-doc projection: (doc_id, source, lang, ch,
+    * n_words, quality, q4) — quality features and the exact-dup
+    * content hash ride ONE text scan (Quality.score carry).
+    */
+  def thin(docs: DataFrame): DataFrame =
+    Quality.score(docs.withColumn("ch", md5(Text.normText(col("text")))),
+        carry = Seq("source", "lang", "ch"))
+      .select(col("doc_id"), col("source"), col("lang"), col("ch"),
+        col("n_words").cast("long").as("n_words"), col("quality"),
+        round(col("quality") * 10000).cast("long").as("q4"))
+
+  /** Per-source mergeable partials (count/sum/min/max). */
+  def srcPartials(thin: DataFrame): DataFrame =
+    thin.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+      sum(col("q4")).as("sq4"),
+      min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
+
+  /** Per-(source, lang) doc counts — the language-spread state. */
+  def langPartials(thin: DataFrame): DataFrame =
+    thin.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-(ch, source) doc counts — the exact-dup state (a hash is a
+    * duplicate group when its count summed ACROSS sources exceeds 1).
+    */
+  def hashPartials(thin: DataFrame): DataFrame =
+    thin.groupBy(col("ch"), col("source")).agg(count(lit(1)).as("n"))
+
+  /** Merge two partial states — union + re-aggregate, associative and
+    * commutative, so any batch split folds to the same state.
+    */
+  def mergeSrc(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+      sum(col("sq4")).as("sq4"),
+      min(col("min_q")).as("min_q"), max(col("max_q")).as("max_q"))
+
+  def mergeLang(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"), col("lang"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  def mergeHash(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("ch"), col("source"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Finalize the report card from accumulated partials:
+    * (source, n_docs, n_tokens, n_langs, top_lang, dup_docs, dup_rate,
+    * avg_quality, min_q, max_q). Language mode = max count with the
+    * lexicographic tie-break (struct-min); dup hashes are rare by
+    * construction and broadcast back.
+    */
+  def card(src: DataFrame, lang: DataFrame, hash: DataFrame): DataFrame = {
+    val spread = lang
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(struct((-col("cnt")).as("nc"), col("lang").as("lg"))).as("mm"))
+      .select(col("source"), col("n_langs"), col("mm.lg").as("top_lang"))
+    val dupHashes = hash.groupBy(col("ch"))
+      .agg(sum(col("n")).as("nh")).filter(col("nh") > 1).select(col("ch"))
+    val dup = hash.join(broadcast(dupHashes), Seq("ch"))
+      .groupBy(col("source")).agg(sum(col("n")).as("dup_docs"))
+    src.join(broadcast(spread), "source")
+      .join(broadcast(dup), Seq("source"), "left")
+      .withColumn("dup_docs", coalesce(col("dup_docs"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("top_lang"), col("dup_docs"),
+        round(col("dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        (expr("(2 * sq4 + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
+          .as("avg_quality"),
+        col("min_q"), col("max_q"))
+  }
+
+  /** The batch face (q199): one thin scan, partials, finalize. */
+  def card(thin: DataFrame): DataFrame =
+    card(srcPartials(thin), langPartials(thin), hashPartials(thin))
+}

@@ -401,6 +401,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       // quality gates
       tvf("graft_quality")((docs, _) => Quality.score(docs))
+      tvf("graft_corpus_report") { (docs, _) =>
+        val thin = graft.operators.Report.thin(docs).localCheckpoint()
+        graft.operators.Report.card(thin)
+      }
       tvf("graft_ccnet_buckets") { (docs, a) =>
         graft.operators.LmScore.ccnetBuckets(docs,
           v = num(a, 0, 4096, "graft_ccnet_buckets").toInt,

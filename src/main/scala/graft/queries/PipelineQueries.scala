@@ -2239,40 +2239,11 @@ object PipelineQueries extends QueryFamily {
        |  min_q, max_q
        |FROM a JOIN tm ON a.source = tm.source
        |ORDER BY source""".stripMargin) { (s, d) =>
-    import graft.operators.Quality
-    val docs = Tables.documents(s, d)
-      .withColumn("ch", md5(Text.normText(col("text"))))
-    // corpus-THIN (no text): one projection carries source/lang/hash
-    // through the quality scan; both branches below read it materialized
-    val scored = Quality.score(docs, carry = Seq("source", "lang", "ch"))
-      .select(col("doc_id"), col("source"), col("lang"), col("ch"),
-        col("n_words").cast("long").as("n_words"), col("quality"))
+    // one implementation behind the batch card, the streaming card
+    // (StreamingReportSpec), and the SQL face: operators/Report
+    val thin = graft.operators.Report.thin(Tables.documents(s, d))
       .localCheckpoint()
-    val dupHashes = scored.groupBy(col("ch")).agg(count(lit(1)).as("nh"))
-      .filter(col("nh") > 1).select(col("ch")).withColumn("d1", lit(1L))
-    val base = scored.join(broadcast(dupHashes), Seq("ch"), "left")
-      .withColumn("is_dup", coalesce(col("d1"), lit(0L)))
-      .withColumn("q4", round(col("quality") * 10000).cast("long"))
-    val agg = base.groupBy(col("source")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n_words")).as("n_tokens"),
-      countDistinct(col("lang")).as("n_langs"),
-      sum(col("is_dup")).as("dup_docs"),
-      sum(col("q4")).as("sq4"),
-      min(col("quality")).as("min_q"), max(col("quality")).as("max_q"))
-    val mode = base.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("source"))
-      .agg(min(struct((-col("cnt")).as("nc"), col("lang").as("lg"))).as("mm"))
-      .select(col("source"), col("mm.lg").as("top_lang"))
-    agg.join(broadcast(mode), "source")
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
-        col("top_lang"), col("dup_docs"),
-        round(col("dup_docs").cast("double") / col("n_docs"), 6).as("dup_rate"),
-        (expr("(2 * sq4 + n_docs) div (2 * n_docs)").cast("double") / 10000.0)
-          .as("avg_quality"),
-        col("min_q"), col("max_q"))
-      .orderBy("source")
+    graft.operators.Report.card(thin).orderBy("source")
   }
 
   val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)

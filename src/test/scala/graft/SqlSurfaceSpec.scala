@@ -69,6 +69,9 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM graft_quality('sql_docs')", Quality.score(docs))
     pin("SELECT * FROM graft_ccnet_buckets('sql_docs', 16)",
       graft.operators.LmScore.ccnetBuckets(docs, v = 16))
+    pin("SELECT * FROM graft_corpus_report('sql_docs')",
+      graft.operators.Report.card(
+        graft.operators.Report.thin(docs).localCheckpoint()))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
