@@ -1953,11 +1953,13 @@ object PipelineQueries extends QueryFamily {
   // map-side. Cutoffs and comparisons are exact int64 micro-units;
   // boundary ties go to the better bucket (content-deterministic).
   // Zero-token docs bucket 'tail' by contract. V=16 as in q165.
-  // shared by q194 (the bucket assignment) and q196 (the curriculum
-  // corpus build over the kept bands): q165's score CTEs + the rank
+  // shared by q194 (the bucket assignment), q196 (the curriculum build
+  // over the kept bands), and q200 (the same over dedup survivors —
+  // `from` names the source relation): q165's score CTEs + the rank
   // cutoffs + the CASE, ending in bk(doc_id, lang, n_tokens, am, bucket)
-  private def ccnetOracleCtes(v: Int): String =
-    s"""WITH d AS (SELECT doc_id, lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+  private def ccnetOracleCtes(v: Int, from: String = "documents",
+                              lead: String = "WITH "): String =
+    s"""${lead}d AS (SELECT doc_id, lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM $from),
        |dd AS (SELECT doc_id, lang, w, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
        |toks AS (SELECT unnest(w) AS term FROM dd),
        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM toks),
@@ -2246,5 +2248,84 @@ object PipelineQueries extends QueryFamily {
     graft.operators.Report.card(thin).orderBy("source")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199)
+  // ---- q200: corpus build v2 (the full modern pipeline, one statement) --
+  // What a 2024-era pretraining data pipeline actually runs, composed
+  // end-to-end and fully oracled: near-dup clusters keep their BEST
+  // member (q192 — the losers leave), the SURVIVORS train the CCNet LM
+  // and bucket per language (q194 — note the model fits on the
+  // deduplicated corpus, the published order: dedup before quality
+  // modeling so boilerplate mass cannot skew the LM), the tail band
+  // drops, and the kept bands lay out into annealed curriculum shards
+  // (q196). Scale shape: the loser set is cluster-member-sized
+  // (broadcast anti-join), the band table is corpus-thin and
+  // checkpointed, the packer never touches text.
+  val q200 = {
+    val V = 16; val L = 128; val BPS = 4; val SEED = 17L
+    val ST = BPS.toLong * L
+    Q(
+      "q200_corpus_build_v2",
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($q62PairsSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |qm AS (SELECT doc_id,
+         |   CAST(len(w) AS INTEGER) AS n_words,
+         |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
+         |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |ql AS (SELECT doc_id,
+         |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+         |  FROM qm),
+         |losers AS (SELECT doc_id FROM (
+         |    SELECT comp.id AS doc_id, row_number() OVER
+         |      (PARTITION BY cluster_id ORDER BY ql.quality DESC, comp.id) AS rn
+         |    FROM comp JOIN ql ON ql.doc_id = comp.id)
+         |  WHERE rn > 1),
+         |surv AS (SELECT d0.doc_id, d0.lang, d0.text FROM documents d0
+         |         LEFT JOIN losers USING (doc_id) WHERE losers.doc_id IS NULL),
+         |${ccnetOracleCtes(V, from = "surv", lead = "")},
+         |kept AS (SELECT doc_id, n_tokens,
+         |          CASE WHEN bucket = 'middle' THEN 0 ELSE 1 END AS band_rank
+         |         FROM bk WHERE bucket <> 'tail'),
+         |pd AS (SELECT doc_id, n_tokens, band_rank,
+         |        ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h FROM kept),
+         |pc AS (SELECT doc_id, n_tokens, band_rank, h,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY band_rank, h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+         |       FROM pd),
+         |pe AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+         |        (gs + n_tokens - 1) // $ST AS last_shard FROM pc),
+         |px AS (SELECT pe.*, CAST(sh AS BIGINT) AS shard_id
+         |       FROM pe, unnest(range(first_shard, last_shard + 1)) AS u(sh))
+         |SELECT shard_id,
+         |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+         |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+         |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+         |  shard_id * $BPS AS first_bin,
+         |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+         |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val kb = Dedup.keepBest(docs, Dedup.minhashCandidates(docs))
+      val losers = kb.filter(col("kept") === 0).select(col("doc_id"))
+      // losers are cluster-member-sized (a vanishing fraction): the
+      // anti-join broadcasts, so the survivor scan is map-side
+      val surv = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      val kept = graft.operators.LmScore.ccnetBuckets(surv, v = V)
+        .filter(col("bucket") =!= "tail")
+        .withColumn("band_rank",
+          when(col("bucket") === "middle", 0L).otherwise(1L))
+        .select(col("doc_id"), col("n_tokens"), col("band_rank"))
+        .localCheckpoint()
+      graft.operators.Pack
+        .shardManifestCounted(kept, seqLen = L, binsPerShard = BPS,
+          seed = SEED, orderPrefix = Seq("band_rank"))
+        .orderBy("shard_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 }

@@ -78,7 +78,9 @@ object PlanAudit {
     "q196_curriculum_build" ->
       "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)",
     "q197_sql_front_door" ->
-      "global window on per-partition pack summaries inside the graft_pack branch: input <= #partitions rows (the q163 two-phase prefix sum)")
+      "global window on per-partition pack summaries inside the graft_pack branch: input <= #partitions rows (the q163 two-phase prefix sum)",
+    "q200_corpus_build_v2" ->
+      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else
