@@ -339,6 +339,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         if (a.length > i) GraftExtensions.numLit(a(i), fn, what)
         else throw new IllegalArgumentException(s"$fn: missing required $what")
 
+      // two-table variant: the DEPLOYMENT (*Against) and search faces
+      // take a batch/query table AND a corpus/index table
+      def tvf2(name: String)(
+          build: (DataFrame, DataFrame, Seq[Expression]) => DataFrame): Unit =
+        ext.injectTableFunction((
+          FunctionIdentifier(name),
+          new ExpressionInfo(classOf[GraftExtensions].getName, name),
+          (children: Seq[Expression]) => {
+            if (children.length < 2) throw new IllegalArgumentException(
+              s"$name(table, table, ...): needs two table-name arguments")
+            val a = SparkSession.active.table(
+              GraftExtensions.strLit(children(0), name, "first table"))
+            val b = SparkSession.active.table(
+              GraftExtensions.strLit(children(1), name, "second table"))
+            build(a, b, children.drop(2)).queryExecution.logical
+          }))
+
       // dedup family
       tvf("graft_dedup_exact")((docs, _) => Dedup.exactGroups(docs))
       tvf("graft_jaccard_pairs") { (docs, a) =>
@@ -398,6 +415,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           seqLen = num(a, 0, 512, "graft_shard_manifest").toInt,
           binsPerShard = num(a, 1, 16, "graft_shard_manifest").toInt,
           seed = num(a, 2, 42, "graft_shard_manifest").toLong)
+      }
+      // deployment faces: gate/search a BATCH table against a
+      // corpus/index table, from SQL
+      tvf2("graft_minhash_against") { (batch, corpus, a) =>
+        Dedup.minhashCandidatesAgainst(batch,
+          Dedup.minhashBands(Dedup.minhashSignatures(corpus)),
+          minEstJaccard = num(a, 0, 0.5, "graft_minhash_against"))
+      }
+      tvf2("graft_excise_against") { (batch, corpus, a) =>
+        Winnow.exciseAgainst(batch,
+          Winnow.fingerprints(corpus,
+            k = num(a, 0, 5, "graft_excise_against").toInt,
+            w = num(a, 1, 8, "graft_excise_against").toInt),
+          k = num(a, 0, 5, "graft_excise_against").toInt,
+          w = num(a, 1, 8, "graft_excise_against").toInt,
+          maxDf = num(a, 2, 50, "graft_excise_against").toInt)
+      }
+      tvf2("graft_mix_keep_against") { (batch, corpus, a) =>
+        Mix.keepAgainst(batch, Mix.availability(Mix.counted(corpus),
+          reqNum(a, 0, "graft_mix_keep_against", "budget_tokens").toLong))
+      }
+      // similarity search over (corpus, queries) embedding tables
+      tvf2("graft_knn") { (corpus, queries, a) =>
+        graft.operators.Ann.bruteKnn(corpus, queries,
+          k = num(a, 0, 5, "graft_knn").toInt)
+      }
+      tvf2("graft_contrastive_pairs") { (corpus, queries, a) =>
+        graft.operators.Ann.contrastivePairs(corpus, queries,
+          k = num(a, 0, 5, "graft_contrastive_pairs").toInt,
+          posThreshold = num(a, 1, 0.9, "graft_contrastive_pairs"))
       }
       // quality gates
       tvf("graft_quality")((docs, _) => Quality.score(docs))

@@ -72,6 +72,25 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM graft_corpus_report('sql_docs')",
       graft.operators.Report.card(
         graft.operators.Report.thin(docs).localCheckpoint()))
+    // two-table deployment faces: batch vs corpus/index, from SQL
+    import graft.operators.{Ann, Winnow}
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    batch.createOrReplaceTempView("sql_batch")
+    pin("SELECT * FROM graft_minhash_against('sql_batch', 'sql_docs')",
+      Dedup.minhashCandidatesAgainst(batch,
+        Dedup.minhashBands(Dedup.minhashSignatures(docs))))
+    pin("SELECT * FROM graft_mix_keep_against('sql_batch', 'sql_docs', 50000)",
+      Mix.keepAgainst(batch, Mix.availability(Mix.counted(docs), 50000L)))
+    pin("SELECT * FROM graft_excise_against('sql_batch', 'sql_docs')",
+      Winnow.exciseAgainst(batch, Winnow.fingerprints(docs)))
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    embs.createOrReplaceTempView("sql_embs")
+    embs.filter(col("vec_id") < 5).createOrReplaceTempView("sql_queries")
+    pin("SELECT * FROM graft_knn('sql_embs', 'sql_queries', 3)",
+      Ann.bruteKnn(embs, embs.filter(col("vec_id") < 5), k = 3))
+    pin("SELECT * FROM graft_contrastive_pairs('sql_embs', 'sql_queries', 3)",
+      Ann.contrastivePairs(embs, embs.filter(col("vec_id") < 5), k = 3))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
