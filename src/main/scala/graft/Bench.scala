@@ -49,7 +49,9 @@ object Bench {
     // as noise. Floors are machine+SF-specific: the sf1 map covers the
     // two registered sf1 floors, everything else applies at sf0.1.
     val floors: Map[String, Double] =
-      if (sfDir.endsWith("sf1")) Map(
+      // path-normalized scale detection (a trailing slash must not
+      // silently apply sf0.1 floors to sf1 runs)
+      if (new java.io.File(sfDir).getName == "sf1") Map(
         "q142_ivfpq_ann" -> 4.825, "q189_learned_threshold_dedup" -> 5.967,
         "q191_span_excision" -> 5.519, "q195_tokenized_packing" -> 3.705)
       else Map(

@@ -236,28 +236,44 @@ object Dedup {
     if (sampleBuckets >= 256) lit(true)
     else substring(md5(c.cast("string")), 1, 2) < f"$sampleBuckets%02x"
 
-  def learnedThresholdPairs(docs: DataFrame, sampleBuckets: Int = 192): DataFrame = {
-    // both inputs come back persisted+materialized (materializeAndRelease
-    // inside each); released below once the sweep and the deployment
-    // filter no longer need them.
-    //
-    // The calibration input is explicitly SAMPLE-CAPPED (default 192/256
-    // = 75%, tuned down hard in a deployment — 100 TB wants ~1/256):
-    // the exact-Jaccard ground truth is inherently O(sample²)-shaped, so
-    // the truth join runs on the hash-bucket sample only, and the sweep
-    // reads the candidate table restricted to sample-sample pairs.
-    // Restricting the DEPLOYED candidate table (rather than re-running
-    // minhash on the sample) keeps calibration faithful to deployment:
-    // the hot-bucket cap is the full-corpus one the learned threshold
-    // will actually filter behind. The emitted pairs are the FULL
-    // candidate table at the learned threshold.
+  /** ONE definition of the sampled-calibration construction, shared by
+    * [[learnedThresholdPairs]] (q189), [[learnThreshold]] (the
+    * streaming deployment), and the q155 report — the sample
+    * predicate, the 0.25 candidate floor, and the 0.3 truth floor can
+    * never desynchronize across the three faces.
+    *
+    * The calibration input is explicitly SAMPLE-CAPPED (default 192/256
+    * = 75%, tuned down hard in a deployment — 100 TB wants ~1/256):
+    * the exact-Jaccard ground truth is inherently O(sample²)-shaped, so
+    * the truth join runs on the hash-bucket sample only, and the sweep
+    * reads the candidate table restricted to sample-sample pairs.
+    * Restricting the DEPLOYED candidate table (rather than re-running
+    * minhash on the sample) keeps calibration faithful to deployment:
+    * the hot-bucket cap is the full-corpus one the learned threshold
+    * will actually filter behind.
+    *
+    * Returns (cands, truth, sweep). cands/truth come back
+    * persisted+materialized (their builders materializeAndRelease);
+    * the CALLER releases them per its own cache posture — q189
+    * cache-clean, q155 deliberately lazy (BENCHNOTES r12).
+    */
+  def sampledCalibration(docs: DataFrame, sampleBuckets: Int = 192)
+      : (DataFrame, DataFrame, DataFrame) = {
     val cands = minhashCandidates(docs, minEstJaccard = 0.25)
     val truth = jaccardPairs(
       docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)), threshold = 0.3)
-    val sweepCands = cands.filter(
+    val sweep = calibrationSweep(truth, cands.filter(
       inCalibrationSample(col("doc_a"), sampleBuckets) &&
-        inCalibrationSample(col("doc_b"), sampleBuckets))
-    val sweep = calibrationSweep(truth, sweepCands).collect()
+        inCalibrationSample(col("doc_b"), sampleBuckets)))
+    (cands, truth, sweep)
+  }
+
+  def learnedThresholdPairs(docs: DataFrame, sampleBuckets: Int = 192): DataFrame = {
+    // sampledCalibration's persisted inputs are released below once the
+    // sweep and the deployment filter no longer need them; the emitted
+    // pairs are the FULL candidate table at the learned threshold.
+    val (cands, truth, sweepDf) = sampledCalibration(docs, sampleBuckets)
+    val sweep = sweepDf.collect()
     truth.unpersist(blocking = true)
     val bi = argmaxF1(sweep)
     val out = cands
@@ -296,14 +312,8 @@ object Dedup {
     * the streaming filter cannot diverge from the micro-unit filter.
     */
   def learnThreshold(docs: DataFrame, sampleBuckets: Int = 192): Double = {
-    // same sample discipline as [[learnedThresholdPairs]]: truth on the
-    // hash-bucket sample, candidates restricted to sample-sample pairs
-    val cands = minhashCandidates(docs, minEstJaccard = 0.25)
-    val truth = jaccardPairs(
-      docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)), threshold = 0.3)
-    val sweep = calibrationSweep(truth, cands.filter(
-      inCalibrationSample(col("doc_a"), sampleBuckets) &&
-        inCalibrationSample(col("doc_b"), sampleBuckets))).collect()
+    val (cands, truth, sweepDf) = sampledCalibration(docs, sampleBuckets)
+    val sweep = sweepDf.collect()
     truth.unpersist(blocking = true)
     cands.unpersist(blocking = true)
     argmaxF1(sweep) / 20.0

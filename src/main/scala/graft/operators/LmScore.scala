@@ -200,7 +200,12 @@ object LmScore {
     */
   def ccnetAssign(scored: DataFrame, cuts: DataFrame): DataFrame =
     scored.join(broadcast(cuts), Seq("lang"), "left")
-      .filter(assert_true(col("c1").isNotNull,
+      // zero-token docs bucket 'tail' by contract even when their
+      // language has no cutoffs (a language consisting ONLY of
+      // zero-token docs is legitimately absent from the sample — the
+      // cutoff fit excludes unscoreable docs); only a SCORED doc with
+      // no cutoff row is a calibration hole worth dying for
+      .filter(assert_true(col("c1").isNotNull || col("n_tokens") === 0,
         concat(lit("LmScore.ccnetAssign: language '"), col("lang"),
           lit("' is missing from the calibrated cutoff table — " +
             "recalibrate on a sample covering every arriving language"))).isNull)

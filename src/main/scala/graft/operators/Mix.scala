@@ -120,10 +120,12 @@ object Mix {
     * rounded — a cross-engine libm ULP can flip a floor boundary);
     * spec-pinned, not oracled.
     *
-    * Overflow headroom (the reason for the two-step ppm form): w ≤
-    * 10⁶·√avail, so w·10⁵ and budget·share_ppm both stay under 2⁶³
-    * for any corpus to ~10¹⁴ tokens and budgets to ~10¹³ — a direct
-    * budget·w div Σw would overflow at trillion-token scale.
+    * Overflow discipline: the two-step ppm form bounds intermediates,
+    * and the two products run in DECIMAL(38,0) (HUGEINT in the oracle)
+    * because w reaches 10⁶·avail at α = 1 — w·10⁵ would wrap int64 at
+    * ~9·10⁷ tokens in one language. Integral division on the widened
+    * type truncates identically on both engines; share_ppm and want
+    * land back in int64 by construction (≤ 10⁵ and ≤ budget).
     */
   def availabilityTemperature(cnt: DataFrame, budgetTokens: Long,
                               alpha: Double = 0.5): DataFrame = {
@@ -140,8 +142,16 @@ object Mix {
     // single-row total side (the q136/q140/q165 broadcast idiom)
     val tot = av.agg(sum(col("w")).as("wsum"))
     av.crossJoin(broadcast(tot))
-      .withColumn("share_ppm", expr("w * 100000L div wsum"))
-      .withColumn("want", expr(s"${budgetTokens}L * share_ppm div 100000L"))
+      // widened to DECIMAL(38,0) (DuckDB: HUGEINT): w can reach 1e6·avail
+      // at alpha = 1, so w·10⁵ overflows int64 at ~9e7 TOKENS in one
+      // language — far below real corpora. Integral division on the
+      // widened type truncates identically on both engines; the results
+      // are bit-identical to the int64 form wherever that form didn't
+      // overflow, and correct (not wrapped-negative) where it did.
+      .withColumn("share_ppm",
+        expr("cast(w as decimal(38,0)) * 100000 div wsum"))
+      .withColumn("want",
+        expr(s"cast(${budgetTokens}L as decimal(38,0)) * share_ppm div 100000"))
       .select(col("lang"), col("avail"), col("share_ppm"), col("want"))
   }
 

@@ -663,9 +663,12 @@ object MatVec {
     * null input vectors (the nullSafeEval contract).
     */
   def checkDim(n: Int, mat: Array[Array[Double]]): Unit = {
-    val cols = if (mat.length == 0) 0 else mat(0).length
-    if (n != cols) throw new IllegalArgumentException(
-      s"graft_matvec: vector length $n does not match rotation matrix columns $cols")
+    // an empty matrix is loud too — an (n=0, cols=0) pair would pass the
+    // equality check and crash compute's m(0) with a bare AIOOBE
+    if (mat.length == 0) throw new IllegalArgumentException(
+      "graft_matvec: rotation matrix is empty")
+    if (n != mat(0).length) throw new IllegalArgumentException(
+      s"graft_matvec: vector length $n does not match rotation matrix columns ${mat(0).length}")
   }
 
   def compute(v: ArrayData, m: Array[Array[Double]]): ArrayData = {

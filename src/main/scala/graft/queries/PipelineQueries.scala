@@ -1200,15 +1200,14 @@ object PipelineQueries extends QueryFamily {
          |ORDER BY threshold""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
-      // the sweep core is shared with Dedup.learnedThresholdPairs (q189)
-      // — one definition of the grid/micro-unit arithmetic, so the
-      // learned threshold can never desynchronize from this report
-      val sweep = Dedup.calibrationSweep(
-        Dedup.jaccardPairs(
-          docs.filter(Dedup.inCalibrationSample(col("doc_id"), 192)), threshold = 0.3),
-        Dedup.minhashCandidates(docs, minEstJaccard = 0.25)
-          .filter(Dedup.inCalibrationSample(col("doc_a"), 192) &&
-            Dedup.inCalibrationSample(col("doc_b"), 192)))
+      // the whole sampled construction is shared with
+      // Dedup.learnedThresholdPairs (q189) and learnThreshold — one
+      // definition of the sample predicate, the grid, and the
+      // micro-unit arithmetic, so the learned threshold can never
+      // desynchronize from this report. The sweep stays LAZY here (no
+      // release): a calibration report's caller holds the session and
+      // may re-aggregate (BENCHNOTES r12's documented asymmetry).
+      val (_, _, sweep) = Dedup.sampledCalibration(docs)
       sweep
         .withColumn("threshold", round(col("i") / 20.0, 2))
         .withColumn("precision", when(col("tp") + col("fp") > 0,
@@ -1921,10 +1920,10 @@ object PipelineQueries extends QueryFamily {
       |  CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE)) * 1000000) AS BIGINT) AS w
       | FROM d GROUP BY lang),
       |a AS (SELECT lang, avail,
-      |  w * 100000 // CAST((SELECT sum(w) FROM a0) AS BIGINT) AS share_ppm
+      |  CAST(CAST(w AS HUGEINT) * 100000 // (SELECT sum(w) FROM a0) AS BIGINT) AS share_ppm
       | FROM a0),
       |a2 AS (SELECT lang, avail, share_ppm,
-      |  CAST(30000 AS BIGINT) * share_ppm // 100000 AS want FROM a),
+      |  CAST(CAST(30000 AS HUGEINT) * share_ppm // 100000 AS BIGINT) AS want FROM a),
       |s AS (SELECT d.doc_id, d.lang, d.toks, a2.share_ppm, a2.want, a2.avail
       | FROM d JOIN a2 ON d.lang = a2.lang
       | WHERE a2.want >= a2.avail OR d.h < (1152921504606846976 // a2.avail) * a2.want)
@@ -1990,7 +1989,7 @@ object PipelineQueries extends QueryFamily {
        |              WHEN am >= c1 THEN 'head'
        |              WHEN am >= c2 THEN 'middle'
        |              ELSE 'tail' END AS bucket
-       |       FROM sc2 JOIN cut ON sc2.lang = cut.lang)""".stripMargin
+       |       FROM sc2 LEFT JOIN cut ON sc2.lang = cut.lang)""".stripMargin
 
   val q194 = {
     val V = 16

@@ -120,15 +120,24 @@ class BpeSpec extends SparkSpec {
     val local = Bpe.trainMerges(corpus, rounds = 17).orderBy("round").collect().toSeq
     val dir = java.nio.file.Files.createTempDirectory("bpe_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
-    val reliable = Bpe.trainMerges(corpus, rounds = 17).orderBy("round").collect().toSeq
-    assert(reliable == local, "reliable-checkpoint training must be bit-identical")
-    // the cut actually wrote replayable state to the reliable dir
-    def files(p: java.io.File): Seq[java.io.File] = {
-      val k = Option(p.listFiles).map(_.toSeq).getOrElse(Nil)
-      k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(files)
+    try {
+      val reliable = Bpe.trainMerges(corpus, rounds = 17).orderBy("round").collect().toSeq
+      assert(reliable == local, "reliable-checkpoint training must be bit-identical")
+      // the cut actually wrote replayable state to the reliable dir
+      def files(p: java.io.File): Seq[java.io.File] = {
+        val k = Option(p.listFiles).map(_.toSeq).getOrElse(Nil)
+        k.filter(_.isFile) ++ k.filter(_.isDirectory).flatMap(files)
+      }
+      assert(files(new java.io.File(dir)).nonEmpty,
+        s"expected checkpoint data under $dir")
+    } finally {
+      // the session is SHARED across suites: leaving the dir set would
+      // silently flip every later test's lineage cuts onto the
+      // reliable path (and leak files into the temp dir per cut)
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty,
+        "checkpoint dir must be cleared for the rest of the suite run")
     }
-    assert(files(new java.io.File(dir)).nonEmpty,
-      s"expected checkpoint data under $dir")
   }
 
   test("multi-round training matches the serial Sennrich loop round-for-round") {

@@ -74,6 +74,21 @@ class LmScoreSpec extends SparkSpec {
     assert(out(99L) == "tail", "zero-token doc must bucket tail, never drop")
   }
 
+  test("a language of ONLY zero-token docs buckets tail, never crashes or drops") {
+    // such a language is legitimately absent from the cutoff fit (the
+    // sample excludes unscoreable docs) — the tail contract must win
+    // over the missing-calibration loud failure
+    val docs = Seq(
+      (1L, "xx", "the cat sat on the mat"),
+      (2L, "xx", "the cat ran over the mat"),
+      (9L, "zz", ""), (10L, "zz", "   ")
+    ).toDF("doc_id", "lang", "text")
+    val out = LmScore.ccnetBuckets(docs, v = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(out.keySet == Set(1L, 2L, 9L, 10L), s"no doc may drop: ${out.keySet}")
+    assert(out(9L) == "tail" && out(10L) == "tail", out.toString)
+  }
+
   test("ccnet assignment fails loudly for a language missing from the cutoffs") {
     def scored(rows: Seq[(Long, String, String)]) =
       LmScore.scoredMicro(rows.toDF("doc_id", "lang", "text"), v = 5,

@@ -39,6 +39,15 @@ class MatVecSpec extends SparkSpec {
     val nullRow = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "v")
       .select(graft.plans.NativeFunctions.matVec(col("v"), id).as("y")).head
     assert(nullRow.isNullAt(0), "null input vector must stay null")
+    // an EMPTY matrix with an EMPTY vector must fail loudly too, never
+    // reach compute's m(0) as a bare AIOOBE
+    val e2 = intercept[Exception] {
+      Seq((1L, Seq.empty[Double])).toDF("id", "v")
+        .select(graft.plans.NativeFunctions.matVec(col("v"),
+          Seq.empty[Seq[Double]]).as("y")).head
+    }
+    assert(msgs(e2).exists(_.contains("rotation matrix is empty")),
+      msgs(e2).mkString(" | "))
   }
 
   test("rotationMatrix is orthonormal and deterministic per seed") {

@@ -55,6 +55,20 @@ class MixSpec extends SparkSpec {
     assert(got.values.map(_._2).sum <= 100000L)
   }
 
+  test("alpha=1 shares stay exact at corpus sizes where int64 ppm math would wrap") {
+    import spark.implicits._
+    // avail 3e9 vs 1e9 tokens: w = avail*1e6 at alpha=1, so the int64
+    // form's w*1e5 ~ 3e20 wraps negative and silently drops the
+    // language; the widened form must return exactly 75000 / 25000
+    val cnt = Seq((1L, "big", 3000000000L, 7L), (2L, "small", 1000000000L, 9L))
+      .toDF("doc_id", "lang", "toks", "h")
+    val got = Mix.availabilityTemperature(cnt, budgetTokens = 1000000L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("share_ppm"), r.getAs[Long]("want"))).toMap
+    assert(got("big") == (75000L, 750000L), got.toString)
+    assert(got("small") == (25000L, 250000L), got.toString)
+  }
+
   test("a boosted language past its availability caps at rate 1 (keeps everything)") {
     import spark.implicits._
     // lang "tiny" holds 4 tokens vs 10000 for "big": alpha=0.5 gives
