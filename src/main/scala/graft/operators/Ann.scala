@@ -851,9 +851,6 @@ object Ann {
     materialized
   }
 
-  /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
-    * bounded-query posture as [[bruteKnn]]).
-    */
   /** CONTRASTIVE training-pair mining — the dataset-construction step
     * of retriever/embedding training (DPR/SimCSE-style): for each
     * anchor, its POSITIVES are every candidate at sim ≥ `posThreshold`
@@ -884,6 +881,9 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("role"), col("rn"))
   }
 
+  /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
+    * bounded-query posture as [[bruteKnn]]).
+    */
   def bruteKnnL2(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
     val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))

@@ -232,9 +232,15 @@ object Dedup {
     * retries; the DuckDB oracle replays the same predicate.
     */
   def inCalibrationSample(c: org.apache.spark.sql.Column,
-                          sampleBuckets: Int): org.apache.spark.sql.Column =
+                          sampleBuckets: Int): org.apache.spark.sql.Column = {
+    // loud contract: 0 would yield an empty sample that only fails
+    // later in argmaxF1, and a negative value formats via %02x to an
+    // always-true predicate ("ffffffff") — both silent bends
+    require(sampleBuckets >= 1,
+      s"sampleBuckets must be >= 1 (256 = whole corpus), got $sampleBuckets")
     if (sampleBuckets >= 256) lit(true)
     else substring(md5(c.cast("string")), 1, 2) < f"$sampleBuckets%02x"
+  }
 
   /** ONE definition of the sampled-calibration construction, shared by
     * [[learnedThresholdPairs]] (q189), [[learnThreshold]] (the

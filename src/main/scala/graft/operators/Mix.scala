@@ -139,8 +139,12 @@ object Mix {
       // corpus aggregation — without this the corpus is scanned three
       // times (fit, total, sampling) instead of twice
       .localCheckpoint(true)
-    // single-row total side (the q136/q140/q165 broadcast idiom)
-    val tot = av.agg(sum(col("w")).as("wsum"))
+    // single-row total side (the q136/q140/q165 broadcast idiom).
+    // wsum is summed in the WIDENED type too: w reaches 1e6·avail at
+    // α = 1, so a plain long sum wraps silently past ~9.2e12 corpus
+    // tokens (non-ANSI) while the oracle promotes sum(BIGINT) to
+    // HUGEINT — the widened sum keeps both engines exact at 100 TB.
+    val tot = av.agg(sum(col("w").cast("decimal(38,0)")).as("wsum"))
     av.crossJoin(broadcast(tot))
       // widened to DECIMAL(38,0) (DuckDB: HUGEINT): w can reach 1e6·avail
       // at alpha = 1, so w·10⁵ overflows int64 at ~9e7 TOKENS in one

@@ -22,6 +22,13 @@ object Quality {
     * quality). Ratios round to 6 places and the score to 4 — the
     * engine-portable float discipline (the DuckDB oracle replays the
     * same arithmetic digit-for-digit).
+    *
+    * Zero-word contract: a document with no words gets EXPLICIT zero
+    * ratios and quality 0.0 (a gate should reject empty documents, not
+    * emit NULLs). Without the guard the div-by-zero NULL propagates
+    * silently — Report's sum(quality) would skip the doc while n_docs
+    * counts it, and keepBest would rank it by nulls-last accident.
+    * QualitySpec pins the guard.
     */
   def score(docs: DataFrame): DataFrame = score(docs, Nil)
 
@@ -31,22 +38,26 @@ object Quality {
     */
   def score(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val cs = carry.map(col)
+    // the zero-word guard (n_words = 0 → 0.0, never a NULL ratio)
+    def z(c: org.apache.spark.sql.Column) =
+      when(size(col("w")) === 0, lit(0.0)).otherwise(c)
     val m = docs
       .select(Seq(col("doc_id")) ++ cs ++ Seq(Text.normText(col("text")).as("n"),
         Text.words(col("text")).as("w")): _*)
       .select(Seq(col("doc_id")) ++ cs ++ Seq(
         length(col("n")).as("n_chars"),
         size(col("w")).as("n_words"),
-        round(length(regexp_replace(col("n"), " ", "")).cast("double")
-          / size(col("w")), 6).as("avg_wlen"),
-        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double")
-          / size(col("w")), 6).as("stop_ratio"),
-        round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
-          / size(col("w")), 6).as("short_ratio")): _*)
+        z(round(length(regexp_replace(col("n"), " ", "")).cast("double")
+          / size(col("w")), 6)).as("avg_wlen"),
+        z(round(Text.vocabHits("w", Text.stopwords.head._2).cast("double")
+          / size(col("w")), 6)).as("stop_ratio"),
+        z(round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
+          / size(col("w")), 6)).as("short_ratio")): _*)
     m.select(Seq(col("doc_id")) ++ cs ++ Seq(col("n_chars"), col("n_words"),
       col("avg_wlen"), col("stop_ratio"), col("short_ratio"),
-      round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
-        + lit(0.3) * col("stop_ratio")
-        + lit(0.3) * (lit(1.0) - col("short_ratio")), 4).as("quality")): _*)
+      when(col("n_words") === 0, lit(0.0)).otherwise(
+        round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
+          + lit(0.3) * col("stop_ratio")
+          + lit(0.3) * (lit(1.0) - col("short_ratio")), 4)).as("quality")): _*)
   }
 }

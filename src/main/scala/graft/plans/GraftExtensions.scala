@@ -448,9 +448,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }
       // quality gates
       tvf("graft_quality")((docs, _) => Quality.score(docs))
+      // lazily composed (no checkpoint): the TVF builder runs at
+      // ANALYSIS time, so materializing here would pay a corpus scan
+      // per parse and strand one checkpointed RDD per analysis in a
+      // long-lived session — the card is an aggregation Catalyst fuses
+      // fine unmaterialized (the q199 query face handles caching)
       tvf("graft_corpus_report") { (docs, _) =>
-        val thin = graft.operators.Report.thin(docs).localCheckpoint()
-        graft.operators.Report.card(thin)
+        graft.operators.Report.card(graft.operators.Report.thin(docs))
       }
       tvf("graft_ccnet_buckets") { (docs, a) =>
         graft.operators.LmScore.ccnetBuckets(docs,

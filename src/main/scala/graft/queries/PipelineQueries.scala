@@ -220,12 +220,12 @@ object PipelineQueries extends QueryFamily {
        |  SELECT doc_id,
        |   CAST(length(n) AS INTEGER) AS n_chars,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(w), 6) AS avg_wlen,
-       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
-       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(w), 6) END AS avg_wlen,
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM (SELECT doc_id, $NORM AS n, $WORDS AS w FROM documents))
        |SELECT doc_id, n_chars, n_words, avg_wlen, stop_ratio, short_ratio,
-       | round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       | CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
        |FROM m
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     // one implementation shared with the SQL front door (graft_quality TVF)

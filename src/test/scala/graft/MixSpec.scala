@@ -69,6 +69,19 @@ class MixSpec extends SparkSpec {
     assert(got("small") == (25000L, 250000L), got.toString)
   }
 
+  test("wsum itself is widened: shares stay exact where a long SUM of w would wrap") {
+    import spark.implicits._
+    // three languages at 4e12 tokens each: w = 4e18 at alpha=1, so
+    // wsum = 1.2e19 > Long.MaxValue (9.22e18) — a plain long sum wraps
+    // negative and every share goes wrong; the widened sum returns the
+    // exact 33333 ppm each
+    val cnt = Seq((1L, "x", 4000000000000L, 1L), (2L, "y", 4000000000000L, 2L),
+      (3L, "z", 4000000000000L, 3L)).toDF("doc_id", "lang", "toks", "h")
+    val got = Mix.availabilityTemperature(cnt, budgetTokens = 300000L, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("share_ppm")).toMap
+    assert(got == Map("x" -> 33333L, "y" -> 33333L, "z" -> 33333L), got.toString)
+  }
+
   test("a boosted language past its availability caps at rate 1 (keeps everything)") {
     import spark.implicits._
     // lang "tiny" holds 4 tokens vs 10000 for "big": alpha=0.5 gives
