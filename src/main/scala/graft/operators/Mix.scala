@@ -101,6 +101,46 @@ object Mix {
         max(col("want")).as("tokens_wanted"),
         max(col("avail")).as("tokens_available"))
 
+  /** Dyadic-α exponent discipline: α is SNAPPED to k/2²⁰ (documented
+    * contract; |Δα| ≤ 2⁻²¹ shifts share_ppm by well under one ppm unit
+    * at corpus scales) and avail^(k/2²⁰) is computed as the product of
+    * nested square roots — one factor sqrt^(20−j)(avail) per set bit j
+    * of k, multiplied left-to-right from the SHALLOWEST factor. Every
+    * step (sqrt, ×) is IEEE-754 correctly rounded on every conforming
+    * engine, so the chain is bit-identical across Spark and the DuckDB
+    * oracle — unlike libm pow, whose cross-engine ULP could flip the
+    * floor-quantization boundary. α = 0.5 degenerates to the single
+    * sqrt (k = 2¹⁹), α = 1 to exact integer identity.
+    */
+  val DyadicBits = 20
+
+  def dyadicK(alpha: Double): Int = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val k = math.round(alpha * (1 << DyadicBits)).toInt
+    require(k >= 1, s"alpha $alpha snaps below 1/2^$DyadicBits")
+    k
+  }
+
+  /** Sqrt-nesting depths of the chain's factors, shallowest first —
+    * the ONE canonical order both engines multiply in.
+    */
+  private def chainDepths(k: Int): Seq[Int] =
+    (0 until DyadicBits).filter(j => ((k >> j) & 1) == 1)
+      .map(j => DyadicBits - j).sorted
+
+  /** The Spark face of the chain: x^(k/2²⁰) for x a non-negative
+    * double column. Exact for k = 2²⁰ handled by the caller.
+    */
+  def dyadicPow(x: Column, k: Int): Column =
+    chainDepths(k).map(d => (1 to d).foldLeft(x)((c, _) => sqrt(c)))
+      .reduceLeft(_ * _)
+
+  /** The identical chain as DuckDB SQL text (for oracle authors) —
+    * same factor order, same left-associated multiplication.
+    */
+  def dyadicPowSql(xExpr: String, k: Int): String =
+    chainDepths(k).map(d => "sqrt(" * d + xExpr + ")" * d).mkString(" * ")
+
   /** TEMPERATURE-scaled availability shares — the multilingual
     * α-sampling recipe (UniMax / mT5-style, Chung et al. 2023; Xue et
     * al. 2021 §3.1): instead of hand-fixed target percentages, each
@@ -113,26 +153,27 @@ object Mix {
     * Determinism discipline: avail^α is quantized ONCE per language to
     * integer micro-units, floor(avail^α · 10⁶) — L evaluations per
     * corpus — and everything downstream is exact int64: share_ppm =
-    * w·10⁵ div Σw, want = budget·share_ppm div 10⁵. The DEFAULT
-    * α = 0.5 goes through IEEE-754 sqrt, which the standard requires
-    * correctly rounded — bit-identical on every engine, so the oracle
-    * replays it exactly. Any other α goes through pow (NOT correctly
-    * rounded — a cross-engine libm ULP can flip a floor boundary);
-    * spec-pinned, not oracled.
+    * w·10⁵ div Σw, want = budget·share_ppm div 10⁵. The exponent runs
+    * through the [[dyadicPow]] sqrt-chain (α snapped to k/2²⁰), so
+    * EVERY α is engine-exact and rides the full hash-matched oracle
+    * (q193 at α = 0.5, q201 at α = 0.3/0.7) — r13's libm-pow escape
+    * hatch is gone. α = 1 takes the exact integer path (avail·10⁶ in
+    * DECIMAL — no double rounding past 2⁵³).
     *
     * Overflow discipline: the two-step ppm form bounds intermediates,
-    * and the two products run in DECIMAL(38,0) (HUGEINT in the oracle)
-    * because w reaches 10⁶·avail at α = 1 — w·10⁵ would wrap int64 at
-    * ~9·10⁷ tokens in one language. Integral division on the widened
-    * type truncates identically on both engines; share_ppm and want
-    * land back in int64 by construction (≤ 10⁵ and ≤ budget).
+    * and the two products AND wsum run in DECIMAL(38,0) (HUGEINT in
+    * the oracle) because w reaches 10⁶·avail at α = 1 — w·10⁵ would
+    * wrap int64 at ~9·10⁷ tokens in one language. Integral division on
+    * the widened type truncates identically on both engines; share_ppm
+    * and want land back in int64 by construction (≤ 10⁵ and ≤ budget).
     */
   def availabilityTemperature(cnt: DataFrame, budgetTokens: Long,
                               alpha: Double = 0.5): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val k = dyadicK(alpha)
     val av = cnt.groupBy(col("lang")).agg(sum(col("toks")).as("avail"))
-      .withColumn("w", floor((if (alpha == 0.5) sqrt(col("avail").cast("double"))
-        else pow(col("avail").cast("double"), lit(alpha))) * 1e6).cast("long"))
+      .withColumn("w", if (k == (1 << DyadicBits))
+        expr("cast(avail as decimal(38,0)) * 1000000")
+      else floor(dyadicPow(col("avail").cast("double"), k) * 1e6).cast("long"))
       // stratum-cardinality-sized: materialize the fit ONCE (the q190
       // fit-at-construction posture) so the total side and the share
       // join below read L materialized rows instead of re-deriving the

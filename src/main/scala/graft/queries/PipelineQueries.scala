@@ -1880,11 +1880,11 @@ object PipelineQueries extends QueryFamily {
        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
        |qm AS (SELECT doc_id,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
-       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
        |q AS (SELECT doc_id,
-       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
        |  FROM qm),
        |cl AS (SELECT comp.id AS doc_id, cluster_id, cluster_size, q.quality
        |  FROM comp JOIN sz USING (cluster_id) JOIN q ON q.doc_id = comp.id)
@@ -2132,11 +2132,11 @@ object PipelineQueries extends QueryFamily {
     s"""WITH m AS (SELECT doc_id, $WORDS AS w FROM documents),
        |qm AS (SELECT doc_id,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
-       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM m),
        |q2 AS (SELECT doc_id, n_words,
-       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
        |  FROM qm),
        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM m),
        |c AS (SELECT doc_id, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -2212,11 +2212,11 @@ object PipelineQueries extends QueryFamily {
     s"""WITH m AS (SELECT doc_id, source, lang, $NORM AS nrm, $WORDS AS w FROM documents),
        |qm AS (SELECT doc_id, source, lang, md5(nrm) AS ch,
        |   CAST(len(w) AS BIGINT) AS n_words,
-       |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
-       |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM m),
        |q AS (SELECT doc_id, source, lang, ch, n_words,
-       |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
        |  FROM qm),
        |dup AS (SELECT ch FROM q GROUP BY ch HAVING count(*) > 1),
        |b AS (SELECT q.*, CASE WHEN dup.ch IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
@@ -2273,11 +2273,11 @@ object PipelineQueries extends QueryFamily {
          |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
          |qm AS (SELECT doc_id,
          |   CAST(len(w) AS INTEGER) AS n_words,
-         |   round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) AS stop_ratio,
-         |   round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) AS short_ratio
+         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |ql AS (SELECT doc_id,
-         |   round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) AS quality
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
          |  FROM qm),
          |losers AS (SELECT doc_id FROM (
          |    SELECT comp.id AS doc_id, row_number() OVER
@@ -2326,5 +2326,66 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+  // ---- q201: temperature mixing across the alpha range (0.3 / 0.7) ------
+  // r13 VERDICT item 2: q193 oracles only α = 0.5 (plain IEEE sqrt);
+  // any other α went through libm pow — spec-pinned, not oracled. The
+  // Mix.dyadicPow sqrt-chain (α snapped to k/2²⁰, one nested-sqrt
+  // factor per set bit, fixed multiply order) makes EVERY α
+  // engine-exact: sqrt and × are IEEE-correctly-rounded on both
+  // engines, so the floor quantization cannot flip. This query runs
+  // the UniMax paper's practical range (α = 0.3 and 0.7) through the
+  // FULL hash-matched oracle — the DuckDB side replays the identical
+  // chain, generated from the same dyadicPowSql helper.
+  val q201 = {
+    val budget = 30000L
+    def tagOf(alpha: Double): String = math.round(alpha * 10).toString
+    def side(alpha: Double): String = {
+      val tag = tagOf(alpha)
+      s"""SELECT CAST($alpha AS DOUBLE) AS alpha, lang,
+         | CAST(max(share_ppm) AS BIGINT) AS share_ppm,
+         | CAST(count(*) AS BIGINT) AS docs_kept,
+         | CAST(sum(toks) AS BIGINT) AS tokens_kept,
+         | CAST(max(want) AS BIGINT) AS tokens_wanted,
+         | CAST(max(avail) AS BIGINT) AS tokens_available
+         |FROM (
+         | SELECT d.doc_id, d.lang, d.toks, a2.share_ppm, a2.want, a2.avail
+         | FROM d JOIN (
+         |   SELECT lang, avail, share_ppm,
+         |     CAST(CAST($budget AS HUGEINT) * share_ppm // 100000 AS BIGINT) AS want
+         |   FROM (SELECT lang, avail,
+         |     CAST(CAST(w AS HUGEINT) * 100000 // (SELECT sum(w) FROM a0_$tag) AS BIGINT) AS share_ppm
+         |     FROM a0_$tag)) a2 ON d.lang = a2.lang
+         | WHERE a2.want >= a2.avail OR d.h < (1152921504606846976 // a2.avail) * a2.want)
+         |GROUP BY lang""".stripMargin
+    }
+    def a0(alpha: Double): String = {
+      val tag = tagOf(alpha)
+      val chain = graft.operators.Mix.dyadicPowSql("CAST(sum(toks) AS DOUBLE)",
+        graft.operators.Mix.dyadicK(alpha))
+      s"""a0_$tag AS (SELECT lang, CAST(sum(toks) AS BIGINT) AS avail,
+         |  CAST(floor(($chain) * 1000000) AS BIGINT) AS w
+         | FROM d GROUP BY lang)""".stripMargin
+    }
+    Q(
+      "q201_mix_alpha_sweep",
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks,
+         |  CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         | FROM documents),
+         |${a0(0.3)},
+         |${a0(0.7)}
+         |SELECT * FROM (${side(0.3)} UNION ALL ${side(0.7)})
+         |ORDER BY alpha, lang""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Seq(0.3, 0.7).map(a =>
+        graft.operators.Mix.reportTemperature(docs, budget, alpha = a)
+          .withColumn("alpha", lit(a)))
+        .reduce(_ unionByName _)
+        .select(col("alpha"), col("lang"), col("share_ppm"), col("docs_kept"),
+          col("tokens_kept"), col("tokens_wanted"), col("tokens_available"))
+        .orderBy("alpha", "lang")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
 }

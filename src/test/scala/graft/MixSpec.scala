@@ -43,16 +43,52 @@ class MixSpec extends SparkSpec {
     assert(temp("b") < prop("b"), s"high-resource not damped: $temp vs $prop")
   }
 
-  test("general alpha goes through pow, pinned against the JVM computation") {
-    val got = Mix.availabilityTemperature(Mix.counted(corpus), 300L, alpha = 0.25)
-      .collect().map(r => r.getAs[String]("lang") ->
-        (r.getAs[Long]("avail"), r.getAs[Long]("share_ppm"))).toMap
-    val w = Map("a" -> math.floor(math.pow(100.0, 0.25) * 1e6).toLong,
-      "b" -> math.floor(math.pow(400.0, 0.25) * 1e6).toLong)
-    val wsum = w.values.sum
-    for ((lang, (_, ppm)) <- got)
-      assert(ppm == w(lang) * 100000L / wsum, s"$lang: $ppm")
-    assert(got.values.map(_._2).sum <= 100000L)
+  test("general alpha rides the dyadic sqrt-chain, pinned against the JVM replay") {
+    // the contract: w = floor(chain(avail) * 1e6) with chain the nested-
+    // sqrt product — replayed here with scalar math.sqrt in the same
+    // canonical order (shallowest factor first, left-assoc multiply)
+    def chain(x: Double, alpha: Double): Double = {
+      val k = math.round(alpha * (1 << 20)).toInt
+      (0 until 20).filter(j => ((k >> j) & 1) == 1).map(20 - _).sorted
+        .map(d => (1 to d).foldLeft(x)((c, _) => math.sqrt(c)))
+        .reduceLeft(_ * _)
+    }
+    for (alpha <- Seq(0.25, 0.3, 0.7)) {
+      val got = Mix.availabilityTemperature(Mix.counted(corpus), 300L, alpha)
+        .collect().map(r => r.getAs[String]("lang") ->
+          (r.getAs[Long]("avail"), r.getAs[Long]("share_ppm"))).toMap
+      val w = Map("a" -> math.floor(chain(100.0, alpha) * 1e6).toLong,
+        "b" -> math.floor(chain(400.0, alpha) * 1e6).toLong)
+      val wsum = w.values.sum
+      for ((lang, (_, ppm)) <- got)
+        assert(ppm == w(lang) * 100000L / wsum, s"alpha=$alpha $lang: $ppm")
+      assert(got.values.map(_._2).sum <= 100000L)
+    }
+  }
+
+  test("the chain tracks real pow to ~1ulp and the snapped alpha to 2^-20") {
+    // sanity on the snap contract: chain(x, k(alpha)) is within a few
+    // ulp of x^(k/2^20), and k/2^20 is within 2^-21 of alpha
+    for (alpha <- Seq(0.3, 0.7); x <- Seq(100.0, 400.0, 1e9, 123456789.0)) {
+      val k = Mix.dyadicK(alpha)
+      assert(math.abs(k.toDouble / (1 << 20) - alpha) <= math.pow(2, -21))
+      val sparkSide = spark.range(1).select(
+        Mix.dyadicPow(lit(x), k)).head.getDouble(0)
+      val exact = math.pow(x, k.toDouble / (1 << 20))
+      assert(math.abs(sparkSide / exact - 1.0) < 1e-13,
+        s"alpha=$alpha x=$x chain=$sparkSide pow=$exact")
+    }
+  }
+
+  test("boost direction is monotone in alpha: cooler sampling boosts low-resource more") {
+    val cnt = Mix.counted(corpus)
+    def ppm(alpha: Double) = Mix.availabilityTemperature(cnt, 300L, alpha)
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("share_ppm")).toMap
+    val (a03, a05, a07, a10) = (ppm(0.3), ppm(0.5), ppm(0.7), ppm(1.0))
+    assert(a03("a") > a05("a") && a05("a") > a07("a") && a07("a") > a10("a"),
+      s"low-resource shares not monotone: ${Seq(a03, a05, a07, a10).map(_("a"))}")
+    assert(a03("b") < a07("b") && a07("b") < a10("b"),
+      s"high-resource shares not monotone: ${Seq(a03, a07, a10).map(_("b"))}")
   }
 
   test("alpha=1 shares stay exact at corpus sizes where int64 ppm math would wrap") {
