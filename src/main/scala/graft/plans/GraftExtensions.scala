@@ -317,6 +317,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // result (CACHE TABLE / CREATE TEMP VIEW over the output) to reuse it.
     locally {
       import org.apache.spark.sql.{DataFrame, SparkSession}
+      import org.apache.spark.sql.functions.{col, expr}
       import graft.operators.{Dedup, Mix, Pack, Quality, Winnow}
       def tvf(name: String)(
           build: (DataFrame, Seq[Expression]) => DataFrame): Unit =
@@ -460,6 +461,53 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.LmScore.ccnetBuckets(docs,
           v = num(a, 0, 4096, "graft_ccnet_buckets").toInt,
           sampleBuckets = num(a, 1, 256, "graft_ccnet_buckets").toInt)
+      }
+      // required positional string args (column names / predicates)
+      def reqStr(a: Seq[Expression], i: Int, fn: String, what: String): String =
+        if (a.length > i) GraftExtensions.strLit(a(i), fn, what)
+        else throw new IllegalArgumentException(s"$fn: missing required $what")
+      // importance selection / sampling / quota / tokenizer (r13 VERDICT
+      // item 5 — the last Scala-only pipeline entry points). The target
+      // predicate arrives as SQL text resolved against the docs table
+      // (e.g. graft_dsir('docs', 'lang = ''en''', 1024, 50)).
+      tvf("graft_dsir") { (docs, a) =>
+        graft.operators.Dsir.importanceTopK(docs,
+          isTarget = expr(reqStr(a, 0, "graft_dsir", "target_predicate")),
+          b = num(a, 1, 1024, "graft_dsir").toInt,
+          k = num(a, 2, 50, "graft_dsir").toInt)
+      }
+      tvf("graft_weighted_sample") { (docs, a) =>
+        graft.operators.WeightedSample.topK(docs,
+          k = reqNum(a, 0, "graft_weighted_sample", "k").toInt,
+          maxWeight = num(a, 1, 500, "graft_weighted_sample").toLong)
+      }
+      tvf("graft_domain_quota") { (docs, a) =>
+        graft.operators.Quota.perDomain(docs,
+          domainCol = reqStr(a, 0, "graft_domain_quota", "domain_col"),
+          idCol = reqStr(a, 1, "graft_domain_quota", "id_col"),
+          k = reqNum(a, 2, "graft_domain_quota", "k").toInt,
+          margin = num(a, 3, 8, "graft_domain_quota").toInt)
+      }
+      tvf("graft_semdedup_pairs") { (embs, a) =>
+        graft.operators.SemDedup.dupPairs(embs,
+          threshold = reqNum(a, 0, "graft_semdedup_pairs", "threshold"),
+          c = num(a, 1, 16, "graft_semdedup_pairs").toInt)
+      }
+      tvf("graft_bpe_train") { (docs, a) =>
+        graft.operators.Bpe.trainMergesBatched(docs,
+          rounds = num(a, 0, 6, "graft_bpe_train").toInt,
+          batch = num(a, 1, 4, "graft_bpe_train").toInt)
+      }
+      // graft_bpe_encode('docs', 'merges', k): the merge list is a FIT
+      // ARTIFACT (vocab-sized, the Ann-model posture), so the second
+      // table collects to the driver at ANALYSIS time — same moment the
+      // index-building TVFs above pay their materialization
+      tvf2("graft_bpe_encode") { (docs, merges, a) =>
+        val ms = merges.orderBy(col("round"))
+          .select(col("pair_a"), col("pair_b")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.operators.Bpe.encodeTokens(docs, ms,
+          k = num(a, 0, 30, "graft_bpe_encode").toInt)
       }
     }
   }

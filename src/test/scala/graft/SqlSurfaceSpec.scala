@@ -91,6 +91,28 @@ class SqlSurfaceSpec extends SparkSpec {
       Ann.bruteKnn(embs, embs.filter(col("vec_id") < 5), k = 3))
     pin("SELECT * FROM graft_contrastive_pairs('sql_embs', 'sql_queries', 3)",
       Ann.contrastivePairs(embs, embs.filter(col("vec_id") < 5), k = 3))
+    // r14: the last Scala-only pipeline entry points (r13 VERDICT item 5)
+    pin("SELECT * FROM graft_dsir('sql_docs', 'lang = ''en''', 1024, 20)",
+      graft.operators.Dsir.importanceTopK(docs, col("lang") === "en",
+        b = 1024, k = 20))
+    pin("SELECT * FROM graft_weighted_sample('sql_docs', 25)",
+      graft.operators.WeightedSample.topK(docs, k = 25))
+    pin("SELECT * FROM graft_domain_quota('sql_docs', 'source', 'doc_id', 5)",
+      graft.operators.Quota.perDomain(docs, "source", "doc_id", k = 5))
+    // planted twins (the q176 oracle discipline): sf0.001's max natural
+    // pair cosine is 0.48, so exact copies are the only pairs ≥ 0.9
+    val embsTwins = embs.unionByName(embs.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    embsTwins.createOrReplaceTempView("sql_embs_twins")
+    pin("SELECT * FROM graft_semdedup_pairs('sql_embs_twins', 0.9, 8)",
+      graft.operators.SemDedup.dupPairs(embsTwins, threshold = 0.9, c = 8))
+    val merges = graft.operators.Bpe.trainMergesBatched(docs, rounds = 4)
+    merges.createOrReplaceTempView("sql_merges")
+    pin("SELECT * FROM graft_bpe_train('sql_docs', 4)", merges)
+    pin("SELECT * FROM graft_bpe_encode('sql_docs', 'sql_merges', 15)",
+      graft.operators.Bpe.encodeTokens(docs,
+        merges.orderBy(col("round")).select("pair_a", "pair_b").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq, k = 15))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
