@@ -448,6 +448,37 @@ object Dedup {
     val affected = docs.join(clusters.select(col("doc_id")), Seq("doc_id"),
       "left_semi")
     val scored = Quality.score(affected).select(col("doc_id"), col("quality"))
+    argmaxKept(clusters, scored)
+  }
+
+  /** KEEP-BEST over already-scored state — the STREAMING ingestion face
+    * (r13 VERDICT item 4). A continuous ingestion keeps three
+    * corpus-THIN accumulated tables: the banded signature index (the
+    * [[minhashCandidatesAgainst]] loop), the near-dup PAIR table it
+    * extends per batch, and a (doc_id, quality) score table fed by each
+    * batch's map-side [[Quality.score]] pass (12 bytes/doc — the
+    * Report-partials accumulated-state posture; a doc's twin may arrive
+    * ANY number of batches later, so member scores must be resolvable
+    * from history without re-reading text). Each batch recomputes the
+    * kept flags from pairs + scores ONLY — cluster state is
+    * near-dup-sized, never corpus-sized, so the recompute is O(pairs)
+    * min-label propagation plus a member-count window, regardless of
+    * how much corpus has flowed past. Keep-best is a GLOBAL per-cluster
+    * argmax, so kept flags legitimately flip as better members arrive —
+    * recomputing over the full thin state is the semantics, not a
+    * shortcut; `StreamingDedupSpec` pins streamed kept-set == batch
+    * [[keepBest]] exactly on monotone arrivals.
+    */
+  def keepBestFromScored(scored: DataFrame, pairs: DataFrame): DataFrame =
+    argmaxKept(
+      Components.dedupClusters(pairs.select(col("doc_a"), col("doc_b"))),
+      scored.select(col("doc_id"), col("quality")))
+
+  /** The shared argmax tail: per-cluster quality argmax (quality desc,
+    * doc_id tie-break) over cluster members — the window partitions by
+    * cluster_id over MEMBERS only, never a corpus-sized sort.
+    */
+  private def argmaxKept(clusters: DataFrame, scored: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))

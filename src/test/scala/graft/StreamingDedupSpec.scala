@@ -114,4 +114,72 @@ class StreamingDedupSpec extends SparkSpec {
         s"stream ${dups.toSet} != batch $batchPairs at learned=$learned")
     } finally query.stop()
   }
+
+  test("streaming keep-best: accumulated thin state == batch keepBest on monotone arrivals") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // three near-dup clusters with graded member quality (longer docs
+    // score higher on the n_words term) + singletons; members of one
+    // cluster arrive in DIFFERENT micro-batches so the kept flag must
+    // flip when a better member lands later
+    val pad = " the of and is to in common words extend the document body"
+    val corpus: Seq[(Long, String)] = Seq(
+      1L -> ("alpha beta gamma delta epsilon zeta eta theta" + pad),
+      2L -> ("alpha beta gamma delta epsilon zeta eta theta" + pad + pad),
+      3L -> ("alpha beta gamma delta epsilon zeta eta theta" + pad + " x"),
+      4L -> ("one two three four five six seven eight" + pad),
+      5L -> ("one two three four five six seven eight" + pad + pad + pad),
+      6L -> ("totally unrelated content about catalyst plans" + pad),
+      7L -> ("other unrelated content about shuffle exchanges" + pad))
+    val docsDf = corpus.toDF("doc_id", "text")
+    val batchKept = Dedup.keepBest(docsDf, Dedup.minhashCandidates(docsDf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    assert(batchKept.nonEmpty, "corpus produced no clusters")
+
+    // the three accumulated corpus-thin tables of the ingestion loop
+    val stream = MemoryStream[Doc]
+    var index: DataFrame = Dedup.minhashBands(
+      Dedup.minhashSignatures(Seq.empty[(Long, String)].toDF("doc_id", "text")))
+    var pairs: DataFrame = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    var scored: DataFrame = Seq.empty[(Long, Double)].toDF("doc_id", "quality")
+    var kept = Set.empty[(Long, Long, Long, Double, Int)]
+    val query = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val docs = b.select("doc_id", "text")
+        // bands merge FIRST so within-batch pairs surface too
+        index = index.unionByName(
+          Dedup.minhashBands(Dedup.minhashSignatures(docs))).localCheckpoint()
+        val newPairs = Dedup.minhashCandidatesAgainst(docs, index)
+          .filter(col("new_id") =!= col("old_id"))
+          .select(least(col("new_id"), col("old_id")).as("doc_a"),
+            greatest(col("new_id"), col("old_id")).as("doc_b"))
+        pairs = pairs.unionByName(newPairs).distinct().localCheckpoint()
+        // per-batch map-side score pass; scores accumulate doc-thin
+        scored = scored.unionByName(graft.operators.Quality.score(docs)
+          .select(col("doc_id"), col("quality"))).localCheckpoint()
+        kept = Dedup.keepBestFromScored(scored, pairs)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getInt(4))).toSet
+        ()
+      }
+      .start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      // interleave cluster members across batches: 2 and 5 (the best
+      // members) arrive LAST, so earlier batches keep 1 and 4 and the
+      // final state must have flipped both flags
+      Seq(Seq(1L, 4L, 6L), Seq(3L, 7L), Seq(2L, 5L)).foreach { ids =>
+        val m = corpus.toMap
+        stream.addData(ids.map(id => Doc(id, m(id), t0)))
+        query.processAllAvailable()
+      }
+      assert(kept == batchKept, s"stream $kept\n!= batch $batchKept")
+      // and the flips actually happened: 2/5 kept, 1/4 not
+      val keptIds = kept.filter(_._5 == 1).map(_._1)
+      assert(keptIds.contains(2L) && keptIds.contains(5L), keptIds.toString)
+      assert(!keptIds.contains(1L) && !keptIds.contains(4L), keptIds.toString)
+    } finally query.stop()
+  }
 }
