@@ -276,19 +276,58 @@ object Ann {
     */
   def ivfSearch(cents: Seq[(Int, Seq[Double])], index: DataFrame,
                 queries: DataFrame, k: Int, nprobe: Int = 4,
-                excludeSelf: Boolean = true): DataFrame = {
-    val spark = index.sparkSession
+                excludeSelf: Boolean = true): DataFrame =
+    probeIndex(index, queryProbes(cents, queries, nprobe), k, excludeSelf)
+
+  /** The IVF routing step shared by [[ivfSearch]] and
+    * [[contrastivePairsFromIndex]]: rank each query's `nprobe` closest
+    * centroids against the broadcast model → (qid, qe, cluster).
+    */
+  private def queryProbes(cents: Seq[(Int, Seq[Double])], queries: DataFrame,
+                          nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val centDf = broadcast(cents.toDF("cid", "ce"))
-    val qprobes =
-      queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
-        .join(centDf)
-        .withColumn("csim", cosine("qe", "ce"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
-        .filter(col("rn") <= nprobe)
-        .select(col("qid"), col("qe"), col("cid").as("cluster"))
-    probeIndex(index, qprobes, k, excludeSelf)
+    queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+      .join(centDf)
+      .withColumn("csim", cosine("qe", "ce"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("cid"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cid").as("cluster"))
+  }
+
+  /** INDEX-BACKED contrastive mining (r13 VERDICT item 3): the
+    * deployment face of [[contrastivePairs]] — anchors probe the
+    * PERSISTED IVF index (model + index only, zero training jobs, the
+    * ivfSearch/q180 posture) instead of broadcasting against a full
+    * corpus scan, so anchor sets scale past broadcast and each anchor
+    * reads ~nprobe/c of the index. Same output contract as the brute
+    * face: positives = every probed candidate at sim ≥ `posThreshold`,
+    * hard negatives = the k most similar probed candidates below it,
+    * rn ranked within (qid, role) by (sim desc, cid). Approximation is
+    * confined to CANDIDATE GENERATION exactly as in [[ivfSearch]]: a
+    * near-dup positive lands in the anchor's own top cluster by
+    * construction, and with nprobe = c the output equals the brute face
+    * row-for-row (AnnIndexSpec pins both laws).
+    */
+  def contrastivePairsFromIndex(cents: Seq[(Int, Seq[Double])], index: DataFrame,
+                                queries: DataFrame, k: Int,
+                                posThreshold: Double = 0.9, nprobe: Int = 4,
+                                excludeSelf: Boolean = true): DataFrame = {
+    val cand = index.select(col("vec_id").as("cvid"), col("ve").as("cve"),
+      col("cluster"))
+    val w = Window.partitionBy(col("qid"), col("role"))
+      .orderBy(col("sim").desc, col("cvid"))
+    cand.join(broadcast(queryProbes(cents, queries, nprobe)), Seq("cluster"))
+      .filter(if (excludeSelf) col("qid") =!= col("cvid") else lit(true))
+      .withColumn("sim", round(cosine("qe", "cve"), 4))
+      .withColumn("role",
+        when(col("sim") >= posThreshold, lit("pos")).otherwise(lit("neg")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("role") === "pos" || col("rn") <= k)
+      .select(col("qid"), col("cvid").as("cid"), col("sim"), col("role"),
+        col("rn"))
   }
 
   /** Shared query tail of the IVF family: candidates = probe-set

@@ -2387,5 +2387,46 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
+  // ---- q202: contrastive mining from the persisted IVF index ------------
+  // r13 VERDICT item 3: q198's brute face broadcasts anchors against a
+  // full corpus scan — the correctness baseline, but anchor sets must
+  // scale past broadcast. The deployment face probes the persisted IVF
+  // index (model + index only, zero training jobs at query time — the
+  // ivfSearch/q180 posture), reading ~nprobe/c of the index per anchor.
+  // Planted-twin oracle discipline (q87/q198): twins are the only pairs
+  // ≥ 0.9 (max natural cosine ~0.6 at every scale), and an identical
+  // vector shares the anchor's top cluster by construction, so the
+  // positive set is exactly {twin} at any nprobe; the kmeans-dependent
+  // NEGATIVE identities are shape-checked (1..k rows, all below the
+  // positive band). AnnIndexSpec pins full-probe == brute row-for-row.
+  val q202 = Q(
+    "q202_contrastive_from_index",
+    s"""SELECT vec_id AS qid,
+       | CAST(1 AS BIGINT) AS n_pos,
+       | CAST(vec_id + $annPlant AS BIGINT) AS pos_cid,
+       | CAST(1.0 AS DOUBLE) AS pos_sim,
+       | true AS neg_ok
+       |FROM embeddings WHERE vec_id < 10
+       |ORDER BY qid""".stripMargin) { (s, d) =>
+    val base = requirePlantHeadroom(Tables.embeddings(s, d), annPlant)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = base.filter(col("vec_id") < 10)
+    val twins = anchors
+      .select((col("vec_id") + annPlant).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(twins)
+    val cents = Ann.ivfFit(corpus, c = 16, iters = 2, trainMod = 4)
+    val index = Ann.ivfEncode(corpus, cents)
+    Ann.contrastivePairsFromIndex(cents, index, anchors, k = 5,
+        posThreshold = 0.9, nprobe = 4)
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("role") === "pos", 1L).otherwise(0L)).as("n_pos"),
+        max(when(col("role") === "pos", col("cid"))).as("pos_cid"),
+        max(when(col("role") === "pos", col("sim"))).as("pos_sim"),
+        (sum(when(col("role") === "neg", 1L).otherwise(0L)).between(1, 5) &&
+          max(when(col("role") === "neg", col("sim"))) < 0.9).as("neg_ok"))
+      .orderBy("qid")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 }

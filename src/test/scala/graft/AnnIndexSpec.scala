@@ -171,4 +171,40 @@ class AnnIndexSpec extends SparkSpec {
         s"self adist ${self.get._3} must equal the rank-1 adist $best for $qid")
     }
   }
+
+  test("contrastive mining from the persisted index: full probe == brute, " +
+      "partial probe finds every planted positive with no training jobs") {
+    // planted twins: the only pairs ≥ 0.9 (max natural cosine ~0.6)
+    val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"))
+    val corpus = embs.select("vec_id", "embedding").unionByName(twins)
+    val dir = tmp("contr")
+    val c = 8
+    val cents = Ann.ivfFit(corpus, c = c, iters = 2)
+    Ann.ivfModelDf(spark, cents).write.mode("overwrite").parquet(s"$dir/model")
+    Ann.ivfEncode(corpus, cents).write.mode("overwrite").parquet(s"$dir/index")
+    val model = Ann.ivfModelFrom(spark.read.parquet(s"$dir/model"))
+    val index = spark.read.parquet(s"$dir/index")
+    // law 1: nprobe = c probes every cluster -> candidates = the whole
+    // corpus -> row-for-row equality with the brute face (approximation
+    // lives ONLY in candidate generation)
+    val (full, searchJobs) = countJobs {
+      rows(Ann.contrastivePairsFromIndex(model, index, queries, k = 5,
+        posThreshold = 0.9, nprobe = c))
+    }
+    assert(full == rows(Ann.contrastivePairs(corpus, queries, k = 5,
+      posThreshold = 0.9)), "full probe must equal the brute face")
+    assert(searchJobs <= 15, s"query path launched $searchJobs jobs " +
+      "(a Lloyd loop leaked into search)")
+    // law 2: a near-dup positive shares the anchor's top cluster
+    // (identical vector -> identical assignment), so even nprobe = 1
+    // finds EVERY planted positive
+    val pos = Ann.contrastivePairsFromIndex(model, index, queries, k = 5,
+        posThreshold = 0.9, nprobe = 1)
+      .filter(col("role") === "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = queries.select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000L)).toSet
+    assert(pos == want, s"planted positives missed: got $pos")
+  }
 }
