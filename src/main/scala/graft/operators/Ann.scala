@@ -671,8 +671,20 @@ object Ann {
   }
 
   /** The compressed index: one row per (vec_id, sub) with its code —
-    * the persisted layout at scale (m small ints per vector; bucketed /
-    * sorted by (sub, code) it co-locates with the ADC join).
+    * the persisted layout at scale (m small ints per vector), emitted
+    * CO-LOCATED BY vec_id. The layout is the ADC query path's whole
+    * cost model (r14, found by the natural-density shuffle control):
+    * the encode aggregation's own exchange hashes on (vec_id, sub), so
+    * without the re-key a vector's m code rows scatter across every
+    * partition and [[pqSearch]]'s partial aggregation over the
+    * corpus·m·nq ADC join rows cannot combine — measured 764k shuffled
+    * rows at sf1. With the m rows of each vector on one partition the
+    * per-(qid, vec) sums finish map-side and the rank-limit pushdown
+    * (WindowGroupLimit) caps the search shuffle at ~partitions·nq·k
+    * rows — measured 1.6k rows at BOTH sf0.1 and sf1: the query path
+    * is scale-independent, paid for by one thin (20-byte-row) exchange
+    * at index-BUILD time. At warehouse scale: bucket the persisted
+    * table BY vec_id.
     */
   def pqEncode(corpus: DataFrame, cents: Seq[(Int, Int, Seq[Double])],
                m: Int = 4, dim: Int = 64): DataFrame = {
@@ -684,6 +696,7 @@ object Ann {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(struct(col("d2"), col("cid"))).as("best"))
       .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+      .repartition(col("vec_id"))
   }
 
   /** The PQ model as a (sub, cid, ce) DataFrame — the persistence face

@@ -42,13 +42,11 @@ object ShuffleAudit {
     // against the SAME data the snapshot was taken at, or a cross-SF
     // reading could mask a real regression as a flap
     println(s"[shuffle-meta] sf_dir=$d")
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
-      .foreach { case (name, fn) =>
+    def measure(name: String, run: () => org.apache.spark.sql.DataFrame): Unit =
       try {
         spark.catalog.clearCache()
         Thread.sleep(200); shufW.set(0); shufRec.set(0)
-        fn(spark, d).write.format("noop").mode("overwrite").save()
+        run().write.format("noop").mode("overwrite").save()
         // Drain the async listener bus until the counters are STABLE for
         // two consecutive intervals (≥600 ms quiet), not a fixed pause —
         // a fixed 300 ms misattributed a slow query's tail stages to the
@@ -66,6 +64,30 @@ object ShuffleAudit {
       } catch {
         case e: Throwable => println(s"[shuffle] $name ERROR ${e.getMessage.take(60)}")
       }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+      .foreach { case (name, fn) => measure(name, () => fn(spark, d)) }
+    // NATURAL-DENSITY controls (r13 VERDICT item 6): the q138/q188 PQ
+    // search shapes with NO planted twins — queries are the first 10
+    // natural vectors. The registered queries' sf1 byte super-linearity
+    // was adjudicated as the generator's planted dup-density; these rows
+    // make the data-vs-shape split mechanical: a control row scaling
+    // ~linearly across SFs proves the SHAPE is linear, so any remaining
+    // super-linearity in the registered row is the data.
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.operators.Ann
+      def embs = Tables.embeddings(spark, d)
+      def nat = embs.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+      Seq[(String, () => org.apache.spark.sql.DataFrame)](
+        "ctrl_q138_pq_natural" -> (() =>
+          Ann.pqKnn(embs, nat, k = 5, m = 32, ksub = 16, trainMod = 4)),
+        "ctrl_q188_pq_rot_natural" -> (() =>
+          Ann.pqKnn(Ann.rotateEmbeddings(embs), Ann.rotateEmbeddings(nat),
+            k = 5, m = 32, ksub = 16, trainMod = 4)))
+        .filter { case (name, _) => filter.forall(_.findFirstIn(name).isDefined) }
+        .foreach { case (name, fn) => measure(name, fn) }
     }
     spark.stop()
   }
