@@ -933,6 +933,188 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("role"), col("rn"))
   }
 
+  // ---------------------------------------------------------------------
+  // Partitioned-NSW graph ANN (r13 VERDICT item 7 — the HNSW-class
+  // family). True HNSW construction is inherently sequential (insert
+  // one point, search, link); the Spark-native equivalent composes
+  // three published, set-oriented pieces:
+  //   1. cluster-LOCAL ring init — nodes ring-connect within their IVF
+  //      cell in md5-hash order (per-cluster windows, never a global
+  //      sort; every node gets degree ≥ min(kNbr, cell size − 1));
+  //   2. NN-Descent refinement (Dong et al., WWW 2011): each round
+  //      proposes neighbors-of-neighbors over the SYMMETRIZED edge set
+  //      and keeps the top-kNbr per node — n·kNbr² candidate rows per
+  //      round, thin ids+sim payload;
+  //   3. fixed-hop BEAM search from per-cluster entry points (the
+  //      min-hash node of every cell, so disconnected cells are all
+  //      reachable at hop 0 and no cross-cluster navigability is
+  //      assumed): each hop joins the beam against the neighbor table
+  //      (bucketed by u at warehouse scale) and fetches candidate
+  //      vectors through the vec_id-co-located index — nq·beam·kNbr
+  //      rows per hop, independent of corpus size.
+  // Query cost: hops × (beam expansion + co-located fetch + WindowGroup-
+  // Limit top-beam) — the graph-ANN promise (query cost ~ graph degree,
+  // not corpus) in Spark's execution model.
+  // ---------------------------------------------------------------------
+
+  /** 60-bit deterministic hash rank of a vec_id (the ring/entry order). */
+  private def hrank(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit("nsw|"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The neighbor table (u, v, sim): cluster-local ring init +
+    * `rounds` NN-Descent rounds over the [[ivfEncode]] index. Emitted
+    * co-located by u — each search hop's expansion join is then
+    * map-side against a bucketed table.
+    */
+  def nswBuild(index: DataFrame, kNbr: Int = 8, rounds: Int = 2): DataFrame = {
+    require(kNbr >= 1 && rounds >= 0, s"kNbr=$kNbr rounds=$rounds")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    val ranked = index
+      .select(col("vec_id"), col("ve"), col("cluster"), hrank(col("vec_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+    // ring edges: each node links the next min(kNbr, n_c - 1) nodes on
+    // its cluster's hash ring (modular, so the ring closes)
+    val targets = ranked
+      .select(col("vec_id").as("u"), col("ve").as("uve"), col("cluster"),
+        col("rn"), col("n_c"),
+        explode(expr(s"sequence(1, least($kNbr, n_c - 1))")).as("d"))
+      .withColumn("rn_t", (col("rn") - 1 + col("d")) % col("n_c") + 1)
+    val init = targets.join(
+        ranked.select(col("vec_id").as("v"), col("ve").as("vve"),
+          col("cluster"), col("rn").as("rn_t")),
+        Seq("cluster", "rn_t"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"),
+        graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
+    val thin = index.select(col("vec_id"), col("ve"))
+    var edges = topKPerNode(init, kNbr).localCheckpoint()
+    // NN-Descent's sampling trick (Dong et al. §2.3, ρ = 1/2): propose
+    // neighbors-of-neighbors through the TOP HALF of each node's list
+    // only — 4× fewer candidate rows per round, near-identical
+    // convergence (the best neighbors are where the good proposals are)
+    val h = math.max(4, kNbr / 2)
+    for (_ <- 1 to rounds) {
+      val top = topKPerNode(edges, h)
+      val sym = top.select(col("u"), col("v"))
+        .unionByName(top.select(col("v").as("u"), col("u").as("v")))
+      // neighbor-of-neighbor proposals over the symmetrized sample
+      val non = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(edges.select(col("u"), col("v")))
+        .distinct()
+      val scoredNon = non
+        .join(thin.select(col("vec_id").as("u"), col("ve").as("uve")), Seq("u"))
+        .join(thin.select(col("vec_id").as("v"), col("ve").as("vve")), Seq("v"))
+        .select(col("u"), col("v"),
+          graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
+      edges = topKPerNode(scoredNon, kNbr).localCheckpoint()
+    }
+    edges.repartition(col("u"))
+  }
+
+  private def topKPerNode(scored: DataFrame, kNbr: Int): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= kNbr)
+      .select(col("u"), col("v"), col("sim"))
+  }
+
+  /** A few deterministic entry points per IVF cell (the lowest-hash
+    * nodes): (cluster, vec_id). Graph edges never cross cells (the
+    * build is cell-local by design — no global construction order), so
+    * the SEARCH picks cells by exact centroid routing and seeds the
+    * walk at the probed cells' entries — the SPANN/DiskANN posture:
+    * coarse routing by model, fine ranking by graph walk.
+    */
+  def nswEntries(index: DataFrame, perCell: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    index.select(col("cluster"), col("vec_id"), hrank(col("vec_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perCell)
+      .select(col("cluster"), col("vec_id"))
+  }
+
+  /** Fixed-hop beam search over the neighbor table: route each query
+    * to its `nprobe` closest cells via the broadcast centroid model
+    * (exactly [[ivfSearch]]'s routing — an identical vector provably
+    * routes to its own cell first), seed the beam at those cells'
+    * entry nodes, then walk: each hop expands the beam through the
+    * edge table (nq·beam·kNbr rows, bucketed by u at warehouse scale),
+    * fetches ONLY unvisited candidates through the vec_id-co-located
+    * index, scores exactly, and keeps the top `beam` per query; the
+    * final top-k ranks over everything visited. The query path touches
+    * model + entries + edges + index rows reached — never a corpus or
+    * cell scan (vs [[ivfSearch]], which scores every vector of every
+    * probed cell). Deterministic: md5 entry order, (sim desc, cid)
+    * tie-breaks everywhere.
+    */
+  def nswSearch(cents: Seq[(Int, Seq[Double])], edges: DataFrame,
+                index: DataFrame, entries: DataFrame, queries: DataFrame,
+                k: Int, beam: Int = 16, hops: Int = 4, nprobe: Int = 4,
+                excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      asDouble("embedding").as("qe")))
+    val thin = index.select(col("vec_id").as("cid"), col("ve"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(thin, Seq("cid"))
+      .join(q, Seq("qid"))
+      .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
+      .select(col("qid"), col("cid"),
+        round(graft.plans.NativeFunctions.cosineSim(col("qe"), col("ve")), 4)
+          .as("sim"))
+    val wb = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    def topBeam(acc: DataFrame): DataFrame = acc
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
+      .select(col("qid"), col("cid"), col("sim"))
+    // hop 0: centroid-route to nprobe cells, seed at their entries
+    val seeds = queryProbes(cents, queries, nprobe)
+      .select(col("qid"), col("cluster"))
+      .join(broadcast(entries), Seq("cluster"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    var acc = score(seeds).localCheckpoint()
+    var frontier = topBeam(acc)
+    for (_ <- 1 to hops) {
+      val expand = frontier
+        .join(edges.select(col("u").as("cid"), col("v")), Seq("cid"))
+        .select(col("qid"), col("v").as("cid")).distinct()
+        // only NEW candidates are scored (visited set = acc)
+        .join(acc.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+      acc = acc.unionByName(score(expand)).localCheckpoint()
+      frontier = topBeam(acc)
+    }
+    acc.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rn"))
+  }
+
+  /** Graph-ANN top-k — ivfFit∘ivfEncode∘nswBuild∘nswSearch composition
+    * (the self-contained oracle shape; deployments persist the model,
+    * the index, the neighbor table, and the entry list, then query
+    * forever). Cell count defaults to ~√n (the SPANN/FAISS rule), so
+    * cells stay beam-walkable as the corpus grows; pass `c` > 0 to pin
+    * it.
+    */
+  def nswKnn(corpus: DataFrame, queries: DataFrame, k: Int, c: Int = 0,
+             kNbr: Int = 12, rounds: Int = 3, beam: Int = 16, hops: Int = 4,
+             nprobe: Int = 4, trainMod: Int = 1): DataFrame = {
+    val cells = if (c > 0) c
+      else math.max(8, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+    val cents = ivfFit(corpus, cells, iters = 2, trainMod)
+    val index = ivfEncode(corpus, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    val out = nswSearch(cents, nswBuild(index, kNbr, rounds), index,
+      nswEntries(index), queries, k, beam, hops, nprobe)
+    val materialized = out.localCheckpoint()
+    index.unpersist(blocking = true)
+    materialized
+  }
+
   /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
     * bounded-query posture as [[bruteKnn]]).
     */
