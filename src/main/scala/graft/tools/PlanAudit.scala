@@ -114,6 +114,10 @@ object PlanAudit {
     "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery",
     "q193_mix_temperature" ->
       "single-row weight-total side against the stratum-sized (checkpointed) availability table",
+    "q201_mix_alpha_sweep" ->
+      "q193's single-row weight-total side, once per alpha branch (0.3 / 0.7) against the stratum-sized checkpointed availability tables",
+    "q202_contrastive_from_index" ->
+      "model-sized joins: the ivfFit/ivfEncode centroid assignment (c = 16 rows) and the queryProbes routing side — the q87 pattern",
     "q187_combined_decontam" ->
       "model-sized k-means assignment joins (c = 16 centroid rows) — the q180 semantic branch's encode + eval probe")
 
@@ -188,6 +192,10 @@ object PlanAudit {
         "corpus role + two id-pruned bounded derivations (anchors, their planted twins) drawn from the same table",
       "q71_dedup_embedding_cosine" -> selfJoin,
       "q87_ivf_ann" -> fitEncode, "q138_pq_ann" -> fitEncode,
+      "q202_contrastive_from_index" -> (fitEncode +
+        "; plus the bounded anchor and planted-twin derivations drawn from the same table (the q198 roles)"),
+      "q201_mix_alpha_sweep" ->
+        "two alpha parameterizations (0.3 / 0.7) of one counted pass each, unioned by contract — each branch's availability fit is checkpointed so the corpus is read once per branch",
       "q188_pq_ann_rotated" -> fitEncode,
       "q176_semdedup" -> fitEncode, "q178_hier_ivf_ann" -> fitEncode,
       "q180_semantic_decontam" -> (fitEncode +
