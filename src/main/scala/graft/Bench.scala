@@ -51,16 +51,21 @@ object Bench {
     val floors: Map[String, Double] =
       // path-normalized scale detection (a trailing slash must not
       // silently apply sf0.1 floors to sf1 runs)
+      // r14 re-pin (BENCH_LOCAL_r14 / BENCH_LOCAL_sf1_r14; the sf1
+      // entries are the FIRST on the relational-decade data — r13's sf1
+      // relational floors measured symlinked sf0.1 tables)
       if (new java.io.File(sfDir).getName == "sf1") Map(
-        "q142_ivfpq_ann" -> 4.825, "q189_learned_threshold_dedup" -> 5.967,
-        "q191_span_excision" -> 5.519, "q195_tokenized_packing" -> 3.705)
+        "q142_ivfpq_ann" -> 5.705, "q189_learned_threshold_dedup" -> 7.359,
+        "q191_span_excision" -> 6.940, "q195_tokenized_packing" -> 4.832,
+        "q203_graph_ann" -> 10.928)
       else Map(
-        "q03_tpch_q3" -> 0.904, "q19_correlated_subquery" -> 0.657,
-        "q142_ivfpq_ann" -> 3.414, "q146_bloom_semi_join" -> 0.599,
-        "q155_dedup_threshold_calibration" -> 0.618,
-        "q162_winnow_extents" -> 0.287, "q163_sequence_packing" -> 0.234,
-        "q189_learned_threshold_dedup" -> 3.034,
-        "q191_span_excision" -> 2.006, "q195_tokenized_packing" -> 2.807)
+        "q03_tpch_q3" -> 1.214, "q19_correlated_subquery" -> 0.690,
+        "q142_ivfpq_ann" -> 4.615, "q146_bloom_semi_join" -> 0.639,
+        "q155_dedup_threshold_calibration" -> 0.789,
+        "q162_winnow_extents" -> 0.420, "q163_sequence_packing" -> 0.300,
+        "q189_learned_threshold_dedup" -> 4.274,
+        "q191_span_excision" -> 3.032, "q195_tokenized_packing" -> 3.398,
+        "q203_graph_ann" -> 7.292)
     // stage completions stream in asynchronously; the buffer is cleared
     // per timed run and snapshotted (after a short drain) only when a
     // floor breach makes the detail worth keeping
