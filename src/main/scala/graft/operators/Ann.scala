@@ -1013,7 +1013,15 @@ object Ann {
           graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
       edges = topKPerNode(scoredNon, kNbr).localCheckpoint()
     }
-    edges.repartition(col("u"))
+    // the RING stays in the final graph as the long-link spine: a pure
+    // kNN graph is not navigable (the HNSW/NSW insight — greedy ascent
+    // dead-ends in local optima; measured at sf1: unreached planted
+    // twins froze at 8/10 across hops 4→8 until the spine returned).
+    // Ring links are hash-RANDOM pairs — exactly the long links NSW
+    // gets from randomized insertion — and they span every cell member
+    // by construction, so the walk always has an escape from a local
+    // optimum and in-cell connectivity is guaranteed. Degree ≤ 2·kNbr.
+    edges.unionByName(init).distinct().repartition(col("u"))
   }
 
   private def topKPerNode(scored: DataFrame, kNbr: Int): DataFrame = {
@@ -1039,6 +1047,24 @@ object Ann {
       .select(col("cluster"), col("vec_id"))
   }
 
+  /** SAMPLED entry set: every cell member whose hash rank ≡ 0
+    * (mod sampleMod), plus each cell's min-hash node so no cell goes
+    * entryless. Greedy walks dead-end when a cell holds several
+    * similarity basins (a handful of fixed entries all sit in the
+    * dominant basin — the r14 sf1 twin misses that hops could not fix;
+    * pure-kNN non-navigability is WHY HNSW is hierarchical). Scoring a
+    * deterministic 1/sampleMod sample of each probed cell at hop 0 —
+    * the DiskANN start-from-best-medoid posture, ~1/sampleMod of the
+    * ivfSearch scan — plants a seed in every basin of ≥~sampleMod
+    * nodes, and the kNN links ascend from there.
+    */
+  def nswEntriesSampled(index: DataFrame, sampleMod: Int = 16): DataFrame =
+    index.select(col("cluster"), col("vec_id"), hrank(col("vec_id")).as("h"))
+      .filter(col("h") % sampleMod === 0)
+      .select(col("cluster"), col("vec_id"))
+      .unionByName(nswEntries(index, perCell = 1))
+      .distinct()
+
   /** Fixed-hop beam search over the neighbor table: route each query
     * to its `nprobe` closest cells via the broadcast centroid model
     * (exactly [[ivfSearch]]'s routing — an identical vector provably
@@ -1057,6 +1083,21 @@ object Ann {
                 index: DataFrame, entries: DataFrame, queries: DataFrame,
                 k: Int, beam: Int = 16, hops: Int = 4, nprobe: Int = 4,
                 excludeSelf: Boolean = true): DataFrame = {
+    // hop 0: centroid-route to nprobe cells, seed at their entries
+    val seeds = queryProbes(cents, queries, nprobe)
+      .select(col("qid"), col("cluster"))
+      .join(broadcast(entries), Seq("cluster"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf)
+  }
+
+  /** The walk itself, routing-agnostic: score the seeds, then `hops`
+    * rounds of expand-through-adjacency / fetch-unvisited / score /
+    * top-beam; final top-k over everything visited.
+    */
+  private def nswWalk(seeds: DataFrame, edges: DataFrame, index: DataFrame,
+                      queries: DataFrame, k: Int, beam: Int, hops: Int,
+                      excludeSelf: Boolean): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble("embedding").as("qe")))
     val thin = index.select(col("vec_id").as("cid"), col("ve"))
@@ -1071,16 +1112,22 @@ object Ann {
     def topBeam(acc: DataFrame): DataFrame = acc
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
       .select(col("qid"), col("cid"), col("sim"))
-    // hop 0: centroid-route to nprobe cells, seed at their entries
-    val seeds = queryProbes(cents, queries, nprobe)
-      .select(col("qid"), col("cluster"))
-      .join(broadcast(entries), Seq("cluster"))
-      .select(col("qid"), col("vec_id").as("cid")).distinct()
     var acc = score(seeds).localCheckpoint()
-    var frontier = topBeam(acc)
+    // hop 1 expands EVERY seed (seeds are hash-random representatives,
+    // not good scorers — beam-cutting them here would silently drop
+    // whole probed cells before they are walked once; measured at sf1:
+    // recall@5 froze at ~28% across nprobe 4→32 until each probed
+    // cell's seed kept its first expansion); later hops focus on merit
+    var frontier = acc.select(col("qid"), col("cid"), col("sim"))
+    // the walk runs on the UNDIRECTED graph (HNSW/NSW convention): a
+    // directed top-kNbr list starves low-in-degree nodes — at sf1 the
+    // directed walk recovered only ~60% of the matched-cell full-scan
+    // recall until reverse edges joined the expansion
+    val adj = edges.select(col("u").as("cid"), col("v"))
+      .unionByName(edges.select(col("v").as("cid"), col("u").as("v")))
     for (_ <- 1 to hops) {
       val expand = frontier
-        .join(edges.select(col("u").as("cid"), col("v")), Seq("cid"))
+        .join(adj, Seq("cid"))
         .select(col("qid"), col("v").as("cid")).distinct()
         // only NEW candidates are scored (visited set = acc)
         .join(acc.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
@@ -1090,6 +1137,59 @@ object Ann {
     acc.withColumn("rn", row_number().over(wb))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
+  }
+
+  /** LSH-celled NSW — the fully DETERMINISTIC graph-ANN face (the
+    * oracle shape): cells are sign-LSH buckets (each bucket bit is the
+    * sign of a fixed-order dot product with a seeded hyperplane —
+    * bit-identical on every run, unlike float k-means whose centroid
+    * MEANS carry accumulation-order ULP noise that can flip boundary
+    * assignments and with them walk paths; the r14 flake that moved
+    * q203 off k-means cells). An identical query therefore lands in
+    * its twin's bucket BY CONSTRUCTION, and the whole build + walk is
+    * replay-exact: green once at a scale means green always. Routing
+    * is multi-probe LSH (own bucket + every hamming-1 flip — the
+    * [[lshKnn]] probe set).
+    */
+  def nswLshIndex(corpus: DataFrame, nBits: Int): DataFrame =
+    corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
+      .withColumn("cluster",
+        Sketches.affineHyperplaneBucket("ve", nBits, 64).cast("int"))
+
+  def nswSearchLsh(edges: DataFrame, index: DataFrame, entries: DataFrame,
+                   queries: DataFrame, k: Int, nBits: Int, beam: Int = 16,
+                   hops: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val probes = expr(
+      s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
+    val seeds = queries
+      .select(col("vec_id").as("qid"), asDouble("embedding").as("qe"))
+      .withColumn("bucket",
+        Sketches.affineHyperplaneBucket("qe", nBits, 64))
+      .select(col("qid"), explode(probes).as("pb"))
+      .select(col("qid"), col("pb").cast("int").as("cluster"))
+      .join(broadcast(entries), Seq("cluster"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf)
+  }
+
+  /** Deterministic graph-ANN top-k: LSH cells (≈√n buckets via
+    * nBits = ⌈log₂√n⌉) + ring/NN-Descent build + multi-probe beam
+    * walk. The q203 oracle composition.
+    */
+  def nswKnnLsh(corpus: DataFrame, queries: DataFrame, k: Int, nBits: Int = 0,
+                kNbr: Int = 12, rounds: Int = 2, beam: Int = 16,
+                hops: Int = 3): DataFrame = {
+    val bits = if (nBits > 0) nBits
+      else math.max(3, math.ceil(
+        math.log(math.sqrt(corpus.count().toDouble)) / math.log(2)).toInt)
+    val index = nswLshIndex(corpus, bits)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    index.count()
+    val out = nswSearchLsh(nswBuild(index, kNbr, rounds), index,
+      nswEntriesSampled(index), queries, k, bits, beam, hops)
+    val materialized = out.localCheckpoint()
+    index.unpersist(blocking = true)
+    materialized
   }
 
   /** Graph-ANN top-k — ivfFit∘ivfEncode∘nswBuild∘nswSearch composition
@@ -1109,7 +1209,7 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index.count()
     val out = nswSearch(cents, nswBuild(index, kNbr, rounds), index,
-      nswEntries(index), queries, k, beam, hops, nprobe)
+      nswEntriesSampled(index), queries, k, beam, hops, nprobe)
     val materialized = out.localCheckpoint()
     index.unpersist(blocking = true)
     materialized

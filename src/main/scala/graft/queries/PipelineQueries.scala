@@ -2434,17 +2434,23 @@ object PipelineQueries extends QueryFamily {
   // cell-local ring init + NN-Descent refinement (Dong et al. WWW'11,
   // with the §2.3 ρ=1/2 sampling) + centroid-routed fixed-hop beam
   // search from per-cell entries (the SPANN/DiskANN posture: coarse
-  // routing by model, fine ranking by graph walk — the query path
-  // touches graph-degree rows, never a cell scan). Cells scale as √n
-  // so walks stay bounded as the corpus grows. Planted-twin oracle
-  // (q87's): an identical query provably routes to its twin's cell
-  // (same deterministic centroid ranking) and the walk must surface it
-  // top-1 at sim 1.0 — verified 10/10 at all four scales.
+  // routing, fine ranking by graph walk — the query path touches
+  // graph-degree rows, never a cell scan). Cells scale as √n so walks
+  // stay bounded as the corpus grows. The ORACLE composition uses
+  // sign-LSH cells (nswKnnLsh), not k-means: every bucket bit is the
+  // sign of a fixed-order dot product, so build + walk are
+  // replay-EXACT — k-means centroid means carry accumulation-order ULP
+  // noise that can flip boundary assignments and with them walk paths
+  // (measured as a 9/10-vs-10/10 twin flake across plan layouts at
+  // sf1), and a hash-gated oracle cannot sit on a coin flip.
+  // Planted-twin oracle (q87's): an identical query lands in its
+  // twin's bucket BY CONSTRUCTION and the walk must surface it top-1
+  // at sim 1.0.
   val q203 = Q("q203_graph_ann",
     annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim")) { (s, d) =>
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
-      Ann.nswKnn(embs, annPlantQueries(embs), k = 5, trainMod = 4),
+      Ann.nswKnnLsh(embs, annPlantQueries(embs), k = 5),
       simCol = Some("sim"), k = 5)
   }
 

@@ -172,6 +172,42 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("NSW graph: reloaded model+index+edges+entries serve queries with " +
+      "no build jobs; split == inline") {
+    val dir = tmp("nsw")
+    val (_, buildJobs) = countJobs {
+      val index = Ann.nswLshIndex(embs, nBits = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      index.count()
+      index.write.mode("overwrite").parquet(s"$dir/index")
+      Ann.nswBuild(index, kNbr = 6, rounds = 2).write.mode("overwrite")
+        .parquet(s"$dir/edges")
+      Ann.nswEntries(index).write.mode("overwrite").parquet(s"$dir/entries")
+      index.unpersist(blocking = true)
+    }
+    assert(buildJobs > 0)
+    val index = spark.read.parquet(s"$dir/index")
+    val edges = spark.read.parquet(s"$dir/edges")
+    val entries = spark.read.parquet(s"$dir/entries")
+    val (got, searchJobs) = countJobs {
+      rows(Ann.nswSearchLsh(edges, index, entries, queries, k = 5, nBits = 4,
+        beam = 16, hops = 3))
+    }
+    // inline recomputation: the LSH build + walk are replay-exact
+    // (sign-LSH cells, fixed-order arithmetic), so the reloaded walk
+    // must reproduce the inline composition row-for-row
+    val index2 = Ann.nswLshIndex(embs, nBits = 4)
+    val want = rows(Ann.nswSearchLsh(Ann.nswBuild(index2, 6, 2), index2,
+      Ann.nswEntries(index2), queries, k = 5, nBits = 4, beam = 16, hops = 3))
+    assert(got == want, "reloaded walk must reproduce the inline composition")
+    // the query path is probe-rank + HOPS x (expand/anti-join/score/
+    // checkpoint) — job count proportional to hops (3 here, ~10 jobs
+    // each with AQE stages), INDEPENDENT of corpus size, and never the
+    // NN-Descent round loop or a fit (this run measured 34)
+    assert(searchJobs <= 45, s"query path launched $searchJobs jobs " +
+      "(a build loop leaked into search)")
+  }
+
   test("contrastive mining from the persisted index: full probe == brute, " +
       "partial probe finds every planted positive with no training jobs") {
     // planted twins: the only pairs ≥ 0.9 (max natural cosine ~0.6)

@@ -14,21 +14,21 @@ class GraphAnnSpec extends SparkSpec {
   private def queries = embs.filter(col("vec_id") < 8)
 
   test("graph build: degree bounded by kNbr, no self-edges, edges deterministic") {
-    val cents = Ann.ivfFit(embs, c = 8, iters = 2)
-    val index = Ann.ivfEncode(embs, cents)
+    val index = Ann.nswLshIndex(embs, nBits = 4)
     val e1 = Ann.nswBuild(index, kNbr = 6, rounds = 2)
     val rows = e1.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows.nonEmpty)
     assert(!rows.exists(p => p._1 == p._2), "self-edge leaked")
     val deg = rows.groupBy(_._1).map(_._2.size)
-    assert(deg.max <= 6, s"degree ${deg.max} > kNbr")
+    // refined top-kNbr links + the permanent ring spine
+    assert(deg.max <= 12, s"degree ${deg.max} > 2*kNbr")
     val e2 = Ann.nswBuild(index, kNbr = 6, rounds = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows.sorted == e2.sorted, "build is not deterministic")
   }
 
   test("search output shape: <= k rows per query, rn contiguous, sims non-increasing") {
-    val got = Ann.nswKnn(embs, queries, k = 5)
+    val got = Ann.nswKnnLsh(embs, queries, k = 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     val byQ = got.groupBy(_._1)
     assert(byQ.nonEmpty)
@@ -44,7 +44,7 @@ class GraphAnnSpec extends SparkSpec {
   test("planted twins surface top-1 at sim 1.0 through the graph walk") {
     val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
       col("embedding"))
-    val got = Ann.nswKnn(embs, twins, k = 3, trainMod = 4)
+    val got = Ann.nswKnnLsh(embs, twins, k = 3)
       .filter(col("rn") === 1).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val want = queries.select("vec_id").collect()
