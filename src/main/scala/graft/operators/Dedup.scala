@@ -448,7 +448,7 @@ object Dedup {
     val affected = docs.join(clusters.select(col("doc_id")), Seq("doc_id"),
       "left_semi")
     val scored = Quality.score(affected).select(col("doc_id"), col("quality"))
-    argmaxKept(clusters, scored)
+    argmaxKept(clusters.join(scored, Seq("doc_id")))
   }
 
   /** KEEP-BEST over already-scored state — the STREAMING ingestion face
@@ -469,20 +469,31 @@ object Dedup {
     * shortcut; `StreamingDedupSpec` pins streamed kept-set == batch
     * [[keepBest]] exactly on monotone arrivals.
     */
-  def keepBestFromScored(scored: DataFrame, pairs: DataFrame): DataFrame =
-    argmaxKept(
-      Components.dedupClusters(pairs.select(col("doc_a"), col("doc_b"))),
-      scored.select(col("doc_id"), col("quality")))
+  def keepBestFromScored(scored: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = Components.dedupClusters(
+      pairs.select(col("doc_a"), col("doc_b")))
+    // loud contract (the Mix.keepAgainst discipline): a cluster MEMBER
+    // missing from the score table means the accumulated state is
+    // inconsistent — an inner join would silently shrink the cluster
+    // and could flip which member is "best"; fail instead
+    argmaxKept(clusters
+      .join(scored.select(col("doc_id"), col("quality")), Seq("doc_id"), "left")
+      .filter(assert_true(col("quality").isNotNull,
+        concat(lit("Dedup.keepBestFromScored: cluster member "),
+          col("doc_id").cast("string"),
+          lit(" has no accumulated quality score — every ingested batch " +
+            "must contribute its map-side Quality.score pass"))).isNull))
+  }
 
   /** The shared argmax tail: per-cluster quality argmax (quality desc,
     * doc_id tie-break) over cluster members — the window partitions by
     * cluster_id over MEMBERS only, never a corpus-sized sort.
     */
-  private def argmaxKept(clusters: DataFrame, scored: DataFrame): DataFrame = {
+  private def argmaxKept(members: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("quality").desc, col("doc_id"))
-    clusters.join(scored, Seq("doc_id"))
+    members
       .withColumn("kept",
         when(row_number().over(win) === 1, 1).otherwise(0).cast("int"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),

@@ -122,11 +122,18 @@ object Mix {
   }
 
   /** Sqrt-nesting depths of the chain's factors, shallowest first —
-    * the ONE canonical order both engines multiply in.
+    * the ONE canonical order both engines multiply in. k = 2²⁰ (α = 1)
+    * has no in-range bits — callers take the exact integer identity
+    * path instead; a direct chain call fails loudly rather than with
+    * an opaque empty-reduce error.
     */
-  private def chainDepths(k: Int): Seq[Int] =
+  private def chainDepths(k: Int): Seq[Int] = {
+    require(k >= 1 && k < (1 << DyadicBits),
+      s"dyadic chain needs 1 <= k < 2^$DyadicBits (k = 2^$DyadicBits is " +
+        s"the exact identity path), got $k")
     (0 until DyadicBits).filter(j => ((k >> j) & 1) == 1)
       .map(j => DyadicBits - j).sorted
+  }
 
   /** The Spark face of the chain: x^(k/2²⁰) for x a non-negative
     * double column. Exact for k = 2²⁰ handled by the caller.

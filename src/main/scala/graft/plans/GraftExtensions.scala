@@ -498,6 +498,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           rounds = num(a, 0, 6, "graft_bpe_train").toInt,
           batch = num(a, 1, 4, "graft_bpe_train").toInt)
       }
+      tvf2("graft_nsw_knn") { (corpus, queries, a) =>
+        graft.operators.Ann.nswKnnLsh(corpus, queries,
+          k = num(a, 0, 5, "graft_nsw_knn").toInt)
+      }
       // graft_bpe_encode('docs', 'merges', k): the merge list is a FIT
       // ARTIFACT (vocab-sized, the Ann-model posture), so the second
       // table collects to the driver at ANALYSIS time — same moment the

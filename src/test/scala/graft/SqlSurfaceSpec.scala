@@ -106,6 +106,8 @@ class SqlSurfaceSpec extends SparkSpec {
     embsTwins.createOrReplaceTempView("sql_embs_twins")
     pin("SELECT * FROM graft_semdedup_pairs('sql_embs_twins', 0.9, 8)",
       graft.operators.SemDedup.dupPairs(embsTwins, threshold = 0.9, c = 8))
+    pin("SELECT * FROM graft_nsw_knn('sql_embs', 'sql_queries', 3)",
+      graft.operators.Ann.nswKnnLsh(embs, embs.filter(col("vec_id") < 5), k = 3))
     val merges = graft.operators.Bpe.trainMergesBatched(docs, rounds = 4)
     merges.createOrReplaceTempView("sql_merges")
     pin("SELECT * FROM graft_bpe_train('sql_docs', 4)", merges)

@@ -182,4 +182,20 @@ class StreamingDedupSpec extends SparkSpec {
       assert(!keptIds.contains(1L) && !keptIds.contains(4L), keptIds.toString)
     } finally query.stop()
   }
+
+  test("keep-best fails loudly when a cluster member has no accumulated score") {
+    import spark.implicits._
+    // pairs name docs 1 and 2; the score table only covers doc 1 — an
+    // inner join would silently shrink the cluster (and could flip the
+    // argmax); the contract is a loud failure
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val scored = Seq((1L, 0.7)).toDF("doc_id", "quality")
+    val e = intercept[Exception] {
+      Dedup.keepBestFromScored(scored, pairs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("no accumulated quality score")),
+      e.getMessage)
+  }
 }
