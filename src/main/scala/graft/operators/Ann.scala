@@ -1172,6 +1172,53 @@ object Ann {
     nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf)
   }
 
+  /** INCREMENTAL graph ingestion — the continuous-ingestion face (the
+    * minhash/SemDeDup accumulated-index posture, via the DiskANN
+    * insertion recipe: SEARCH the existing graph for each new node's
+    * neighbors, then link bidirectionally). Returns (newIndex,
+    * newEdges): the batch's rows appended to the index (bucket
+    * assignment is the deterministic sign-LSH — no model, no refit),
+    * and the edge table extended with (a) each new node's top-kNbr
+    * walk results linked BOTH directions (new→old enters the beam
+    * search from day one; old→new keeps history navigable toward
+    * arrivals), and (b) a hash-ring chain among the batch's own nodes
+    * per bucket (the long-link spine keeps growing, and a batch-local
+    * twin pair is linked even before any walk finds it). Cost per
+    * batch: one walk per new node (graph-degree rows) + batch-sized
+    * appends — history is never re-scanned or re-linked wholesale.
+    * `StreamingGraphAnnSpec` pins that a twin of an EARLIER streamed
+    * vector is found against the accumulated graph.
+    */
+  def nswInsert(batch: DataFrame, index: DataFrame, edges: DataFrame,
+                nBits: Int, kNbr: Int = 12, beam: Int = 16,
+                hops: Int = 3): (DataFrame, DataFrame) = {
+    val bIdx = nswLshIndex(batch, nBits)
+    // each new node's neighbors, found by walking the EXISTING graph
+    // (excludeSelf=false is irrelevant here — id spaces are disjoint by
+    // ingestion contract, matching the accumulated-index loops)
+    val found = nswSearchLsh(edges, index, nswEntriesSampled(index), batch,
+      k = kNbr, nBits = nBits, beam = beam, hops = hops)
+    val newLinks = found
+      .select(col("qid").as("u"), col("cid").as("v"), col("sim"))
+    // batch-local ring chain per bucket (hash order, the build's spine)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("h"), col("vec_id"))
+    val ranked = bIdx
+      .select(col("vec_id"), col("ve"), col("cluster"), hrank(col("vec_id")).as("h"))
+      .withColumn("rn", row_number().over(w))
+    val chain = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b.rn") === col("a.rn") + 1)
+      .select(col("a.vec_id").as("u"), col("b.vec_id").as("v"),
+        graft.plans.NativeFunctions.cosineSim(col("a.ve"), col("b.ve")).as("sim"))
+    val newEdges = edges
+      .unionByName(newLinks)
+      .unionByName(newLinks.select(col("v").as("u"), col("u").as("v"), col("sim")))
+      .unionByName(chain)
+      .distinct()
+    (index.unionByName(bIdx), newEdges)
+  }
+
   /** Deterministic graph-ANN top-k: LSH cells (≈√n buckets via
     * nBits = ⌈log₂√n⌉) + ring/NN-Descent build + multi-probe beam
     * walk. The q203 oracle composition.

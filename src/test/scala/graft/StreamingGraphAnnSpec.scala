@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** Incremental graph-ANN ingestion (Ann.nswInsert — the DiskANN
+  * insertion recipe over the accumulated index/edge tables, through
+  * foreachBatch like the minhash/SemDeDup loops): batches of vectors
+  * arrive, each batch walks the existing graph for its neighbors and
+  * links in; a later query must find near-dups among EARLIER streamed
+  * vectors against the accumulated state.
+  */
+class StreamingGraphAnnSpec extends SparkSpec {
+
+  test("streamed inserts accumulate: a twin of an earlier batch's vector is found") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val nBits = 4
+    // bootstrap graph on the base corpus
+    var index: DataFrame = Ann.nswLshIndex(base, nBits).localCheckpoint()
+    var edges: DataFrame = Ann.nswBuild(index, kNbr = 8, rounds = 2)
+      .localCheckpoint()
+
+    // two arriving batches: batch 1 is novel vectors (ids 2M+), batch 2
+    // contains exact twins of BATCH-1 vectors (ids 3M+) — finding them
+    // requires the accumulated graph, not the bootstrap corpus
+    val b1 = base.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val b2 = base.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val query = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (i2, e2) = Ann.nswInsert(b.toDF(), index, edges, nBits, kNbr = 8)
+        index = i2.localCheckpoint()
+        edges = e2.localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      for (b <- Seq(b1, b2)) {
+        stream.addData(b.collect().map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+
+    // search twins of batch-1 ids against the accumulated graph: each
+    // 3M+ query has TWO exact copies present — the base vector (in the
+    // bootstrap build) and the 2M+ batch-1 arrival (reachable ONLY via
+    // inserted links). Both must fill ranks 1-2 at sim 1.0; finding the
+    // 2M+ copy is the accumulated-graph property under test
+    val queries = b2
+    val top2 = Ann.nswSearchLsh(edges, index, Ann.nswEntriesSampled(index),
+        queries, k = 3, nBits = nBits)
+      .filter(col("rn") <= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    for (i <- 0L until 6L) {
+      val rows = top2.getOrElse(i + 3000000L, Array.empty)
+      val cids = rows.map(_._2).toSet
+      assert(cids == Set(i, i + 2000000L),
+        s"query ${i + 3000000L}: expected both exact copies in ranks 1-2, got ${rows.toSeq}")
+      assert(rows.forall(_._3 == 1.0), rows.toSeq.toString)
+    }
+  }
+}
