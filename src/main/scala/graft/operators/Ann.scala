@@ -1182,8 +1182,8 @@ object Ann {
     * walk results linked BOTH directions (new→old enters the beam
     * search from day one; old→new keeps history navigable toward
     * arrivals), and (b) a hash-ring chain among the batch's own nodes
-    * per bucket (the long-link spine keeps growing, and a batch-local
-    * twin pair is linked even before any walk finds it). Cost per
+    * per bucket (the long-link spine keeps growing, and batch-local
+    * pairs are ring-REACHABLE before any walk links them directly). Cost per
     * batch: one walk per new node (graph-degree rows) + batch-sized
     * appends — history is never re-scanned or re-linked wholesale.
     * `StreamingGraphAnnSpec` pins that a twin of an EARLIER streamed
