@@ -447,4 +447,55 @@ object Bpe {
     acc.unionByName(batch)
       .groupBy(col("token"))
       .agg(sum(col("freq")).as("freq"))
+
+  /** Per-language tokenizer FERTILITY report — the standard multilingual
+    * tokenizer evaluation (Xue et al. 2021 §3.2; Rust et al., ACL 2021):
+    * under a trained merge list, each language's subwords-per-word
+    * (fertility — 1.0 is perfect, high values mean the vocabulary
+    * under-serves the language) and characters-per-token (compression).
+    * The table a corpus owner reads to decide whether a tokenizer is
+    * fair across languages before committing a 100 TB encode.
+    *
+    * Returns (lang, n_words, n_tokens, n_chars, fertility,
+    * chars_per_token); integer tallies throughout, each ratio ONE
+    * rounded double division (engine-exact both sides). Alphabet
+    * contract matches training: only `^[a-z0-9]+$` word forms
+    * participate.
+    *
+    * Scale shape — the encodeDocCounts split: the merge fold runs once
+    * per DISTINCT alphabet word (vocab-sized, |vocab|·M), per-language
+    * usage is one corpus-thin (lang, word) map-side-combined shuffle,
+    * and the join keys on the unique word; the final groupBy(lang) is
+    * L rows.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    // ONE corpus scan: the (lang, word, cw) usage table (vocab·L-sized,
+    // materialized) also supplies the distinct-word list the merge fold
+    // runs over — deriving wordLen from wordFreq(docs) would pay a
+    // second full documents scan for the same word set (PlanAudit's
+    // multi-scan gate)
+    val usage = docs
+      .select(col("lang"),
+        explode(filter(graft.functions.Text.words(col("text")),
+          w => w =!= lit(""))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cw"))
+      .localCheckpoint(true)
+    val wordLen = usage.select(col("word")).distinct()
+      .select(col("word"), expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+      .select(col("word"), length(col("word")).cast("long").as("wchars"),
+        (if (merges.isEmpty) size(col("syms"))
+         else size(graft.plans.NativeFunctions.bpeEncode(col("syms"), merges)))
+          .cast("long").as("n_sub"))
+    usage.join(wordLen, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cw")).as("n_words"),
+        sum(col("cw") * col("n_sub")).as("n_tokens"),
+        sum(col("cw") * col("wchars")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("n_chars").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+  }
 }

@@ -164,4 +164,41 @@ object Components {
         col("id"), col("cluster"), col("scl"), salt)
       .select(col("id").as("doc_id"), col("cluster").as("cluster_id"), col("cluster_size"))
   }
+
+  /** Per-source dedup SAVINGS report — the go/no-go artifact a corpus
+    * owner reads before paying for a full dedup pass: for each source,
+    * how many documents sit in a near-dup cluster, how many would be
+    * REMOVED under keep-min-id canonicalization (min-label propagation
+    * labels every component with its minimum doc_id, so the canonical
+    * survivor is exactly the row with doc_id = cluster_id), and the
+    * token mass removal returns. `removal_ppm` is the integer
+    * parts-per-million of the source's tokens freed — widened to
+    * DECIMAL(38,0) before the multiply (the Mix overflow discipline:
+    * tokens_removed · 10⁶ wraps int64 at ~9.2e12 tokens per source,
+    * below a 100 TB corpus), with `div` truncation matching DuckDB's
+    * HUGEINT `//` exactly.
+    *
+    * Scale shape: `edges` comes banded/bounded from the Dedup family
+    * (never all-pairs); the cluster table is dup-set-sized; the
+    * left join key (doc_id) is unique on both sides (no hot keys, no
+    * salt needed); the final groupBy(source) map-side combines into a
+    * handful of rows. Text never rides the join — only the thin
+    * (doc_id, source, toks) projection.
+    */
+  def savingsBySource(docs: DataFrame, edges: DataFrame): DataFrame = {
+    val meta = docs.select(col("doc_id"), col("source"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"))
+    val cl = dedupClusters(edges).select(col("doc_id"), col("cluster_id"))
+    val removed = col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id")
+    meta.join(cl, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_total"),
+        sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L)).as("docs_dup"),
+        sum(when(removed, 1L).otherwise(0L)).as("docs_removed"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(removed, col("toks")).otherwise(0L)).as("tokens_removed"))
+      .withColumn("removal_ppm", expr(
+        "cast(cast(tokens_removed as decimal(38,0)) * 1000000 div tokens_total as bigint)"))
+  }
 }

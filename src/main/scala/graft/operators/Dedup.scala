@@ -499,4 +499,44 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality"), col("kept"))
   }
+
+  /** Cross-source duplicate-LEAKAGE matrix — which corpus copies from
+    * which: every minhash near-dup pair is attributed to the unordered
+    * (source_x ≤ source_y) cell of its two documents' sources, with the
+    * pair count and the mean estimated Jaccard of the cell. The report
+    * a curator reads before mixing sources: a hot off-diagonal cell is
+    * a mirror site or a cross-crawl leak (dedup the pair of sources
+    * jointly); a hot diagonal cell is internal duplication.
+    *
+    * Determinism: est_jaccard is m/32 for m matching signature slots —
+    * an exact dyadic double — so m is recovered exactly via ·32 and the
+    * cell average is integer-exact until ONE final rounded division,
+    * identical on both engines.
+    *
+    * Scale shape: pairs come banded + bucket-bounded from
+    * [[minhashCandidates]] (never all-pairs); the two source lookups
+    * are thin unique-key equi-joins against a (doc_id, source)
+    * projection; the final groupBy is |sources|² cells, map-side
+    * combined.
+    */
+  def crossSourceLeakage(docs: DataFrame): DataFrame = {
+    // corpus-THIN (doc_id, source), materialized once: both endpoint
+    // lookups read the same 2-column table — without this each join
+    // side re-scans the full documents parquet (text included) just to
+    // project two columns (PlanAudit's multi-scan gate)
+    val meta = docs.select(col("doc_id"), col("source")).localCheckpoint(true)
+    minhashCandidates(docs)
+      .join(meta.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "source_a"), Seq("doc_a"))
+      .join(meta.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "source_b"), Seq("doc_b"))
+      .select(
+        least(col("source_a"), col("source_b")).as("source_x"),
+        greatest(col("source_a"), col("source_b")).as("source_y"),
+        round(col("est_jaccard") * 32, 0).cast("long").as("slots"))
+      .groupBy(col("source_x"), col("source_y"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("slots")).cast("double") / (count(lit(1)) * 32), 6)
+          .as("avg_est_jaccard"))
+  }
 }

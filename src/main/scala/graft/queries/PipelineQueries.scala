@@ -2454,5 +2454,106 @@ object PipelineQueries extends QueryFamily {
       simCol = Some("sim"), k = 5)
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+  // ---- q204: per-source dedup savings report -----------------------------
+  // The go/no-go artifact before paying for a corpus-wide dedup pass:
+  // per source, documents in near-dup clusters, documents REMOVED under
+  // keep-min-id canonicalization, and the token mass freed (integer
+  // ppm, HUGEINT-widened — the Mix overflow discipline). Composes the
+  // q62 banded pairs through the q121 closure; the oracle replays the
+  // identical recursive-CTE closure and aggregates over the same thin
+  // (doc_id, source, toks) projection.
+  val q204 = Q(
+    "q204_dedup_savings",
+    s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($q62PairsSql)),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM e
+       |  UNION
+       |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+       |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+       |d AS (SELECT doc_id, source,
+       |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+       | FROM documents),
+       |j AS (SELECT d.doc_id, d.source, d.toks, comp.cluster_id
+       |      FROM d LEFT JOIN comp ON d.doc_id = comp.id),
+       |g AS (SELECT source,
+       |  CAST(count(*) AS BIGINT) AS docs_total,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS docs_dup,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND doc_id <> cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+       |  CAST(sum(toks) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN cluster_id IS NOT NULL AND doc_id <> cluster_id THEN toks ELSE 0 END) AS BIGINT) AS tokens_removed
+       | FROM j GROUP BY 1)
+       |SELECT source, docs_total, docs_dup, docs_removed, tokens_total,
+       | tokens_removed,
+       | CAST(CAST(tokens_removed AS HUGEINT) * 1000000 // tokens_total AS BIGINT) AS removal_ppm
+       |FROM g ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashCandidates(docs).select(col("doc_a"), col("doc_b"))
+    graft.operators.Components.savingsBySource(docs, pairs)
+      .orderBy("source")
+  }
+
+  // ---- q205: cross-source duplicate-leakage matrix -----------------------
+  // Which corpus copies from which: q62's near-dup pairs attributed to
+  // unordered (source_x, source_y) cells — a hot off-diagonal cell is a
+  // mirror site / cross-crawl leak, a hot diagonal cell is internal
+  // duplication. est_jaccard is m/32 (exact dyadic double), so the cell
+  // mean is integer-exact until ONE rounded division on both engines.
+  val q205 = Q(
+    "q205_source_leakage",
+    s"""WITH pr AS (SELECT doc_a, doc_b, est_jaccard FROM ($q62PairsSql)),
+       |mt AS (SELECT doc_id, source FROM documents),
+       |px AS (SELECT least(ma.source, mb.source) AS source_x,
+       |        greatest(ma.source, mb.source) AS source_y,
+       |        CAST(round(est_jaccard * 32, 0) AS BIGINT) AS slots
+       |       FROM pr JOIN mt ma ON pr.doc_a = ma.doc_id
+       |               JOIN mt mb ON pr.doc_b = mb.doc_id)
+       |SELECT source_x, source_y, CAST(count(*) AS BIGINT) AS n_pairs,
+       | round(CAST(sum(slots) AS DOUBLE) / (count(*) * 32), 6) AS avg_est_jaccard
+       |FROM px GROUP BY 1, 2
+       |ORDER BY source_x, source_y""".stripMargin) { (s, d) =>
+    Dedup.crossSourceLeakage(Tables.documents(s, d))
+      .orderBy("source_x", "source_y")
+  }
+
+  // ---- q206: per-language tokenizer fertility ----------------------------
+  // The standard multilingual tokenizer evaluation (mT5 §3.2 / Rust et
+  // al. ACL'21): subwords-per-word and chars-per-token per language
+  // under the trained merge list — the fairness table read before
+  // committing a 100 TB encode. Spark runs the native bpe_encode kernel
+  // over the DISTINCT-word vocab (|vocab|·M, never corpus·M); the
+  // oracle replays the q179/q182 unrolled serial CTEs and joins the
+  // same per-(lang, word) usage.
+  val q206 = Q(
+    "q206_tokenizer_fertility",
+    bpeOracleCtes(bpeRounds) +
+      s""",
+         |sub AS (SELECT word, CAST(len(word) AS BIGINT) AS wchars,
+         |        CAST(len(syms) AS BIGINT) AS n_sub FROM v$bpeRounds),
+         |dl AS (SELECT lang, coalesce(list_filter($WORDS, x -> x <> ''), []) AS w FROM documents),
+         |lw AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cw
+         |       FROM (SELECT lang, unnest(w) AS word FROM dl)
+         |       WHERE regexp_full_match(word, '[a-z0-9]+') GROUP BY 1, 2),
+         |f AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n_words,
+         |       CAST(sum(cw * n_sub) AS BIGINT) AS n_tokens,
+         |       CAST(sum(cw * wchars) AS BIGINT) AS n_chars
+         |      FROM lw JOIN sub USING (word) GROUP BY 1)
+         |SELECT lang, n_words, n_tokens, n_chars,
+         | round(CAST(n_tokens AS DOUBLE) / n_words, 6) AS fertility,
+         | round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+         |FROM f ORDER BY lang""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val merges = graft.operators.Bpe
+      .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    require(merges.length == bpeRounds,
+      s"BPE training exhausted after ${merges.length}/$bpeRounds rounds — " +
+        "corpus too small for the unrolled oracle; lower bpeRounds")
+    graft.operators.Bpe.fertilityByLang(docs, merges)
+      .orderBy("lang")
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 }

@@ -505,4 +505,29 @@ class BpeSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got.forall(r => !r.getString(1).contains("|") && !r.getString(2).contains("|")))
   }
+
+  private def langDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("fertilityByLang: zero merges give chars-per-token 1, fertility = mean word length") {
+    val out = Bpe.fertilityByLang(
+      langDocs((1L, "aa bb", "en"), (2L, "ccc", "fr")), Nil).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("en") == ((2L, 4L, 4L, 2.0, 1.0)), out("en"))
+    assert(out("fr") == ((1L, 3L, 3L, 3.0, 1.0)), out("fr"))
+  }
+
+  test("fertilityByLang: a merge covering one language lowers only its fertility") {
+    val out = Bpe.fertilityByLang(
+      langDocs((1L, "ab ab ab", "en"), (2L, "cd cd", "fr")),
+      Seq(("a", "b"))).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // en's only word fuses to one subword; fr is untouched by the merge
+    assert(out("en") == ((3L, 3L, 6L, 1.0, 2.0)), out("en"))
+    assert(out("fr") == ((2L, 4L, 4L, 2.0, 1.0)), out("fr"))
+  }
 }

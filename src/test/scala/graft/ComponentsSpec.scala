@@ -140,4 +140,21 @@ class ComponentsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     assert(run(1) == run(8))
   }
+
+  test("savingsBySource: removable docs/tokens and exact ppm per source") {
+    // cluster {1,2} inside web; cluster {4,5} SPANS books/wiki — the
+    // canonical (min id, doc 4) stays in books, so books shows dup but
+    // zero removal while wiki pays the removal
+    val docs = Seq(
+      (1L, "a a a", "web"), (2L, "a a a", "web"), (3L, "b b", "web"),
+      (4L, "c c c c", "books"), (5L, "c c c c", "wiki"), (6L, "d", "wiki")
+    ).toDF("doc_id", "text", "source")
+    val edges = Seq((1L, 2L), (4L, 5L)).toDF("a", "b")
+    val out = Components.savingsBySource(docs, edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("web") == ((3L, 2L, 1L, 8L, 3L, 375000L)), out("web"))
+    assert(out("books") == ((1L, 1L, 0L, 4L, 0L, 0L)), out("books"))
+    assert(out("wiki") == ((2L, 1L, 1L, 5L, 4L, 800000L)), out("wiki"))
+  }
 }

@@ -173,4 +173,22 @@ class DedupSpec extends SparkSpec {
     // unless it genuinely does; assert the unrelated plant flags nothing.
     assert(!ids.exists(_ >= 9000L), s"eval docs must not appear as train: $ids")
   }
+
+  test("crossSourceLeakage attributes planted dups to unordered source cells") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different content about distributed query engines and shuffle planning at scale"
+    val docs = Seq(
+      (1L, t1, "web"), (2L, t1, "wiki"),  // cross-source exact pair
+      (3L, t2, "web"), (4L, t2, "web"),   // intra-source exact pair
+      (5L, "unrelated third text mentioning neither foxes nor engines anywhere at all", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.crossSourceLeakage(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // exact copies share every signature slot → est 1.0; cells are
+    // normalized (web, wiki), never (wiki, web)
+    assert(out(("web", "wiki")) == ((1L, 1.0)), out)
+    assert(out(("web", "web")) == ((1L, 1.0)), out)
+    assert(out.size == 2, out)
+  }
 }
