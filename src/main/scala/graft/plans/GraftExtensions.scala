@@ -513,6 +513,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Bpe.encodeTokens(docs, ms,
           k = num(a, 0, 30, "graft_bpe_encode").toInt)
       }
+      // curation reports (q204/q205/q206 faces)
+      tvf("graft_dedup_savings") { (docs, _) =>
+        graft.operators.Components.savingsBySource(docs,
+          Dedup.minhashCandidates(docs).select(col("doc_a"), col("doc_b")))
+      }
+      tvf("graft_source_leakage")((docs, _) => Dedup.crossSourceLeakage(docs))
+      // graft_fertility('docs', 'merges'): trained merge list as a fit
+      // artifact, collected at analysis time (the graft_bpe_encode
+      // posture)
+      tvf2("graft_fertility") { (docs, merges, _) =>
+        val ms = merges.orderBy(col("round"))
+          .select(col("pair_a"), col("pair_b")).collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq
+        graft.operators.Bpe.fertilityByLang(docs, ms)
+      }
     }
   }
 }

@@ -115,6 +115,16 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.Bpe.encodeTokens(docs,
         merges.orderBy(col("round")).select("pair_a", "pair_b").collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq, k = 15))
+    // r14 continuation: the curation reports (q204/q205/q206 faces)
+    pin("SELECT * FROM graft_dedup_savings('sql_docs')",
+      graft.operators.Components.savingsBySource(docs,
+        Dedup.minhashCandidates(docs).select(col("doc_a"), col("doc_b"))))
+    pin("SELECT * FROM graft_source_leakage('sql_docs')",
+      Dedup.crossSourceLeakage(docs))
+    pin("SELECT * FROM graft_fertility('sql_docs', 'sql_merges')",
+      graft.operators.Bpe.fertilityByLang(docs,
+        merges.orderBy(col("round")).select("pair_a", "pair_b").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSeq))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
