@@ -468,20 +468,44 @@ object Bpe {
     * and the join keys on the unique word; the final groupBy(lang) is
     * L rows.
     */
-  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+  def fertilityByLang(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     // ONE corpus scan: the (lang, word, cw) usage table (vocab·L-sized,
     // materialized) also supplies the distinct-word list the merge fold
     // runs over — deriving wordLen from wordFreq(docs) would pay a
     // second full documents scan for the same word set (PlanAudit's
     // multi-scan gate)
-    val usage = docs
+    fertilityFromUsage(usageByLang(docs).localCheckpoint(true), merges)
+
+  /** Per-(lang, word) usage counts over the training alphabet — the
+    * corpus-thin accumulated state of the STREAMING fertility face
+    * (vocab·L-sized; one map-side-combined shuffle per batch).
+    */
+  def usageByLang(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"),
         explode(filter(graft.functions.Text.words(col("text")),
           w => w =!= lit(""))).as("word"))
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("cw"))
-      .localCheckpoint(true)
+
+  /** Fold a batch's usage into the accumulated table — the
+    * foreachBatch step (per-key sums: associative and commutative, so
+    * arrival splits cannot change the totals). Both sides vocab·L-sized.
+    */
+  def mergeUsage(acc: DataFrame, batch: DataFrame): DataFrame =
+    acc.unionByName(batch)
+      .groupBy(col("lang"), col("word"))
+      .agg(sum(col("cw")).as("cw"))
+
+  /** [[fertilityByLang]] over accumulated usage state — the STREAMING
+    * finalize: integer tallies from the usage table, each ratio one
+    * rounded division, so streamed == batch EXACTLY
+    * (`StreamingCurationSpec`). The caller materializes `usage` (it is
+    * read twice: distinct-word fold input + the per-language join).
+    */
+  def fertilityFromUsage(usage: DataFrame,
+                         merges: Seq[(String, String)]): DataFrame = {
     val wordLen = usage.select(col("word")).distinct()
       .select(col("word"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))

@@ -185,12 +185,35 @@ object Components {
     * handful of rows. Text never rides the join — only the thin
     * (doc_id, source, toks) projection.
     */
-  def savingsBySource(docs: DataFrame, edges: DataFrame): DataFrame = {
-    val meta = docs.select(col("doc_id"), col("source"),
-      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"))
+  def savingsBySource(docs: DataFrame, edges: DataFrame): DataFrame =
+    savingsFromState(docs.select(col("doc_id"), col("source"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks")),
+      edges)
+
+  /** [[savingsBySource]] over already-projected state — the STREAMING
+    * ingestion face: a continuous ingestion keeps the corpus-THIN
+    * (doc_id, source, toks) meta table (each batch's map-side
+    * projection unioned in — the Report-partials posture) and the
+    * accumulated near-dup pair table (the minhashCandidatesAgainst
+    * loop); each refresh recomputes the report from that state only,
+    * never re-reading text. Cluster state is near-dup-sized, so the
+    * recompute is O(pairs) closure + one thin pass over meta —
+    * `StreamingCurationSpec` pins streamed == batch exactly.
+    *
+    * Loud contract (the keepBestFromScored discipline): an edge
+    * endpoint missing from `meta` means the accumulated state is
+    * inconsistent — a plain left join from meta would silently DROP
+    * that cluster member and under-report removal; fail instead.
+    */
+  def savingsFromState(meta: DataFrame, edges: DataFrame): DataFrame = {
     val cl = dedupClusters(edges).select(col("doc_id"), col("cluster_id"))
     val removed = col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id")
-    meta.join(cl, Seq("doc_id"), "left")
+    meta.join(cl, Seq("doc_id"), "full_outer")
+      .filter(assert_true(col("source").isNotNull,
+        concat(lit("Components.savingsFromState: cluster member "),
+          col("doc_id").cast("string"),
+          lit(" has no accumulated (source, toks) meta row — every " +
+            "ingested batch must contribute its thin projection"))).isNull)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("docs_total"),

@@ -525,11 +525,32 @@ object Dedup {
     // side re-scans the full documents parquet (text included) just to
     // project two columns (PlanAudit's multi-scan gate)
     val meta = docs.select(col("doc_id"), col("source")).localCheckpoint(true)
-    minhashCandidates(docs)
+    leakageFromState(meta, minhashCandidates(docs))
+  }
+
+  /** [[crossSourceLeakage]] over accumulated state — the STREAMING
+    * ingestion face: a continuous ingestion keeps the corpus-THIN
+    * (doc_id, source) meta table and extends the near-dup pair table
+    * per batch (the [[minhashCandidatesAgainst]] loop); each refresh
+    * recomputes the matrix from pairs + meta only. Loud contract: a
+    * pair endpoint missing from `meta` is inconsistent accumulated
+    * state — an inner join would silently drop the pair; fail instead.
+    * Pairs must carry (doc_a, doc_b, est_jaccard).
+    */
+  def leakageFromState(meta: DataFrame, pairs: DataFrame): DataFrame = {
+    def loud(c: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+      assert_true(c.isNotNull,
+        concat(lit("Dedup.leakageFromState: pair endpoint "),
+          id.cast("string"),
+          lit(" has no accumulated (doc_id, source) meta row — every " +
+            "ingested batch must contribute its thin projection"))).isNull
+    pairs
       .join(meta.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("source", "source_a"), Seq("doc_a"))
+        .withColumnRenamed("source", "source_a"), Seq("doc_a"), "left")
+      .filter(loud(col("source_a"), col("doc_a")))
       .join(meta.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("source", "source_b"), Seq("doc_b"))
+        .withColumnRenamed("source", "source_b"), Seq("doc_b"), "left")
+      .filter(loud(col("source_b"), col("doc_b")))
       .select(
         least(col("source_a"), col("source_b")).as("source_x"),
         greatest(col("source_a"), col("source_b")).as("source_y"),
