@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Classifier-based quality filtering — the modern model-in-the-loop
+  * quality gate of a pretraining pipeline (the CCNet/fastText linear
+  * classifier, Wenzek et al. 2020 §4.3; FineWeb-Edu's educational-value
+  * scorer, Penedo et al. 2024): label a SEED split (your curated corpus
+  * vs the crawl), learn per-word weights from it, then score every
+  * document as the weighted mean of its word weights — exactly the
+  * fastText shape (a linear classifier over averaged word features)
+  * with 1-dimensional word features.
+  *
+  * Determinism discipline: weights are integer ppm odds —
+  * weight_ppm(w) = cnt_pos(w)·10⁶ div cnt_all(w), the empirical
+  * P(seed-positive | word) — and a document's score is the integer
+  * div of Σ cw·weight by Σ cw. No logs, no floats: every step is
+  * exact int64/HUGEINT arithmetic identical on both engines, so the
+  * whole train→deploy composition rides the FULL hash-matched oracle
+  * (unlike log-likelihood NB, whose libm `ln` is not engine-exact).
+  *
+  * Scale shape: FIT is one corpus-thin (word, is_pos) aggregation into
+  * a vocab-sized weight table (the persisted model artifact — the
+  * ivfFit posture); SCORE is one (doc_id, word) map-side-combined
+  * aggregation joined to the weight table on the unique word key, then
+  * one per-doc sum. A 100 TB corpus pays one scan per phase and the
+  * weight table is reusable across snapshots ([[scoreAgainst]] — the
+  * streaming face scores arriving batches against FROZEN weights,
+  * `StreamingCurationSpec`).
+  */
+object Classifier {
+
+  /** The training alphabet (the Bpe contract): lowercase alnum word
+    * forms only — corpus text is pre-normalized upstream.
+    */
+  private def words(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(filter(graft.functions.Text.words(col("text")),
+        w => w =!= lit(""))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+
+  /** Per-word integer odds weights from a labeled seed split:
+    * (word, cnt_pos, cnt_all, weight_ppm) for words with cnt_all ≥
+    * `minDf` (rare words carry label noise, not signal — the fastText
+    * minCount knob). `posPred` is evaluated against the full document
+    * row (the q128 evalDocPred posture: in production the positive set
+    * is the curated corpus, here a column predicate).
+    *
+    * cnt_pos·10⁶ runs in DECIMAL(38,0) (HUGEINT in the oracle): a stop
+    * word's corpus count crosses the int64·10⁶ wrap (~9.2e12) far
+    * below 100 TB — the Mix overflow discipline.
+    */
+  def fitOdds(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
+    docs.select(posPred.as("is_pos"),
+        explode(filter(graft.functions.Text.words(col("text")),
+          w => w =!= lit(""))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word"))
+      .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("cnt_pos"),
+        count(lit(1)).as("cnt_all"))
+      .filter(col("cnt_all") >= minDf)
+      .withColumn("weight_ppm", expr(
+        "cast(cast(cnt_pos as decimal(38,0)) * 1000000 div cnt_all as bigint)"))
+
+  /** Score every document against a trained weight table: (doc_id,
+    * n_scored, score_ppm) — n_scored the in-vocabulary token count,
+    * score_ppm the integer weighted mean of word weights. Documents
+    * with NO in-vocabulary words are absent (they carry no evidence;
+    * a downstream gate treats absence as its own bucket — stated
+    * contract). Weights are the deployment artifact: this face never
+    * reads labels and never re-derives counts.
+    */
+  def scoreAgainst(docs: DataFrame, weights: DataFrame): DataFrame =
+    words(docs)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cw"))
+      .join(weights.select(col("word"), col("weight_ppm")), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cw")).as("n_scored"),
+        expr("cast(sum(cw * weight_ppm) div sum(cw) as bigint)").as("score_ppm"))
+
+  /** The one-corpus train→deploy composition (q207's face): fit on the
+    * seed split, score the same corpus. The weight table is
+    * materialized once (vocab-sized) so the score join never re-runs
+    * the fit aggregation.
+    */
+  def trainScore(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
+    scoreAgainst(docs, fitOdds(docs, posPred, minDf).localCheckpoint(true))
+}

@@ -2555,5 +2555,42 @@ object PipelineQueries extends QueryFamily {
       .orderBy("lang")
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+  // ---- q207: classifier-based quality filtering --------------------------
+  // The model-in-the-loop quality gate (CCNet's fastText classifier,
+  // FineWeb-Edu's scorer): label a SEED split (here: four sources stand
+  // in for the curated corpus — the q128 evalDocPred posture), learn
+  // per-word integer odds weights from it, score every document as the
+  // integer weighted mean of its word weights. No logs, no floats —
+  // the whole train→deploy composition is exact int64/HUGEINT
+  // arithmetic, so it rides the FULL oracle end-to-end (a
+  // log-likelihood NB could not: libm ln is not engine-exact).
+  val q207 = {
+    val seed = Seq("src0", "src1", "src2", "src3")
+    val seedSql = seed.map(s => s"'$s'").mkString(", ")
+    Q(
+      "q207_quality_classifier",
+      s"""WITH dw AS (SELECT doc_id, source IN ($seedSql) AS is_pos,
+         |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
+         |      FROM documents),
+         |fw AS (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
+         |wt AS (SELECT word,
+         |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+         |        CAST(count(*) AS BIGINT) AS cnt_all
+         |      FROM fw GROUP BY 1 HAVING count(*) >= 2),
+         |w2 AS (SELECT word,
+         |        CAST(CAST(cnt_pos AS HUGEINT) * 1000000 // cnt_all AS BIGINT) AS weight_ppm
+         |      FROM wt),
+         |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM fw GROUP BY 1, 2),
+         |s AS (SELECT doc_id, CAST(sum(cw) AS BIGINT) AS n_scored,
+         |        CAST(sum(cw * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm
+         |      FROM dcw JOIN w2 USING (word) GROUP BY 1)
+         |SELECT doc_id, n_scored, score_ppm FROM s
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Classifier.trainScore(Tables.documents(s, d),
+          col("source").isin(seed: _*), minDf = 2)
+        .orderBy("doc_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
 }
