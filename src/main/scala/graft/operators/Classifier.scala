@@ -87,4 +87,37 @@ object Classifier {
     */
   def trainScore(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
     scoreAgainst(docs, fitOdds(docs, posPred, minDf).localCheckpoint(true))
+
+  /** Corpus-RELATIVE decile (0–9) attached to each scored document —
+    * absolute ppm scores cluster around the seed prior (every doc's
+    * weighted mean sits near P(pos)), so a filtering gate cuts by RANK,
+    * the CCNet tercile discipline. Tied scores share a decile
+    * (decile = docs-strictly-below ·10 div n — exact integers, no
+    * order-dependence).
+    *
+    * Scale shape: the rank computation runs on the DISTINCT-score
+    * HISTOGRAM (≤ 10⁶+1 rows by value range — score_ppm is an integer
+    * ppm), never on corpus rows: one map-side-combined histogram
+    * aggregation, one VALUE-BOUNDED global cumulative window (the Pack
+    * per-partition-totals whitelist class), and a thin join back on
+    * score_ppm.
+    */
+  def withDeciles(scores: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus-thin (doc_id, n_scored, score_ppm), materialized once (the
+    // ccnetBuckets posture): the histogram, the total and the join-back
+    // are three readers — unmaterialized, each would re-run the whole
+    // scoring pipeline from its documents scan (PlanAudit multi-scan)
+    val sc = scores.localCheckpoint(true)
+    val hist = sc.groupBy(col("score_ppm")).agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cb",
+      coalesce(sum(col("c")).over(Window.orderBy(col("score_ppm"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // single-row total side (the q136/q140 broadcast idiom)
+    val n = sc.agg(count(lit(1)).as("n"))
+    val dec = cum.crossJoin(broadcast(n))
+      .select(col("score_ppm"), expr("cast(cb * 10 div n as bigint)").as("decile"))
+    sc.join(dec, Seq("score_ppm"))
+      .select(col("doc_id"), col("n_scored"), col("score_ppm"), col("decile"))
+  }
 }

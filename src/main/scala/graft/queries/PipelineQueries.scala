@@ -2592,5 +2592,67 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207)
+  // ---- q208: quality-signal agreement matrix -----------------------------
+  // Do the two quality signals agree? Cross-tab of q194's CCNet
+  // perplexity buckets (LM signal) against q207's classifier deciles
+  // (seed-set signal) — the calibration artifact read before choosing
+  // which gate (or both, the CCNet paper's recommendation) filters a
+  // 100 TB corpus. Docs with no in-vocabulary classifier words land in
+  // decile -1 (absence is its own bucket — the stated q207 contract).
+  // FULL oracle: q194's replayed CTE chain joined to q207's, both
+  // integer-exact; the cross-tab is counts + token sums only.
+  val q208 = {
+    val V = 16
+    val seed = Seq("src0", "src1", "src2", "src3")
+    val seedSql = seed.map(s => s"'$s'").mkString(", ")
+    Q(
+      "q208_quality_agreement",
+      ccnetOracleCtes(V) +
+        s""",
+           |dw AS (SELECT doc_id, source IN ($seedSql) AS is_pos,
+           |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
+           |      FROM documents),
+           |fw AS (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
+           |wt AS (SELECT word,
+           |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+           |        CAST(count(*) AS BIGINT) AS cnt_all
+           |      FROM fw GROUP BY 1 HAVING count(*) >= 2),
+           |w2 AS (SELECT word,
+           |        CAST(CAST(cnt_pos AS HUGEINT) * 1000000 // cnt_all AS BIGINT) AS weight_ppm
+           |      FROM wt),
+           |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM fw GROUP BY 1, 2),
+           |cs AS (SELECT doc_id, CAST(sum(cw * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm
+           |      FROM dcw JOIN w2 USING (word) GROUP BY 1),
+           |h AS (SELECT score_ppm, CAST(count(*) AS BIGINT) AS c FROM cs GROUP BY 1),
+           |hc AS (SELECT score_ppm, coalesce(sum(c) OVER (ORDER BY score_ppm
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
+           |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cs),
+           |dec AS (SELECT score_ppm, CAST(cb * 10 // n AS BIGINT) AS decile FROM hc, cn),
+           |csd AS (SELECT cs.doc_id, dec.decile FROM cs JOIN dec USING (score_ppm)),
+           |x AS (SELECT bk.bucket,
+           |        CAST(coalesce(csd.decile, -1) AS BIGINT) AS clf_decile,
+           |        bk.n_tokens
+           |      FROM bk LEFT JOIN csd ON bk.doc_id = csd.doc_id)
+           |SELECT bucket, clf_decile, CAST(count(*) AS BIGINT) AS n_docs,
+           | CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+           |FROM x GROUP BY 1, 2
+           |ORDER BY bucket, clf_decile""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ccnet = graft.operators.LmScore.ccnetBuckets(docs, v = V)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"))
+      val clf = graft.operators.Classifier.withDeciles(
+        graft.operators.Classifier.trainScore(docs,
+          col("source").isin(seed: _*), minDf = 2))
+      ccnet.join(clf.select(col("doc_id"), col("decile")), Seq("doc_id"), "left")
+        .select(col("bucket"),
+          coalesce(col("decile"), lit(-1L)).as("clf_decile"),
+          col("n_tokens"))
+        .groupBy(col("bucket"), col("clf_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_total"))
+        .orderBy("bucket", "clf_decile")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
 }

@@ -80,7 +80,9 @@ object PlanAudit {
     "q197_sql_front_door" ->
       "global window on per-partition pack summaries inside the graft_pack branch: input <= #partitions rows (the q163 two-phase prefix sum)",
     "q200_corpus_build_v2" ->
-      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)")
+      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)",
+    "q208_quality_agreement" ->
+      "decile cumsum runs on the DISTINCT-score histogram: input <= 1e6+1 rows by value range (score_ppm is an integer ppm), never corpus rows")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else
@@ -112,6 +114,8 @@ object PlanAudit {
     "q180_semantic_decontam" ->
       "model-sized k-means assignment join on the eval probe side (c = 16 centroid rows)",
     "q184_tpch_q11" -> "single-row total-value threshold side — TPC-H Q11's scalar subquery",
+    "q208_quality_agreement" ->
+      "single-row scored-doc-count side against the distinct-score histogram (the q136 total idiom)",
     "q193_mix_temperature" ->
       "single-row weight-total side against the stratum-sized (checkpointed) availability table",
     "q201_mix_alpha_sweep" ->

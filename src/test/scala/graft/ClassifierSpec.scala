@@ -37,6 +37,20 @@ class ClassifierSpec extends SparkSpec {
     assert(s == Set((1L, 2L, 416666L), (2L, 3L, 222222L), (3L, 3L, 166666L)), s)
   }
 
+  test("withDeciles: rank deciles spread ties consistently, exact integer cuts") {
+    import spark.implicits._
+    // 10 docs, scores 100..1000 in steps of 100 with one tie at 500
+    val scores = Seq(
+      (1L, 5L, 100L), (2L, 5L, 200L), (3L, 5L, 300L), (4L, 5L, 400L),
+      (5L, 5L, 500L), (6L, 5L, 500L), (7L, 5L, 700L), (8L, 5L, 800L),
+      (9L, 5L, 900L), (10L, 5L, 1000L)).toDF("doc_id", "n_scored", "score_ppm")
+    val out = Classifier.withDeciles(scores).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // decile = docs-strictly-below * 10 div 10; the 500-tie shares decile 4
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L, 7L -> 6L, 8L -> 7L, 9L -> 8L, 10L -> 9L), out)
+  }
+
   test("scoreAgainst deploys frozen weights: per-batch scores == whole-corpus scores") {
     val weights = Classifier.fitOdds(docs, col("source") === "wiki")
       .localCheckpoint()
