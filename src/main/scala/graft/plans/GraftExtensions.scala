@@ -528,6 +528,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .map(r => (r.getString(0), r.getString(1))).toSeq
         graft.operators.Bpe.fertilityByLang(docs, ms)
       }
+      // classifier quality gate (q207): fit takes the seed-positive
+      // predicate as SQL text resolved against the docs table (the
+      // graft_dsir posture); score deploys a frozen weight table
+      tvf("graft_clf_fit") { (docs, a) =>
+        graft.operators.Classifier.fitOdds(docs,
+          expr(reqStr(a, 0, "graft_clf_fit", "pos_predicate")),
+          minDf = num(a, 1, 2, "graft_clf_fit").toInt)
+      }
+      tvf2("graft_clf_score") { (docs, weights, _) =>
+        graft.operators.Classifier.scoreAgainst(docs, weights)
+      }
     }
   }
 }

@@ -125,6 +125,14 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.Bpe.fertilityByLang(docs,
         merges.orderBy(col("round")).select("pair_a", "pair_b").collect()
           .map(r => (r.getString(0), r.getString(1))).toSeq))
+    val clfWeights = graft.operators.Classifier.fitOdds(docs,
+      col("source").isin("src0", "src1", "src2", "src3"))
+    clfWeights.createOrReplaceTempView("sql_clf_weights")
+    pin("SELECT * FROM graft_clf_fit('sql_docs', " +
+        "'source IN (''src0'', ''src1'', ''src2'', ''src3'')')",
+      clfWeights)
+    pin("SELECT * FROM graft_clf_score('sql_docs', 'sql_clf_weights')",
+      graft.operators.Classifier.scoreAgainst(docs, clfWeights))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
