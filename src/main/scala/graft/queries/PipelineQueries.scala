@@ -2564,32 +2564,50 @@ object PipelineQueries extends QueryFamily {
   // the whole train→deploy composition is exact int64/HUGEINT
   // arithmetic, so it rides the FULL oracle end-to-end (a
   // log-likelihood NB could not: libm ln is not engine-exact).
-  val q207 = {
-    val seed = Seq("src0", "src1", "src2", "src3")
-    val seedSql = seed.map(s => s"'$s'").mkString(", ")
-    Q(
-      "q207_quality_classifier",
-      s"""WITH dw AS (SELECT doc_id, source IN ($seedSql) AS is_pos,
-         |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
-         |      FROM documents),
-         |fw AS (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
-         |wt AS (SELECT word,
-         |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
-         |        CAST(count(*) AS BIGINT) AS cnt_all
-         |      FROM fw GROUP BY 1 HAVING count(*) >= 2),
-         |w2 AS (SELECT word,
-         |        CAST(CAST(cnt_pos AS HUGEINT) * 1000000 // cnt_all AS BIGINT) AS weight_ppm
-         |      FROM wt),
-         |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM fw GROUP BY 1, 2),
-         |s AS (SELECT doc_id, CAST(sum(cw) AS BIGINT) AS n_scored,
-         |        CAST(sum(cw * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm
-         |      FROM dcw JOIN w2 USING (word) GROUP BY 1)
-         |SELECT doc_id, n_scored, score_ppm FROM s
+  // shared seed split + classifier CTE chains (q207 scores, q208/q209
+  // deciles): cs = (doc_id, n_scored, score_ppm); the decile chain adds
+  // csd = (doc_id, decile) via the distinct-score histogram cumsum —
+  // the exact arithmetic Classifier.fitOdds/scoreAgainst/withDeciles
+  // run, so all three queries gate the same operator text
+  private val clfSeed = Seq("src0", "src1", "src2", "src3")
+  private val clfSeedSql = clfSeed.map(s => s"'$s'").mkString(", ")
+
+  private def clfOracleCtes(from: String = "documents",
+                            lead: String = "WITH "): String =
+    s"""${lead}dw AS (SELECT doc_id, source IN ($clfSeedSql) AS is_pos,
+       |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
+       |      FROM $from),
+       |fw AS MATERIALIZED (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
+       |wt AS (SELECT word,
+       |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |        CAST(count(*) AS BIGINT) AS cnt_all
+       |      FROM fw GROUP BY 1 HAVING count(*) >= 2),
+       |w2 AS (SELECT word,
+       |        CAST(CAST(cnt_pos AS HUGEINT) * 1000000 // cnt_all AS BIGINT) AS weight_ppm
+       |      FROM wt),
+       |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM fw GROUP BY 1, 2),
+       |cs AS MATERIALIZED (SELECT doc_id, CAST(sum(cw) AS BIGINT) AS n_scored,
+       |        CAST(sum(cw * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm
+       |      FROM dcw JOIN w2 USING (word) GROUP BY 1)""".stripMargin
+
+  private val clfDecileCtes: String =
+    s""",
+       |h AS (SELECT score_ppm, CAST(count(*) AS BIGINT) AS c FROM cs GROUP BY 1),
+       |hc AS (SELECT score_ppm, coalesce(sum(c) OVER (ORDER BY score_ppm
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
+       |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cs),
+       |dec AS (SELECT score_ppm, CAST(cb * 10 // n AS BIGINT) AS decile FROM hc, cn),
+       |csd AS (SELECT cs.doc_id, dec.decile FROM cs JOIN dec USING (score_ppm))""".stripMargin
+
+  val q207 = Q(
+    "q207_quality_classifier",
+    clfOracleCtes() +
+      s"""
+         |SELECT doc_id, n_scored, score_ppm FROM cs
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.operators.Classifier.trainScore(Tables.documents(s, d),
-          col("source").isin(seed: _*), minDf = 2)
-        .orderBy("doc_id")
-    }
+    graft.operators.Classifier.trainScore(Tables.documents(s, d),
+        col("source").isin(clfSeed: _*), minDf = 2)
+      .orderBy("doc_id")
   }
 
   // ---- q208: quality-signal agreement matrix -----------------------------
@@ -2603,32 +2621,11 @@ object PipelineQueries extends QueryFamily {
   // integer-exact; the cross-tab is counts + token sums only.
   val q208 = {
     val V = 16
-    val seed = Seq("src0", "src1", "src2", "src3")
-    val seedSql = seed.map(s => s"'$s'").mkString(", ")
     Q(
       "q208_quality_agreement",
       ccnetOracleCtes(V) +
+        clfOracleCtes(lead = ",\n") + clfDecileCtes +
         s""",
-           |dw AS (SELECT doc_id, source IN ($seedSql) AS is_pos,
-           |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
-           |      FROM documents),
-           |fw AS (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
-           |wt AS (SELECT word,
-           |        CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
-           |        CAST(count(*) AS BIGINT) AS cnt_all
-           |      FROM fw GROUP BY 1 HAVING count(*) >= 2),
-           |w2 AS (SELECT word,
-           |        CAST(CAST(cnt_pos AS HUGEINT) * 1000000 // cnt_all AS BIGINT) AS weight_ppm
-           |      FROM wt),
-           |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw FROM fw GROUP BY 1, 2),
-           |cs AS (SELECT doc_id, CAST(sum(cw * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm
-           |      FROM dcw JOIN w2 USING (word) GROUP BY 1),
-           |h AS (SELECT score_ppm, CAST(count(*) AS BIGINT) AS c FROM cs GROUP BY 1),
-           |hc AS (SELECT score_ppm, coalesce(sum(c) OVER (ORDER BY score_ppm
-           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM h),
-           |cn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cs),
-           |dec AS (SELECT score_ppm, CAST(cb * 10 // n AS BIGINT) AS decile FROM hc, cn),
-           |csd AS (SELECT cs.doc_id, dec.decile FROM cs JOIN dec USING (score_ppm)),
            |x AS (SELECT bk.bucket,
            |        CAST(coalesce(csd.decile, -1) AS BIGINT) AS clf_decile,
            |        bk.n_tokens
@@ -2642,7 +2639,7 @@ object PipelineQueries extends QueryFamily {
         .select(col("doc_id"), col("n_tokens"), col("bucket"))
       val clf = graft.operators.Classifier.withDeciles(
         graft.operators.Classifier.trainScore(docs,
-          col("source").isin(seed: _*), minDf = 2))
+          col("source").isin(clfSeed: _*), minDf = 2))
       ccnet.join(clf.select(col("doc_id"), col("decile")), Seq("doc_id"), "left")
         .select(col("bucket"),
           coalesce(col("decile"), lit(-1L)).as("clf_decile"),
@@ -2654,5 +2651,98 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208)
+  // ---- q209: corpus build v3 (dedup → classifier gate → CCNet → shards) --
+  // q200 plus the stage every 2024-era pipeline added between dedup and
+  // perplexity bucketing: the CLASSIFIER gate (q207 — FineWeb-Edu's
+  // recipe: dedup first, then the model-based filter, then curriculum).
+  // Keep-best survivors train the seed classifier; docs below rank
+  // decile 3 drop, as do unscored docs (no in-vocabulary words = no
+  // quality evidence — the stated q207 contract); the CCNet LM then
+  // fits on the TWICE-filtered corpus and its kept bands lay out into
+  // annealed curriculum shards. Every stage's fit artifact is
+  // construction-materialized corpus-thin state; the packer never
+  // touches text. FULL oracle: q200's chain + the shared classifier
+  // CTEs (from = surv) + the decile cut, integer-exact end to end.
+  val q209 = {
+    val V = 16; val L = 128; val BPS = 4; val SEED = 23L
+    val ST = BPS.toLong * L
+    val MinDecile = 3
+    Q(
+      "q209_corpus_build_v3",
+      s"""WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ($q62PairsSql)),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+         |      UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT a, b FROM e
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+         |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
+         |qm AS (SELECT doc_id,
+         |   CAST(len(w) AS INTEGER) AS n_words,
+         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
+         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+         |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
+         |ql AS (SELECT doc_id,
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+         |  FROM qm),
+         |losers AS (SELECT doc_id FROM (
+         |    SELECT comp.id AS doc_id, row_number() OVER
+         |      (PARTITION BY cluster_id ORDER BY ql.quality DESC, comp.id) AS rn
+         |    FROM comp JOIN ql ON ql.doc_id = comp.id)
+         |  WHERE rn > 1),
+         |surv AS MATERIALIZED (SELECT d0.doc_id, d0.source, d0.lang, d0.text FROM documents d0
+         |         LEFT JOIN losers USING (doc_id) WHERE losers.doc_id IS NULL),
+         |${clfOracleCtes(from = "surv", lead = "")}$clfDecileCtes,
+         |surv2 AS (SELECT surv.doc_id, surv.lang, surv.text
+         |          FROM surv JOIN csd USING (doc_id)
+         |          WHERE csd.decile >= $MinDecile),
+         |${ccnetOracleCtes(V, from = "surv2", lead = "")},
+         |kept AS (SELECT doc_id, n_tokens,
+         |          CASE WHEN bucket = 'middle' THEN 0 ELSE 1 END AS band_rank
+         |         FROM bk WHERE bucket <> 'tail'),
+         |pd AS (SELECT doc_id, n_tokens, band_rank,
+         |        ((doc_id % 2147483647) * 2654435761 + $SEED) % 2147483647 AS h FROM kept),
+         |pc AS (SELECT doc_id, n_tokens, band_rank, h,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY band_rank, h, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gs
+         |       FROM pd),
+         |pe AS (SELECT doc_id, gs, n_tokens, gs // $ST AS first_shard,
+         |        (gs + n_tokens - 1) // $ST AS last_shard FROM pc),
+         |px AS (SELECT pe.*, CAST(sh AS BIGINT) AS shard_id
+         |       FROM pe, unnest(range(first_shard, last_shard + 1)) AS u(sh))
+         |SELECT shard_id,
+         |  CAST(sum(CASE WHEN first_shard = shard_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+         |  CAST(count(*) AS BIGINT) AS n_docs_touching,
+         |  CAST(sum(least(gs + n_tokens, (shard_id + 1) * $ST) - greatest(gs, shard_id * $ST)) AS BIGINT) AS n_tokens,
+         |  shard_id * $BPS AS first_bin,
+         |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
+         |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val kb = Dedup.keepBest(docs, Dedup.minhashCandidates(docs))
+      val losers = kb.filter(col("kept") === 0).select(col("doc_id"))
+      val surv = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      // classifier gate on the DEDUPLICATED corpus (fit artifact
+      // materializes at construction, the trainScore posture); the
+      // unscored (left-semi misses nothing: unscored docs are absent
+      // from the decile table, so they drop here by construction)
+      val keepIds = graft.operators.Classifier.withDeciles(
+          graft.operators.Classifier.trainScore(surv,
+            col("source").isin(clfSeed: _*), minDf = 2))
+        .filter(col("decile") >= MinDecile)
+        .select(col("doc_id"))
+      val surv2 = surv.join(keepIds, Seq("doc_id"), "left_semi")
+      val kept = graft.operators.LmScore.ccnetBuckets(surv2, v = V)
+        .filter(col("bucket") =!= "tail")
+        .withColumn("band_rank",
+          when(col("bucket") === "middle", 0L).otherwise(1L))
+        .select(col("doc_id"), col("n_tokens"), col("band_rank"))
+        .localCheckpoint()
+      graft.operators.Pack
+        .shardManifestCounted(kept, seqLen = L, binsPerShard = BPS,
+          seed = SEED, orderPrefix = Seq("band_rank"))
+        .orderBy("shard_id")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
 }

@@ -82,7 +82,9 @@ object PlanAudit {
     "q200_corpus_build_v2" ->
       "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum)",
     "q208_quality_agreement" ->
-      "decile cumsum runs on the DISTINCT-score histogram: input <= 1e6+1 rows by value range (score_ppm is an integer ppm), never corpus rows")
+      "decile cumsum runs on the DISTINCT-score histogram: input <= 1e6+1 rows by value range (score_ppm is an integer ppm), never corpus rows",
+    "q209_corpus_build_v3" ->
+      "global window on per-partition pack summaries over the checkpointed kept-band table: input <= #partitions rows (the q163 two-phase prefix sum; the classifier-decile window materializes at construction)")
 
   /** Queries allowed a BroadcastNestedLoopJoin / CartesianProduct, each
     * with the proof the nested-loop side is bounded. Everything else
