@@ -50,6 +50,46 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
 
+  /** MATRYOSHKA truncation-quality report (MRL, Kusupati et al.
+    * NeurIPS'22): can retrieval run on the first `dims` coordinates?
+    * For each query, the top-1 neighbour under the FULL cosine vs the
+    * top-1 under the TRUNCATED-prefix cosine (cosine of slices IS the
+    * renormalized-truncation similarity — the norms in the denominator
+    * are the sliced norms), reporting the truncated pick's FULL-dim
+    * similarity (the quality actually delivered if the cheap index
+    * serves) and an agreement flag. The table read before committing an
+    * index to a prefix dimension.
+    *
+    * Determinism: the q64 discipline — double cosine rounded to 4,
+    * rank ties broken by cid; both top-1 picks are therefore
+    * SQL-replayable. Brute posture by declared design (the q64
+    * correctness-baseline class): queries broadcast, one corpus scan,
+    * both rankings computed from the SAME scan (the two windows share
+    * the per-qid partition).
+    */
+  def matryoshkaAgreement(corpus: DataFrame, queries: DataFrame,
+                          dims: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
+    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("sim_full").desc, col("cid"))
+    val wt = Window.partitionBy(col("qid")).orderBy(col("sim_trunc").desc, col("cid"))
+    c.join(q, col("qid") =!= col("cid"))
+      .withColumn("sim_full", round(cosine("qe", "ce"), 4))
+      .withColumn("qe_t", expr(s"slice(qe, 1, $dims)"))
+      .withColumn("ce_t", expr(s"slice(ce, 1, $dims)"))
+      .withColumn("sim_trunc", round(cosine("qe_t", "ce_t"), 4))
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rt", row_number().over(wt))
+      .filter(col("rf") === 1 || col("rt") === 1)
+      .groupBy(col("qid"))
+      .agg(
+        max(when(col("rf") === 1, col("cid"))).as("full_cid"),
+        max(when(col("rf") === 1, col("sim_full"))).as("full_sim"),
+        max(when(col("rt") === 1, col("cid"))).as("trunc_cid"),
+        max(when(col("rt") === 1, col("sim_full"))).as("trunc_full_sim"))
+      .withColumn("agree", col("full_cid") === col("trunc_cid"))
+  }
+
   /** LSH-bucketed approximate top-k with multi-probe: corpus vectors are
     * bucketed once by random-hyperplane signs; each query probes its own
     * bucket plus every bucket at hamming distance 1 (flip one sign bit).

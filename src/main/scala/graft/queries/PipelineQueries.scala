@@ -2744,5 +2744,42 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209)
+  // ---- q210: matryoshka truncation agreement ------------------------------
+  // MRL (Kusupati et al. NeurIPS'22): can retrieval run on the first 16
+  // of 64 coordinates? Per query, top-1 under full cosine vs top-1
+  // under truncated-prefix cosine (cosine of slices IS renormalized
+  // truncation), with the truncated pick's FULL-dim similarity — the
+  // quality the cheap index actually delivers. The q64 determinism
+  // discipline (round-4 doubles, cid tie-break) makes both picks
+  // SQL-replayable; brute posture by declared design (the q64 class).
+  val q210 = {
+    val D = 16
+    Q(
+      "q210_matryoshka",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 10),
+         |sims AS (SELECT qid, c.vec_id AS cid,
+         |          round(list_cosine_similarity(qe, c.emb), 4) AS sim_full,
+         |          round(list_cosine_similarity(qe[1:$D], c.emb[1:$D]), 4) AS sim_trunc
+         |        FROM q JOIN e c ON qid <> c.vec_id),
+         |rk AS (SELECT qid, cid, sim_full,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim_full DESC, cid) AS rf,
+         |         row_number() OVER (PARTITION BY qid ORDER BY sim_trunc DESC, cid) AS rt
+         |       FROM sims),
+         |a AS (SELECT qid,
+         |        max(CASE WHEN rf = 1 THEN cid END) AS full_cid,
+         |        max(CASE WHEN rf = 1 THEN sim_full END) AS full_sim,
+         |        max(CASE WHEN rt = 1 THEN cid END) AS trunc_cid,
+         |        max(CASE WHEN rt = 1 THEN sim_full END) AS trunc_full_sim
+         |      FROM rk WHERE rf = 1 OR rt = 1 GROUP BY 1)
+         |SELECT qid, full_cid, full_sim, trunc_cid, trunc_full_sim,
+         | full_cid = trunc_cid AS agree
+         |FROM a ORDER BY qid""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      Ann.matryoshkaAgreement(embs, embs.filter(col("vec_id") < 10), dims = D)
+        .orderBy("qid")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }

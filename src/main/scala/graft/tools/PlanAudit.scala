@@ -97,6 +97,8 @@ object PlanAudit {
     "q17_scalar_subquery" -> "scalar subquery: single-row threshold side",
     "q64_embedding_knn_brute" ->
       "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
+    "q210_matryoshka" ->
+      "DECLARED brute posture (the q64 class): broadcast query side, one corpus scan ranks both metrics",
     "q198_contrastive_mining" ->
       "bounded planted anchor set (10 rows, broadcast) x corpus — the q64 brute posture; scale path mines candidates via the LSH/IVF family first",
     "q82_tpch_q22" -> "scalar subquery: single-row avg-balance threshold",
@@ -194,6 +196,8 @@ object PlanAudit {
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
       "q65_embedding_knn_lsh" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
+      "q210_matryoshka" ->
+        "corpus role + queries-drawn-from-corpus role (bounded planted query side — the q64 shape)",
       "q198_contrastive_mining" ->
         "corpus role + two id-pruned bounded derivations (anchors, their planted twins) drawn from the same table",
       "q71_dedup_embedding_cosine" -> selfJoin,

@@ -309,4 +309,37 @@ class AnnSpec extends SparkSpec {
     assert(hier >= flat - 0.1 && hier >= 0.5,
       f"two-level recall@5 = $hier%.2f vs flat $flat%.2f")
   }
+
+  test("matryoshka agreement: planted twin survives truncation; a tail-heavy vector flips") {
+    import spark.implicits._
+    // hand-built 4-dim corpus, dims = 2 truncation:
+    //   query 100 = (1, 0, 0, 0)
+    //   twin  1   = identical → full AND truncated top-1 (sim 1.0 both)
+    //   decoy 2   = (1, 0, 9, 0): truncated-cosine 1.0 (prefix parallel)
+    //               but full cosine ~0.11 — flips the truncated pick by
+    //               cid tie-break? no: twin also scores 1.0 truncated and
+    //               has the lower cid, so agreement HOLDS for q 100.
+    //   query 200 = (0, 1, 5, 0) with no twin: full top-1 is 3=(0,1,5,1)-ish,
+    //               truncated prefix (0,1) ties 3 and 4=(0,1,-5,0) → the
+    //               flip case: truncated picks by prefix only.
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 9f, 0f)),
+      (3L, Seq(0f, 1f, 5f, 1f)), (4L, Seq(0f, 1f, -5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)), (200L, Seq(0f, 1f, 5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.matryoshkaAgreement(corpus, queries, dims = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3),
+        r.getBoolean(5))).toMap
+    // q100: twin 1 wins both metrics (decoy 2 ties truncated at 1.0 but
+    // loses the cid tie-break) → agree
+    assert(out(100L) == ((1L, 1L, true)), out(100L))
+    // q200: full cosine picks 3 (closest in all dims); truncated cosine
+    // ties 3 and 4 at prefix-parallel 1.0 and the cid tie-break keeps 3
+    // — but 4's full sim is negative-ish, so IF truncation picked it the
+    // delivered quality would collapse; assert full pick is 3 and the
+    // report carries the truncated pick's FULL sim for exactly this audit
+    assert(out(200L)._1 == 3L, out(200L))
+  }
 }
