@@ -539,6 +539,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tvf2("graft_clf_score") { (docs, weights, _) =>
         graft.operators.Classifier.scoreAgainst(docs, weights)
       }
+      tvf2("graft_matryoshka") { (corpus, queries, a) =>
+        graft.operators.Ann.matryoshkaAgreement(corpus, queries,
+          dims = num(a, 0, 16, "graft_matryoshka").toInt)
+      }
     }
   }
 }

@@ -133,6 +133,9 @@ class SqlSurfaceSpec extends SparkSpec {
       clfWeights)
     pin("SELECT * FROM graft_clf_score('sql_docs', 'sql_clf_weights')",
       graft.operators.Classifier.scoreAgainst(docs, clfWeights))
+    pin("SELECT * FROM graft_matryoshka('sql_embs', 'sql_queries', 16)",
+      graft.operators.Ann.matryoshkaAgreement(embs,
+        embs.filter(col("vec_id") < 5), dims = 16))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
