@@ -45,7 +45,9 @@ object Classifier {
     * `minDf` (rare words carry label noise, not signal — the fastText
     * minCount knob). `posPred` is evaluated against the full document
     * row (the q128 evalDocPred posture: in production the positive set
-    * is the curated corpus, here a column predicate).
+    * is the curated corpus, here a column predicate). A NULL predicate
+    * result (e.g. a NULL source) counts as NEGATIVE — stated contract:
+    * unlabeled mass is background, never silently positive.
     *
     * cnt_pos·10⁶ runs in DECIMAL(38,0) (HUGEINT in the oracle): a stop
     * word's corpus count crosses the int64·10⁶ wrap (~9.2e12) far

@@ -535,7 +535,11 @@ object Dedup {
     * recomputes the matrix from pairs + meta only. Loud contract: a
     * pair endpoint missing from `meta` is inconsistent accumulated
     * state — an inner join would silently drop the pair; fail instead.
-    * Pairs must carry (doc_a, doc_b, est_jaccard).
+    * Pairs must carry (doc_a, doc_b, est_jaccard) where est_jaccard is
+    * the MINHASH m/32 estimate (an exact dyadic double — the ·32
+    * recovery below depends on it); pairs from a continuous-similarity
+    * source (e.g. jaccardPairs) would silently quantize to 1/32 steps —
+    * attach sources to those with a plain join instead.
     */
   def leakageFromState(meta: DataFrame, pairs: DataFrame): DataFrame = {
     def loud(c: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
