@@ -2781,5 +2781,56 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+  // ---- q211: dedup ROI curve ----------------------------------------------
+  // What does each dedup operating point buy? Corpus-wide removal at a
+  // sweep of minhash thresholds (every sweep point a m/32 dyadic — the
+  // est comparisons are float-exact on both engines): q155 calibrates
+  // the threshold against ground truth, this PRICES each choice in
+  // docs/tokens removed. One candidate table serves every threshold
+  // (the q189 built-once discipline); each threshold pays only its own
+  // near-dup-sized pair closure — never a second corpus scan.
+  val q211 = {
+    val thresholds = Seq(0.5, 0.625, 0.75, 0.875)
+    def chain(t: Double): String = {
+      val g = math.round(t * 32).toString
+      s"""p_$g AS (SELECT doc_a, doc_b FROM pr WHERE est_jaccard >= $t),
+         |e_$g AS (SELECT doc_a AS a, doc_b AS b FROM p_$g
+         |         UNION SELECT doc_b, doc_a FROM p_$g),
+         |r_$g(id, r) AS (
+         |  SELECT a, b FROM e_$g
+         |  UNION
+         |  SELECT r_$g.id, e_$g.b FROM r_$g JOIN e_$g ON r_$g.r = e_$g.a),
+         |c_$g AS (SELECT id, least(id, min(r)) AS cluster_id FROM r_$g GROUP BY id),
+         |s_$g AS (SELECT CAST($t AS DOUBLE) AS threshold,
+         |         (SELECT CAST(count(*) AS BIGINT) FROM p_$g) AS n_pairs,
+         |         CAST(count(*) AS BIGINT) AS docs_removed,
+         |         CAST(coalesce(sum(d.toks), 0) AS BIGINT) AS tokens_removed
+         |       FROM c_$g JOIN d ON c_$g.id = d.doc_id
+         |       WHERE c_$g.id <> c_$g.cluster_id)""".stripMargin
+    }
+    Q(
+      "q211_dedup_roi",
+      s"""WITH RECURSIVE pr AS MATERIALIZED (SELECT doc_a, doc_b, est_jaccard FROM ($q62PairsSql)),
+         |d AS MATERIALIZED (SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+         | FROM documents),
+         |tt AS (SELECT CAST(sum(toks) AS BIGINT) AS tokens_total FROM d),
+         |${thresholds.map(chain).mkString(",\n")}
+         |SELECT threshold, n_pairs, docs_removed, tokens_removed,
+         | CAST(CAST(tokens_removed AS HUGEINT) * 1000000
+         |   // (SELECT tokens_total FROM tt) AS BIGINT) AS removal_ppm
+         |FROM (${thresholds.map(t => s"SELECT * FROM s_${math.round(t * 32)}")
+            .mkString(" UNION ALL ")})
+         |ORDER BY threshold""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val meta = docs.select(col("doc_id"),
+        expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"))
+        .localCheckpoint(true)
+      val pairs = Dedup.minhashCandidates(docs).localCheckpoint(true)
+      graft.operators.Components.roiSweep(meta, pairs, thresholds)
+        .orderBy("threshold")
+    }
+  }
+
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }

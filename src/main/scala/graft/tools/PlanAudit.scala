@@ -99,6 +99,8 @@ object PlanAudit {
       "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
     "q210_matryoshka" ->
       "DECLARED brute posture (the q64 class): broadcast query side, one corpus scan ranks both metrics",
+    "q211_dedup_roi" ->
+      "single-row totals per sweep point (n_pairs count + corpus token total — the q136 idiom), 2 per threshold x 4 thresholds",
     "q198_contrastive_mining" ->
       "bounded planted anchor set (10 rows, broadcast) x corpus — the q64 brute posture; scale path mines candidates via the LSH/IVF family first",
     "q82_tpch_q22" -> "scalar subquery: single-row avg-balance threshold",

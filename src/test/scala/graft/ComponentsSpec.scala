@@ -141,6 +141,22 @@ class ComponentsSpec extends SparkSpec {
     assert(run(1) == run(8))
   }
 
+  test("roiSweep: removal is monotone non-increasing in the threshold") {
+    // pair (1,2) at est 1.0 survives every sweep point; pair (3,4) at
+    // est 0.625 drops at 0.75+ — the curve must step down, never up
+    val meta = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("doc_id", "toks")
+    val pairs = Seq((1L, 2L, 1.0), (3L, 4L, 0.625))
+      .toDF("doc_a", "doc_b", "est_jaccard")
+    val out = Components.roiSweep(meta, pairs, Seq(0.5, 0.75, 1.0)).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // total tokens 150; at 0.5 both pairs: removed {2, 4} = 60 toks
+    assert(out(0.5) == ((2L, 2L, 60L, 400000L)), out(0.5))
+    assert(out(0.75) == ((1L, 1L, 20L, 133333L)), out(0.75))
+    assert(out(1.0) == ((1L, 1L, 20L, 133333L)), out(1.0))
+  }
+
   test("savingsBySource: removable docs/tokens and exact ppm per source") {
     // cluster {1,2} inside web; cluster {4,5} SPANS books/wiki — the
     // canonical (min id, doc 4) stays in books, so books shows dup but
