@@ -57,7 +57,9 @@ object Bench {
       if (new java.io.File(sfDir).getName == "sf1") Map(
         "q142_ivfpq_ann" -> 5.705, "q189_learned_threshold_dedup" -> 7.359,
         "q191_span_excision" -> 6.940, "q195_tokenized_packing" -> 4.832,
-        "q203_graph_ann" -> 15.169)
+        "q203_graph_ann" -> 15.169,
+        // r14-continuation pins (BENCH_LOCAL_sf1_r14 re-record)
+        "q209_corpus_build_v3" -> 10.662, "q211_dedup_roi" -> 5.825)
       else Map(
         "q03_tpch_q3" -> 1.214, "q19_correlated_subquery" -> 0.690,
         "q142_ivfpq_ann" -> 4.615, "q146_bloom_semi_join" -> 0.639,
@@ -65,7 +67,10 @@ object Bench {
         "q162_winnow_extents" -> 0.420, "q163_sequence_packing" -> 0.300,
         "q189_learned_threshold_dedup" -> 4.274,
         "q191_span_excision" -> 3.032, "q195_tokenized_packing" -> 3.398,
-        "q203_graph_ann" -> 8.806)
+        "q203_graph_ann" -> 8.806,
+        // r14-continuation pins (BENCH_LOCAL_r14 re-record): the two
+        // heaviest new compositions join the registry
+        "q209_corpus_build_v3" -> 8.329, "q211_dedup_roi" -> 5.721)
     // stage completions stream in asynchronously; the buffer is cleared
     // per timed run and snapshotted (after a short drain) only when a
     // floor breach makes the detail worth keeping
