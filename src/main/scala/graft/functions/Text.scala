@@ -17,6 +17,20 @@ object Text {
   /** Words of the normalized text. */
   def words(c: Column): Column = split(normText(c), " ")
 
+  /** (carry…, word) rows over the ENGINE-PARITY training alphabet:
+    * normalized words exploded, empty forms dropped, only
+    * `^[a-z0-9]+$` forms kept. ONE definition of the alphabet contract
+    * shared by the BPE and classifier families — the FULL-oracle
+    * queries replay it as `list_filter` + `regexp_full_match`, so a
+    * drift between copies would break hash-matched oracles; keep every
+    * consumer on this helper.
+    */
+  def alphabetWords(docs: org.apache.spark.sql.DataFrame,
+                    carry: Seq[Column] = Nil): org.apache.spark.sql.DataFrame =
+    docs.select(carry :+
+        explode(filter(words(col("text")), w => w =!= lit(""))).as("word"): _*)
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+
   /** Word n-gram shingles over an existing array column (by name).
     * expr-based because the lambda needs positional element access.
     */

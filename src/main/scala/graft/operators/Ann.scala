@@ -69,6 +69,11 @@ object Ann {
     */
   def matryoshkaAgreement(corpus: DataFrame, queries: DataFrame,
                           dims: Int): DataFrame = {
+    // loud argument contract: dims <= 0 slices to empty arrays whose
+    // 0/0 cosine is NaN — every truncated top-1 would degenerate to the
+    // min-cid row and the report would LOOK normal (the silent-bend
+    // class); fail here instead
+    require(dims >= 1, s"matryoshka prefix dims must be >= 1, got $dims")
     val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
     val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
     val wf = Window.partitionBy(col("qid")).orderBy(col("sim_full").desc, col("cid"))

@@ -416,16 +416,28 @@ object Bpe {
     * n_tokens ≥ 1 invariant (the shards-spanned sequence explode must
     * never see a descending range). Returns (doc_id, n_tokens).
     */
-  def encodeDocCounts(docs: DataFrame,
-                      merges: Seq[(String, String)]): DataFrame = {
-    val wordLen = wordFreq(docs)
-      .filter(col("word").rlike("^[a-z0-9]+$"))
-      .select(col("word"), expr(
+  /** word → (word, wchars, n_sub): character count and subword count
+    * under a trained merge list — the vocab-sized kernel fold SHARED by
+    * [[encodeDocCounts]] and [[fertilityFromUsage]]. Parity-load-
+    * bearing: the syms construction and the empty-merges branch are
+    * replayed character-for-character by the q179/q182/q195/q206
+    * oracles, so there must be exactly ONE copy.
+    */
+  private def wordSubwordLengths(words: DataFrame,
+                                 merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"), expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
-      .select(col("word"),
+      .select(col("word"), length(col("word")).cast("long").as("wchars"),
         (if (merges.isEmpty) size(col("syms"))
          else size(graft.plans.NativeFunctions.bpeEncode(col("syms"), merges)))
           .cast("long").as("n_sub"))
+
+  def encodeDocCounts(docs: DataFrame,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val wordLen = wordSubwordLengths(
+      wordFreq(docs).filter(col("word").rlike("^[a-z0-9]+$"))
+        .select(col("word")), merges)
+      .select(col("word"), col("n_sub"))
     // explode_outer keeps zero-word docs as one null-word row (counts 1
     // through the UNK coalesce below — never dropped)
     val dw = docs
@@ -481,11 +493,7 @@ object Bpe {
     * (vocab·L-sized; one map-side-combined shuffle per batch).
     */
   def usageByLang(docs: DataFrame): DataFrame =
-    docs
-      .select(col("lang"),
-        explode(filter(graft.functions.Text.words(col("text")),
-          w => w =!= lit(""))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+    graft.functions.Text.alphabetWords(docs, Seq(col("lang")))
       .groupBy(col("lang"), col("word"))
       .agg(count(lit(1)).as("cw"))
 
@@ -506,13 +514,7 @@ object Bpe {
     */
   def fertilityFromUsage(usage: DataFrame,
                          merges: Seq[(String, String)]): DataFrame = {
-    val wordLen = usage.select(col("word")).distinct()
-      .select(col("word"), expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
-      .select(col("word"), length(col("word")).cast("long").as("wchars"),
-        (if (merges.isEmpty) size(col("syms"))
-         else size(graft.plans.NativeFunctions.bpeEncode(col("syms"), merges)))
-          .cast("long").as("n_sub"))
+    val wordLen = wordSubwordLengths(usage.select(col("word")).distinct(), merges)
     usage.join(wordLen, Seq("word"))
       .groupBy(col("lang"))
       .agg(sum(col("cw")).as("n_words"),

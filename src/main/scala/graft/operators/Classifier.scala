@@ -31,14 +31,11 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** The training alphabet (the Bpe contract): lowercase alnum word
-    * forms only — corpus text is pre-normalized upstream.
+  /** The training alphabet (the shared Text.alphabetWords contract):
+    * lowercase alnum word forms only.
     */
   private def words(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(filter(graft.functions.Text.words(col("text")),
-        w => w =!= lit(""))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+    graft.functions.Text.alphabetWords(docs, Seq(col("doc_id")))
 
   /** Per-word integer odds weights from a labeled seed split:
     * (word, cnt_pos, cnt_all, weight_ppm) for words with cnt_all ≥
@@ -54,10 +51,7 @@ object Classifier {
     * below 100 TB — the Mix overflow discipline.
     */
   def fitOdds(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
-    docs.select(posPred.as("is_pos"),
-        explode(filter(graft.functions.Text.words(col("text")),
-          w => w =!= lit(""))).as("word"))
-      .filter(col("word").rlike("^[a-z0-9]+$"))
+    graft.functions.Text.alphabetWords(docs, Seq(posPred.as("is_pos")))
       .groupBy(col("word"))
       .agg(sum(when(col("is_pos"), 1L).otherwise(0L)).as("cnt_pos"),
         count(lit(1)).as("cnt_all"))

@@ -190,6 +190,50 @@ object Components {
       expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks")),
       edges)
 
+  /** Dedup ROI curve — [[savingsBySource]]'s what-if sweep: corpus-wide
+    * removal at EACH candidate similarity threshold, the curve a
+    * curator reads to pick the dedup operating point (q155 calibrates
+    * the threshold against ground truth; this prices each choice in
+    * docs/tokens removed). One candidate table serves every threshold
+    * (the q189 built-once discipline — `pairs` must carry est_jaccard
+    * and be materialized by the caller); each threshold pays only its
+    * own pair-subset closure, and pair sets are near-dup-sized, so the
+    * sweep costs T small closures, never T corpus scans.
+    *
+    * Returns (threshold, n_pairs, docs_removed, tokens_removed,
+    * removal_ppm) per threshold; removal_ppm is against the WHOLE
+    * corpus token mass (HUGEINT-widened — the Mix discipline). Shares
+    * the [[savingsFromState]] loud contract: a removed cluster member
+    * missing from `meta` means inconsistent accumulated state — an
+    * inner join would silently under-price every threshold; fail
+    * instead.
+    */
+  def roiSweep(meta: DataFrame, pairs: DataFrame,
+               thresholds: Seq[Double]): DataFrame = {
+    val tot = meta.agg(sum(col("toks")).as("tokens_total"))
+    thresholds.map { t =>
+      val pt = pairs.filter(col("est_jaccard") >= t)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = dedupClusters(pt).select(col("doc_id"), col("cluster_id"))
+      cl.filter(col("doc_id") =!= col("cluster_id"))
+        .join(meta, Seq("doc_id"), "left")
+        .filter(assert_true(col("toks").isNotNull,
+          concat(lit("Components.roiSweep: removed cluster member "),
+            col("doc_id").cast("string"),
+            lit(" has no accumulated (doc_id, toks) meta row — every " +
+              "ingested batch must contribute its thin projection"))).isNull)
+        .agg(count(lit(1)).as("docs_removed"),
+          sum(col("toks")).as("tokens_removed"))
+        .crossJoin(broadcast(pt.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(tot))
+        .select(lit(t).as("threshold"), col("n_pairs"),
+          col("docs_removed"),
+          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+          expr("cast(cast(coalesce(tokens_removed, 0) as decimal(38,0)) " +
+            "* 1000000 div tokens_total as bigint)").as("removal_ppm"))
+    }.reduce(_ unionByName _)
+  }
+
   /** [[savingsBySource]] over already-projected state — the STREAMING
     * ingestion face: a continuous ingestion keeps the corpus-THIN
     * (doc_id, source, toks) meta table (each batch's map-side
@@ -205,41 +249,6 @@ object Components {
     * inconsistent — a plain left join from meta would silently DROP
     * that cluster member and under-report removal; fail instead.
     */
-  /** Dedup ROI curve — [[savingsBySource]]'s what-if sweep: corpus-wide
-    * removal at EACH candidate similarity threshold, the curve a
-    * curator reads to pick the dedup operating point (q155 calibrates
-    * the threshold against ground truth; this prices each choice in
-    * docs/tokens removed). One candidate table serves every threshold
-    * (the q189 built-once discipline — `pairs` must carry est_jaccard
-    * and be materialized by the caller); each threshold pays only its
-    * own pair-subset closure, and pair sets are near-dup-sized, so the
-    * sweep costs T small closures, never T corpus scans.
-    *
-    * Returns (threshold, n_pairs, docs_removed, tokens_removed,
-    * removal_ppm) per threshold; removal_ppm is against the WHOLE
-    * corpus token mass (HUGEINT-widened — the Mix discipline).
-    */
-  def roiSweep(meta: DataFrame, pairs: DataFrame,
-               thresholds: Seq[Double]): DataFrame = {
-    val tot = meta.agg(sum(col("toks")).as("tokens_total"))
-    thresholds.map { t =>
-      val pt = pairs.filter(col("est_jaccard") >= t)
-        .select(col("doc_a"), col("doc_b"))
-      val cl = dedupClusters(pt).select(col("doc_id"), col("cluster_id"))
-      cl.filter(col("doc_id") =!= col("cluster_id"))
-        .join(meta, Seq("doc_id"))
-        .agg(count(lit(1)).as("docs_removed"),
-          sum(col("toks")).as("tokens_removed"))
-        .crossJoin(broadcast(pt.agg(count(lit(1)).as("n_pairs"))))
-        .crossJoin(broadcast(tot))
-        .select(lit(t).as("threshold"), col("n_pairs"),
-          col("docs_removed"),
-          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
-          expr("cast(cast(coalesce(tokens_removed, 0) as decimal(38,0)) " +
-            "* 1000000 div tokens_total as bigint)").as("removal_ppm"))
-    }.reduce(_ unionByName _)
-  }
-
   def savingsFromState(meta: DataFrame, edges: DataFrame): DataFrame = {
     val cl = dedupClusters(edges).select(col("doc_id"), col("cluster_id"))
     val removed = col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id")

@@ -2719,7 +2719,12 @@ object PipelineQueries extends QueryFamily {
          |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
       val kb = Dedup.keepBest(docs, Dedup.minhashCandidates(docs))
+      // cluster-member-sized, materialized ONCE: surv has THREE eager
+      // consumers downstream (classifier fit, decile histogram, ccnet
+      // scored-thin) — an unmaterialized loser set re-runs the whole
+      // keepBest scoring pipeline per consumer
       val losers = kb.filter(col("kept") === 0).select(col("doc_id"))
+        .localCheckpoint(true)
       val surv = docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
       // classifier gate on the DEDUPLICATED corpus (fit artifact
       // materializes at construction, the trainScore posture); the

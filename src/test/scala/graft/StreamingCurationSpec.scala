@@ -121,6 +121,30 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batchOut, s"stream $streamed != batch $batchOut")
   }
 
+  test("leakageFromState fails loudly on a pair endpoint missing from meta") {
+    import spark.implicits._
+    val meta = Seq((1L, "web")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
+    val e = intercept[Exception] {
+      Dedup.leakageFromState(meta, pairs).collect()
+    }
+    assert(e.getMessage.contains("no accumulated")
+      || Option(e.getCause).exists(_.getMessage.contains("no accumulated")),
+      e.getMessage)
+  }
+
+  test("roiSweep fails loudly on a removed member missing from meta") {
+    import spark.implicits._
+    val meta = Seq((1L, 5L)).toDF("doc_id", "toks")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
+    val e = intercept[Exception] {
+      Components.roiSweep(meta, pairs, Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("no accumulated")
+      || Option(e.getCause).exists(_.getMessage.contains("no accumulated")),
+      e.getMessage)
+  }
+
   test("savingsFromState fails loudly on a cluster member missing from meta") {
     import spark.implicits._
     val meta = Seq((1L, "web", 5L)).toDF("doc_id", "source", "toks")
