@@ -121,6 +121,30 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batchOut, s"stream $streamed != batch $batchOut")
   }
 
+  test("streaming classifier: frozen weights over foreachBatch == whole-corpus scores") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val fitted = graft.operators.Classifier.fitOdds(corpusDf,
+      col("source") === "web").localCheckpoint()
+    val whole = graft.operators.Classifier.scoreAgainst(corpusDf, fitted)
+      .collect().map(_.toSeq).toSet
+    assert(whole.nonEmpty)
+    val stream = MemoryStream[CurDoc]
+    val acc = collection.mutable.Set[Seq[Any]]()
+    val query = stream.toDF().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        acc ++= graft.operators.Classifier
+          .scoreAgainst(b.select("doc_id", "text"), fitted)
+          .collect().map(_.toSeq)
+        ()
+      }
+      .start()
+    try {
+      inBatches.foreach { g => stream.addData(g); query.processAllAvailable() }
+    } finally query.stop()
+    assert(acc.toSet == whole, s"stream ${acc.toSet} != batch $whole")
+  }
+
   test("leakageFromState fails loudly on a pair endpoint missing from meta") {
     import spark.implicits._
     val meta = Seq((1L, "web")).toDF("doc_id", "source")
