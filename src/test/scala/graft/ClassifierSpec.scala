@@ -37,6 +37,20 @@ class ClassifierSpec extends SparkSpec {
     assert(s == Set((1L, 2L, 416666L), (2L, 3L, 222222L), (3L, 3L, 166666L)), s)
   }
 
+  test("fitOdds: a NULL seed-predicate result counts as negative (stated contract)") {
+    import spark.implicits._
+    // doc 3's source is NULL → source === "wiki" evaluates NULL → the
+    // doc's words must land in cnt_all but never cnt_pos
+    val d = Seq(
+      (1L, "term term", Some("wiki")),
+      (2L, "term", Some("web")),
+      (3L, "term", None: Option[String])
+    ).toDF("doc_id", "text", "source")
+    val w = Classifier.fitOdds(d, col("source") === "wiki", minDf = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(w("term") == ((2L, 4L)), w)
+  }
+
   test("withDeciles: rank deciles spread ties consistently, exact integer cuts") {
     import spark.implicits._
     // 10 docs, scores 100..1000 in steps of 100 with one tie at 500
