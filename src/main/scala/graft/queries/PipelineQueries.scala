@@ -2749,6 +2749,38 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
+  // ---- q212: classifier bias audit ----------------------------------------
+  // Does the seed classifier just memorize its seed sources? Mean
+  // classifier score per source with the seed flag attached — seed
+  // sources scoring far above every non-seed source is the known
+  // failure mode of seed-set quality classifiers (the reason
+  // FineWeb-Edu audits its scorer against held-out raters). Integer
+  // mean discipline: sum(score_ppm) runs widened, mean = sum div n —
+  // exact on both engines. The source attribution reads a corpus-thin
+  // checkpointed (doc_id, source) projection (one in-plan scan).
+  val q212 = Q(
+    "q212_classifier_bias",
+    clfOracleCtes() +
+      s""",
+         |mt AS (SELECT doc_id, source, source IN ($clfSeedSql) AS is_seed FROM documents),
+         |j AS (SELECT mt.source, mt.is_seed, cs.score_ppm FROM cs JOIN mt USING (doc_id))
+         |SELECT source, is_seed, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm
+         |FROM j GROUP BY 1, 2
+         |ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val meta = docs.select(col("doc_id"), col("source"),
+      col("source").isin(clfSeed: _*).as("is_seed")).localCheckpoint(true)
+    graft.operators.Classifier.trainScore(docs, col("source").isin(clfSeed: _*))
+      .select(col("doc_id"), col("score_ppm"))
+      .join(meta, Seq("doc_id"))
+      .groupBy(col("source"), col("is_seed"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("cast(sum(cast(score_ppm as decimal(38,0))) div count(1) as bigint)")
+          .as("mean_score_ppm"))
+      .orderBy("source")
+  }
+
   // ---- q210: matryoshka truncation agreement ------------------------------
   // MRL (Kusupati et al. NeurIPS'22): can retrieval run on the first 16
   // of 64 coordinates? Per query, top-1 under full cosine vs top-1
@@ -2837,5 +2869,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
 }
