@@ -104,6 +104,38 @@ object BingTile {
     array_sort(filter(nbrs, _.isNotNull))
   }
 
+  /** geometry_to_bing_tiles for the ENVELOPE subset (reference:
+    * geospatial.rst:510 `geometry_to_bing_tiles`; the general
+    * curved-geometry form stays under the documented library-kernel
+    * exclusion — a box cover is pure tile-range arithmetic, which is
+    * all the repo's rectilinear geometry layer (q154 Envelope algebra)
+    * can produce anyway). The tile COVER of the box
+    * [lonMin, lonMax] × [latMin, latMax] at `zoom`: the x range is the
+    * tiles of the two meridian edges, the y range the tiles of the two
+    * parallel edges (Mercator y grows SOUTHWARD, so latMax gives y0),
+    * and the cover is their cross product — returned as an array of
+    * (x, y, qk) structs for the caller to explode.
+    *
+    * Bounded-by-construction: the array is (x1−x0+1)·(y1−y0+1) entries,
+    * set by the caller's zoom choice against its box sizes (the same
+    * contract as the reference, which caps the count and throws).
+    * Out-of-map edges clamp to the map border (tileXAt/tileYAt), so a
+    * box crossing the antimeridian covers to the border, not wrapping —
+    * the reference's behavior for its envelope path. Zero shuffles,
+    * zero UDFs: sequence/transform/struct are codegen'd built-ins and
+    * [[quadkey]] is integer bit arithmetic (bit-exact cross-engine).
+    */
+  def envelopeCover(lonMin: Column, latMin: Column, lonMax: Column,
+                    latMax: Column, zoom: Int): Column = {
+    val x0 = tileXAt(lonMin, zoom)
+    val x1 = tileXAt(lonMax, zoom)
+    val y0 = tileYAt(latMax, zoom)
+    val y1 = tileYAt(latMin, zoom)
+    flatten(transform(sequence(x0, x1), xx =>
+      transform(sequence(y0, y1), yy =>
+        struct(xx.as("x"), yy.as("y"), quadkey(xx, yy, zoom).as("qk")))))
+  }
+
   /** Tile envelope corners in degrees: (lonMin, lonMax, latMin, latMax)
     * — bing_tile_polygon's rectangle. Longitude edges are linear in x;
     * latitude edges invert the Mercator map (atan∘exp).

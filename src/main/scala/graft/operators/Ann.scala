@@ -74,8 +74,22 @@ object Ann {
     // min-cid row and the report would LOOK normal (the silent-bend
     // class); fail here instead
     require(dims >= 1, s"matryoshka prefix dims must be >= 1, got $dims")
-    val q = broadcast(queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")))
-    val c = corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce"))
+    // in-plan upper-bound contract: slice() CLAMPS past the array end
+    // (as does the oracle's array slicing), so dims > |embedding| would
+    // silently report sim_trunc == sim_full — 100% trivial agreement —
+    // instead of failing (the same silent-bend class as dims <= 0);
+    // assert per-row BEFORE the join (one cheap size() per vector, the
+    // query side broadcast-sized)
+    def fits(df: DataFrame, side: String): DataFrame = df.filter(
+      assert_true(size(col(side)) >= dims,
+        concat(lit(s"Ann.matryoshkaAgreement: prefix dims=$dims exceeds " +
+          s"$side embedding length "), size(col(side)).cast("string"),
+          lit(" — a clamped slice would trivially agree with the full " +
+            "cosine"))).isNull)
+    val q = broadcast(fits(
+      queries.select(col("vec_id").as("qid"), asDouble("embedding").as("qe")), "qe"))
+    val c = fits(
+      corpus.select(col("vec_id").as("cid"), asDouble("embedding").as("ce")), "ce")
     val wf = Window.partitionBy(col("qid")).orderBy(col("sim_full").desc, col("cid"))
     val wt = Window.partitionBy(col("qid")).orderBy(col("sim_trunc").desc, col("cid"))
     c.join(q, col("qid") =!= col("cid"))

@@ -210,14 +210,24 @@ object Components {
     */
   def roiSweep(meta: DataFrame, pairs: DataFrame,
                thresholds: Seq[Double]): DataFrame = {
+    // loud argument contract: an empty sweep has no curve to price —
+    // the reduce below would throw an opaque collection error instead
+    require(thresholds.nonEmpty,
+      "Components.roiSweep: thresholds must be non-empty — an ROI sweep " +
+        "with no candidate thresholds has no curve to price")
     val tot = meta.agg(sum(col("toks")).as("tokens_total"))
+    // row-PRESENCE marker: a meta row may legitimately carry a NULL
+    // toks column — nullness of a data column after the left join
+    // cannot distinguish "row absent" from "column null", so the
+    // loud-contract assert keys on this marker instead
+    val m = meta.withColumn("__has_meta", lit(true))
     thresholds.map { t =>
       val pt = pairs.filter(col("est_jaccard") >= t)
         .select(col("doc_a"), col("doc_b"))
       val cl = dedupClusters(pt).select(col("doc_id"), col("cluster_id"))
       cl.filter(col("doc_id") =!= col("cluster_id"))
-        .join(meta, Seq("doc_id"), "left")
-        .filter(assert_true(col("toks").isNotNull,
+        .join(m, Seq("doc_id"), "left")
+        .filter(assert_true(col("__has_meta").isNotNull,
           concat(lit("Components.roiSweep: removed cluster member "),
             col("doc_id").cast("string"),
             lit(" has no accumulated (doc_id, toks) meta row — every " +
@@ -252,8 +262,14 @@ object Components {
   def savingsFromState(meta: DataFrame, edges: DataFrame): DataFrame = {
     val cl = dedupClusters(edges).select(col("doc_id"), col("cluster_id"))
     val removed = col("cluster_id").isNotNull && col("doc_id") =!= col("cluster_id")
-    meta.join(cl, Seq("doc_id"), "full_outer")
-      .filter(assert_true(col("source").isNotNull,
+    // row-PRESENCE marker: a corpus with legitimate NULL sources must
+    // aggregate into the NULL source group, not trip the loud contract —
+    // after the full_outer join, nullness of the source DATA column
+    // conflates "meta row absent" with "source column null", so the
+    // assert keys on this marker instead
+    meta.withColumn("__has_meta", lit(true))
+      .join(cl, Seq("doc_id"), "full_outer")
+      .filter(assert_true(col("__has_meta").isNotNull,
         concat(lit("Components.savingsFromState: cluster member "),
           col("doc_id").cast("string"),
           lit(" has no accumulated (source, toks) meta row — every " +

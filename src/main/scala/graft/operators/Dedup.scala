@@ -548,13 +548,22 @@ object Dedup {
           id.cast("string"),
           lit(" has no accumulated (doc_id, source) meta row — every " +
             "ingested batch must contribute its thin projection"))).isNull
+    // row-PRESENCE marker: a document with a legitimate NULL source
+    // must attribute its pairs to the NULL cell, not trip the loud
+    // contract — after the left join, nullness of the source DATA
+    // column conflates "meta row absent" with "source column null",
+    // so the assert keys on this marker instead
+    val m = meta.select(col("doc_id"), col("source"),
+      lit(true).as("__has_meta"))
     pairs
-      .join(meta.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("source", "source_a"), Seq("doc_a"), "left")
-      .filter(loud(col("source_a"), col("doc_a")))
-      .join(meta.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("source", "source_b"), Seq("doc_b"), "left")
-      .filter(loud(col("source_b"), col("doc_b")))
+      .join(m.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("source", "source_a")
+        .withColumnRenamed("__has_meta", "__has_a"), Seq("doc_a"), "left")
+      .filter(loud(col("__has_a"), col("doc_a")))
+      .join(m.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("source", "source_b")
+        .withColumnRenamed("__has_meta", "__has_b"), Seq("doc_b"), "left")
+      .filter(loud(col("__has_b"), col("doc_b")))
       .select(
         least(col("source_a"), col("source_b")).as("source_x"),
         greatest(col("source_a"), col("source_b")).as("source_y"),

@@ -342,4 +342,24 @@ class AnnSpec extends SparkSpec {
     // report carries the truncated pick's FULL sim for exactly this audit
     assert(out(200L)._1 == 3L, out(200L))
   }
+
+  test("matryoshkaAgreement rejects dims beyond the embedding length") {
+    // r15 (ADVICE r14): slice() clamps past the array end, so an
+    // oversized dims would silently report 100% trivial agreement —
+    // the in-plan assert fails loudly instead
+    import spark.implicits._
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((100L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.matryoshkaAgreement(corpus, queries, dims = 3).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("exceeds"), e.getMessage)
+    // dims == length is the full cosine on both rankings: trivially agrees
+    val ok = Ann.matryoshkaAgreement(corpus, queries, dims = 2).collect()
+    assert(ok.forall(_.getBoolean(5)))
+  }
 }

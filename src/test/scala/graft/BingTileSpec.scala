@@ -11,6 +11,39 @@ import graft.functions.BingTile
   */
 class BingTileSpec extends SparkSpec {
 
+  test("envelopeCover: tile ranges, clamping, and quadkey round-trip") {
+    import spark.implicits._
+    val zoom = 4 // 16x16 tiles, 22.5 deg wide
+    // box lon [0, 3], lat [0, 3]: x = 8 only (both edges in tile 8);
+    // y: lat=0 maps EXACTLY to the 7/8 boundary -> y=8, lat=3 -> y=7
+    val r1 = Seq((0.0, 0.0, 3.0, 3.0)).toDF("lo0", "la0", "lo1", "la1")
+      .select(explode(BingTile.envelopeCover(
+        col("lo0"), col("la0"), col("lo1"), col("la1"), zoom)).as("t"))
+      .select(col("t.x"), col("t.y"), col("t.qk"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(r1.map(t => (t._1, t._2)).toSet == Set((8, 7), (8, 8)))
+    assert(r1.forall(_._3.length == zoom))
+    // antimeridian-crossing box clamps to the map border, no wrap
+    val r2 = Seq((170.0, 0.0, 200.0, 3.0)).toDF("lo0", "la0", "lo1", "la1")
+      .select(explode(BingTile.envelopeCover(
+        col("lo0"), col("la0"), col("lo1"), col("la1"), zoom)).as("t"))
+      .select(col("t.x")).collect().map(_.getInt(0))
+    assert(r2.forall(_ == 15))
+    // every cover tile's quadkey parses back to its (x, y)
+    val cov = Seq((-10.0, -10.0, 40.0, 40.0)).toDF("lo0", "la0", "lo1", "la1")
+      .select(explode(BingTile.envelopeCover(
+        col("lo0"), col("la0"), col("lo1"), col("la1"), zoom)).as("t"))
+      .select(col("t.x"), col("t.y"), col("t.qk"))
+    val (rx, ry) = BingTile.tileFromQuadkey(col("qk"), zoom)
+    assert(cov.where(rx =!= col("x") || ry =!= col("y")).count() == 0)
+    // cover is the full cross product: distinct (x, y), count = dx * dy
+    val rows = cov.collect()
+    val xs = rows.map(_.getInt(0)).distinct.sorted
+    val ys = rows.map(_.getInt(1)).distinct.sorted
+    assert(rows.length == xs.length * ys.length)
+    assert(xs.last - xs.head + 1 == xs.length && ys.last - ys.head + 1 == ys.length)
+  }
+
   test("quadkey matches the published spec example (x=3, y=5, zoom=3 -> 213)") {
     import spark.implicits._
     val r = Seq((3, 5)).toDF("x", "y")

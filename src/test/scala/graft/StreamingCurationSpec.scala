@@ -145,6 +145,39 @@ class StreamingCurationSpec extends SparkSpec {
     assert(acc.toSet == whole, s"stream ${acc.toSet} != batch $whole")
   }
 
+  test("savingsFromState aggregates a legitimate NULL source, not a crash") {
+    // r15 (ADVICE r14): row PRESENCE is detected via the __has_meta
+    // marker, so a meta row whose source COLUMN is null lands in the
+    // NULL source group instead of tripping the missing-row contract
+    import spark.implicits._
+    val meta = Seq((1L, Some("web"), 5L), (2L, None, 7L), (3L, None, 3L))
+      .toDF("doc_id", "source", "toks")
+    val edges = Seq((2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Components.savingsFromState(meta, edges).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(4))).toSet
+    assert(out == Set((Some("web"), 1L, 5L), (None, 2L, 10L)), out)
+  }
+
+  test("leakageFromState tolerates a NULL source on a present meta row") {
+    import spark.implicits._
+    val meta = Seq((1L, Some("web")), (2L, None)).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L, 0.5)).toDF("doc_a", "doc_b", "est_jaccard")
+    // least/greatest skip NULL (both engines), so the pair attributes
+    // to the (web, web) degenerate cell rather than crashing
+    val out = Dedup.leakageFromState(meta, pairs).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 1L)
+  }
+
+  test("roiSweep rejects an empty threshold sweep with a contract error") {
+    import spark.implicits._
+    val meta = Seq((1L, 5L)).toDF("doc_id", "toks")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("doc_a", "doc_b", "est_jaccard")
+    val e = intercept[IllegalArgumentException] {
+      Components.roiSweep(meta, pairs, Seq.empty)
+    }
+    assert(e.getMessage.contains("thresholds must be non-empty"))
+  }
+
   test("leakageFromState fails loudly on a pair endpoint missing from meta") {
     import spark.implicits._
     val meta = Seq((1L, "web")).toDF("doc_id", "source")
