@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Cross-scale shuffle-ratio gate: every key whose shuffle bytes grow
+faster than the data decade MUST carry an in-file adjudication, or the
+gate fails (the PlanAudit whitelist discipline, applied to the r14
+cross-scale table — VERDICT r14 item 1: a written record that names 5
+of 15 flagged keys is not doing its job).
+
+Usage: python3 tools/xscale_gate.py SHUFFLE_small.txt SHUFFLE_big.txt
+
+The two snapshots must be ONE decade apart (sf0.1 vs sf1). For every
+query present in both:
+
+  ratio = big_bytes / small_bytes
+
+Keys with ratio > THRESH (12x: the decade plus AQE/partial-agg slack)
+are FLAGGED and must appear in ADJUDICATIONS below. Each adjudication
+declares its mechanism; mechanisms that are mechanically checkable are
+checked:
+
+  rows-transition  partial-aggregation keys-bound -> rows-bound: at the
+                   small SF the map-side combine collapses to (distinct
+                   keys x splits); at the decade per-split key
+                   multiplicity approaches 1 and the shuffle approaches
+                   input rows (thin key+state payload). Worst case is
+                   LINEAR in input rows — not a scale-killer. Checked:
+                   bytes ratio within 2x of ROWS ratio (growth is row
+                   count, not width — a width blow-up would be a
+                   different, unadjudicated problem), plus FlipProbe
+                   join-shape parity recorded in `evidence`.
+  build-density    index/graph construction whose candidate volume
+                   grows with data density (e.g. NN-Descent proposals);
+                   bounded by a written cap or watch note. Checked:
+                   bytes ratio within 2x of rows ratio.
+
+Noise floors: keys are compared only when the BIG snapshot moved at
+least MIN_BIG_MB (0.5 MB) — below that the printed 2-decimal MB values
+quantize to garbage ratios (0.00 -> 0.01 reads as infinity) and the
+absolute volume is irrelevant at any scale.
+
+Staleness: an ADJUDICATIONS entry whose key is no longer flagged
+(ratio < 0.8 * THRESH, or missing from either snapshot) FAILS the gate
+— records must be corrected in the same commit that changes the
+behavior, not left to rot (the r14 lesson).
+
+Exit 0 = every flagged key adjudicated + consistency checks pass +
+no stale entries.
+"""
+import re
+import sys
+
+THRESH = 12.0        # decade + partial-agg/AQE slack
+MIN_BIG_MB = 0.5     # ignore keys still tiny at the decade
+STALE_BELOW = 0.8 * THRESH
+ROWS_CONSISTENCY = 2.0  # bytes ratio must be within 2x of rows ratio
+
+# Every >THRESH key carries (mechanism, evidence). Mechanisms:
+# "rows-transition" | "build-density" (see module docstring).
+# Evidence strings cite the probe artifact backing the adjudication.
+ADJUDICATIONS = {
+    # --- r14 originals (BENCHNOTES r14, FlipProbe five) -----------------
+    "q18_in_subquery": ("rows-transition",
+        "FlipProbe r14+r15: bhj/smj identical both scales; distinct "
+        "l_orderkey IN-set partial agg; sf1 rows 4.5M ~= lineitem rows"),
+    "q19_correlated_subquery": ("rows-transition",
+        "FlipProbe r14+r15: join counts identical; per-orderkey avg "
+        "partial agg, keys ~= orders cardinality"),
+    "q20_cte": ("rows-transition",
+        "FlipProbe r14+r15: join counts identical; CTE group-by over "
+        "order keys, keys-bound at sf0.1 (15k = keys x splits)"),
+    "q25_having": ("rows-transition",
+        "FlipProbe r14+r15: join counts identical; group-by custkey "
+        "partial agg, 305k sf1 rows ~= 10x keys x splits"),
+    "q75_tpch_q10": ("rows-transition",
+        "FlipProbe r14+r15: join counts identical; group-by custkey "
+        "revenue partial agg"),
+    # --- r15 backfill (VERDICT r14 item 1: the ten missing keys) --------
+    "q118_sparse_cosine": ("rows-transition",
+        "FlipProbe r15: bhj=1/smj=0 both scales; stage-1 thin "
+        "pair-candidate agg keyed by l_orderkey (~1.5M keys at sf1) — "
+        "per-split multiplicity ~1 at the decade, shuffle ~ input rows "
+        "(6.6M thin rows / 54 MB); downstream stays <=400-row broadcast"),
+    "q49_approx_sketches": ("rows-transition",
+        "FlipProbe r15: bhj=1/smj=0 both scales; countDistinct(l_partkey) "
+        "expands to a distinct agg on (returnflag, partkey) — 200k x 3 "
+        "keys at sf1, rows-bound (2.9M); HLL register agg stays 256-row"),
+    "q79_tpch_q15": ("rows-transition",
+        "FlipProbe r15: bhj=2/smj=0 both scales; revenue group-by "
+        "l_suppkey: sf0.1 keys-bound (2002 = 1k keys x 2 splits), sf1 "
+        "116k < keys x splits bound (10k x 32)"),
+    "q100_array_funcs2": ("rows-transition",
+        "FlipProbe r15: bhj=1/smj=0 both scales; TopKeys.smallest "
+        "DISTINCT l_orderkey pre-shuffle — thin-keys-then-wide family: "
+        "partial distinct collapses at sf0.1 (148k ~= keys), approaches "
+        "input rows at sf1 (4.4M of 6M lineitem); the wide arrays ride "
+        "only the 300-key broadcast side"),
+    "q101_map_funcs2": ("rows-transition",
+        "FlipProbe r15: same TopKeys.smallest distinct pre-shuffle as "
+        "q100 (identical 4,372,417 sf1 rows)"),
+    "q115_jsonpath_wildcard": ("rows-transition",
+        "FlipProbe r15: same TopKeys.smallest distinct pre-shuffle as "
+        "q100 (identical 4,372,417 sf1 rows)"),
+    "q149_cdf_funcs2": ("rows-transition",
+        "FlipProbe r15: same TopKeys.smallest distinct pre-shuffle as "
+        "q100 (+2.4k rows from its extra bounded agg)"),
+    "q173_zip_regexp_split": ("rows-transition",
+        "FlipProbe r15: same TopKeys.smallest distinct pre-shuffle as "
+        "q100 (identical 4,372,417 sf1 rows)"),
+    "q160_setdigest2": ("rows-transition",
+        "FlipProbe r15: bhj=1/smj=0 both scales; groupBy(grp, h) KMV "
+        "pre-agg where h ~ distinct custkey hashes — keys ~ input "
+        "cardinality, rows-bound at the decade (907k); rank window then "
+        "caps state at k per group"),
+}
+
+
+def load(path):
+    out, sf_dir = {}, None
+    for line in open(path):
+        meta = re.match(r"\[shuffle-meta\] sf_dir=(\S+)", line)
+        if meta:
+            sf_dir = meta.group(1)
+        m = re.match(
+            r"\[shuffle\] (\S+)\s+shuffle_mb=([\d.]+)\s+shuffle_rows=(\d+)",
+            line)
+        if m:
+            out[m.group(1)] = (float(m.group(2)), int(m.group(3)))
+    return out, sf_dir
+
+
+def main():
+    (small, small_sf), (big, big_sf) = load(sys.argv[1]), load(sys.argv[2])
+    if small_sf == big_sf and small_sf is not None:
+        print(f"FAIL: both snapshots at {small_sf} — this gate compares "
+              f"ACROSS scales; use shuffle_diff.py for same-scale diffs")
+        sys.exit(1)
+    failures, flagged = [], {}
+    print(f"{'query':36s} {'bytes MB':>19s} {'x':>6s} {'rows x':>7s}  verdict")
+    for name in sorted(set(small) & set(big)):
+        (smb, srows), (bmb, brows) = small[name], big[name]
+        if bmb < MIN_BIG_MB:
+            continue
+        ratio = bmb / max(smb, 0.005)
+        rows_ratio = brows / max(srows, 1)
+        if ratio <= THRESH:
+            continue
+        flagged[name] = ratio
+        adj = ADJUDICATIONS.get(name)
+        if adj is None:
+            failures.append(f"{name}: {ratio:.1f}x bytes/decade UNADJUDICATED"
+                            f" (bytes {smb:.2f}->{bmb:.2f} MB)")
+            verdict = "UNADJUDICATED"
+        else:
+            mech = adj[0]
+            if ratio > ROWS_CONSISTENCY * rows_ratio:
+                failures.append(
+                    f"{name}: adjudicated {mech} but bytes ratio "
+                    f"{ratio:.1f}x >> rows ratio {rows_ratio:.1f}x — growth "
+                    f"is WIDTH, not rows; the adjudication does not hold")
+                verdict = f"{mech} INCONSISTENT"
+            else:
+                verdict = f"{mech} ok"
+        print(f"{name:36s} {smb:8.2f} -> {bmb:8.2f} {ratio:5.1f}x "
+              f"{rows_ratio:6.1f}x  {verdict}")
+    # staleness: every adjudication must still be earning its keep
+    for name, (mech, _) in sorted(ADJUDICATIONS.items()):
+        if name not in small or name not in big:
+            failures.append(f"{name}: adjudicated ({mech}) but missing from "
+                            f"a snapshot — delete or update the entry")
+        elif name not in flagged:
+            ratio = big[name][0] / max(small[name][0], 0.005)
+            if ratio < STALE_BELOW:
+                failures.append(
+                    f"{name}: adjudicated ({mech}) but now only {ratio:.1f}x "
+                    f"— stale entry, delete it (records must not rot)")
+    print(f"\n{len(flagged)} flagged keys / {len(ADJUDICATIONS)} adjudications")
+    if failures:
+        print("FAIL:")
+        for f in failures:
+            print(f"  {f}")
+        sys.exit(1)
+    print("OK: every >12x key adjudicated, consistent, and fresh")
+
+
+if __name__ == "__main__":
+    main()
