@@ -224,10 +224,25 @@ object Ann {
     * allocation the declarative zip_with fold paid (r8 VERDICT: 590 ms
     * driver GC inside q142's timed runs). The state is sized from the
     * first row, so the vector dimension always comes from the data.
+    *
+    * Centroids are QUANTIZED to 1e-6 (the q165/q175 integer-micro-unit
+    * discipline, r15): a float mean's last ulp depends on the
+    * ACCUMULATION ORDER of the partial-state merges, which varies with
+    * partition layout — measured as a 9/10-vs-10/10 planted-twin flake
+    * across plan layouts at sf1 when a boundary vector's cell
+    * assignment (and with it the graph walk path) flipped on that ulp.
+    * Rounding to the 1e-6 grid collapses ~1e-13 reorder noise to ONE
+    * stable value (a flip would need the true mean within ~1e-13 of a
+    * grid midpoint), so every fitted model — IVF, hierarchical, PQ,
+    * IVF-PQ — is replay-deterministic across layouts; `AnnSpec` pins
+    * ivfFit equality across repartitionings. Recall is unaffected:
+    * 1e-6 on unit vectors is far below cluster-scale geometry.
     */
   private def centroidMean(assigned: DataFrame, keys: Seq[String]): DataFrame =
     assigned.groupBy(keys.map(col): _*)
-      .agg(graft.plans.VecMeanAgg.vecMean(col("ve")).as("ce"))
+      .agg(graft.plans.VecMeanAgg.vecMean(col("ve")).as("ce_raw"))
+      .withColumn("ce", expr("transform(ce_raw, x -> round(x, 6))"))
+      .drop("ce_raw")
 
   /** IVF (inverted-file) coarse quantizer: deterministic spherical
     * k-means (init = the `c` lowest vec_ids of the training set,
@@ -1198,17 +1213,17 @@ object Ann {
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
 
-  /** LSH-celled NSW — the fully DETERMINISTIC graph-ANN face (the
-    * oracle shape): cells are sign-LSH buckets (each bucket bit is the
-    * sign of a fixed-order dot product with a seeded hyperplane —
-    * bit-identical on every run, unlike float k-means whose centroid
-    * MEANS carry accumulation-order ULP noise that can flip boundary
-    * assignments and with them walk paths; the r14 flake that moved
-    * q203 off k-means cells). An identical query therefore lands in
-    * its twin's bucket BY CONSTRUCTION, and the whole build + walk is
-    * replay-exact: green once at a scale means green always. Routing
-    * is multi-probe LSH (own bucket + every hamming-1 flip — the
-    * [[lshKnn]] probe set).
+  /** LSH-celled NSW — the model-free deterministic graph-ANN face:
+    * cells are sign-LSH buckets (each bucket bit is the sign of a
+    * fixed-order dot product with a seeded hyperplane — bit-identical
+    * on every run with no fit step at all). An identical query lands
+    * in its twin's bucket BY CONSTRUCTION, and the whole build + walk
+    * is replay-exact. Since r15's centroid quantization the k-means
+    * face ([[nswKnn]]) is replay-deterministic too (see
+    * [[centroidMean]]); this face remains the zero-model variant —
+    * no training pass, buckets assignable per-row at ingest (the
+    * [[nswInsert]] streaming posture). Routing is multi-probe LSH
+    * (own bucket + every hamming-1 flip — the [[lshKnn]] probe set).
     */
   def nswLshIndex(corpus: DataFrame, nBits: Int): DataFrame =
     corpus.select(col("vec_id"), asDouble("embedding").as("ve"))

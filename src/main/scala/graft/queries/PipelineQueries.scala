@@ -2436,13 +2436,13 @@ object PipelineQueries extends QueryFamily {
   // search from per-cell entries (the SPANN/DiskANN posture: coarse
   // routing, fine ranking by graph walk — the query path touches
   // graph-degree rows, never a cell scan). Cells scale as √n so walks
-  // stay bounded as the corpus grows. The ORACLE composition uses
-  // sign-LSH cells (nswKnnLsh), not k-means: every bucket bit is the
-  // sign of a fixed-order dot product, so build + walk are
-  // replay-EXACT — k-means centroid means carry accumulation-order ULP
-  // noise that can flip boundary assignments and with them walk paths
-  // (measured as a 9/10-vs-10/10 twin flake across plan layouts at
-  // sf1), and a hash-gated oracle cannot sit on a coin flip.
+  // stay bounded as the corpus grows. This composition uses sign-LSH
+  // cells (nswKnnLsh) — the zero-model face (no fit pass; buckets
+  // assignable per-row at ingest); q214 oracles the k-means-celled
+  // face, replay-deterministic since r15's centroid quantization
+  // (Ann.centroidMean: fitted means rounded to the 1e-6 grid, so
+  // accumulation-order ulp can no longer flip a boundary cell
+  // assignment — the r14 9/10-vs-10/10 twin flake).
   // Planted-twin oracle (q87's): an identical query lands in its
   // twin's bucket BY CONSTRUCTION and the walk must surface it top-1
   // at sim 1.0.
@@ -2451,6 +2451,25 @@ object PipelineQueries extends QueryFamily {
     val embs = Tables.embeddings(s, d)
     annTop1Summary(
       Ann.nswKnnLsh(embs, annPlantQueries(embs), k = 5),
+      simCol = Some("sim"), k = 5)
+  }
+
+  // ---- q214: graph ANN, k-means-celled face (r15) -------------------------
+  // The q203 composition on ivfFit cells instead of sign-LSH buckets —
+  // the face a deployment with an existing IVF model reuses (one cell
+  // table serves both the IVF probe path and the graph walk). Joins
+  // the oracle gate ONLY because r15 quantized fitted centroids to the
+  // 1e-6 grid (Ann.centroidMean): the r14 twin flake was the walk path
+  // flipping on accumulation-order ulp in the centroid means, and a
+  // hash-gated oracle cannot sit on a coin flip. Same planted-twin
+  // invariant: the query IS a corpus vector, so quantized routing
+  // sends both to the same cell and the walk must surface the twin
+  // top-1 at sim 1.0.
+  val q214 = Q("q214_graph_ann_kmeans",
+    annTop1Oracle(" CAST(1.0 AS DOUBLE) AS top1_sim")) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    annTop1Summary(
+      Ann.nswKnn(embs, annPlantQueries(embs), k = 5, trainMod = 4),
       simCol = Some("sim"), k = 5)
   }
 
@@ -2869,5 +2888,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214)
 }

@@ -24,6 +24,21 @@ class AnnSpec extends SparkSpec {
     assert(enc.select("vec_id").distinct().count() == n)
   }
 
+  test("ivfFit centroids are identical across partition layouts (1e-6 quantization)") {
+    // r15 (VERDICT r14 item 5): a float mean's last ulp depends on the
+    // accumulation order of the partial-state merges, which varies
+    // with partition layout — the r14 kmeans-face twin flake. The
+    // centroidMean 1e-6 grid must make the fitted model byte-equal
+    // however the training set is partitioned.
+    val a = Ann.ivfFit(embs.repartition(3), c = 8, iters = 2)
+    val b = Ann.ivfFit(embs.repartition(13), c = 8, iters = 2)
+    assert(a == b, s"layout-dependent centroids:\n$a\nvs\n$b")
+    // and every coordinate sits exactly on the grid
+    a.flatMap(_._2).foreach { x =>
+      assert(x == math.round(x * 1e6) / 1e6, s"off-grid coordinate $x")
+    }
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);
