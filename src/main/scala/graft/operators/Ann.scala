@@ -1043,10 +1043,45 @@ object Ann {
     */
   def nswBuild(index: DataFrame, kNbr: Int = 8, rounds: Int = 2): DataFrame = {
     require(kNbr >= 1 && rounds >= 0, s"kNbr=$kNbr rounds=$rounds")
+    // CELL CO-LOCATION (r15 — the r14 PQ vec_id layout rule applied to
+    // the graph build): ONE vector-bearing repartition by cluster up
+    // front; every subsequent join/window/distinct keys on
+    // (cluster, ...) and HashPartitioning(cluster) satisfies those
+    // ClusteredDistributions (subset rule), so proposal SCORING never
+    // ships a vector again — all per-round exchanges are THIN
+    // (cluster, u, v) pair rows. Without this, the NN-Descent scoring
+    // joins broadcast the vector table while it fits and silently flip
+    // to vector-carrying SMJs when it doesn't: measured at the sf10
+    // decade as a 13.2 GB build shuffle (52.8× bytes for 10× data,
+    // bytes/row 24 → 77) before the fix. Builds are intra-cell by
+    // construction, so the co-location is exact, and at warehouse
+    // scale the rule is the same as PQ's: bucket the vector table BY
+    // CELL and the build's shuffles stay pair-thin forever.
+    //
+    // Two knobs make Spark HONOR the subset co-partitioning instead of
+    // re-exchanging on the full join keys (measured: without them,
+    // EnsureRequirements re-keys the uve-carrying intermediate on
+    // (cluster, v) — the whole 6+ GB it was built to avoid):
+    // (a) requireAllClusterKeysForCoPartition=false for the build's
+    //     actions only (restored in the finally) — the setting exists
+    //     precisely for reusing a coarser co-partitioning across joins
+    //     on (coarseKey, ...) like bucketed tables do;
+    // (b) explicit partition counts on every repartition, so AQE's
+    //     coalescing cannot de-align the two sides of a co-partitioned
+    //     join after the fact.
+    val spark = index.sparkSession
+    val np = spark.sessionState.conf.numShufflePartitions
+    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val coPartPrev = spark.conf.get(coPartKey, "true")
+    spark.conf.set(coPartKey, "false")
+    try {
+    val byCell = index.select(col("cluster"), col("vec_id"), col("ve"))
+      .repartition(np, col("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("h"), col("vec_id"))
-    val ranked = index
-      .select(col("vec_id"), col("ve"), col("cluster"), hrank(col("vec_id")).as("h"))
+    val ranked = byCell
+      .withColumn("h", hrank(col("vec_id")))
       .withColumn("rn", row_number().over(w))
       .withColumn("n_c", count(lit(1)).over(Window.partitionBy(col("cluster"))))
     // ring edges: each node links the next min(kNbr, n_c - 1) nodes on
@@ -1056,14 +1091,16 @@ object Ann {
         col("rn"), col("n_c"),
         explode(expr(s"sequence(1, least($kNbr, n_c - 1))")).as("d"))
       .withColumn("rn_t", (col("rn") - 1 + col("d")) % col("n_c") + 1)
+    // thin + checkpointed: the ring is reused as the final spine, and
+    // the checkpoint both cuts the replay and frees byCell at the end
     val init = targets.join(
         ranked.select(col("vec_id").as("v"), col("ve").as("vve"),
           col("cluster"), col("rn").as("rn_t")),
         Seq("cluster", "rn_t"))
       .filter(col("u") =!= col("v"))
-      .select(col("u"), col("v"),
+      .select(col("cluster"), col("u"), col("v"),
         graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
-    val thin = index.select(col("vec_id"), col("ve"))
+      .localCheckpoint()
     var edges = topKPerNode(init, kNbr).localCheckpoint()
     // NN-Descent's sampling trick (Dong et al. §2.3, ρ = 1/2): propose
     // neighbors-of-neighbors through the TOP HALF of each node's list
@@ -1072,21 +1109,29 @@ object Ann {
     val h = math.max(4, kNbr / 2)
     for (_ <- 1 to rounds) {
       val top = topKPerNode(edges, h)
-      val sym = top.select(col("u"), col("v"))
-        .unionByName(top.select(col("v").as("u"), col("u").as("v")))
-      // neighbor-of-neighbor proposals over the symmetrized sample
-      val non = sym.as("a").join(sym.as("b"), col("a.v") === col("b.u"))
-        .select(col("a.u").as("u"), col("b.v").as("v"))
+      val sym = top.select(col("cluster"), col("u"), col("v"))
+        .unionByName(top.select(col("cluster"), col("v").as("u"), col("u").as("v")))
+        .repartition(np, col("cluster"))
+      // neighbor-of-neighbor proposals over the symmetrized sample —
+      // cell-local by construction (u→v→w never leaves the cell)
+      val non = sym.as("a").join(sym.as("b"),
+          col("a.cluster") === col("b.cluster") && col("a.v") === col("b.u"))
+        .select(col("a.cluster").as("cluster"), col("a.u").as("u"),
+          col("b.v").as("v"))
         .filter(col("u") =!= col("v"))
-        .unionByName(edges.select(col("u"), col("v")))
-        .distinct()
+        .unionByName(edges.select(col("cluster"), col("u"), col("v")))
+        .repartition(np, col("cluster"))
+        .dropDuplicates("cluster", "u", "v")
       val scoredNon = non
-        .join(thin.select(col("vec_id").as("u"), col("ve").as("uve")), Seq("u"))
-        .join(thin.select(col("vec_id").as("v"), col("ve").as("vve")), Seq("v"))
-        .select(col("u"), col("v"),
+        .join(byCell.select(col("cluster"), col("vec_id").as("u"),
+          col("ve").as("uve")), Seq("cluster", "u"))
+        .join(byCell.select(col("cluster"), col("vec_id").as("v"),
+          col("ve").as("vve")), Seq("cluster", "v"))
+        .select(col("cluster"), col("u"), col("v"),
           graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
       edges = topKPerNode(scoredNon, kNbr).localCheckpoint()
     }
+    byCell.unpersist(blocking = false)
     // the RING stays in the final graph as the long-link spine: a pure
     // kNN graph is not navigable (the HNSW/NSW insight — greedy ascent
     // dead-ends in local optima; measured at sf1: unreached planted
@@ -1095,14 +1140,23 @@ object Ann {
     // gets from randomized insertion — and they span every cell member
     // by construction, so the walk always has an escape from a local
     // optimum and in-cell connectivity is guaranteed. Degree ≤ 2·kNbr.
-    edges.unionByName(init).distinct().repartition(col("u"))
+    edges.select(col("u"), col("v"), col("sim"))
+      .unionByName(init.select(col("u"), col("v"), col("sim")))
+      .distinct().repartition(col("u"))
+    } finally spark.conf.set(coPartKey, coPartPrev)
   }
 
+  /** Per-(cell, node) top-k by (sim desc, v): u lives in exactly one
+    * cell, so the ranking equals a global per-u ranking — but keying
+    * the window on (cluster, u) lets cluster-partitioned inputs rank
+    * WITHOUT an exchange (see [[nswBuild]]'s co-location note).
+    */
   private def topKPerNode(scored: DataFrame, kNbr: Int): DataFrame = {
-    val w = Window.partitionBy(col("u")).orderBy(col("sim").desc, col("v"))
+    val w = Window.partitionBy(col("cluster"), col("u"))
+      .orderBy(col("sim").desc, col("v"))
     scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= kNbr)
-      .select(col("u"), col("v"), col("sim"))
+      .select(col("cluster"), col("u"), col("v"), col("sim"))
   }
 
   /** A few deterministic entry points per IVF cell (the lowest-hash
@@ -1174,7 +1228,17 @@ object Ann {
                       excludeSelf: Boolean): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble("embedding").as("qe")))
+    // vector table CO-LOCATED by cid once (r15, the nswBuild rule on
+    // the query path): each hop's scoring join then exchanges only the
+    // THIN (qid, cid) candidate rows — without this, the moment the
+    // index outgrows the broadcast threshold every score() call pays a
+    // full vector-table SMJ shuffle (measured at sf10: 4 × ~104 MB of
+    // the 578 MB search total). At warehouse scale the persisted index
+    // is bucketed by vec_id, making this exchange free forever.
     val thin = index.select(col("vec_id").as("cid"), col("ve"))
+      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def score(cand: DataFrame): DataFrame = cand
       .join(thin, Seq("cid"))
       .join(q, Seq("qid"))
@@ -1197,8 +1261,17 @@ object Ann {
     // directed top-kNbr list starves low-in-degree nodes — at sf1 the
     // directed walk recovered only ~60% of the matched-cell full-scan
     // recall until reverse edges joined the expansion
+    // adjacency CO-LOCATED by cid once, like the vector table above:
+    // the per-hop expansion join otherwise re-shuffles the whole
+    // symmetrized edge list every hop (measured at sf10: 3 × ~115 MB —
+    // the bulk of the search shuffle), while the frontier side is
+    // beam-sized. Bucket the persisted edge table by u at warehouse
+    // scale and this exchange disappears entirely.
     val adj = edges.select(col("u").as("cid"), col("v"))
       .unionByName(edges.select(col("v").as("cid"), col("u").as("v")))
+      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
+        col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to hops) {
       val expand = frontier
         .join(adj, Seq("cid"))
@@ -1208,6 +1281,10 @@ object Ann {
       acc = acc.unionByName(score(expand)).localCheckpoint()
       frontier = topBeam(acc)
     }
+    // every score() result is checkpointed — the co-located vector and
+    // adjacency caches have no remaining consumer
+    thin.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
     acc.withColumn("rn", row_number().over(wb))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))

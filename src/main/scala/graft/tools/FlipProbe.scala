@@ -11,7 +11,8 @@ import graft._
   * plan flip.
   *
   * Usage: tools/run.sh graft.tools.FlipProbe [query ...]
-  * (no args = the r14-adjudicated five; dirs fixed at sf0.1 + sf1).
+  * (no args = the r14-adjudicated five; dirs default to sf0.1 + sf1,
+  * override with FLIP_DIRS=dir1,dir2).
   */
 object FlipProbe {
   def main(args: Array[String]): Unit = {
@@ -20,7 +21,9 @@ object FlipProbe {
     val queries = if (args.nonEmpty) args.toSeq
       else Seq("q18_in_subquery", "q19_correlated_subquery", "q20_cte",
         "q25_having", "q75_tpch_q10")
-    for (d <- Seq("/root/testdata/sf0.1", "target/testdata/sf1");
+    val dirs = sys.env.get("FLIP_DIRS").map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.1", "target/testdata/sf1"))
+    for (d <- dirs;
          q <- queries) {
       val df = SparkEntry.queries(q)(spark, d)
       df.count() // let AQE finalize
