@@ -59,20 +59,30 @@ ROWS_CONSISTENCY = 2.0  # bytes ratio must be within 2x of rows ratio
 ADJUDICATIONS = {
     # --- r14 originals (BENCHNOTES r14, FlipProbe five) -----------------
     "q18_in_subquery": ("rows-transition",
-        "FlipProbe r14+r15: bhj/smj identical both scales; distinct "
-        "l_orderkey IN-set partial agg; sf1 rows 4.5M ~= lineitem rows"),
+        "FlipProbe r14+r15: bhj/smj identical sf0.1/sf1; distinct "
+        "l_orderkey IN-set partial agg; sf1 rows 4.5M ~= lineitem rows. "
+        "sf10: bhj->smj flip (semi side outgrew broadcast) — the correct "
+        "scale plan, both SMJ sides row-linear; 16.1x rows/decade"),
     "q19_correlated_subquery": ("rows-transition",
-        "FlipProbe r14+r15: join counts identical; per-orderkey avg "
-        "partial agg, keys ~= orders cardinality"),
+        "FlipProbe r14+r15: join counts identical sf0.1/sf1; "
+        "per-orderkey avg partial agg, keys ~= orders cardinality. "
+        "sf10: bhj->smj flip — sf1 was keys-bound AND broadcast, sf10 "
+        "rows-bound AND shuffle-join (98M rows ~= lineitem+orders+agg, "
+        "each exchange row-linear)"),
     "q20_cte": ("rows-transition",
-        "FlipProbe r14+r15: join counts identical; CTE group-by over "
-        "order keys, keys-bound at sf0.1 (15k = keys x splits)"),
+        "FlipProbe r14+r15: ZERO joins at every scale (bhj=0 smj=0); "
+        "CTE group-by over order keys, STILL keys-bound at sf1 (292k << "
+        "15M orders) — transition lands on the sf1->sf10 decade "
+        "(10.8M ~= 73% of orders ceiling), next decade forced ~10x"),
     "q25_having": ("rows-transition",
-        "FlipProbe r14+r15: join counts identical; group-by custkey "
-        "partial agg, 305k sf1 rows ~= 10x keys x splits"),
+        "FlipProbe r14+r15: ZERO joins at every scale; group-by custkey "
+        "partial agg — same one-decade-later transition as q20 "
+        "(sf10 rows 11M ~= orders ceiling)"),
     "q75_tpch_q10": ("rows-transition",
-        "FlipProbe r14+r15: join counts identical; group-by custkey "
-        "revenue partial agg"),
+        "FlipProbe r14+r15: sf0.1/sf1 identical (bhj=3); sf10 one "
+        "bhj->smj flip (customer side 1.5M rows outgrew broadcast) — "
+        "SMJ shuffles customer+orders+lineitem, all row-linear; the "
+        "142x is broadcast-free-lunch ending, not super-linearity"),
     # --- r15 backfill (VERDICT r14 item 1: the ten missing keys) --------
     "q118_sparse_cosine": ("rows-transition",
         "FlipProbe r15: bhj=1/smj=0 both scales; stage-1 thin "
