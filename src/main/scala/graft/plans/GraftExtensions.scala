@@ -203,6 +203,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       BingTile.tilesAround(c(ch(0)), c(ch(1)),
         zoomOf(ch(2), "graft_bing_tiles_around"))
     }
+    // geometry_to_bing_tiles, envelope face (geospatial.rst:510; q213):
+    // tile COVER of a box as (x, y, qk) structs for the caller to
+    // explode — args (lon_min, lat_min, lon_max, lat_max, zoom)
+    composed("graft_bing_tile_cover") { ch =>
+      BingTile.envelopeCover(c(ch(0)), c(ch(1)), c(ch(2)), c(ch(3)),
+        zoomOf(ch(4), "graft_bing_tile_cover"))
+    }
+    // reciprocal-rank fusion (q215; Cormack et al. SIGIR'09) in INTEGER
+    // micro-units: graft_rrf(k, rank...) = Σ 1000000 div (k + rank_i)
+    // over the non-null ranks — exact on any engine (positive integer
+    // division; the double quotient is correctly rounded and truncated,
+    // identical to div for these magnitudes), no float accumulation;
+    // k must be a literal (the fusion constant)
+    composed("graft_rrf") { ch =>
+      require(ch.length >= 2,
+        "graft_rrf(k, rank...): at least one rank column required")
+      val k = GraftExtensions.numLit(ch.head, "graft_rrf", "k").toInt
+      import org.apache.spark.sql.functions.{coalesce, lit}
+      ch.tail.map { r =>
+        coalesce((lit(1000000L) / (lit(k.toLong) + c(r).cast("long")))
+          .cast("long"), lit(0L))
+      }.reduce(_ + _)
+    }
     // zoom is the quadkey's length — registered so SQL callers get the
     // reference's accessor name (geospatial.rst:510 bing_tile_zoom_level)
     composed("graft_bing_tile_zoom_level") { ch =>
@@ -501,6 +524,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tvf2("graft_nsw_knn") { (corpus, queries, a) =>
         graft.operators.Ann.nswKnnLsh(corpus, queries,
           k = num(a, 0, 5, "graft_nsw_knn").toInt)
+      }
+      // the k-means-celled face (q214) — replay-deterministic since the
+      // r15 centroid quantization; reuses an IVF-style cell layout
+      tvf2("graft_nsw_knn_kmeans") { (corpus, queries, a) =>
+        graft.operators.Ann.nswKnn(corpus, queries,
+          k = num(a, 0, 5, "graft_nsw_knn_kmeans").toInt)
       }
       // graft_bpe_encode('docs', 'merges', k): the merge list is a FIT
       // ARTIFACT (vocab-sized, the Ann-model posture), so the second

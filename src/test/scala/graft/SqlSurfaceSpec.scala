@@ -136,6 +136,23 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM graft_matryoshka('sql_embs', 'sql_queries', 16)",
       graft.operators.Ann.matryoshkaAgreement(embs,
         embs.filter(col("vec_id") < 5), dims = 16))
+    // r15: the k-means-celled graph-ANN face (q214)
+    pin("SELECT * FROM graft_nsw_knn_kmeans('sql_embs', 'sql_queries', 3)",
+      graft.operators.Ann.nswKnn(embs, embs.filter(col("vec_id") < 5), k = 3))
+    // r15: envelope tile cover (q213) and integer RRF (q215) as scalar
+    // SQL functions — spot values, not just shape
+    val cover = spark.sql(
+      """SELECT t.x, t.y, t.qk
+        |FROM (SELECT explode(graft_bing_tile_cover(0.0d, 0.0d, 3.0d, 3.0d, 4)) AS t)
+        |ORDER BY t.x, t.y""".stripMargin).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    assert(cover.map(t => (t._1, t._2)).toSeq == Seq((8, 7), (8, 8)), cover.toSeq)
+    assert(cover.forall(_._3.length == 4))
+    val rrf = spark.sql(
+      "SELECT graft_rrf(60, 1, 3) AS both_lists, " +
+        "graft_rrf(60, 2, CAST(NULL AS INT)) AS one_list").head
+    assert(rrf.getLong(0) == 1000000L / 61 + 1000000L / 63, rrf.getLong(0))
+    assert(rrf.getLong(1) == 1000000L / 62, rrf.getLong(1))
     // the TVF output is a real table expression: composable with WHERE /
     // aggregation / joins in the surrounding statement
     val kept = spark.sql(
