@@ -65,6 +65,8 @@ object PlanAudit {
     */
   val boundedWhitelist: Map[String, String] = Map(
     "q140_bm25" -> "rank window runs AFTER limit-first top-k: input <= 10 rows",
+    "q215_hybrid_rrf" ->
+      "all three rank windows run AFTER limit-first top-k (the q140 idiom): two <= 20-row ranker lists + the <= 10-row fused list",
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
@@ -110,6 +112,8 @@ object PlanAudit {
     "q136_tfidf" -> "single-row corpus doc-count side",
     "q137_split_drift" -> "single-row per-split totals side",
     "q140_bm25" -> "single-row corpus stats (N, avgdl) side",
+    "q215_hybrid_rrf" ->
+      "single-row corpus stats (N, avgdl) side — the q140 idiom, once per ranker",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
     "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
     "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
