@@ -1413,6 +1413,34 @@ object Ann {
     materialized
   }
 
+  /** ANN index-QUALIFICATION recall report (r15): recall@k of an
+    * approximate ranking against the exact baseline, per query — the
+    * table a deployment reads before switching an index family (the
+    * measurement NswRecallProbe ran as a tool, promoted to a
+    * first-class oracled operator). Both inputs are (qid, cid, rn)
+    * rankings (any of the bruteKnn/lshKnn/ivfKnn/pqKnn/nswKnn faces);
+    * the base is the EXACT list's actual size (< k only when the
+    * corpus itself is) and recall_ppm is integer-exact
+    * (hits·1e6 div base — the Mix discipline, zero float anywhere).
+    *
+    * Scale shape: both inputs are queries×k rows by construction, so
+    * every join/aggregate here is rank-list-sized regardless of corpus
+    * size — the expensive part is producing the rankings, not grading
+    * them.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val a = approx.filter(col("rn") <= k)
+      .select(col("qid"), col("cid"), lit(1L).as("__hit"))
+    exact.filter(col("rn") <= k).select(col("qid"), col("cid"))
+      .join(a, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_ppm",
+        expr("cast(n_hits * 1000000 div n_exact as bigint)"))
+  }
+
   /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
     * bounded-query posture as [[bruteKnn]]).
     */

@@ -2573,6 +2573,59 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
+  // ---- q216: ANN recall report (index qualification) ----------------------
+  // recall@5 of the LSH index face (q65's exact plan) against the brute
+  // baseline (q64's) — the go/no-go table a deployment reads before
+  // switching its similarity-search index (Ann.recallAtK; the
+  // NswRecallProbe measurement promoted to a first-class oracled
+  // operator). Integer-exact: both rankings are replay-deterministic
+  // (round-4 sims, cid tie-breaks), hits are set-intersection counts,
+  // recall_ppm is hits·1e6 div base. The grading joins are
+  // rank-list-sized (queries × k rows) regardless of corpus size.
+  val q216 = {
+    val nBits = 4
+    val hps = graft.functions.Sketches.hyperplaneSigns(nBits, dim = 64)
+    val bucketExpr = hps.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN list_dot_product(emb, [${hp.map(s => s"$s.0").mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until nBits).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+    Q(
+      "q216_ann_recall",
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |bsims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |            round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+         |          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |          WHERE q.vec_id < 10),
+         |brk AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+         |        FROM bsims),
+         |bt AS (SELECT qid, cid FROM brk WHERE rn <= 5),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM b WHERE vec_id < 10),
+         |probes AS (SELECT qid, qe, unnest([$probeList]) AS bucket FROM q),
+         |cand AS (SELECT p.qid, p.qe, c.vec_id AS cid, c.emb AS ce
+         |         FROM probes p JOIN b c USING (bucket) WHERE p.qid <> c.vec_id),
+         |ark AS (SELECT qid, cid,
+         |          row_number() OVER (PARTITION BY qid
+         |            ORDER BY round(list_cosine_similarity(qe, ce), 4) DESC, cid) AS rn
+         |        FROM cand),
+         |at AS (SELECT qid, cid, 1 AS hit FROM ark WHERE rn <= 5)
+         |SELECT bt.qid,
+         |  count(*) AS n_exact,
+         |  CAST(sum(COALESCE(at.hit, 0)) AS BIGINT) AS n_hits,
+         |  CAST(sum(COALESCE(at.hit, 0)) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM bt LEFT JOIN at ON bt.qid = at.qid AND bt.cid = at.cid
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 10)
+      Ann.recallAtK(
+        approx = Ann.lshKnn(embs, queries, k = 5, nBits = nBits),
+        exact = Ann.bruteKnn(embs, queries, k = 5), k = 5)
+        .orderBy("qid")
+    }
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -2988,5 +3041,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216)
 }

@@ -39,6 +39,22 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("recallAtK: hand-built rankings grade exactly, including zero-hit queries") {
+    import spark.implicits._
+    // q1: exact {1,2,3}, approx {1,3,9} -> 2/3; q2: exact {4,5}, approx
+    // {6,7} -> 0/2; q3: exact {8}, approx {8} -> 1/1. approx rows past
+    // rn <= k must be ignored.
+    val exact = Seq((1L, 1L, 1), (1L, 2L, 2), (1L, 3L, 3),
+      (2L, 4L, 1), (2L, 5L, 2), (3L, 8L, 1)).toDF("qid", "cid", "rn")
+    val approx = Seq((1L, 1L, 1), (1L, 3L, 2), (1L, 9L, 3), (1L, 2L, 4),
+      (2L, 6L, 1), (2L, 7L, 2), (3L, 8L, 1)).toDF("qid", "cid", "rn")
+    val out = Ann.recallAtK(approx, exact, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 2L, 666666L)), out(1L))
+    assert(out(2L) == ((2L, 0L, 0L)), out(2L))
+    assert(out(3L) == ((1L, 1L, 1000000L)), out(3L))
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);
