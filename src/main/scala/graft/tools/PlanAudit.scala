@@ -99,6 +99,8 @@ object PlanAudit {
     "q17_scalar_subquery" -> "scalar subquery: single-row threshold side",
     "q64_embedding_knn_brute" ->
       "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
+    "q216_ann_recall" ->
+      "the exact-baseline ranking being graded IS q64's declared brute side (bounded 10-query broadcast); recall is graded against it by definition",
     "q210_matryoshka" ->
       "DECLARED brute posture (the q64 class): broadcast query side, one corpus scan ranks both metrics",
     "q211_dedup_roi" ->
@@ -202,6 +204,8 @@ object PlanAudit {
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
       "q65_embedding_knn_lsh" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
+      "q216_ann_recall" ->
+        "two ranker pipelines by definition (brute baseline + LSH candidate) — the q64 and q65 corpus/query role contracts composed; the grading join itself is rank-list-sized",
       "q210_matryoshka" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side — the q64 shape)",
       "q198_contrastive_mining" ->
