@@ -1441,6 +1441,42 @@ object Ann {
         expr("cast(n_hits * 1000000 div n_exact as bigint)"))
   }
 
+  /** 1-NN LABEL AGREEMENT (r15): the standard embedding-quality probe —
+    * for each probe vector, does its nearest neighbour share its label?
+    * Reported per label class (n_queries, n_agree, agreement_ppm,
+    * integer-exact) — the table read before trusting an embedding
+    * column for SemDeDup / ANN / contrastive mining (a space whose
+    * neighbours cross labels will near-dup across concepts). Top-1 by
+    * the q64 determinism discipline (round-4 cosine, cid tie-break);
+    * labels ride thin equi-joins; the groupBy is |labels| rows.
+    *
+    * Brute posture by declared design for the probe set (the q64
+    * correctness-baseline class): probes are a bounded broadcast side,
+    * one corpus scan. At 100 TB, swap [[bruteKnn]] for any index face
+    * ([[lshKnn]]/[[ivfKnn]]/[[pqKnn]]) — the grading joins stay
+    * probe-set-sized either way.
+    */
+  def nnLabelAgreement(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    // corpus-THIN (vec_id, label), materialized once: both endpoint
+    // lookups read the same 2-column table — without this each label
+    // join re-scans the embeddings parquet (vectors included) just to
+    // project two columns (the crossSourceLeakage discipline;
+    // PlanAudit's multi-scan gate)
+    val labels = corpus.select(col("vec_id"), col("label"))
+      .localCheckpoint(true)
+    bruteKnn(corpus, queries, k = 1)
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("q_label")),
+        Seq("qid"))
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("nn_label")),
+        Seq("cid"))
+      .groupBy(col("q_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("q_label") === col("nn_label"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agreement_ppm",
+        expr("cast(n_agree * 1000000 div n_queries as bigint)"))
+  }
+
   /** Exact L2 top-k baseline (the PQ recall reference; same broadcast
     * bounded-query posture as [[bruteKnn]]).
     */

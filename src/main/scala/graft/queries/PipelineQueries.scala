@@ -2626,6 +2626,41 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
+  // ---- q217: 1-NN label agreement (embedding-quality QA) ------------------
+  // The standard probe before trusting an embedding column for
+  // SemDeDup / ANN / contrastive mining: per label class, does each
+  // probe's nearest neighbour share its label? (a space whose
+  // neighbours cross labels will near-dup across concepts).
+  // Ann.nnLabelAgreement: q64-discipline top-1 (round-4 cosine, cid
+  // tie-break — SQL-replayable), labels on thin equi-joins, |labels|
+  // output rows, agreement_ppm integer-exact. Probes are the 25
+  // lowest vec_ids (bounded broadcast side — the q64 declared-brute
+  // class; at scale any index face substitutes for bruteKnn).
+  val q217 = Q(
+    "q217_nn_label_agreement",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |           round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+      |         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |         WHERE q.vec_id < 25),
+      |rk AS (SELECT qid, cid,
+      |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+      |       FROM sims),
+      |nn AS (SELECT qid, cid FROM rk WHERE rn = 1),
+      |j AS (SELECT ql.label AS q_label, cl.label AS nn_label
+      |      FROM nn JOIN e ql ON nn.qid = ql.vec_id
+      |             JOIN e cl ON nn.cid = cl.vec_id)
+      |SELECT q_label,
+      |  count(*) AS n_queries,
+      |  CAST(sum(CASE WHEN q_label = nn_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      |  CAST(sum(CASE WHEN q_label = nn_label THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS agreement_ppm
+      |FROM j GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.nnLabelAgreement(embs, embs.filter(col("vec_id") < 25))
+      .orderBy("q_label")
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -3041,5 +3076,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217)
 }

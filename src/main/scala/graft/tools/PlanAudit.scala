@@ -101,6 +101,8 @@ object PlanAudit {
       "DECLARED brute-force correctness baseline; scale path is q65/q87/q138/q142",
     "q216_ann_recall" ->
       "the exact-baseline ranking being graded IS q64's declared brute side (bounded 10-query broadcast); recall is graded against it by definition",
+    "q217_nn_label_agreement" ->
+      "q64's declared brute side (bounded 25-probe broadcast); any index face substitutes at scale",
     "q210_matryoshka" ->
       "DECLARED brute posture (the q64 class): broadcast query side, one corpus scan ranks both metrics",
     "q211_dedup_roi" ->
@@ -206,6 +208,8 @@ object PlanAudit {
         "corpus role + queries-drawn-from-corpus role (bounded planted query side)",
       "q216_ann_recall" ->
         "two ranker pipelines by definition (brute baseline + LSH candidate) — the q64 and q65 corpus/query role contracts composed; the grading join itself is rank-list-sized",
+      "q217_nn_label_agreement" ->
+        "corpus role + bounded probe role (the q64 contract); the label lookups read ONE checkpointed thin (vec_id, label) projection",
       "q210_matryoshka" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side — the q64 shape)",
       "q198_contrastive_mining" ->

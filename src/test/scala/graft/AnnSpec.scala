@@ -55,6 +55,22 @@ class AnnSpec extends SparkSpec {
     assert(out(3L) == ((1L, 1L, 1000000L)), out(3L))
   }
 
+  test("nnLabelAgreement: hand-built geometry grades per label exactly") {
+    import spark.implicits._
+    // label 0: 1=(1,0) and 2=(0.9,0.1) are mutual NNs -> both agree;
+    // label 1: 3=(0,1) NN is 4=(0.1,0.9) same label -> agree, but
+    // 5=(0.6,0.5) sits closer to label-0's cluster -> disagrees
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0f, 1f), 1), (4L, Seq(0.1f, 0.9f), 1),
+      (5L, Seq(0.8f, 0.35f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Ann.nnLabelAgreement(corpus, corpus).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0) == ((2L, 2L, 1000000L)), out(0))
+    assert(out(1) == ((3L, 2L, 666666L)), out(1))
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);
