@@ -531,6 +531,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Ann.nswKnn(corpus, queries,
           k = num(a, 0, 5, "graft_nsw_knn_kmeans").toInt)
       }
+      // index qualification (q216): recall@k of one (qid, cid, rn)
+      // ranking against another — grade any two index faces
+      tvf2("graft_ann_recall") { (approx, exact, a) =>
+        graft.operators.Ann.recallAtK(approx, exact,
+          k = num(a, 0, 5, "graft_ann_recall").toInt)
+      }
+      // embedding-quality QA (q217): per-label 1-NN agreement
+      tvf2("graft_nn_label_agreement") { (corpus, probes, _) =>
+        graft.operators.Ann.nnLabelAgreement(corpus, probes)
+      }
       // graft_bpe_encode('docs', 'merges', k): the merge list is a FIT
       // ARTIFACT (vocab-sized, the Ann-model posture), so the second
       // table collects to the driver at ANALYSIS time — same moment the

@@ -139,6 +139,21 @@ class SqlSurfaceSpec extends SparkSpec {
     // r15: the k-means-celled graph-ANN face (q214)
     pin("SELECT * FROM graft_nsw_knn_kmeans('sql_embs', 'sql_queries', 3)",
       graft.operators.Ann.nswKnn(embs, embs.filter(col("vec_id") < 5), k = 3))
+    // r15: the grading faces (q216/q217) — rankings registered as views
+    val qs = embs.filter(col("vec_id") < 5)
+    graft.operators.Ann.lshKnn(embs, qs, k = 3, nBits = 4)
+      .createOrReplaceTempView("sql_rank_lsh")
+    graft.operators.Ann.bruteKnn(embs, qs, k = 3)
+      .createOrReplaceTempView("sql_rank_brute")
+    pin("SELECT * FROM graft_ann_recall('sql_rank_lsh', 'sql_rank_brute', 3)",
+      graft.operators.Ann.recallAtK(
+        graft.operators.Ann.lshKnn(embs, qs, k = 3, nBits = 4),
+        graft.operators.Ann.bruteKnn(embs, qs, k = 3), k = 3))
+    val embsLabeled = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embsLabeled.createOrReplaceTempView("sql_embs_labeled")
+    pin("SELECT * FROM graft_nn_label_agreement('sql_embs_labeled', 'sql_queries')",
+      graft.operators.Ann.nnLabelAgreement(embsLabeled,
+        embsLabeled.filter(col("vec_id") < 5)))
     // r15: envelope tile cover (q213) and integer RRF (q215) as scalar
     // SQL functions — spot values, not just shape
     val cover = spark.sql(
