@@ -31,6 +31,34 @@ object Text {
         explode(filter(words(col("text")), w => w =!= lit(""))).as("word"): _*)
       .filter(col("word").rlike("^[a-z0-9]+$"))
 
+  /** Overlapping fixed-width word CHUNKS of a word-array column (r15):
+    * the RAG / context-window preparation pass — every document split
+    * into `width`-word windows advancing by `stride` (overlap =
+    * width − stride), the last window clamped at the text's end so
+    * every word is covered exactly once per window it falls in.
+    * Returns an array of (chunk_id, start_word, n_words, chunk)
+    * structs for the caller to explode; chunk count =
+    * 1 + ceil((len − width) / stride) for len > width, else 1 —
+    * pure integer arithmetic, identical on any engine. Zero shuffles,
+    * zero UDFs: sequence/transform/slice/array_join are codegen'd
+    * built-ins, so chunking is a map-side projection at any corpus
+    * size (the chunker never needs to see two documents together).
+    */
+  def chunkWords(wordsCol: Column, width: Int, stride: Int): Column = {
+    require(width >= 1 && stride >= 1 && stride <= width,
+      s"chunkWords: need 1 <= stride <= width, got width=$width stride=$stride")
+    val w = wordsCol
+    val nChunks = when(size(w) <= width, lit(1))
+      .otherwise((size(w) - width + stride - 1).cast("int") / stride + 1)
+      .cast("int")
+    transform(sequence(lit(0), nChunks - 1), k => {
+      val start = k * stride + 1
+      val piece = slice(w, start, lit(width))
+      struct(k.cast("int").as("chunk_id"), start.cast("int").as("start_word"),
+        size(piece).as("n_words"), array_join(piece, " ").as("chunk"))
+    })
+  }
+
   /** Word n-gram shingles over an existing array column (by name).
     * expr-based because the lambda needs positional element access.
     */

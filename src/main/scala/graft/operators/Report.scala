@@ -95,4 +95,45 @@ object Report {
   /** The batch face (q199): one thin scan, partials, finalize. */
   def card(thin: DataFrame): DataFrame =
     card(srcPartials(thin), langPartials(thin), hashPartials(thin))
+
+  /** Corpus-SNAPSHOT diff (r15): what changed between two corpus
+    * versions — the QA table an iterative curation loop reads after
+    * every pipeline change (did the new filter remove what it claimed,
+    * and ONLY that?). Per source: documents added / removed /
+    * content-changed / unchanged (content identity = the [[thin]]
+    * normalized md5, so formatting-only edits don't count as changes)
+    * and the whitespace-token delta (int64, new − old; negative =
+    * shrink). Both sides reduce to corpus-THIN (doc_id, source, ch,
+    * toks) projections before the single full-outer equi-join on the
+    * unique doc_id — text never rides the exchange, the output is
+    * |sources| rows, and row PRESENCE is detected by markers, not
+    * column nullness (the savingsFromState r15 discipline: a NULL
+    * source is a legitimate value, not an absence signal).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def side(docs: DataFrame, tag: String): DataFrame =
+      docs.select(col("doc_id"),
+        col("source").as(s"${tag}_source"),
+        md5(Text.normText(col("text"))).as(s"${tag}_ch"),
+        expr("cast(size(split(trim(text), '\\\\s+')) as bigint)")
+          .as(s"${tag}_toks"),
+        lit(true).as(s"__has_$tag"))
+    side(oldDocs, "old").join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("new_source"), col("old_source")).as("source"),
+        when(col("__has_old").isNull, 1L).otherwise(0L).as("added"),
+        when(col("__has_new").isNull, 1L).otherwise(0L).as("removed"),
+        when(col("__has_old").isNotNull && col("__has_new").isNotNull &&
+          col("old_ch") =!= col("new_ch"), 1L).otherwise(0L).as("changed"),
+        when(col("__has_old").isNotNull && col("__has_new").isNotNull &&
+          col("old_ch") === col("new_ch"), 1L).otherwise(0L).as("unchanged"),
+        (coalesce(col("new_toks"), lit(0L)) - coalesce(col("old_toks"), lit(0L)))
+          .as("tok_delta"))
+      .groupBy(col("source"))
+      .agg(sum(col("added")).as("n_added"),
+        sum(col("removed")).as("n_removed"),
+        sum(col("changed")).as("n_changed"),
+        sum(col("unchanged")).as("n_unchanged"),
+        sum(col("tok_delta")).as("tok_delta"))
+  }
 }

@@ -541,6 +541,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tvf2("graft_nn_label_agreement") { (corpus, probes, _) =>
         graft.operators.Ann.nnLabelAgreement(corpus, probes)
       }
+      // RAG / context-window chunking (q218): overlapping word windows
+      tvf("graft_text_chunks") { (docs, a) =>
+        import org.apache.spark.sql.functions.explode
+        val w = num(a, 0, 32, "graft_text_chunks").toInt
+        val s = num(a, 1, 24, "graft_text_chunks").toInt
+        docs.select(col("doc_id"),
+          explode(graft.functions.Text.chunkWords(
+            graft.functions.Text.words(col("text")), w, s)).as("c"))
+          .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+            col("c.start_word").as("start_word"),
+            col("c.n_words").as("n_words"), col("c.chunk").as("chunk"))
+      }
+      // iterative-curation QA (q219): per-source snapshot diff
+      tvf2("graft_corpus_diff") { (oldDocs, newDocs, _) =>
+        graft.operators.Report.corpusDiff(oldDocs, newDocs)
+      }
       // graft_bpe_encode('docs', 'merges', k): the merge list is a FIT
       // ARTIFACT (vocab-sized, the Ann-model posture), so the second
       // table collects to the driver at ANALYSIS time — same moment the

@@ -2661,6 +2661,111 @@ object PipelineQueries extends QueryFamily {
       .orderBy("q_label")
   }
 
+  // ---- q218: overlapping text chunking (RAG / context-window prep) --------
+  // Every document split into 32-word windows advancing by 24 (8-word
+  // overlap), last window clamped at the end — the retrieval-corpus /
+  // training-context preparation pass (Text.chunkWords). Pure map-side
+  // projection: sequence/transform/slice are codegen'd built-ins and
+  // the chunker never sees two documents together, so it scales as a
+  // scan at any corpus size; the only exchange is the output ORDER BY.
+  // Chunk count is integer-exact ((len−W+S−1) div S + 1), replayed
+  // verbatim by the oracle's generate-and-slice CTEs.
+  val q218 = {
+    val (w, s) = (32, 24)
+    Q(
+      "q218_text_chunking",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |n AS (SELECT doc_id, w, CAST(len(w) AS INTEGER) AS len,
+         |  CASE WHEN len(w) <= $w THEN 1
+         |       ELSE CAST((len(w) - $w + ${s - 1}) // $s + 1 AS INTEGER) END AS n_chunks
+         | FROM d),
+         |c AS (SELECT doc_id, len, n_chunks,
+         |  CAST(unnest(range(0, n_chunks)) AS INTEGER) AS chunk_id FROM n),
+         |x AS (SELECT c.doc_id, c.len, c.n_chunks, c.chunk_id,
+         |  CAST(c.chunk_id * $s + 1 AS INTEGER) AS start_word,
+         |  n.w[(c.chunk_id * $s + 1):(c.chunk_id * $s + $w)] AS piece
+         | FROM c JOIN n ON c.doc_id = n.doc_id)
+         |SELECT doc_id, chunk_id, start_word,
+         |  CAST(len(piece) AS INTEGER) AS n_words,
+         |  array_to_string(piece, ' ') AS chunk
+         |FROM x
+         |ORDER BY doc_id, chunk_id""".stripMargin) { (sp, d) =>
+      Tables.documents(sp, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Text.chunkWords(
+            graft.functions.Text.words(col("text")), w, s)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.start_word").as("start_word"),
+          col("c.n_words").as("n_words"), col("c.chunk").as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    }
+  }
+
+  // ---- q219: corpus snapshot diff (iterative-curation QA) -----------------
+  // What changed between two corpus versions — the table a curation
+  // loop reads after every pipeline change (did the new filter remove
+  // what it claimed, and ONLY that?). The "new" snapshot is derived
+  // deterministically from documents inside the query (every 97th doc
+  // removed, every 53rd revised, every 89th duplicated in as a fresh
+  // srcNEW arrival), so the oracle replays snapshot derivation AND
+  // diff. Report.corpusDiff: both sides reduce to corpus-THIN
+  // (doc_id, source, ch, toks) before ONE full-outer unique-key join —
+  // text never rides the exchange, output is |sources| rows; content
+  // identity is the normalized md5 (format-only edits don't count);
+  // presence via markers, not column nullness (the r15 discipline).
+  val q219 = Q(
+    "q219_corpus_diff",
+    s"""WITH newd AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 53 = 0 THEN text || ' revised' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 97 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'srcNEW' AS source, text
+       |  FROM documents WHERE doc_id % 89 = 0),
+       |o AS (SELECT doc_id, source, md5($NORM) AS ch,
+       |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+       |      FROM documents),
+       |n AS (SELECT doc_id, source, md5($NORM) AS ch,
+       |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
+       |      FROM newd),
+       |j AS (SELECT COALESCE(n.source, o.source) AS source,
+       |        CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
+       |        CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
+       |        CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+       |             AND o.ch <> n.ch THEN 1 ELSE 0 END AS changed,
+       |        CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+       |             AND o.ch = n.ch THEN 1 ELSE 0 END AS unchanged,
+       |        COALESCE(n.toks, 0) - COALESCE(o.toks, 0) AS tok_delta
+       |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+       |SELECT source,
+       |  CAST(sum(added) AS BIGINT) AS n_added,
+       |  CAST(sum(removed) AS BIGINT) AS n_removed,
+       |  CAST(sum(changed) AS BIGINT) AS n_changed,
+       |  CAST(sum(unchanged) AS BIGINT) AS n_unchanged,
+       |  CAST(sum(tok_delta) AS BIGINT) AS tok_delta
+       |FROM j GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // ONE scan derives the whole new snapshot: each doc emits its
+    // surviving (possibly revised) row and/or its srcNEW re-arrival as
+    // an array-explode, instead of a 2-scan filter+union
+    val newDocs = docs.select(explode(filter(array(
+        when(col("doc_id") % 97 =!= 0, struct(
+          col("doc_id"),
+          col("source"),
+          when(col("doc_id") % 53 === 0,
+            concat(col("text"), lit(" revised"))).otherwise(col("text"))
+            .as("text"))),
+        when(col("doc_id") % 89 === 0, struct(
+          (col("doc_id") + 1000000L).as("doc_id"),
+          lit("srcNEW").as("source"),
+          col("text")))),
+        x => x.isNotNull)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.text").as("text"))
+    graft.operators.Report.corpusDiff(docs, newDocs).orderBy("source")
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -3076,5 +3181,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219)
 }

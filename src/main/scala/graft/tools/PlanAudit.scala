@@ -210,6 +210,8 @@ object PlanAudit {
         "two ranker pipelines by definition (brute baseline + LSH candidate) — the q64 and q65 corpus/query role contracts composed; the grading join itself is rank-list-sized",
       "q217_nn_label_agreement" ->
         "corpus role + bounded probe role (the q64 contract); the label lookups read ONE checkpointed thin (vec_id, label) projection",
+      "q219_corpus_diff" ->
+        "snapshot-diff contract: old-version role + new-version role of the same table (the registered query derives the new snapshot in ONE array-explode pass; real deployments diff two distinct snapshot tables, one scan each)",
       "q210_matryoshka" ->
         "corpus role + queries-drawn-from-corpus role (bounded planted query side — the q64 shape)",
       "q198_contrastive_mining" ->

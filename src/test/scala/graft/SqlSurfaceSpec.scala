@@ -154,6 +154,17 @@ class SqlSurfaceSpec extends SparkSpec {
     pin("SELECT * FROM graft_nn_label_agreement('sql_embs_labeled', 'sql_queries')",
       graft.operators.Ann.nnLabelAgreement(embsLabeled,
         embsLabeled.filter(col("vec_id") < 5)))
+    // r15: chunking (q218) and snapshot diff (q219)
+    pin("SELECT * FROM graft_text_chunks('sql_docs', 16, 12)",
+      docs.select(col("doc_id"),
+        explode(graft.functions.Text.chunkWords(
+          graft.functions.Text.words(col("text")), 16, 12)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+          col("c.start_word").as("start_word"),
+          col("c.n_words").as("n_words"), col("c.chunk").as("chunk")))
+    docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("sql_docs_v2")
+    pin("SELECT * FROM graft_corpus_diff('sql_docs', 'sql_docs_v2')",
+      graft.operators.Report.corpusDiff(docs, docs.filter(col("doc_id") % 3 =!= 0)))
     // r15: envelope tile cover (q213) and integer RRF (q215) as scalar
     // SQL functions — spot values, not just shape
     val cover = spark.sql(

@@ -13,6 +13,56 @@ class TextSpec extends SparkSpec {
     assert(out == "hello world")
   }
 
+  test("chunkWords: window algebra — clamping, overlap, full coverage") {
+    import spark.implicits._
+    def chunksOf(nWords: Int, w: Int, s: Int): Seq[(Int, Int, Int, String)] =
+      Seq((1 to nWords).map(i => s"w$i").mkString(" ")).toDF("text")
+        .select(explode(Text.chunkWords(Text.words(col("text")), w, s)).as("c"))
+        .select("c.chunk_id", "c.start_word", "c.n_words", "c.chunk")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSeq
+    // shorter than the window: one clamped chunk
+    assert(chunksOf(3, 5, 3) == Seq((0, 1, 3, "w1 w2 w3")))
+    // exactly the window: still one chunk
+    assert(chunksOf(5, 5, 3).map(c => (c._1, c._2, c._3)) == Seq((0, 1, 5)))
+    // one word over: second chunk starts at the stride, clamps to 3
+    assert(chunksOf(6, 5, 3).map(c => (c._1, c._2, c._3)) ==
+      Seq((0, 1, 5), (1, 4, 3)))
+    // overlap = width - stride: chunk k starts at k*stride + 1, every
+    // word is covered, and consecutive chunks share width-stride words
+    val cs = chunksOf(20, 8, 5)
+    assert(cs.map(_._2) == Seq(1, 6, 11, 16))
+    assert(cs.init.forall(_._3 == 8) && cs.last._3 == 5)
+    val covered = cs.flatMap(c => c._2 until c._2 + c._3).toSet
+    assert(covered == (1 to 20).toSet)
+    // invalid strides fail loudly
+    intercept[IllegalArgumentException] { Text.chunkWords(col("w"), 4, 5) }
+    intercept[IllegalArgumentException] { Text.chunkWords(col("w"), 4, 0) }
+  }
+
+  test("corpusDiff: added/removed/changed/unchanged with a NULL source group") {
+    import spark.implicits._
+    val old = Seq(
+      (1L, Some("web"), "alpha beta"),      // unchanged
+      (2L, Some("web"), "gamma delta"),     // changed (content)
+      (3L, Some("lib"), "kept words here"), // removed
+      (5L, None: Option[String], "null src stays") // unchanged, NULL source
+    ).toDF("doc_id", "source", "text")
+    val neu = Seq(
+      (1L, Some("web"), "Alpha   BETA"),    // normalized-equal: NOT a change
+      (2L, Some("web"), "gamma delta epsilon"),
+      (4L, Some("new"), "fresh arrival"),   // added
+      (5L, None: Option[String], "null src stays")
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Report.corpusDiff(old, neu).collect()
+      .map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(Some("web")) == ((0L, 0L, 1L, 1L, 1L)), out(Some("web")))
+    assert(out(Some("lib")) == ((0L, 1L, 0L, 0L, -3L)), out(Some("lib")))
+    assert(out(Some("new")) == ((1L, 0L, 0L, 0L, 2L)), out(Some("new")))
+    assert(out(None) == ((0L, 0L, 0L, 1L, 0L)), out(None))
+  }
+
   test("shingles: n words yield n-2 trigrams in order") {
     import spark.implicits._
     val out = Seq("a b c d").toDF("text")
