@@ -116,24 +116,39 @@ object BingTile {
     * and the cover is their cross product — returned as an array of
     * (x, y, qk) structs for the caller to explode.
     *
-    * Bounded-by-construction: the array is (x1−x0+1)·(y1−y0+1) entries,
-    * set by the caller's zoom choice against its box sizes (the same
-    * contract as the reference, which caps the count and throws).
-    * Out-of-map edges clamp to the map border (tileXAt/tileYAt), so a
-    * box crossing the antimeridian covers to the border, not wrapping —
-    * the reference's behavior for its envelope path. Zero shuffles,
-    * zero UDFs: sequence/transform/struct are codegen'd built-ins and
-    * [[quadkey]] is integer bit arithmetic (bit-exact cross-engine).
+    * Guarded in-plan, matching the reference's contract (its
+    * geometry_to_bing_tiles THROWS when a cover exceeds 1,000,000
+    * tiles — BingTileFunctions.java:281): an assert_true on
+    * (x1−x0+1)·(y1−y0+1) ≤ maxTiles fails the QUERY before the per-row
+    * array materializes, instead of silently building an
+    * executor-OOM-sized array at a wide-box/high-zoom combination.
+    * The same assert rejects inverted bounds (lonMin > lonMax or
+    * latMin > latMax), which would otherwise produce an empty
+    * descending-sequence cover rather than an error. Out-of-map edges
+    * clamp to the map border (tileXAt/tileYAt), so a box crossing the
+    * antimeridian covers to the border, not wrapping — the reference's
+    * behavior for its envelope path. Zero shuffles, zero UDFs:
+    * sequence/transform/struct are codegen'd built-ins and [[quadkey]]
+    * is integer bit arithmetic (bit-exact cross-engine).
     */
   def envelopeCover(lonMin: Column, latMin: Column, lonMax: Column,
-                    latMax: Column, zoom: Int): Column = {
+                    latMax: Column, zoom: Int,
+                    maxTiles: Long = 1000000L): Column = {
     val x0 = tileXAt(lonMin, zoom)
     val x1 = tileXAt(lonMax, zoom)
     val y0 = tileYAt(latMax, zoom)
     val y1 = tileYAt(latMin, zoom)
-    flatten(transform(sequence(x0, x1), xx =>
-      transform(sequence(y0, y1), yy =>
-        struct(xx.as("x"), yy.as("y"), quadkey(xx, yy, zoom).as("qk")))))
+    val count = (x1.cast("bigint") - x0 + 1L) * (y1.cast("bigint") - y0 + 1L)
+    // assert_true returns NULL on pass, so when(guard.isNull, cover)
+    // keeps this a single expression; on violation the task fails loudly.
+    val guard = assert_true(
+      lonMin <= lonMax && latMin <= latMax && count <= lit(maxTiles),
+      concat(lit(s"envelope cover: inverted bounds or more than $maxTiles tiles at zoom $zoom (lon "),
+        lonMin, lit(".."), lonMax, lit(", lat "), latMin, lit(".."), latMax, lit(")")))
+    when(guard.isNull,
+      flatten(transform(sequence(x0, x1), xx =>
+        transform(sequence(y0, y1), yy =>
+          struct(xx.as("x"), yy.as("y"), quadkey(xx, yy, zoom).as("qk"))))))
   }
 
   /** Tile envelope corners in degrees: (lonMin, lonMax, latMin, latMax)

@@ -1036,6 +1036,37 @@ object Ann {
     conv(substring(md5(concat(lit("nsw|"), c.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
+  /** Scopes Spark 4's `spark.sql.requireAllClusterKeysForCoPartition`
+    * OFF around `build`, so joins keyed on (cluster, ...) reuse a
+    * HashPartitioning(cluster) co-location instead of re-exchanging on
+    * the full key set (the r15 nswBuild fix).
+    *
+    * INVARIANT (do not break): every plan that must SEE the relaxed
+    * value has to EXECUTE before this returns — the conf is restored on
+    * exit, and a deferred action would plan under the restored value,
+    * silently re-introducing the full-key vector-carrying exchange.
+    * The body upholds this by localCheckpoint-ing each intermediate it
+    * reuses, and this helper localCheckpoints the RESULT too, so no
+    * caller-side deferred action can plan after the restore.
+    *
+    * Shared-session note: the toggle is visible to concurrent queries
+    * on the same session for the duration of the build. The conf is a
+    * planner PERFORMANCE knob — hash co-partitioning on a SUBSET of the
+    * join keys still co-locates equal keys, so any plan chosen under
+    * the relaxed value is semantically valid; a concurrent query can at
+    * worst pick a cheaper-but-correct exchange. (Per-plan conf scoping
+    * is not available through the public API; a cloned session would
+    * not apply to DataFrames bound to the original.)
+    */
+  private def withSubsetCoPartition(spark: org.apache.spark.sql.SparkSession)
+                                   (build: => DataFrame): DataFrame = {
+    val key = "spark.sql.requireAllClusterKeysForCoPartition"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try build.localCheckpoint()
+    finally spark.conf.set(key, prev)
+  }
+
   /** The neighbor table (u, v, sim): cluster-local ring init +
     * `rounds` NN-Descent rounds over the [[ivfEncode]] index. Emitted
     * co-located by u — each search hop's expansion join is then
@@ -1063,18 +1094,18 @@ object Ann {
     // EnsureRequirements re-keys the uve-carrying intermediate on
     // (cluster, v) — the whole 6+ GB it was built to avoid):
     // (a) requireAllClusterKeysForCoPartition=false for the build's
-    //     actions only (restored in the finally) — the setting exists
-    //     precisely for reusing a coarser co-partitioning across joins
-    //     on (coarseKey, ...) like bucketed tables do;
+    //     actions only, via [[withSubsetCoPartition]] — the setting
+    //     exists precisely for reusing a coarser co-partitioning across
+    //     joins on (coarseKey, ...) like bucketed tables do. Every
+    //     intermediate below is eagerly materialized (localCheckpoint)
+    //     INSIDE the scope, and the helper checkpoints the result —
+    //     see the invariant on the helper;
     // (b) explicit partition counts on every repartition, so AQE's
     //     coalescing cannot de-align the two sides of a co-partitioned
     //     join after the fact.
     val spark = index.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    val coPartKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val coPartPrev = spark.conf.get(coPartKey, "true")
-    spark.conf.set(coPartKey, "false")
-    try {
+    withSubsetCoPartition(spark) {
     val byCell = index.select(col("cluster"), col("vec_id"), col("ve"))
       .repartition(np, col("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1143,7 +1174,7 @@ object Ann {
     edges.select(col("u"), col("v"), col("sim"))
       .unionByName(init.select(col("u"), col("v"), col("sim")))
       .distinct().repartition(col("u"))
-    } finally spark.conf.set(coPartKey, coPartPrev)
+    }
   }
 
   /** Per-(cell, node) top-k by (sim desc, v): u lives in exactly one
@@ -1462,13 +1493,26 @@ object Ann {
     // join re-scans the embeddings parquet (vectors included) just to
     // project two columns (the crossSourceLeakage discipline;
     // PlanAudit's multi-scan gate)
-    val labels = corpus.select(col("vec_id"), col("label"))
+    val labels = corpus.select(col("vec_id"), col("label"),
+        lit(true).as("__has"))
       .localCheckpoint(true)
+    // LOUD CONTRACT (the leakageFromState idiom): a probe whose vec_id
+    // has no label row in the corpus is a caller bug — left-join with a
+    // presence MARKER and assert on it, so the absent row fails the
+    // query instead of silently dropping from the report, while a
+    // legitimate NULL label still aggregates as its own class.
+    def loud(side: String, id: org.apache.spark.sql.Column) =
+      assert_true(col(s"__has_$side").isNotNull,
+        concat(lit(s"Ann.nnLabelAgreement: $side endpoint "),
+          id.cast("string"),
+          lit(" has no (vec_id, label) row in the corpus"))).isNull
     bruteKnn(corpus, queries, k = 1)
-      .join(labels.select(col("vec_id").as("qid"), col("label").as("q_label")),
-        Seq("qid"))
-      .join(labels.select(col("vec_id").as("cid"), col("label").as("nn_label")),
-        Seq("cid"))
+      .join(labels.select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("__has").as("__has_q")), Seq("qid"), "left")
+      .filter(loud("q", col("qid")))
+      .join(labels.select(col("vec_id").as("cid"), col("label").as("nn_label"),
+        col("__has").as("__has_n")), Seq("cid"), "left")
+      .filter(loud("n", col("cid")))
       .groupBy(col("q_label"))
       .agg(count(lit(1)).as("n_queries"),
         sum(when(col("q_label") === col("nn_label"), 1L).otherwise(0L))

@@ -120,13 +120,19 @@ object Report {
         lit(true).as(s"__has_$tag"))
     side(oldDocs, "old").join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
       .select(
-        coalesce(col("new_source"), col("old_source")).as("source"),
+        // Attribute by PRESENCE, not nullness: a doc in both snapshots
+        // belongs to its NEW source even when that source is NULL.
+        when(col("__has_new").isNotNull, col("new_source"))
+          .otherwise(col("old_source")).as("source"),
         when(col("__has_old").isNull, 1L).otherwise(0L).as("added"),
         when(col("__has_new").isNull, 1L).otherwise(0L).as("removed"),
+        // Null-safe content compare (<=>): a doc with NULL text on both
+        // sides (md5 null) is UNCHANGED, so every both-sides row lands
+        // in exactly one bucket and per-source counts sum to join rows.
         when(col("__has_old").isNotNull && col("__has_new").isNotNull &&
-          col("old_ch") =!= col("new_ch"), 1L).otherwise(0L).as("changed"),
+          !(col("old_ch") <=> col("new_ch")), 1L).otherwise(0L).as("changed"),
         when(col("__has_old").isNotNull && col("__has_new").isNotNull &&
-          col("old_ch") === col("new_ch"), 1L).otherwise(0L).as("unchanged"),
+          (col("old_ch") <=> col("new_ch")), 1L).otherwise(0L).as("unchanged"),
         (coalesce(col("new_toks"), lit(0L)) - coalesce(col("old_toks"), lit(0L)))
           .as("tok_delta"))
       .groupBy(col("source"))

@@ -2728,13 +2728,14 @@ object PipelineQueries extends QueryFamily {
        |n AS (SELECT doc_id, source, md5($NORM) AS ch,
        |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS toks
        |      FROM newd),
-       |j AS (SELECT COALESCE(n.source, o.source) AS source,
+       |j AS (SELECT CASE WHEN n.doc_id IS NOT NULL THEN n.source
+       |             ELSE o.source END AS source,
        |        CASE WHEN o.doc_id IS NULL THEN 1 ELSE 0 END AS added,
        |        CASE WHEN n.doc_id IS NULL THEN 1 ELSE 0 END AS removed,
        |        CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
-       |             AND o.ch <> n.ch THEN 1 ELSE 0 END AS changed,
+       |             AND o.ch IS DISTINCT FROM n.ch THEN 1 ELSE 0 END AS changed,
        |        CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
-       |             AND o.ch = n.ch THEN 1 ELSE 0 END AS unchanged,
+       |             AND o.ch IS NOT DISTINCT FROM n.ch THEN 1 ELSE 0 END AS unchanged,
        |        COALESCE(n.toks, 0) - COALESCE(o.toks, 0) AS tok_delta
        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
        |SELECT source,

@@ -71,6 +71,28 @@ class AnnSpec extends SparkSpec {
     assert(out(1) == ((3L, 2L, 666666L)), out(1))
   }
 
+  test("nnLabelAgreement: absent label row fails loudly; NULL label aggregates") {
+    import spark.implicits._
+    // probe 9 is NOT in the corpus -> its label lookup must FAIL the
+    // query (loud contract), not silently drop it from the report
+    val corpus = Seq(
+      (1L, Seq(1f, 0f), Some(0)), (2L, Seq(0.9f, 0.1f), Some(0))
+    ).toDF("vec_id", "embedding", "label")
+    val stray = Seq((9L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.nnLabelAgreement(corpus, stray.withColumn("label", lit(1)))
+        .collect()
+    }
+    assert(e.getMessage != null)
+    // a legitimate NULL label is a CLASS, not an absence: both vectors
+    // present, one labelled NULL -> two report rows, no failure
+    val withNull = Seq(
+      (1L, Seq(1f, 0f), Some(0)), (2L, Seq(0.9f, 0.1f), None: Option[Int])
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Ann.nnLabelAgreement(withNull, withNull).collect()
+    assert(rows.length == 2, rows.mkString(";"))
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);

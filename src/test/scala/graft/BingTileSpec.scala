@@ -44,6 +44,29 @@ class BingTileSpec extends SparkSpec {
     assert(xs.last - xs.head + 1 == xs.length && ys.last - ys.head + 1 == ys.length)
   }
 
+  test("envelopeCover: in-plan guard rejects oversized covers and inverted bounds") {
+    import spark.implicits._
+    def cover(lo0: Double, la0: Double, lo1: Double, la1: Double,
+              zoom: Int, cap: Long) =
+      Seq((lo0, la0, lo1, la1)).toDF("lo0", "la0", "lo1", "la1")
+        .select(BingTile.envelopeCover(
+          col("lo0"), col("la0"), col("lo1"), col("la1"), zoom, cap).as("c"))
+    // the whole map at zoom 12 is 4096^2 = 16.7M tiles > the reference's
+    // 1M cap -> the QUERY fails before the per-row array materializes
+    val e1 = intercept[Exception] {
+      cover(-180, -85, 180, 85, 12, 1000000L).collect()
+    }
+    assert(e1.getMessage.contains("envelope cover"), e1.getMessage)
+    // inverted lon bounds -> error, not a silent empty cover
+    val e2 = intercept[Exception] {
+      cover(30, 0, 10, 3, 4, 1000000L).collect()
+    }
+    assert(e2.getMessage.contains("envelope cover"), e2.getMessage)
+    // at the cap boundary the cover still materializes
+    assert(cover(-180, -85, 180, 85, 5, 1024L)
+      .select(size(col("c"))).head().getInt(0) == 1024)
+  }
+
   test("quadkey matches the published spec example (x=3, y=5, zoom=3 -> 213)") {
     import spark.implicits._
     val r = Seq((3, 5)).toDF("x", "y")

@@ -63,6 +63,29 @@ class TextSpec extends SparkSpec {
     assert(out(None) == ((0L, 0L, 0L, 1L, 0L)), out(None))
   }
 
+  test("corpusDiff: presence-based attribution and null-safe content compare") {
+    import spark.implicits._
+    // doc 1: present in BOTH, source legitimately became NULL in the
+    // new snapshot -> attributed to the NEW (NULL) source, not the old
+    // (the __has_new presence marker, not coalesce-on-nullness);
+    // doc 2: NULL text on both sides (md5 null) -> UNCHANGED, so
+    // per-source counts still sum to the join row count
+    val old = Seq(
+      (1L, Some("web"), Some("same words")),
+      (2L, Some("web"), None: Option[String])
+    ).toDF("doc_id", "source", "text")
+    val neu = Seq(
+      (1L, None: Option[String], Some("same words")),
+      (2L, Some("web"), None: Option[String])
+    ).toDF("doc_id", "source", "text")
+    val out = graft.operators.Report.corpusDiff(old, neu).collect()
+      .map(r => (Option(r.getString(0)),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(None) == ((0L, 0L, 0L, 1L)), out.toString)   // doc 1
+    assert(out(Some("web")) == ((0L, 0L, 0L, 1L)), out.toString) // doc 2
+    assert(out.values.map(t => t._1 + t._2 + t._3 + t._4).sum == 2L)
+  }
+
   test("shingles: n words yield n-2 trigrams in order") {
     import spark.implicits._
     val out = Seq("a b c d").toDF("text")
