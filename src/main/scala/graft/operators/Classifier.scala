@@ -84,6 +84,75 @@ object Classifier {
   def trainScore(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
     scoreAgainst(docs, fitOdds(docs, posPred, minDf).localCheckpoint(true))
 
+  /** MULTI-CLASS per-word integer odds weights — the reference's
+    * `classify(features, model)` contract (presto-ml
+    * MLFunctions.java:56 returns the predicted class for a feature
+    * vector under a trained Classifier model; its libsvm TRAINING is
+    * excluded — version-coupled foreign numerics, see SURVEY §2.2 —
+    * but the classify surface itself is this deterministic analog).
+    * A DENSE (word × label) grid: weight_ppm(w, l) =
+    * cnt_l(w)·10⁶ div cnt_all(w), the empirical P(label | word), with
+    * absent (word, label) cells explicit zeros so every label's
+    * denominator in [[classifyAgainst]] is the same in-vocab token
+    * count and the argmax is well-defined. Rows with a NULL label are
+    * EXCLUDED from training (unlabeled mass is background — the
+    * fitOdds posture). Vocab-sized × |labels| — still a model-sized
+    * artifact (the ivfFit posture: persist it, score forever).
+    */
+  def fitOddsMulti(docs: DataFrame, labelCol: Column,
+                   minDf: Int = 2): DataFrame = {
+    val lw = graft.functions.Text.alphabetWords(
+      docs.filter(labelCol.isNotNull), Seq(labelCol.as("label")))
+    val wc = lw.groupBy(col("word"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val wt = wc.groupBy(col("word")).agg(sum(col("cnt")).as("cnt_all"))
+      .filter(col("cnt_all") >= minDf)
+    val labels = wc.select(col("label")).distinct()
+    wt.crossJoin(broadcast(labels))
+      .join(wc, Seq("word", "label"), "left")
+      .select(col("word"), col("label"), expr(
+        "cast(cast(coalesce(cnt, 0L) as decimal(38,0)) * 1000000 div cnt_all as bigint)")
+        .as("weight_ppm"))
+  }
+
+  /** Predict each document's class against a trained multi-class
+    * weight table: (doc_id, pred_label, score_ppm, n_scored) — the
+    * argmax over per-label integer weighted means (ties broken by
+    * label order, replay-deterministic), i.e. the reference
+    * `classify`'s return-the-winning-class contract. Documents with no
+    * in-vocabulary words are absent (no evidence — the scoreAgainst
+    * contract). One (doc_id, word) map-side-combined aggregation, one
+    * unique-word join to the model grid, a per-doc window over
+    * |labels| rows — never corpus-global.
+    */
+  def classifyAgainst(docs: DataFrame, weights: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = words(docs)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cw"))
+      .join(weights.select(col("word"), col("label"), col("weight_ppm")),
+        Seq("word"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(expr(
+        "cast(sum(cast(cw as decimal(38,0)) * weight_ppm) div sum(cw) as bigint)")
+        .as("score_ppm"),
+        sum(col("cw")).as("n_scored"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("label"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("score_ppm"), col("n_scored"))
+  }
+
+  /** The one-corpus multi-class train→classify composition (q221's
+    * face): fit the dense odds grid on the labeled corpus, predict the
+    * same corpus. The grid is materialized once (model-sized).
+    */
+  def trainClassify(docs: DataFrame, labelCol: Column,
+                    minDf: Int = 2): DataFrame =
+    classifyAgainst(docs,
+      fitOddsMulti(docs, labelCol, minDf).localCheckpoint(true))
+
   /** Corpus-RELATIVE decile (0–9) attached to each scored document —
     * absolute ppm scores cluster around the seed prior (every doc's
     * weighted mean sits near P(pos)), so a filtering gate cuts by RANK,

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Lexical and hybrid retrieval (SURVEY.md §2.6) — the RAG deployment
+  * stack's ranking layer: BM25 (Robertson/Spärck Jones probabilistic
+  * weighting, the k1/b formulation every production engine ships),
+  * and the standard hybrid composition — a lexical ranking ⊕ a vector
+  * ranking fused by reciprocal-rank fusion (Cormack et al. SIGIR 2009),
+  * the zero-tuning fusion that is remarkably hard to beat.
+  *
+  * Scale design: scoring reduces the corpus to a persisted THIN
+  * match-list projection in ONE scan (per doc: its length and only the
+  * query's terms — what a posting-list intersection produces); corpus
+  * stats and df broadcast; every top-N is orderBy+limit
+  * (TakeOrderedAndProject: per-partition top-k + k-sized merge) BEFORE
+  * any rank window, so no window ever sees more than N rows. The fusion
+  * join is N×N on unique doc_id — rank-list-sized regardless of corpus
+  * size. At 100 TB the lexical side reads a persisted posting index and
+  * the vector side any Ann index face; the fusion is unchanged.
+  */
+object Retrieval {
+
+  /** BM25 contribution of one (term, doc) match — k1 = 1.2, b = 0.75
+    * (the universal defaults). Expects columns n_docs, df, tf, dl,
+    * avgdl in scope.
+    */
+  private val bm25Contrib =
+    "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+
+  /** BM25 match scores for a bag-of-terms query: (doc_id, score,
+    * n_terms) for every document matching ≥1 query term; score rounded
+    * to 6 dp (replay-deterministic cross-engine). One corpus scan —
+    * the persisted base carries (doc_id, dl, matched-terms-only) and
+    * feeds lengths, corpus stats, tf and df; df and the corpus stats
+    * broadcast into the scoring join.
+    */
+  def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25Scored: query terms must be non-empty")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
+        expr(s"filter(w, t -> t IN ($termList))").as("qterms"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val dl = base.select(col("doc_id"), col("dl"))
+    val ad = base.agg(avg("dl").as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val tf = base.select(col("doc_id"), explode(col("qterms")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(ad))
+      .groupBy("doc_id")
+      .agg(round(sum(expr(bm25Contrib)), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** Top-`n` of `scored` by (scoreCol desc, doc_id), ranked 1..n:
+    * orderBy+limit FIRST (TakeOrderedAndProject), THEN the row_number
+    * window over the ≤n survivors — a rank window over the full match
+    * set would single-partition it.
+    */
+  def topRanked(scored: DataFrame, scoreCol: String, rankCol: String,
+                n: Int): DataFrame = {
+    val w = Window.orderBy(col(scoreCol).desc, col("doc_id"))
+    scored.orderBy(col(scoreCol).desc, col("doc_id")).limit(n)
+      .withColumn(rankCol, row_number().over(w).cast("int"))
+  }
+
+  /** BM25 top-k (the q140 face): (doc_id, score, n_terms, rank). */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    topRanked(bm25Scored(docs, terms), "score", "rank", k)
+      .select(col("doc_id"), col("score"), col("n_terms"), col("rank"))
+      .orderBy("rank")
+
+  /** Hybrid BM25 ⊕ vector-cosine retrieval through integer RRF — the
+    * standard RAG stack: the lexical ranking catches exact-term matches
+    * embeddings blur, the vector ranking catches paraphrases the terms
+    * miss, and reciprocal-rank fusion needs no score calibration
+    * between the two (incomparable scales — THE reason RRF, not a
+    * weighted score sum, is the default).
+    *
+    * `queries` is the bounded probe set (vec_id, embedding) — each
+    * probe fuses the SAME lexical top-`depth` (one bag-of-terms query
+    * against the corpus) with its OWN vector top-`depth` from
+    * [[Ann.bruteKnn]] (swap any Ann index face at scale; the fusion is
+    * rank-list-sized either way). Fused micro-units are integer-exact:
+    * fused = Σ 1,000,000 div (rrfK + rank), absent side contributes 0
+    * (the q215 discipline — zero float anywhere in the fusion).
+    * Output: (qid, doc_id, rank_lex, rank_vec, fused, rank ≤ k).
+    */
+  def hybridSearch(docs: DataFrame, embs: DataFrame, terms: Seq[String],
+                   queries: DataFrame, k: Int = 10, depth: Int = 20,
+                   rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && depth >= k && rrfK >= 1,
+      s"hybridSearch: need 1 <= k <= depth and rrfK >= 1, got k=$k depth=$depth rrfK=$rrfK")
+    val lex = topRanked(bm25Scored(docs, terms), "score", "rank_lex", depth)
+      .select(col("doc_id"), col("rank_lex"))
+    val vec = Ann.bruteKnn(embs, queries, k = depth)
+      .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec"))
+    // per-qid fusion: the lexical list is qid-independent, so it
+    // broadcasts once and full-outer-joins each probe's vector list on
+    // unique doc_id (cross-joined with the probe ids so lexical-only
+    // docs still surface per probe)
+    val qids = queries.select(col("vec_id").as("qid"))
+    val lexPerQ = broadcast(qids.crossJoin(lex))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("fused").desc, col("doc_id"))
+    vec.join(lexPerQ, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(expr(s"1000000L div ($rrfK + rank_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($rrfK + rank_vec)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rank_lex"), col("rank_vec"),
+        col("fused"), col("rank"))
+  }
+}

@@ -594,6 +594,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       tvf2("graft_clf_score") { (docs, weights, _) =>
         graft.operators.Classifier.scoreAgainst(docs, weights)
       }
+      // multi-class faces (q221, the presto-ml classify contract): fit
+      // takes the label EXPRESSION as SQL text (the graft_clf_fit
+      // posture); classify deploys the frozen dense grid
+      tvf("graft_clf_fit_multi") { (docs, a) =>
+        graft.operators.Classifier.fitOddsMulti(docs,
+          expr(reqStr(a, 0, "graft_clf_fit_multi", "label_expr")),
+          minDf = num(a, 1, 2, "graft_clf_fit_multi").toInt)
+      }
+      tvf2("graft_classify") { (docs, weights, _) =>
+        graft.operators.Classifier.classifyAgainst(docs, weights)
+      }
+      // hybrid lexical ⊕ vector retrieval (q220): BM25 over the docs
+      // table fused with each probe's brute-cosine ranking over the
+      // embeddings table via integer RRF. Terms arrive as one
+      // comma-separated string literal (the bag-of-terms query).
+      tvf2("graft_hybrid_search") { (docs, embs, a) =>
+        if (a.isEmpty) throw new IllegalArgumentException(
+          "graft_hybrid_search(docs, embs, 'terms,csv', qid, k, depth): missing terms")
+        val terms = GraftExtensions
+          .strLit(a.head, "graft_hybrid_search", "terms")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val qid = num(a, 1, 0, "graft_hybrid_search").toLong
+        graft.operators.Retrieval.hybridSearch(docs, embs, terms,
+          embs.filter(col("vec_id") === qid),
+          k = num(a, 2, 10, "graft_hybrid_search").toInt,
+          depth = num(a, 3, 20, "graft_hybrid_search").toInt)
+      }
       tvf2("graft_matryoshka") { (corpus, queries, a) =>
         graft.operators.Ann.matryoshkaAgreement(corpus, queries,
           dims = num(a, 0, 16, "graft_matryoshka").toInt)

@@ -968,37 +968,13 @@ object PipelineQueries extends QueryFamily {
          |SELECT doc_id, score, n_terms, CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 10
          |ORDER BY rank""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // ONE documents scan: a thin persisted projection — per doc, its
-      // length and ONLY the query's terms (the match-list a search
-      // engine's posting intersection produces) — feeds doc lengths,
-      // corpus stats, tf and df. The r9 shape re-derived each from the
-      // corpus: 4 scans.
-      val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
-        .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
-          expr(s"filter(w, t -> t IN ($termList))").as("qterms"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      base.count()
-      val dl = base.select(col("doc_id"), col("dl"))
-      val ad = base.agg(avg("dl").as("avgdl"), count(lit(1)).cast("double").as("n_docs"))
-      val tf = base.select(col("doc_id"), explode(col("qterms")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-      val sc = tf.join(broadcast(dfT), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(ad))
-        .groupBy("doc_id")
-        .agg(round(sum(expr(contrib)), 6).as("score"), count(lit(1)).as("n_terms"))
-      // top-10 FIRST via orderBy+limit (TakeOrderedAndProject — per-
-      // partition top-k + k-sized merge), THEN the rank window over the
-      // ≤10 survivors: a row_number window over the full match set would
-      // single-partition it, and a match set is only query-sized when the
-      // query is selective — this shape is safe for any query.
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("score").desc, col("doc_id"))
-      sc.orderBy(col("score").desc, col("doc_id")).limit(10)
-        .withColumn("rank", row_number().over(w))
-        .select(col("doc_id"), col("score"), col("n_terms"), col("rank"))
-        .orderBy("rank")
+      // ONE documents scan (operators/Retrieval.bm25Scored): a thin
+      // persisted projection — per doc, its length and ONLY the query's
+      // terms (the match-list a posting intersection produces) — feeds
+      // doc lengths, corpus stats, tf and df; top-10 FIRST via
+      // orderBy+limit (TakeOrderedAndProject), THEN the rank window
+      // over the ≤10 survivors.
+      graft.operators.Retrieval.bm25(Tables.documents(s, d), terms, k = 10)
     }
   }
 
@@ -2767,6 +2743,112 @@ object PipelineQueries extends QueryFamily {
     graft.operators.Report.corpusDiff(docs, newDocs).orderBy("source")
   }
 
+  // ---- q220: hybrid BM25 ⊕ vector-ANN retrieval (the RAG stack) ----------
+  // The actual production hybrid: the q140 BM25 lexical ranking fused
+  // with each probe's brute-cosine vector ranking (q64's exact face —
+  // swap any Ann index face at 100 TB) through q215's integer RRF.
+  // RRF needs no score calibration between the incomparable scales —
+  // THE reason it, not a weighted sum, is the deployment default.
+  // Operator: Retrieval.hybridSearch — the lexical top-20 broadcasts
+  // once (qid-independent), each probe's fusion join is 20×20 on
+  // unique doc_id, fused micro-units are integer-exact
+  // (Σ 1,000,000 div (60 + rank), absent side 0), so the whole grading
+  // is rank-list-sized regardless of corpus size. The oracle replays
+  // BM25 scoring, brute cosine ranking, and the fusion end to end.
+  val q220 = {
+    val terms = Seq("hash", "join", "vector")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    Q(
+      "q220_hybrid_search",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, round(sum($contrib), 6) AS score
+         |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+         |        FROM sc QUALIFY rank_lex <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |vsims AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |            round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+         |          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |          WHERE q.vec_id < 3),
+         |vec AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_vec
+         |        FROM vsims QUALIFY rank_vec <= 20),
+         |lq AS (SELECT e.vec_id AS qid, lex.doc_id, lex.rank_lex
+         |       FROM e CROSS JOIN lex WHERE e.vec_id < 3),
+         |f AS (SELECT COALESCE(v.qid, lq.qid) AS qid,
+         |        COALESCE(v.doc_id, lq.doc_id) AS doc_id,
+         |        lq.rank_lex, v.rank_vec,
+         |        CAST(COALESCE(1000000 // (60 + lq.rank_lex), 0)
+         |           + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS fused
+         |      FROM vec v FULL OUTER JOIN lq
+         |        ON v.qid = lq.qid AND v.doc_id = lq.doc_id)
+         |SELECT qid, doc_id, rank_lex, rank_vec, fused,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY fused DESC, doc_id) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      graft.operators.Retrieval.hybridSearch(
+        Tables.documents(s, d), Tables.embeddings(s, d), terms,
+        Tables.embeddings(s, d).filter(col("vec_id") < 3),
+        k = 10, depth = 20, rrfK = 60)
+        .orderBy("qid", "rank")
+    }
+  }
+
+  // ---- q221: multi-class classification (the presto-ml classify face) ----
+  // The reference's `classify(features, model)` contract (presto-ml
+  // MLFunctions.java:56): return the predicted CLASS for each row under
+  // a trained classifier. Training via libsvm stays excluded (SURVEY
+  // §2.2 — version-coupled foreign numerics, unoracleable), but the
+  // classify surface rides the q207 integer-odds discipline extended to
+  // a DENSE (word × label) grid: weight_ppm(w,l) = P(label|word) ppm,
+  // per-doc per-label integer weighted means, argmax by (score desc,
+  // label) — zero floats, so train→classify replays exactly in DuckDB.
+  // Here: predict each document's language from its words (5 classes).
+  val q221 = Q(
+    "q221_classify_multi",
+    s"""WITH dw AS (SELECT doc_id, lang,
+       |        unnest(coalesce(list_filter($WORDS, x -> x <> ''), [])) AS word
+       |      FROM documents),
+       |fw AS MATERIALIZED (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
+       |wc AS (SELECT word, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM fw GROUP BY 1, 2),
+       |wt AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt_all
+       |       FROM wc GROUP BY 1 HAVING sum(cnt) >= 2),
+       |ls AS (SELECT DISTINCT lang AS label FROM documents),
+       |wl AS (SELECT wt.word, ls.label,
+       |         CAST(CAST(coalesce(wc.cnt, 0) AS HUGEINT) * 1000000 // wt.cnt_all AS BIGINT) AS weight_ppm
+       |       FROM wt CROSS JOIN ls
+       |       LEFT JOIN wc ON wc.word = wt.word AND wc.label = ls.label),
+       |dcw AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cw
+       |        FROM fw GROUP BY 1, 2),
+       |sc AS (SELECT dcw.doc_id, wl.label,
+       |         CAST(sum(CAST(cw AS HUGEINT) * weight_ppm) // sum(cw) AS BIGINT) AS score_ppm,
+       |         CAST(sum(cw) AS BIGINT) AS n_scored
+       |       FROM dcw JOIN wl USING (word) GROUP BY 1, 2),
+       |r AS (SELECT doc_id, label, score_ppm, n_scored,
+       |        row_number() OVER (PARTITION BY doc_id
+       |          ORDER BY score_ppm DESC, label) AS rn
+       |      FROM sc)
+       |SELECT doc_id, label AS pred_label, score_ppm, n_scored
+       |FROM r WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Classifier
+      .trainClassify(Tables.documents(s, d), col("lang"), minDf = 2)
+      .orderBy("doc_id")
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -3182,5 +3264,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221)
 }

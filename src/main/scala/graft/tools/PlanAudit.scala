@@ -67,6 +67,8 @@ object PlanAudit {
     "q140_bm25" -> "rank window runs AFTER limit-first top-k: input <= 10 rows",
     "q215_hybrid_rrf" ->
       "all three rank windows run AFTER limit-first top-k (the q140 idiom): two <= 20-row ranker lists + the <= 10-row fused list",
+    "q220_hybrid_search" ->
+      "lexical rank window runs AFTER limit-first top-k (the q140 idiom): input <= 20 rows; the fused rank window is qid-partitioned over <= 2*depth rows per probe",
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
@@ -118,6 +120,8 @@ object PlanAudit {
     "q140_bm25" -> "single-row corpus stats (N, avgdl) side",
     "q215_hybrid_rrf" ->
       "single-row corpus stats (N, avgdl) side — the q140 idiom, once per ranker",
+    "q220_hybrid_search" ->
+      "three bounded sides: single-row corpus stats (the q140 idiom), the 3-probe brute-cosine broadcast (q64's declared posture — any index face substitutes at scale), and the 3-probe-id x 20-row lexical-list fusion spine",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
     "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
     "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
@@ -210,6 +214,8 @@ object PlanAudit {
         "two ranker pipelines by definition (brute baseline + LSH candidate) — the q64 and q65 corpus/query role contracts composed; the grading join itself is rank-list-sized",
       "q217_nn_label_agreement" ->
         "corpus role + bounded probe role (the q64 contract); the label lookups read ONE checkpointed thin (vec_id, label) projection",
+      "q220_hybrid_search" ->
+        "embeddings x3: corpus role + bounded probe role (the q64 contract) + the 3-row probe-id spine for per-probe fusion — both extra passes are id-pruned to the probe set",
       "q219_corpus_diff" ->
         "snapshot-diff contract: old-version role + new-version role of the same table (the registered query derives the new snapshot in ONE array-explode pass; real deployments diff two distinct snapshot tables, one scan each)",
       "q210_matryoshka" ->

@@ -93,6 +93,34 @@ class AnnSpec extends SparkSpec {
     assert(rows.length == 2, rows.mkString(";"))
   }
 
+  test("hybridSearch: planted twin wins the fused ranking") {
+    import spark.implicits._
+    // twin 100 duplicates probe 1's text AND embedding direction: it
+    // tops the vector ranking (cos 1.0; the probe excludes itself) and
+    // sits right behind the probe lexically -> the RRF fusion puts it
+    // at rank 1 ahead of docs strong on only one side
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (100L, "alpha beta gamma"),
+      (2L, "alpha delta epsilon"), (3L, "beta zeta"),
+      (4L, "unrelated words here")
+    ).toDF("doc_id", "text")
+    val embs = Seq(
+      (1L, Seq(1f, 0f)), (100L, Seq(2f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f)), (4L, Seq(-1f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Retrieval.hybridSearch(
+      docs, embs, Seq("alpha", "beta", "gamma"),
+      embs.filter(col("vec_id") === 1L), k = 3, depth = 4)
+      .collect().map(r => r.getAs[Int]("rank") ->
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("fused"))).toMap
+    assert(out(1)._1 == 100L, out.toString)
+    // fused = vector rank 1 + lexical rank 2 (probe itself wins the
+    // lexical tie on doc_id)
+    assert(out(1)._2 == 1000000L / 61 + 1000000L / 62, out.toString)
+    // every fused value strictly decreases down the ranking
+    assert(out(1)._2 > out(2)._2 && out(2)._2 >= out(3)._2, out.toString)
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);

@@ -77,4 +77,52 @@ class ClassifierSpec extends SparkSpec {
       .reduce(_ ++ _)
     assert(parts == whole, s"$parts != $whole")
   }
+
+  private def langDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "bonjour monde bonjour", Some("fr")),
+      (2L, "hello world", Some("en")),
+      (3L, "bonjour world", Some("fr")),
+      (4L, "hello hello world", Some("en")),
+      (5L, "mundo hola", None: Option[String]) // unlabeled: not training
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("fitOddsMulti: dense grid with explicit zero cells; NULL labels excluded") {
+    val w = Classifier.fitOddsMulti(langDocs, col("lang"), minDf = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // vocab after minDf=2: bonjour(3 fr), hello(3 en), world(2 en + 1 fr);
+    // monde (1) cut; doc 5's words never trained (NULL label)
+    assert(w == Map(
+      ("bonjour", "en") -> 0L, ("bonjour", "fr") -> 1000000L,
+      ("hello", "en") -> 1000000L, ("hello", "fr") -> 0L,
+      ("world", "en") -> 666666L, ("world", "fr") -> 333333L), w)
+  }
+
+  test("classifyAgainst: per-label integer means, argmax, shared denominators") {
+    val out = Classifier.trainClassify(langDocs, col("lang"), minDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1: fr (2*1e6) div 2 = 1e6 beats en 0; doc 2: en 833333 beats
+    // fr 166666; doc 3: fr 666666 beats en 333333; doc 4: en 888888;
+    // doc 5: no in-vocab words -> ABSENT (no evidence, stated contract)
+    assert(out == Map(
+      1L -> (("fr", 1000000L, 2L)), 2L -> (("en", 833333L, 2L)),
+      3L -> (("fr", 666666L, 2L)), 4L -> (("en", 888888L, 3L))), out)
+  }
+
+  test("classifyAgainst: exact score tie breaks to the first label") {
+    import spark.implicits._
+    val weights = Classifier.fitOddsMulti(langDocs, col("lang"), minDf = 2)
+      .localCheckpoint()
+    // "bonjour hello": en (0 + 1e6) div 2 == fr (1e6 + 0) div 2 -> tie
+    // -> label asc -> en
+    val tied = Seq((9L, "bonjour hello")).toDF("doc_id", "text")
+    val r = Classifier.classifyAgainst(tied, weights).collect()
+    assert(r.length == 1 && r.head.getString(1) == "en" &&
+      r.head.getLong(2) == 500000L, r.mkString(";"))
+  }
 }

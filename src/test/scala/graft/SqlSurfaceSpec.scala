@@ -133,6 +133,12 @@ class SqlSurfaceSpec extends SparkSpec {
       clfWeights)
     pin("SELECT * FROM graft_clf_score('sql_docs', 'sql_clf_weights')",
       graft.operators.Classifier.scoreAgainst(docs, clfWeights))
+    // r16: multi-class faces (q221)
+    val clfGrid = graft.operators.Classifier.fitOddsMulti(docs, col("lang"))
+    clfGrid.createOrReplaceTempView("sql_clf_grid")
+    pin("SELECT * FROM graft_clf_fit_multi('sql_docs', 'lang')", clfGrid)
+    pin("SELECT * FROM graft_classify('sql_docs', 'sql_clf_grid')",
+      graft.operators.Classifier.classifyAgainst(docs, clfGrid))
     pin("SELECT * FROM graft_matryoshka('sql_embs', 'sql_queries', 16)",
       graft.operators.Ann.matryoshkaAgreement(embs,
         embs.filter(col("vec_id") < 5), dims = 16))
@@ -165,6 +171,12 @@ class SqlSurfaceSpec extends SparkSpec {
     docs.filter(col("doc_id") % 3 =!= 0).createOrReplaceTempView("sql_docs_v2")
     pin("SELECT * FROM graft_corpus_diff('sql_docs', 'sql_docs_v2')",
       graft.operators.Report.corpusDiff(docs, docs.filter(col("doc_id") % 3 =!= 0)))
+    // r16: hybrid lexical ⊕ vector retrieval (q220)
+    pin("SELECT * FROM graft_hybrid_search('sql_docs', 'sql_embs', " +
+        "'hash,join,vector', 1, 5, 20)",
+      graft.operators.Retrieval.hybridSearch(docs, embs,
+        Seq("hash", "join", "vector"), embs.filter(col("vec_id") === 1),
+        k = 5, depth = 20))
     // r15: envelope tile cover (q213) and integer RRF (q215) as scalar
     // SQL functions — spot values, not just shape
     val cover = spark.sql(
