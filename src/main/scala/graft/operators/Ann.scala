@@ -637,6 +637,18 @@ object Ann {
     * that survives a 100× corpus, where `a.join(b, va < vb)` (a
     * BroadcastNestedLoopJoin over corpus×corpus) is O(n²) dead.
     * Fewer `nBits` → bigger buckets → higher recall and more work.
+    *
+    * DEPLOYMENT CONTRACT (r16, caught by the sf1→sf10 decade gate):
+    * candidate volume is n²/2^nBits per probe orientation — QUADRATIC
+    * in n at a FIXED nBits (measured 59× shuffle bytes for 10× data at
+    * nBits = 4). At scale, hold bucket occupancy constant:
+    * nBits ≈ log₂(n) − 8 keeps candidates linear; recall at the fixed
+    * 1-bit multi-probe drops with nBits (Q71Probe: 0.57 at +2 bits,
+    * 0.29 at +4), so the HIGH-RECALL scale path for cosine near-dup
+    * detection is [[graft.operators.Dedup.minhashCandidates]]'s banded
+    * tables (recall composes across independent bands) or
+    * [[graft.operators.SemDedup.dupPairs]]'s k-means cells — this face
+    * is the exact-verification primitive for bounded-occupancy inputs.
     */
   def cosineDupPairs(embs: DataFrame, threshold: Double, nBits: Int = 4): DataFrame = {
     val dim = 64
@@ -1105,7 +1117,12 @@ object Ann {
     //     join after the fact.
     val spark = index.sparkSession
     val np = spark.sessionState.conf.numShufflePartitions
-    withSubsetCoPartition(spark) {
+    // captured so their checkpoint blocks can be freed once the helper
+    // has checkpointed the RESULT (they feed the final union, so they
+    // must outlive the scope but not the call)
+    var initRef: DataFrame = null
+    var edgesRef: DataFrame = null
+    val result = withSubsetCoPartition(spark) {
     val byCell = index.select(col("cluster"), col("vec_id"), col("ve"))
       .repartition(np, col("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1160,7 +1177,17 @@ object Ann {
           col("ve").as("vve")), Seq("cluster", "v"))
         .select(col("cluster"), col("u"), col("v"),
           graft.plans.NativeFunctions.cosineSim(col("uve"), col("vve")).as("sim"))
-      edges = topKPerNode(scoredNon, kNbr).localCheckpoint()
+      // free the superseded round's checkpoint blocks NOW (r16): they
+      // are dead the moment the next round materializes, but without
+      // the explicit unpersist they linger until a driver GC lets
+      // ContextCleaner reclaim them — measured as the q203 second-run
+      // bench flap (run b 41.5 s vs 7.9 s with 1,316 GC events, stages
+      // 5x slower, shuffle bytes byte-identical: pure memory-store
+      // pressure), and the same blocks would squat on executor memory
+      // in a cluster build
+      val next = topKPerNode(scoredNon, kNbr).localCheckpoint()
+      edges.unpersist(blocking = false)
+      edges = next
     }
     byCell.unpersist(blocking = false)
     // the RING stays in the final graph as the long-link spine: a pure
@@ -1171,10 +1198,15 @@ object Ann {
     // gets from randomized insertion — and they span every cell member
     // by construction, so the walk always has an escape from a local
     // optimum and in-cell connectivity is guaranteed. Degree ≤ 2·kNbr.
+    initRef = init
+    edgesRef = edges
     edges.select(col("u"), col("v"), col("sim"))
       .unionByName(init.select(col("u"), col("v"), col("sim")))
       .distinct().repartition(col("u"))
     }
+    initRef.unpersist(blocking = false)
+    edgesRef.unpersist(blocking = false)
+    result
   }
 
   /** Per-(cell, node) top-k by (sim desc, v): u lives in exactly one

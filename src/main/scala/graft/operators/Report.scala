@@ -110,15 +110,33 @@ object Report {
     * column nullness (the savingsFromState r15 discipline: a NULL
     * source is a legitimate value, not an absence signal).
     */
-  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
-    def side(docs: DataFrame, tag: String): DataFrame =
-      docs.select(col("doc_id"),
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame =
+    corpusDiffFromState(diffThin(oldDocs), diffThin(newDocs))
+
+  /** Corpus-thin per-doc diff projection: (doc_id, source, ch, toks) —
+    * the per-snapshot STATE [[corpusDiffFromState]] joins. Streaming
+    * posture (the savingsFromState family): each arriving batch of a
+    * snapshot contributes its thin projection, accumulated by plain
+    * union — a snapshot carries each doc_id once by ingestion
+    * contract, so no merge arithmetic is needed and the text never
+    * outlives its batch.
+    */
+  def diffThin(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      md5(Text.normText(col("text"))).as("ch"),
+      expr("cast(size(split(trim(text), '\\\\s+')) as bigint)").as("toks"))
+
+  /** The diff over two accumulated thin states (see [[corpusDiff]] for
+    * the semantics; `StreamingReportSpec` pins stream == batch).
+    */
+  def corpusDiffFromState(oldThin: DataFrame, newThin: DataFrame): DataFrame = {
+    def side(thin: DataFrame, tag: String): DataFrame =
+      thin.select(col("doc_id"),
         col("source").as(s"${tag}_source"),
-        md5(Text.normText(col("text"))).as(s"${tag}_ch"),
-        expr("cast(size(split(trim(text), '\\\\s+')) as bigint)")
-          .as(s"${tag}_toks"),
+        col("ch").as(s"${tag}_ch"),
+        col("toks").as(s"${tag}_toks"),
         lit(true).as(s"__has_$tag"))
-    side(oldDocs, "old").join(side(newDocs, "new"), Seq("doc_id"), "full_outer")
+    side(oldThin, "old").join(side(newThin, "new"), Seq("doc_id"), "full_outer")
       .select(
         // Attribute by PRESENCE, not nullness: a doc in both snapshots
         // belongs to its NEW source even when that source is NULL.

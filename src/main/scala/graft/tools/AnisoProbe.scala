@@ -51,6 +51,17 @@ object AnisoProbe {
         Ann.ivfPqKnn(rEmbs, rQueries, k = 5, trainMod = 4))
       println(f"[aniso] $name%-12s pq=$pq%.3f ivfpq=$ivfpq%.3f " +
         f"pq_rot=$pqRot%.3f ivfpq_rot=$ivfpqRot%.3f ivf_control=$ivf%.3f")
+      // r16 (VERDICT r15 item 7): the GRAPH family under the same
+      // spectrum — a skewed eigenspectrum changes LSH/k-means cell
+      // occupancy and beam behavior, which PQ rows cannot reveal. The
+      // walk scores exact cosines (no subspace slicing), so any drop
+      // is routing/occupancy, not code resolution — IVF stays the
+      // control for the routing half.
+      val nswLsh = recallOf(exact, Ann.nswKnnLsh(embs, queries, k = 5))
+      val nswKm = recallOf(exact, Ann.nswKnn(embs, queries, k = 5,
+        trainMod = 4))
+      println(f"[aniso] $name%-12s nsw_lsh=$nswLsh%.3f nsw_kmeans=$nswKm%.3f " +
+        f"ivf_control=$ivf%.3f")
       // budget sweep behind the BENCHNOTES adjudication that rotated
       // IVF-PQ's recall gap vs rotated flat PQ is the q142 CONFIG's
       // probe/code budget, not the rotation composition: nprobe=8

@@ -16,6 +16,7 @@ import graft.operators.Ann
   * id, so a batch touches only its own probe buckets.
   */
 case class Vec(vec_id: Long, embedding: Seq[Float], ts: Timestamp)
+case class LVec(vec_id: Long, embedding: Seq[Float], label: Int)
 
 class StreamingAnnSpec extends SparkSpec {
 
@@ -52,5 +53,50 @@ class StreamingAnnSpec extends SparkSpec {
       query.processAllAvailable()
       assert(dups.contains((9000L, base.head._1)), s"got $dups")
     } finally query.stop()
+  }
+
+  test("streamed grading (q216/q217): recall and label agreement over accumulated state == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // the r16 posture: the index CORPUS accumulates from a stream (the
+    // lshIndex ingestion loop above); the GRADING reports (recallAtK,
+    // nnLabelAgreement) then run over the accumulated state and must
+    // equal the batch-built reports exactly — grading is deterministic
+    // arithmetic over rankings, so arrival order cannot move a digit
+    val corpus = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 40)
+      .select("vec_id", "embedding", "label").localCheckpoint()
+    val probes = corpus.filter(col("vec_id") < 5)
+    def grade(c: DataFrame) = (
+      Ann.recallAtK(Ann.lshKnn(c, probes, k = 3),
+        Ann.bruteKnn(c, probes, k = 3), k = 3)
+        .orderBy("qid").collect().map(_.toSeq).toSeq,
+      Ann.nnLabelAgreement(c, probes)
+        .orderBy("q_label").collect().map(_.toSeq).toSeq)
+    val (batchRecall, batchAgree) = grade(corpus)
+    assert(batchRecall.nonEmpty && batchAgree.nonEmpty)
+
+    val rows = corpus.as[(Long, Seq[Float], Int)].collect()
+      .map(t => LVec(t._1, t._2, t._3))
+    val stream = MemoryStream[LVec]
+    var state: DataFrame = null
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().localCheckpoint()
+        state = (if (state == null) b else state.unionByName(b))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      rows.grouped(17).foreach { g =>
+        stream.addData(g.toSeq)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val (streamRecall, streamAgree) = grade(state)
+    assert(streamRecall == batchRecall, s"$streamRecall != $batchRecall")
+    assert(streamAgree == batchAgree, s"$streamAgree != $batchAgree")
   }
 }

@@ -63,4 +63,47 @@ class StreamingReportSpec extends SparkSpec {
     assert(streamedCard.toSeq == batchCard.toSeq,
       s"stream:\n${streamedCard.mkString("\n")}\nbatch:\n${batchCard.mkString("\n")}")
   }
+
+  test("streamed corpusDiff == batch diff, exactly, across arrival splits") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    // OLD snapshot: 60 docs; NEW snapshot: every 10th removed, every
+    // 7th revised, 6 fresh arrivals under a new source — the q219 shape
+    val old = (1L to 60L).map(i =>
+      RepDoc(i, s"src${i % 3}", "en", s"alpha beta doc $i words"))
+    val neu = old.filter(_.doc_id % 10 != 0).map(d =>
+      if (d.doc_id % 7 == 0) d.copy(text = d.text + " revised") else d) ++
+      (101L to 106L).map(i => RepDoc(i, "srcNEW", "en", s"fresh arrival $i"))
+    val batchDiff = Report.corpusDiff(old.toDF(), neu.toDF())
+      .orderBy("source").collect().map(_.toSeq)
+    assert(batchDiff.exists(r => r(3).asInstanceOf[Long] > 0),
+      "planted revisions must register as changed")
+
+    // the savingsFromState posture: the OLD snapshot's thin state is
+    // the accumulated corpus; NEW-snapshot batches fold in as they
+    // arrive (union — each doc_id once per snapshot by contract) and
+    // the diff finalizes from state on demand
+    val oldThin = Report.diffThin(old.toDF()).localCheckpoint()
+    val stream = MemoryStream[RepDoc]
+    var newThin: DataFrame = null
+    val query = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val t = Report.diffThin(batch.toDF()).localCheckpoint()
+        newThin = (if (newThin == null) t else newThin.unionByName(t))
+          .localCheckpoint()
+        ()
+      }
+      .start()
+    try {
+      neu.grouped(23).foreach { g =>
+        stream.addData(g)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    val streamedDiff = Report.corpusDiffFromState(oldThin, newThin)
+      .orderBy("source").collect().map(_.toSeq)
+    assert(streamedDiff.toSeq == batchDiff.toSeq,
+      s"stream:\n${streamedDiff.mkString("\n")}\nbatch:\n${batchDiff.mkString("\n")}")
+  }
 }

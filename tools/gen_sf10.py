@@ -15,10 +15,12 @@ at 10x traffic; embeddings keep the 10-cluster unit-norm structure):
   customer 1.5M, supplier 100k, part 2M, orders 15M, lineitem 60M,
   events 10M, embeddings 200k (+ region/nation copied).
 
-documents and embeddings_aniso are NOT scaled (no flagged key reads
-them); their sf10 slots symlink sf1 so any accidental read fails
-loudly on scale expectations rather than silently at the wrong size —
-they are absent entirely, which Verify/Bench at sf10 would notice.
+documents graduated to its own decade in r16 — tools/gen_sf10_docs.py
+writes 500k docs (10x gen_sf1) on an independent seed stream, closing
+the r15 VERDICT gap (the LLM-pipeline family's largest measured point
+was sf1). embeddings_aniso remains NOT scaled (no flagged key reads
+it); its sf10 slot is absent entirely, which any accidental read
+notices loudly.
 
 Measurement-only data: ShuffleAudit / Bench read it; the DuckDB oracle
 gate stays at sf0.01/sf0.1/sf1 (a 60M-row DuckDB replay adds no new

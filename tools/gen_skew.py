@@ -27,23 +27,40 @@ same schemas and row counts as sf0.1, but with the adversaries the
 
 The DuckDB oracles replay the same SQL on the same parquet, so the
 sweep is a REAL correctness gate on adversarial data, not a smoke
-test. Deterministic (seed 427). Run:
+test. Deterministic (seed 427 at sf0.1, 428 at sf1). Run:
 
-    python3 tools/gen_skew.py
+    python3 tools/gen_skew.py          # -> target/testdata/sf0.1skew
+    python3 tools/gen_skew.py sf1      # -> target/testdata/sf1skew (r16:
+                                       #    skew at the DECADE — 50k docs,
+                                       #    a 5,000-member star; closure
+                                       #    rounds grow with component
+                                       #    size, so skew compounds with
+                                       #    scale; needs gen_sf1.py run
+                                       #    first for the symlink targets)
     tools/run.sh graft.Verify target/testdata/sf0.1skew /tmp/vskew
     python3 tools/check.py /tmp/vskew target/testdata/sf0.1skew
 """
 import os
 import random
+import sys
 
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "target", "testdata", "sf0.1skew")
-N_DOCS, SEED = 5000, 427
+SCALE = sys.argv[1] if len(sys.argv) > 1 else "sf0.1"
+TARGET = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                      "target", "testdata")
+# vocabulary is always MEASURED from the driver's sf0.1 (the canonical
+# measured structure — the gen_sf1 discipline); SRC only feeds symlinks
+VOCAB_SRC = "/root/testdata/sf0.1"
+if SCALE == "sf0.1":
+    SRC, N_DOCS, SEED = VOCAB_SRC, 5000, 427
+elif SCALE == "sf1":
+    SRC, N_DOCS, SEED = os.path.join(TARGET, "sf1"), 50000, 428
+else:
+    sys.exit(f"unknown scale {SCALE!r}: sf0.1 | sf1")
+OUT = os.path.join(TARGET, f"{SCALE}skew")
 N_SOURCES = 20
 
 os.makedirs(OUT, exist_ok=True)
@@ -51,11 +68,11 @@ rng = random.Random(SEED)
 
 # measured per-language vocabulary (the gen_sf1 discipline)
 langrows = duckdb.sql(
-    f"SELECT lang, count(*) FROM '{SRC}/documents.parquet' GROUP BY 1 ORDER BY 1").fetchall()
+    f"SELECT lang, count(*) FROM '{VOCAB_SRC}/documents.parquet' GROUP BY 1 ORDER BY 1").fetchall()
 langs = [l for l, _ in langrows]
 wordrows = duckdb.sql(
     "SELECT lang, w, count(*) FROM (SELECT lang, unnest(string_split(text,' ')) w "
-    f"FROM '{SRC}/documents.parquet') GROUP BY 1,2 ORDER BY 1,2").fetchall()
+    f"FROM '{VOCAB_SRC}/documents.parquet') GROUP BY 1,2 ORDER BY 1,2").fetchall()
 vocab = {}
 for lang, w, c in wordrows:
     vocab.setdefault(lang, ([], []))
@@ -112,5 +129,5 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 from collections import Counter
 c = Counter(sources)
-print(f"wrote {OUT}: docs={N_DOCS} star=500 "
+print(f"wrote {OUT}: docs={N_DOCS} star={N_DOCS // 10} "
       f"top_sources={c.most_common(3)} langs={Counter(doc_langs).most_common()}")
