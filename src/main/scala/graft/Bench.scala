@@ -54,23 +54,22 @@ object Bench {
       // r14 re-pin (BENCH_LOCAL_r14 / BENCH_LOCAL_sf1_r14; the sf1
       // entries are the FIRST on the relational-decade data — r13's sf1
       // relational floors measured symlinked sf0.1 tables)
+      // r16 re-pin (BENCH_LOCAL_r15 / BENCH_LOCAL_sf1_r15 — VERDICT r15
+      // item 8): q214 joins the registry (kmeans-NSW, build-inclusive)
       if (new java.io.File(sfDir).getName == "sf1") Map(
-        "q142_ivfpq_ann" -> 5.705, "q189_learned_threshold_dedup" -> 7.359,
-        "q191_span_excision" -> 6.940, "q195_tokenized_packing" -> 4.832,
-        "q203_graph_ann" -> 15.169,
-        // r14-continuation pins (BENCH_LOCAL_sf1_r14 re-record)
-        "q209_corpus_build_v3" -> 10.662, "q211_dedup_roi" -> 5.825)
+        "q142_ivfpq_ann" -> 6.819, "q189_learned_threshold_dedup" -> 7.691,
+        "q191_span_excision" -> 5.601, "q195_tokenized_packing" -> 5.395,
+        "q203_graph_ann" -> 11.324, "q209_corpus_build_v3" -> 12.139,
+        "q211_dedup_roi" -> 7.085, "q214_graph_ann_kmeans" -> 13.389)
       else Map(
-        "q03_tpch_q3" -> 1.214, "q19_correlated_subquery" -> 0.690,
-        "q142_ivfpq_ann" -> 4.615, "q146_bloom_semi_join" -> 0.639,
-        "q155_dedup_threshold_calibration" -> 0.789,
-        "q162_winnow_extents" -> 0.420, "q163_sequence_packing" -> 0.300,
-        "q189_learned_threshold_dedup" -> 4.274,
-        "q191_span_excision" -> 3.032, "q195_tokenized_packing" -> 3.398,
-        "q203_graph_ann" -> 8.806,
-        // r14-continuation pins (BENCH_LOCAL_r14 re-record): the two
-        // heaviest new compositions join the registry
-        "q209_corpus_build_v3" -> 8.329, "q211_dedup_roi" -> 5.721)
+        "q03_tpch_q3" -> 1.375, "q19_correlated_subquery" -> 0.842,
+        "q142_ivfpq_ann" -> 5.313, "q146_bloom_semi_join" -> 0.836,
+        "q155_dedup_threshold_calibration" -> 1.094,
+        "q162_winnow_extents" -> 0.347, "q163_sequence_packing" -> 0.247,
+        "q189_learned_threshold_dedup" -> 5.287,
+        "q191_span_excision" -> 2.502, "q195_tokenized_packing" -> 3.766,
+        "q203_graph_ann" -> 6.463, "q209_corpus_build_v3" -> 7.281,
+        "q211_dedup_roi" -> 5.822, "q214_graph_ann_kmeans" -> 6.999)
     // stage completions stream in asynchronously; the buffer is cleared
     // per timed run and snapshotted (after a short drain) only when a
     // floor breach makes the detail worth keeping

@@ -42,8 +42,12 @@ object NswShufProbe {
     val twins = embs.filter(col("vec_id") < 10)
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     val n = embs.count()
-    val bits = math.max(3, math.ceil(
-      math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt)
+    // SPARK_GRAFT_NSW_BITS overrides the occupancy (r16): fewer bits =
+    // denser cells at the SAME corpus — the saturation test for the
+    // proposal-growth ceiling without needing the next decade's data
+    val bits = sys.env.get("SPARK_GRAFT_NSW_BITS").map(_.toInt)
+      .getOrElse(math.max(3, math.ceil(
+        math.log(math.sqrt(n.toDouble)) / math.log(2)).toInt))
     val index = phase("index") {
       val i = Ann.nswLshIndex(embs, bits)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
