@@ -53,11 +53,25 @@ object Quality {
           / size(col("w")), 6)).as("stop_ratio"),
         z(round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
           / size(col("w")), 6)).as("short_ratio")): _*)
+    // Composite in EXACT integer 1e-7 micro-units (r16; the q165/q207
+    // discipline — caught by the sf10 spot-oracle: the float composite
+    // 0.4·len + 0.3·sr + 0.3·(1−shr) rounded at 4 dp disagreed
+    // cross-engine on 2 of 500k docs sitting exactly on a .xxxx5
+    // boundary, where Spark's HALF_UP-on-expansion and DuckDB's
+    // scaled-double rounding diverge). The 6-dp RATIOS are half-safe by
+    // construction — a denominator ≤ 100 words cannot produce a 1e-6
+    // half (it would need 2-adic valuation ≥ 7, i.e. den ≥ 128) — so
+    // round(ratio·1e6) recovers their integer numerators exactly, and
+    //   q·1e7 = min(n_words·20000, 4e6) + 3·sr6 + 3e6 − 3·shr6
+    // is pure int64; half-up to 1e-4 via (2v+1000) div 2000 (positive
+    // operands truncate identically on both engines), then /10000.0 —
+    // a 4-dp decimal both engines represent as the same double.
     m.select(Seq(col("doc_id")) ++ cs ++ Seq(col("n_chars"), col("n_words"),
       col("avg_wlen"), col("stop_ratio"), col("short_ratio"),
-      when(col("n_words") === 0, lit(0.0)).otherwise(
-        round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
-          + lit(0.3) * col("stop_ratio")
-          + lit(0.3) * (lit(1.0) - col("short_ratio")), 4)).as("quality")): _*)
+      when(col("n_words") === 0, lit(0.0)).otherwise(expr(
+        "cast((2 * (least(cast(n_words as bigint) * 20000, 4000000) " +
+          "+ 3 * cast(round(stop_ratio * 1000000, 0) as bigint) + 3000000 " +
+          "- 3 * cast(round(short_ratio * 1000000, 0) as bigint)) + 1000) " +
+          "div 2000 as bigint) / 10000.0D")).as("quality")): _*)
   }
 }

@@ -225,7 +225,7 @@ object PipelineQueries extends QueryFamily {
        |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM (SELECT doc_id, $NORM AS n, $WORDS AS w FROM documents))
        |SELECT doc_id, n_chars, n_words, avg_wlen, stop_ratio, short_ratio,
-       | CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+       | CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |FROM m
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     // one implementation shared with the SQL front door (graft_quality TVF)
@@ -407,9 +407,10 @@ object PipelineQueries extends QueryFamily {
        |  FROM d),
        |lang AS (SELECT *, CASE $langCases ELSE 'und' END AS predicted FROM hits),
        |q AS (SELECT doc_id, n_words,
-       |   round(0.4 * least(n_words / 200.0, 1.0)
-       |     + 0.3 * round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6)
-       |     + 0.3 * (1.0 - round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6)), 4) AS quality
+       |   CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000)
+       |     + 3 * CAST(round(round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) * 1000000, 0) AS BIGINT)
+       |     + 3000000
+       |     - 3 * CAST(round(round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 AS quality
        | FROM lang WHERE predicted = 'en')
        |SELECT doc_id, n_words, quality
        |FROM q WHERE quality >= 0.3
@@ -436,9 +437,14 @@ object PipelineQueries extends QueryFamily {
         round(Text.vocabHits("w", Text.stopwords.head._2).cast("double") / size(col("w")), 6))
       .withColumn("short_ratio",
         round(expr("size(filter(w, x -> length(x) < 3))").cast("double") / size(col("w")), 6))
-      .withColumn("quality",
-        round(lit(0.4) * least(col("n_words") / 200.0, lit(1.0))
-          + lit(0.3) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("short_ratio")), 4))
+      .withColumn("quality", expr(
+        // the r16 integer-micro-unit composite (see Quality.score);
+        // 10000.0D: a bare 10000.0 parses as DECIMAL in Spark SQL and
+        // would silently retype the column
+        "cast((2 * (least(cast(n_words as bigint) * 20000, 4000000) " +
+          "+ 3 * cast(round(stop_ratio * 1000000, 0) as bigint) + 3000000 " +
+          "- 3 * cast(round(short_ratio * 1000000, 0) as bigint)) + 1000) " +
+          "div 2000 as bigint) / 10000.0D"))
       .filter(col("quality") >= 0.3)
       .select(col("doc_id"), col("n_words"), col("quality"))
       .orderBy("doc_id")
@@ -1860,7 +1866,7 @@ object PipelineQueries extends QueryFamily {
        |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
        |q AS (SELECT doc_id,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |cl AS (SELECT comp.id AS doc_id, cluster_id, cluster_size, q.quality
        |  FROM comp JOIN sz USING (cluster_id) JOIN q ON q.doc_id = comp.id)
@@ -2112,7 +2118,7 @@ object PipelineQueries extends QueryFamily {
        |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM m),
        |q2 AS (SELECT doc_id, n_words,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM m),
        |c AS (SELECT doc_id, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -2192,7 +2198,7 @@ object PipelineQueries extends QueryFamily {
        |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
        |  FROM m),
        |q AS (SELECT doc_id, source, lang, ch, n_words,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |dup AS (SELECT ch FROM q GROUP BY ch HAVING count(*) > 1),
        |b AS (SELECT q.*, CASE WHEN dup.ch IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
@@ -2253,7 +2259,7 @@ object PipelineQueries extends QueryFamily {
          |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |ql AS (SELECT doc_id,
-         |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
          |  FROM qm),
          |losers AS (SELECT doc_id FROM (
          |    SELECT comp.id AS doc_id, row_number() OVER
@@ -3078,7 +3084,7 @@ object PipelineQueries extends QueryFamily {
          |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |ql AS (SELECT doc_id,
-         |   CASE WHEN n_words = 0 THEN 0.0 ELSE round(0.4 * least(n_words / 200.0, 1.0) + 0.3 * stop_ratio + 0.3 * (1.0 - short_ratio), 4) END AS quality
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
          |  FROM qm),
          |losers AS (SELECT doc_id FROM (
          |    SELECT comp.id AS doc_id, row_number() OVER
