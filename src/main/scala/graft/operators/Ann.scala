@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -49,6 +49,69 @@ object Ann {
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
+
+  // ---------------------------------------------------------------------
+  // FILTERED ANN search (r17) — top-k under a metadata predicate
+  // (`lang = 'en'`, `source = x`, a tenant id): the RAG deployment
+  // reality. The reference analog is predicate pushdown into the scan
+  // (ScanFilterAndProjectOperator): the predicate prunes CANDIDATES
+  // BEFORE scoring, never a finished k-list — post-filtering a k-list
+  // wastes its rank slots and can go empty while allowed neighbours
+  // exist. For the bucketed faces the filter sits directly on the index
+  // relation, so Catalyst pushes it into the parquet scan of the probed
+  // buckets (PushedFilters); the index rows must carry the metadata
+  // columns the predicate references — join them onto the encode output
+  // ONCE at build time and the persisted bucketed index stores them
+  // (the filtered faces never join metadata at query time). The graph
+  // face threads the predicate through the walk instead — traversal
+  // must cross disallowed nodes to stay connected — see [[nswWalk]].
+  // ---------------------------------------------------------------------
+
+  /** Exact filtered top-k: candidates = corpus rows satisfying `pred`
+    * (the filter reaches the corpus scan), then [[bruteKnn]]. The
+    * correctness baseline every filtered index face is graded against
+    * (q222's oracle face).
+    */
+  def bruteKnnFiltered(corpus: DataFrame, queries: DataFrame, k: Int,
+                       pred: Column): DataFrame =
+    bruteKnn(corpus.filter(pred), queries, k)
+
+  /** Filtered IVF search: `pred` prunes the probed buckets' rows before
+    * the exact-cosine ranking — at scale the scan reads nprobe/c of the
+    * index WITH the pushed predicate. With nprobe = c this equals
+    * [[bruteKnnFiltered]] row-for-row (AnnSpec pins the law).
+    */
+  def ivfSearchFiltered(cents: Seq[(Int, Seq[Double])], index: DataFrame,
+                        queries: DataFrame, k: Int, pred: Column,
+                        nprobe: Int = 4,
+                        excludeSelf: Boolean = true): DataFrame =
+    ivfSearch(cents, index.filter(pred), queries, k, nprobe, excludeSelf)
+
+  /** Filtered PQ ADC search: `pred` prunes code rows before the ADC
+    * join (every (vec_id, sub) row of the code table carries the
+    * vector's metadata — m small values per vector, still a thin
+    * index). Approximation is unchanged: ADC distances over the
+    * SURVIVING codes, so the k-list is dense over the allowed set.
+    */
+  def pqSearchFiltered(cents: Seq[(Int, Int, Seq[Double])], index: DataFrame,
+                       queries: DataFrame, k: Int, pred: Column, m: Int = 4,
+                       dim: Int = 64, excludeSelf: Boolean = true): DataFrame =
+    pqSearch(cents, index.filter(pred), queries, k, m, dim, excludeSelf)
+
+  /** Filtered graph-ANN search (the [[nswKnnLsh]] deployment face
+    * under a predicate): the walk traverses the FULL graph, each
+    * visited node carries its predicate bit on the co-located vector
+    * table, and the final top-k ranks over allowed visited nodes only
+    * — filter before the k-cut, zero extra joins. Raise `beam`/`hops`
+    * for very selective predicates (the filtered-HNSW budget rule).
+    */
+  def nswSearchLshFiltered(edges: DataFrame, index: DataFrame,
+                           entries: DataFrame, queries: DataFrame, k: Int,
+                           nBits: Int, pred: Column, beam: Int = 16,
+                           hops: Int = 4,
+                           excludeSelf: Boolean = true): DataFrame =
+    nswSearchLsh(edges, index, entries, queries, k, nBits, beam, hops,
+      excludeSelf, Some(pred))
 
   /** MATRYOSHKA truncation-quality report (MRL, Kusupati et al.
     * NeurIPS'22): can retrieval run on the first `dims` coordinates?
@@ -1273,22 +1336,35 @@ object Ann {
   def nswSearch(cents: Seq[(Int, Seq[Double])], edges: DataFrame,
                 index: DataFrame, entries: DataFrame, queries: DataFrame,
                 k: Int, beam: Int = 16, hops: Int = 4, nprobe: Int = 4,
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true,
+                pred: Option[Column] = None): DataFrame = {
     // hop 0: centroid-route to nprobe cells, seed at their entries
     val seeds = queryProbes(cents, queries, nprobe)
       .select(col("qid"), col("cluster"))
       .join(broadcast(entries), Seq("cluster"))
       .select(col("qid"), col("vec_id").as("cid")).distinct()
-    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf)
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred)
   }
 
   /** The walk itself, routing-agnostic: score the seeds, then `hops`
     * rounds of expand-through-adjacency / fetch-unvisited / score /
     * top-beam; final top-k over everything visited.
+    *
+    * `pred` (filtered search, r17): a metadata predicate over the
+    * INDEX's columns. The walk TRAVERSES the full graph — dropping
+    * disallowed nodes from the adjacency would disconnect it exactly
+    * when the predicate is selective — but each visited node carries
+    * its predicate bit on the co-located vector table (zero extra
+    * joins, zero extra shuffle), and the FINAL top-k ranks over allowed
+    * visited nodes only. The allowed filter runs BEFORE the k-cut —
+    * never post-filtering a k-list that can go empty; for very
+    * selective predicates callers raise `beam`/`hops` (the filtered-
+    * HNSW budget rule).
     */
   private def nswWalk(seeds: DataFrame, edges: DataFrame, index: DataFrame,
                       queries: DataFrame, k: Int, beam: Int, hops: Int,
-                      excludeSelf: Boolean): DataFrame = {
+                      excludeSelf: Boolean,
+                      pred: Option[Column] = None): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble("embedding").as("qe")))
     // vector table CO-LOCATED by cid once (r15, the nswBuild rule on
@@ -1298,7 +1374,8 @@ object Ann {
     // full vector-table SMJ shuffle (measured at sf10: 4 × ~104 MB of
     // the 578 MB search total). At warehouse scale the persisted index
     // is bucketed by vec_id, making this exchange free forever.
-    val thin = index.select(col("vec_id").as("cid"), col("ve"))
+    val thin = index.select(col("vec_id").as("cid"), col("ve"),
+        pred.getOrElse(lit(true)).as("ok"))
       .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
         col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1308,7 +1385,7 @@ object Ann {
       .filter(if (excludeSelf) col("qid") =!= col("cid") else lit(true))
       .select(col("qid"), col("cid"),
         round(graft.plans.NativeFunctions.cosineSim(col("qe"), col("ve")), 4)
-          .as("sim"))
+          .as("sim"), col("ok"))
     val wb = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     def topBeam(acc: DataFrame): DataFrame = acc
       .withColumn("rn", row_number().over(wb)).filter(col("rn") <= beam)
@@ -1348,7 +1425,10 @@ object Ann {
     // adjacency caches have no remaining consumer
     thin.unpersist(blocking = false)
     adj.unpersist(blocking = false)
-    acc.withColumn("rn", row_number().over(wb))
+    // allowed-only BEFORE the k-cut: the rank window never sees
+    // disallowed nodes, so rn 1..k is dense over the allowed set
+    acc.filter(col("ok"))
+      .withColumn("rn", row_number().over(wb))
       .filter(col("rn") <= k)
       .select(col("qid"), col("cid"), col("sim"), col("rn"))
   }
@@ -1372,7 +1452,8 @@ object Ann {
 
   def nswSearchLsh(edges: DataFrame, index: DataFrame, entries: DataFrame,
                    queries: DataFrame, k: Int, nBits: Int, beam: Int = 16,
-                   hops: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+                   hops: Int = 4, excludeSelf: Boolean = true,
+                   pred: Option[Column] = None): DataFrame = {
     val probes = expr(
       s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
     val seeds = queries
@@ -1383,7 +1464,7 @@ object Ann {
       .select(col("qid"), col("pb").cast("int").as("cluster"))
       .join(broadcast(entries), Seq("cluster"))
       .select(col("qid"), col("vec_id").as("cid")).distinct()
-    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf)
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred)
   }
 
   /** INCREMENTAL graph ingestion — the continuous-ingestion face (the

@@ -38,40 +38,43 @@ object Quality {
     */
   def score(docs: DataFrame, carry: Seq[String]): DataFrame = {
     val cs = carry.map(col)
-    // the zero-word guard (n_words = 0 → 0.0, never a NULL ratio)
-    def z(c: org.apache.spark.sql.Column) =
-      when(size(col("w")) === 0, lit(0.0)).otherwise(c)
     val m = docs
       .select(Seq(col("doc_id")) ++ cs ++ Seq(Text.normText(col("text")).as("n"),
         Text.words(col("text")).as("w")): _*)
       .select(Seq(col("doc_id")) ++ cs ++ Seq(
         length(col("n")).as("n_chars"),
         size(col("w")).as("n_words"),
-        z(round(length(regexp_replace(col("n"), " ", "")).cast("double")
-          / size(col("w")), 6)).as("avg_wlen"),
-        z(round(Text.vocabHits("w", Text.stopwords.head._2).cast("double")
-          / size(col("w")), 6)).as("stop_ratio"),
-        z(round(expr("size(filter(w, x -> length(x) < 3))").cast("double")
-          / size(col("w")), 6)).as("short_ratio")): _*)
-    // Composite in EXACT integer 1e-7 micro-units (r16; the q165/q207
-    // discipline — caught by the sf10 spot-oracle: the float composite
-    // 0.4·len + 0.3·sr + 0.3·(1−shr) rounded at 4 dp disagreed
-    // cross-engine on 2 of 500k docs sitting exactly on a .xxxx5
-    // boundary, where Spark's HALF_UP-on-expansion and DuckDB's
-    // scaled-double rounding diverge). The 6-dp RATIOS are half-safe by
-    // construction — a denominator ≤ 100 words cannot produce a 1e-6
-    // half (it would need 2-adic valuation ≥ 7, i.e. den ≥ 128) — so
-    // round(ratio·1e6) recovers their integer numerators exactly, and
+        length(regexp_replace(col("n"), " ", "")).as("nsp"),
+        Text.vocabHits("w", Text.stopwords.head._2).as("hits"),
+        expr("size(filter(w, x -> length(x) < 3))").as("shorts")): _*)
+    // EVERYTHING in exact int64 micro-units (r16 made the composite
+    // integer after the sf10 spot-oracle catch; r17 extends it to the
+    // ratios themselves). The 6-dp ratio k6 = halfUp(num·10⁶ / n_words)
+    // is computed DIRECTLY as (2·num·10⁶ + n) div (2·n) — positive
+    // operands truncate identically on both engines — instead of
+    // round(double_ratio·10⁶): the old recovery was only half-safe for
+    // n_words < 128, and nothing bounds document length (ADVICE r17;
+    // the length term itself anticipates 200-word docs). The displayed
+    // ratios are k6 / 10⁶ — a division of identical integers, so the
+    // same double bit-for-bit cross-engine — and the composite
     //   q·1e7 = min(n_words·20000, 4e6) + 3·sr6 + 3e6 − 3·shr6
-    // is pure int64; half-up to 1e-4 via (2v+1000) div 2000 (positive
-    // operands truncate identically on both engines), then /10000.0 —
-    // a 4-dp decimal both engines represent as the same double.
-    m.select(Seq(col("doc_id")) ++ cs ++ Seq(col("n_chars"), col("n_words"),
-      col("avg_wlen"), col("stop_ratio"), col("short_ratio"),
-      when(col("n_words") === 0, lit(0.0)).otherwise(expr(
-        "cast((2 * (least(cast(n_words as bigint) * 20000, 4000000) " +
-          "+ 3 * cast(round(stop_ratio * 1000000, 0) as bigint) + 3000000 " +
-          "- 3 * cast(round(short_ratio * 1000000, 0) as bigint)) + 1000) " +
-          "div 2000 as bigint) / 10000.0D")).as("quality")): _*)
+    // is pure int64, half-up to 1e-4 via (2v+1000) div 2000, then
+    // /10000.0D — a 4-dp decimal both engines read as the same double.
+    // The zero-word guard (n_words = 0 → explicit 0 ratios and
+    // quality 0.0, never a NULL) lives inside r6 / the quality CASE.
+    def r6(num: String) = expr(
+      s"case when n_words = 0 then 0L else " +
+        s"(2 * cast($num as bigint) * 1000000 + n_words) div (2 * n_words) end")
+    m.withColumn("aw6", r6("nsp"))
+      .withColumn("sr6", r6("hits"))
+      .withColumn("shr6", r6("shorts"))
+      .select(Seq(col("doc_id")) ++ cs ++ Seq(col("n_chars"), col("n_words"),
+        expr("aw6 / 1000000.0D").as("avg_wlen"),
+        expr("sr6 / 1000000.0D").as("stop_ratio"),
+        expr("shr6 / 1000000.0D").as("short_ratio"),
+        when(col("n_words") === 0, lit(0.0)).otherwise(expr(
+          "cast((2 * (least(cast(n_words as bigint) * 20000, 4000000) " +
+            "+ 3 * sr6 + 3000000 - 3 * shr6) + 1000) " +
+            "div 2000 as bigint) / 10000.0D")).as("quality")): _*)
   }
 }

@@ -42,10 +42,14 @@ object Retrieval {
     */
   def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "bm25Scored: query terms must be non-empty")
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // terms ride a typed array literal matched with array_contains —
+    // never interpolated into SQL text, so a term containing a quote
+    // (user-reachable through the graft_hybrid_search TVF) is data, not
+    // syntax (r17, ADVICE)
+    val tset = typedlit(terms)
     val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
       .select(col("doc_id"), size(col("w")).cast("double").as("dl"),
-        expr(s"filter(w, t -> t IN ($termList))").as("qterms"))
+        filter(col("w"), t => array_contains(tset, t)).as("qterms"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
     val dl = base.select(col("doc_id"), col("dl"))
@@ -54,12 +58,19 @@ object Retrieval {
     val tf = base.select(col("doc_id"), explode(col("qterms")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(dfT), "term")
+    // materialize the match-list-sized scored table, then free the
+    // corpus-wide base eagerly — the operator runs twice per session
+    // (q140 + q220's hybridSearch) and dead corpus blocks would squat on
+    // executor memory exactly like the nswBuild rounds r16 fixed
+    val scored = tf.join(broadcast(dfT), "term")
       .join(dl, "doc_id")
       .crossJoin(broadcast(ad))
       .groupBy("doc_id")
       .agg(round(sum(expr(bm25Contrib)), 6).as("score"),
         count(lit(1)).as("n_terms"))
+      .localCheckpoint(true)
+    base.unpersist(blocking = false)
+    scored
   }
 
   /** Top-`n` of `scored` by (scoreCol desc, doc_id), ranked 1..n:
@@ -98,22 +109,39 @@ object Retrieval {
     */
   def hybridSearch(docs: DataFrame, embs: DataFrame, terms: Seq[String],
                    queries: DataFrame, k: Int = 10, depth: Int = 20,
-                   rrfK: Int = 60): DataFrame = {
+                   rrfK: Int = 60): DataFrame =
+    hybridSearchRanked(docs, terms,
+      queries.select(col("vec_id").as("qid")),
+      Ann.bruteKnn(embs, queries, k = depth)
+        .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec")),
+      k, depth, rrfK)
+
+  /** Hybrid fusion over ANY vector ranking — the index-face deployment
+    * form (r17): `vecRanks` is (qid, doc_id, rank_vec ≤ depth) from
+    * whichever Ann face the deployment runs (nswKnnLsh beam walk, PQ
+    * ADC, LSH buckets — [[hybridSearch]] passes the brute baseline).
+    * The lexical side, the integer RRF and the qid-partitioned fusion
+    * window are IDENTICAL regardless of the vector face, so an index
+    * swap changes recall, never fusion semantics — q216's recallAtK
+    * grades the swapped composition against the brute fusion (q223).
+    *
+    * `qids` is the bounded probe-id set (one `qid` column): the lexical
+    * list is qid-independent, so it broadcasts once and
+    * full-outer-joins each probe's vector list on unique doc_id
+    * (cross-joined with the probe ids so lexical-only docs still
+    * surface per probe).
+    */
+  def hybridSearchRanked(docs: DataFrame, terms: Seq[String],
+                         qids: DataFrame, vecRanks: DataFrame, k: Int = 10,
+                         depth: Int = 20, rrfK: Int = 60): DataFrame = {
     require(k >= 1 && depth >= k && rrfK >= 1,
       s"hybridSearch: need 1 <= k <= depth and rrfK >= 1, got k=$k depth=$depth rrfK=$rrfK")
     val lex = topRanked(bm25Scored(docs, terms), "score", "rank_lex", depth)
       .select(col("doc_id"), col("rank_lex"))
-    val vec = Ann.bruteKnn(embs, queries, k = depth)
-      .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec"))
-    // per-qid fusion: the lexical list is qid-independent, so it
-    // broadcasts once and full-outer-joins each probe's vector list on
-    // unique doc_id (cross-joined with the probe ids so lexical-only
-    // docs still surface per probe)
-    val qids = queries.select(col("vec_id").as("qid"))
     val lexPerQ = broadcast(qids.crossJoin(lex))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("fused").desc, col("doc_id"))
-    vec.join(lexPerQ, Seq("qid", "doc_id"), "full_outer")
+    vecRanks.join(lexPerQ, Seq("qid", "doc_id"), "full_outer")
       .withColumn("fused",
         coalesce(expr(s"1000000L div ($rrfK + rank_lex)"), lit(0L)) +
           coalesce(expr(s"1000000L div ($rrfK + rank_vec)"), lit(0L)))

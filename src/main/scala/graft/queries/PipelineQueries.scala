@@ -220,12 +220,13 @@ object PipelineQueries extends QueryFamily {
        |  SELECT doc_id,
        |   CAST(length(n) AS INTEGER) AS n_chars,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(length(replace(n, ' ', '')) AS DOUBLE) / len(w), 6) END AS avg_wlen,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(length(replace(n, ' ', '')) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS aw6,
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
        |  FROM (SELECT doc_id, $NORM AS n, $WORDS AS w FROM documents))
-       |SELECT doc_id, n_chars, n_words, avg_wlen, stop_ratio, short_ratio,
-       | CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+       |SELECT doc_id, n_chars, n_words,
+       | aw6 / 1000000.0 AS avg_wlen, sr6 / 1000000.0 AS stop_ratio, shr6 / 1000000.0 AS short_ratio,
+       | CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |FROM m
        |ORDER BY doc_id""".stripMargin) { (s, d) =>
     // one implementation shared with the SQL front door (graft_quality TVF)
@@ -408,9 +409,9 @@ object PipelineQueries extends QueryFamily {
        |lang AS (SELECT *, CASE $langCases ELSE 'und' END AS predicted FROM hits),
        |q AS (SELECT doc_id, n_words,
        |   CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000)
-       |     + 3 * CAST(round(round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) * 1000000, 0) AS BIGINT)
+       |     + 3 * ((2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)))
        |     + 3000000
-       |     - 3 * CAST(round(round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 AS quality
+       |     - 3 * ((2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)))) + 1000) // 2000 AS BIGINT) / 10000.0 AS quality
        | FROM lang WHERE predicted = 'en')
        |SELECT doc_id, n_words, quality
        |FROM q WHERE quality >= 0.3
@@ -433,17 +434,21 @@ object PipelineQueries extends QueryFamily {
     base
       .withColumn("predicted", expr(s"CASE $langCases ELSE 'und' END"))
       .filter(col("predicted") === "en")
-      .withColumn("stop_ratio",
-        round(Text.vocabHits("w", Text.stopwords.head._2).cast("double") / size(col("w")), 6))
-      .withColumn("short_ratio",
-        round(expr("size(filter(w, x -> length(x) < 3))").cast("double") / size(col("w")), 6))
+      .withColumn("hits", Text.vocabHits("w", Text.stopwords.head._2))
+      .withColumn("sr6", expr(
+        "(2 * cast(hits as bigint) * 1000000 + n_words) div (2 * n_words)"))
+      .withColumn("shr6", expr(
+        "(2 * cast(size(filter(w, x -> length(x) < 3)) as bigint) * 1000000 " +
+          "+ n_words) div (2 * n_words)"))
       .withColumn("quality", expr(
-        // the r16 integer-micro-unit composite (see Quality.score);
+        // the integer-micro-unit composite over direct integer 6-dp
+        // ratios (see Quality.score — r17 dropped the round(ratio·1e6)
+        // recovery, which was only half-safe below 128 words);
         // 10000.0D: a bare 10000.0 parses as DECIMAL in Spark SQL and
         // would silently retype the column
         "cast((2 * (least(cast(n_words as bigint) * 20000, 4000000) " +
-          "+ 3 * cast(round(stop_ratio * 1000000, 0) as bigint) + 3000000 " +
-          "- 3 * cast(round(short_ratio * 1000000, 0) as bigint)) + 1000) " +
+          "+ 3 * sr6 + 3000000 " +
+          "- 3 * shr6) + 1000) " +
           "div 2000 as bigint) / 10000.0D"))
       .filter(col("quality") >= 0.3)
       .select(col("doc_id"), col("n_words"), col("quality"))
@@ -1862,11 +1867,11 @@ object PipelineQueries extends QueryFamily {
        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM comp GROUP BY 1),
        |qm AS (SELECT doc_id,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
        |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
        |q AS (SELECT doc_id,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |cl AS (SELECT comp.id AS doc_id, cluster_id, cluster_size, q.quality
        |  FROM comp JOIN sz USING (cluster_id) JOIN q ON q.doc_id = comp.id)
@@ -2114,11 +2119,11 @@ object PipelineQueries extends QueryFamily {
     s"""WITH m AS (SELECT doc_id, $WORDS AS w FROM documents),
        |qm AS (SELECT doc_id,
        |   CAST(len(w) AS INTEGER) AS n_words,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
        |  FROM m),
        |q2 AS (SELECT doc_id, n_words,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |t AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM m),
        |c AS (SELECT doc_id, CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -2194,11 +2199,11 @@ object PipelineQueries extends QueryFamily {
     s"""WITH m AS (SELECT doc_id, source, lang, $NORM AS nrm, $WORDS AS w FROM documents),
        |qm AS (SELECT doc_id, source, lang, md5(nrm) AS ch,
        |   CAST(len(w) AS BIGINT) AS n_words,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-       |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+       |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
        |  FROM m),
        |q AS (SELECT doc_id, source, lang, ch, n_words,
-       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+       |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
        |  FROM qm),
        |dup AS (SELECT ch FROM q GROUP BY ch HAVING count(*) > 1),
        |b AS (SELECT q.*, CASE WHEN dup.ch IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
@@ -2255,11 +2260,11 @@ object PipelineQueries extends QueryFamily {
          |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
          |qm AS (SELECT doc_id,
          |   CAST(len(w) AS INTEGER) AS n_words,
-         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+         |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+         |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |ql AS (SELECT doc_id,
-         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
          |  FROM qm),
          |losers AS (SELECT doc_id FROM (
          |    SELECT comp.id AS doc_id, row_number() OVER
@@ -2829,10 +2834,10 @@ object PipelineQueries extends QueryFamily {
        |      FROM documents),
        |fw AS MATERIALIZED (SELECT * FROM dw WHERE regexp_full_match(word, '[a-z0-9]+')),
        |wc AS (SELECT word, lang AS label, CAST(count(*) AS BIGINT) AS cnt
-       |       FROM fw GROUP BY 1, 2),
+       |       FROM fw WHERE lang IS NOT NULL GROUP BY 1, 2),
        |wt AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt_all
        |       FROM wc GROUP BY 1 HAVING sum(cnt) >= 2),
-       |ls AS (SELECT DISTINCT lang AS label FROM documents),
+       |ls AS (SELECT DISTINCT label FROM wc),
        |wl AS (SELECT wt.word, ls.label,
        |         CAST(CAST(coalesce(wc.cnt, 0) AS HUGEINT) * 1000000 // wt.cnt_all AS BIGINT) AS weight_ppm
        |       FROM wt CROSS JOIN ls
@@ -2853,6 +2858,126 @@ object PipelineQueries extends QueryFamily {
     graft.operators.Classifier
       .trainClassify(Tables.documents(s, d), col("lang"), minDf = 2)
       .orderBy("doc_id")
+  }
+
+  // ---- q222: FILTERED ANN search (metadata predicate) --------------------
+  // Top-k under a metadata predicate (`label = 3`) — the RAG deployment
+  // reality (tenant / language / source scoping). The predicate prunes
+  // CANDIDATES BEFORE scoring (the reference's pushdown-into-scan
+  // posture, ScanFilterAndProjectOperator), never a finished k-list —
+  // so rn 1..k is dense over the allowed set and a selective filter
+  // cannot empty the answer while allowed neighbours exist. This is the
+  // brute oracle face (Ann.bruteKnnFiltered); the index faces
+  // (ivfSearchFiltered / pqSearchFiltered / nswSearchLshFiltered) carry
+  // the same contract with the predicate pushed into the probed buckets
+  // of the persisted index — AnnSpec pins index-face parity and the
+  // planted-twin-under-filter law.
+  val q222 = Q(
+    "q222_filtered_ann",
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |           round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+      |         FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      |         WHERE q.vec_id < 10 AND c.label = 3)
+      |SELECT qid, cid, sim,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INTEGER) AS rn
+      |FROM sims QUALIFY rn <= 5
+      |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    val embs = Tables.embeddings(s, d)
+    Ann.bruteKnnFiltered(embs, embs.filter(col("vec_id") < 10), k = 5,
+      pred = col("label") === 3)
+      .orderBy("qid", "rn")
+  }
+
+  // ---- q223: hybrid retrieval over an INDEX face, graded ------------------
+  // q220 fuses the brute vector ranking; the deployment form fuses an
+  // ANN INDEX face. Same fusion operator (Retrieval.hybridSearchRanked
+  // — integer RRF, qid-partitioned windows, rank-list-sized regardless
+  // of which face feeds it), the LSH index face swapped in for the
+  // vector side, and the swapped composition GRADED against the brute
+  // fusion with q216's recallAtK — the go/no-go row a deployment reads
+  // before switching its retrieval stack's vector side. Every stage is
+  // replay-deterministic (round-6 BM25, round-4 sims, integer RRF), so
+  // the whole grade rides the FULL oracle.
+  val q223 = {
+    val terms = Seq("hash", "join", "vector")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    val nBits = 4
+    val hps = graft.functions.Sketches.hyperplaneSigns(nBits, dim = 64)
+    val bucketExpr = hps.zipWithIndex.map { case (hp, i) =>
+      s"CASE WHEN list_dot_product(emb, [${hp.map(s => s"$s.0").mkString(", ")}]) > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val probeList = ("bucket" +: (0 until nBits).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+    Q(
+      "q223_hybrid_indexed_recall",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, round(sum($contrib), 6) AS score
+         |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+         |        FROM sc QUALIFY rank_lex <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 3),
+         |bsims AS (SELECT q.qid, c.vec_id AS doc_id,
+         |            round(list_cosine_similarity(q.qe, c.emb), 4) AS sim
+         |          FROM qs q JOIN e c ON q.qid <> c.vec_id),
+         |bvec AS (SELECT qid, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_vec
+         |         FROM bsims QUALIFY rank_vec <= 20),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |qb AS (SELECT vec_id AS qid, emb AS qe, bucket FROM b WHERE vec_id < 3),
+         |probes AS (SELECT qid, qe, unnest([$probeList]) AS bucket FROM qb),
+         |cand AS (SELECT p.qid, p.qe, c.vec_id AS doc_id, c.emb AS ce
+         |         FROM probes p JOIN b c USING (bucket) WHERE p.qid <> c.vec_id),
+         |avec AS (SELECT qid, doc_id,
+         |           CAST(row_number() OVER (PARTITION BY qid
+         |             ORDER BY round(list_cosine_similarity(qe, ce), 4) DESC, doc_id) AS INTEGER) AS rank_vec
+         |         FROM cand QUALIFY rank_vec <= 20),
+         |lq AS (SELECT qs.qid, lex.doc_id, lex.rank_lex FROM qs CROSS JOIN lex),
+         |af AS (SELECT COALESCE(v.qid, lq.qid) AS qid, COALESCE(v.doc_id, lq.doc_id) AS doc_id,
+         |         CAST(COALESCE(1000000 // (60 + lq.rank_lex), 0)
+         |            + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS fused
+         |       FROM avec v FULL OUTER JOIN lq ON v.qid = lq.qid AND v.doc_id = lq.doc_id),
+         |atop AS (SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id) AS rnk
+         |    FROM af) WHERE rnk <= 10),
+         |ef AS (SELECT COALESCE(v.qid, lq.qid) AS qid, COALESCE(v.doc_id, lq.doc_id) AS doc_id,
+         |         CAST(COALESCE(1000000 // (60 + lq.rank_lex), 0)
+         |            + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS fused
+         |       FROM bvec v FULL OUTER JOIN lq ON v.qid = lq.qid AND v.doc_id = lq.doc_id),
+         |etop AS (SELECT qid, doc_id FROM (
+         |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id) AS rnk
+         |    FROM ef) WHERE rnk <= 10)
+         |SELECT etop.qid,
+         |  count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN atop.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |  CAST(sum(CASE WHEN atop.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM etop LEFT JOIN atop ON etop.qid = atop.qid AND etop.doc_id = atop.doc_id
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val embs = Tables.embeddings(s, d)
+      val queries = embs.filter(col("vec_id") < 3)
+      val qids = queries.select(col("vec_id").as("qid"))
+      def fused(vecRanks: DataFrame): DataFrame = graft.operators.Retrieval
+        .hybridSearchRanked(docs, terms, qids, vecRanks,
+          k = 10, depth = 20, rrfK = 60)
+        .select(col("qid"), col("doc_id").as("cid"), col("rank").as("rn"))
+      val approx = fused(Ann.lshKnn(embs, queries, k = 20, nBits = nBits)
+        .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec")))
+      val exact = fused(Ann.bruteKnn(embs, queries, k = 20)
+        .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec")))
+      Ann.recallAtK(approx, exact, k = 10).orderBy("qid")
+    }
   }
 
   // ---- q204: per-source dedup savings report -----------------------------
@@ -3080,11 +3205,11 @@ object PipelineQueries extends QueryFamily {
          |comp AS (SELECT id, least(id, min(r)) AS cluster_id FROM reach GROUP BY id),
          |qm AS (SELECT doc_id,
          |   CAST(len(w) AS INTEGER) AS n_words,
-         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS DOUBLE) / len(w), 6) END AS stop_ratio,
-         |   CASE WHEN len(w) = 0 THEN 0.0 ELSE round(CAST(len(list_filter(w, x -> length(x) < 3)) AS DOUBLE) / len(w), 6) END AS short_ratio
+         |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'and', 'is', 'to', 'in'))) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS sr6,
+         |   CASE WHEN len(w) = 0 THEN CAST(0 AS BIGINT) ELSE (2 * CAST(len(list_filter(w, x -> length(x) < 3)) AS BIGINT) * 1000000 + len(w)) // (2 * len(w)) END AS shr6
          |  FROM (SELECT doc_id, $WORDS AS w FROM documents)),
          |ql AS (SELECT doc_id,
-         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * CAST(round(stop_ratio * 1000000, 0) AS BIGINT) + 3000000 - 3 * CAST(round(short_ratio * 1000000, 0) AS BIGINT)) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
+         |   CASE WHEN n_words = 0 THEN 0.0 ELSE CAST((2 * (least(CAST(n_words AS BIGINT) * 20000, 4000000) + 3 * sr6 + 3000000 - 3 * shr6) + 1000) // 2000 AS BIGINT) / 10000.0 END AS quality
          |  FROM qm),
          |losers AS (SELECT doc_id FROM (
          |    SELECT comp.id AS doc_id, row_number() OVER
@@ -3270,5 +3395,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
 }

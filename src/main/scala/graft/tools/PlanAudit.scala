@@ -69,6 +69,8 @@ object PlanAudit {
       "all three rank windows run AFTER limit-first top-k (the q140 idiom): two <= 20-row ranker lists + the <= 10-row fused list",
     "q220_hybrid_search" ->
       "lexical rank window runs AFTER limit-first top-k (the q140 idiom): input <= 20 rows; the fused rank window is qid-partitioned over <= 2*depth rows per probe",
+    "q223_hybrid_indexed_recall" ->
+      "both lexical rank windows run AFTER limit-first top-k (the q140 idiom): input <= 20 rows each; the fused rank windows are qid-partitioned over <= 2*depth rows per probe",
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
@@ -122,6 +124,10 @@ object PlanAudit {
       "single-row corpus stats (N, avgdl) side — the q140 idiom, once per ranker",
     "q220_hybrid_search" ->
       "three bounded sides: single-row corpus stats (the q140 idiom), the 3-probe brute-cosine broadcast (q64's declared posture — any index face substitutes at scale), and the 3-probe-id x 20-row lexical-list fusion spine",
+    "q222_filtered_ann" ->
+      "DECLARED brute-force baseline of the FILTERED family (bounded 10-query broadcast x the predicate-pruned corpus); scale path = ivfSearchFiltered/pqSearchFiltered/nswSearchLshFiltered over the persisted index",
+    "q223_hybrid_indexed_recall" ->
+      "q220's bounded sides twice (grading runs BOTH fusions by definition): single-row corpus stats per ranker, the 3-probe brute baseline broadcast (the graded reference), and the 3-probe-id x 20-row lexical fusion spines",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
     "q165_lm_quality" -> "single-row totals (N) and single-row OOV log-prob sides",
     "q175_dsir" -> "single-row smoothing-totals side against the B-sized bucket count table",
@@ -216,6 +222,10 @@ object PlanAudit {
         "corpus role + bounded probe role (the q64 contract); the label lookups read ONE checkpointed thin (vec_id, label) projection",
       "q220_hybrid_search" ->
         "embeddings x3: corpus role + bounded probe role (the q64 contract) + the 3-row probe-id spine for per-probe fusion — both extra passes are id-pruned to the probe set",
+      "q222_filtered_ann" ->
+        "corpus role (predicate-pruned at the scan) + bounded probe role drawn from the same table (the q64 contract)",
+      "q223_hybrid_indexed_recall" ->
+        "embeddings x6: the q216 grading contract (brute baseline + LSH candidate ranker pipelines) composed with the q220 fusion roles (corpus + bounded probe + probe-id spine per ranker) — every extra pass is id-pruned to the 3-probe set",
       "q219_corpus_diff" ->
         "snapshot-diff contract: old-version role + new-version role of the same table (the registered query derives the new snapshot in ONE array-explode pass; real deployments diff two distinct snapshot tables, one scan each)",
       "q210_matryoshka" ->

@@ -121,6 +121,80 @@ class AnnSpec extends SparkSpec {
     assert(out(1)._2 > out(2)._2 && out(2)._2 >= out(3)._2, out.toString)
   }
 
+  test("filtered brute knn: allowed twin wins, disallowed candidates never surface, ranks dense") {
+    import spark.implicits._
+    // twin 100 (allowed) and twin 101 (disallowed) both sit at cos 1.0
+    // of the probe; 3 (disallowed) is NEARER than 2 (allowed). The
+    // filtered search must return exactly the allowed ranking — the
+    // disallowed twin excluded by the predicate, not by tie-break luck,
+    // and rn 1..k dense over the allowed set (never a post-filtered
+    // k-list with holes).
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val corpus = Seq(
+      (1L, v(1, 0), "en"),
+      (100L, v(2, 0), "en"),  // allowed twin (cos 1.0)
+      (101L, v(3, 0), "de"),  // disallowed twin (cos 1.0)
+      (2L, v(1, 0.3), "en"),
+      (3L, v(1, 0.1), "de"),  // nearer than 2, but disallowed
+      (4L, v(0, 1), "en")
+    ).toDF("vec_id", "embedding", "lang")
+    val out = Ann.bruteKnnFiltered(corpus, corpus.filter(col("vec_id") === 1L),
+      k = 3, pred = col("lang") === "en")
+      .collect()
+      .map(r => r.getAs[Int]("rn") -> (r.getAs[Long]("cid"), r.getAs[Double]("sim")))
+      .toMap
+    assert(out(1) == ((100L, 1.0)), out.toString)
+    assert(out(2)._1 == 2L && out(3)._1 == 4L, out.toString)
+    assert(!out.values.exists(c => c._1 == 101L || c._1 == 3L), out.toString)
+  }
+
+  test("ivfSearchFiltered with nprobe = c equals bruteKnnFiltered row-for-row") {
+    // the q222 index-face parity law: probing every cell with the
+    // predicate pushed into the index makes the filtered IVF search
+    // EXACT — identical (qid, cid, sim, rn) rows to the brute face
+    val pred = col("label") === 3
+    val queries = embs.filter(col("vec_id") < 5)
+    val cents = Ann.ivfFit(embs, c = 8, iters = 2)
+    val index = Ann.ivfEncode(embs, cents)
+      .join(embs.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val a = Ann.ivfSearchFiltered(cents, index, queries, k = 5, pred, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = Ann.bruteKnnFiltered(embs, queries, k = 5, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a.nonEmpty && a == b, s"filtered IVF != filtered brute: ${a.diff(b)} / ${b.diff(a)}")
+  }
+
+  test("pqSearchFiltered: every candidate satisfies the predicate, k-list dense per query") {
+    val pred = col("label") === 3
+    val queries = embs.filter(col("vec_id") < 5)
+    val cents = Ann.pqFit(embs, m = 4, ksub = 16, iters = 1)
+    val index = Ann.pqEncode(embs, cents)
+      .join(embs.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val allowed = embs.filter(pred).select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = Ann.pqSearchFiltered(cents, index, queries, k = 5, pred).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => allowed(r.getAs[Long]("cid"))),
+      s"disallowed cid leaked: ${rows.filterNot(r => allowed(r.getAs[Long]("cid"))).mkString(", ")}")
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length), s"$q rn gap")
+    }
+  }
+
+  test("hybridSearchRanked over the brute ranking equals hybridSearch (fusion is face-agnostic)") {
+    val docs = Tables.documents(spark, sfDir)
+    val queries = embs.filter(col("vec_id") < 3)
+    val terms = Seq("hash", "join", "vector")
+    val a = graft.operators.Retrieval
+      .hybridSearch(docs, embs, terms, queries, k = 10, depth = 20)
+      .collect().map(_.toSeq).toSet
+    val vec = Ann.bruteKnn(embs, queries, k = 20)
+      .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec"))
+    val b = graft.operators.Retrieval.hybridSearchRanked(docs, terms,
+        queries.select(col("vec_id").as("qid")), vec, k = 10, depth = 20)
+      .collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b, s"ranked fusion diverged: ${a.diff(b)} / ${b.diff(a)}")
+  }
+
   test("contrastive mining: planted twin is the positive, near-miss leads the negatives") {
     import spark.implicits._
     // hand geometry in 2-d: anchor along x; twin identical (cos 1.0);

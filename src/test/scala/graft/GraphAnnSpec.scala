@@ -41,6 +41,40 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("filtered walk: twins of allowed vectors surface top-1, disallowed never in results") {
+    // q222's graph face: the walk traverses the FULL graph (connectivity
+    // through disallowed nodes intact) but the final k-list holds only
+    // predicate-satisfying nodes — a twin query of an even-label vector
+    // finds its original at sim 1.0; a twin of an odd-label vector must
+    // NOT see its original, and no odd-label cid may appear anywhere.
+    val full = Tables.embeddings(spark, sfDir)
+    val plain = Ann.nswLshIndex(full.select(col("vec_id"), col("embedding")),
+      nBits = 4)
+    val edges = Ann.nswBuild(plain, kNbr = 6, rounds = 2)
+    val index = plain.join(full.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val twins = full.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val got = Ann.nswSearchLshFiltered(edges, index,
+      Ann.nswEntriesSampled(plain), twins, k = 3, nBits = 4,
+      pred = col("label") % 2 === 0)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    val even = full.filter(col("label") % 2 === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => even(r._2)),
+      s"disallowed cid leaked: ${rows.filterNot(r => even(r._2)).mkString(", ")}")
+    for (orig <- 0L until 8L) {
+      val top1 = rows.filter(r => r._1 == orig + 1000000L && r._4 == 1).headOption
+      if (even(orig))
+        assert(top1.exists(r => r._2 == orig && r._3 == 1.0),
+          s"allowed twin $orig not top-1: $top1")
+      else
+        assert(!rows.exists(r => r._1 == orig + 1000000L && r._2 == orig),
+          s"disallowed original $orig leaked into its twin's k-list")
+    }
+  }
+
   test("planted twins surface top-1 at sim 1.0 through the graph walk") {
     val twins = queries.select((col("vec_id") + 1000000L).as("vec_id"),
       col("embedding"))
