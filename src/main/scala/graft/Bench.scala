@@ -169,13 +169,64 @@ object Bench {
     // overflowing it (the r2 line was cut mid-stream and parsed as null).
     def fmt(v: Double): String = f"$v%.3f"
     def key(k: String): String = k.takeWhile(_ != '_')
+    // Solo-JVM control for the slowest queries (r17, VERDICT r16 item
+    // 6): accumulated-session texture — memory-store pressure, code
+    // cache, GC debris from 200+ earlier queries — inflates the
+    // heavies' in-sweep walls (q203 read 10.4 s inside the r16 sweep
+    // vs 6.32 s in a hand-run fresh JVM minutes later, bytes flat).
+    // With SPARK_GRAFT_SOLO_N > 0 (local records only; default 0 keeps
+    // the driver's timing budget unchanged) Bench forks ONE fresh
+    // filtered JVM over the N slowest queries after the sweep and
+    // attaches their solo min-of-2 as "solo" in the record file — the
+    // texture adjudication becomes an artifact, not a session anecdote.
+    // The child runs with SPARK_GRAFT_FILTER set, so it can never
+    // recurse (solo forking is gated on an unfiltered run).
+    val soloN = sys.env.getOrElse("SPARK_GRAFT_SOLO_N", "0").toInt
+    val solo: Seq[(String, Double)] = if (soloN > 0 && filter.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      val slowest = results.collect { case (k, Right(v)) => (k, v) }
+        .sortBy(-_._2).take(soloN).map(_._1)
+      val pat = slowest.map(k => "^" + java.util.regex.Pattern.quote(k) + "$")
+        .mkString("|")
+      val tmp = java.nio.file.Files.createTempFile("bench_solo", ".json")
+      val javaBin = new java.io.File(
+        new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      System.err.println(s"[bench] solo control: forking fresh JVM for ${slowest.mkString(", ")}")
+      try {
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_FILTER", pat)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus.toString)
+        pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+        pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val code = pb.start().waitFor()
+        if (code != 0) { System.err.println(s"[bench] solo JVM exited $code"); Nil }
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(tmp), "UTF-8")
+          val qsec = """"(q\d+)":([0-9.]+)""".r
+          val m = qsec.findAllMatchIn(txt)
+            .map(x => x.group(1) -> x.group(2).toDouble).toMap
+          slowest.flatMap(k => m.get(key(k)).map(key(k) -> _))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] solo control failed: ${e.getMessage}"); Nil
+      } finally { try java.nio.file.Files.deleteIfExists(tmp) catch { case _: Throwable => () } }
+    } else Nil
     val qs = results.map {
       case (k, Right(v)) => s""""${key(k)}":${fmt(v)}"""
       case (k, Left(_))  => s""""${key(k)}":"err""""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(v)) => v }.sum
     val slow = slowDetail.map { case (k, v) => s""""${key(k)}":$v""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"slow":$slow,"sf":"$sfDir"}"""
+    val soloPart = if (solo.isEmpty) "" else
+      solo.map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString(""","solo":{""", ",", "}")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"slow":$slow$soloPart,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only the stdout TAIL (~2000 chars): at 168
     // queries the full line above no longer fits, so its FRONT — metric,

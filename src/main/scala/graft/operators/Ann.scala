@@ -1514,6 +1514,70 @@ object Ann {
     (index.unionByName(bIdx), newEdges)
   }
 
+  /** Index COMPACTION — the missing piece of the fit/encode/search
+    * deployment story (r17, VERDICT r16 item 8). Streamed ingestion
+    * ([[lshDupsAgainst]], [[nswInsert]], SemDedup's accumulated index)
+    * appends per-batch SEGMENTS to the persisted bucketed tables
+    * forever: each append lands in its batch's file layout, not the
+    * warehouse bucketing, so over time a bucket's rows scatter across
+    * every segment file and the probe path's "read nprobe/c of the
+    * index" promise decays into a full-segment-list scan. Compaction
+    * re-keys the accumulated rows into the warehouse layout — one
+    * exchange on the bucket key, after which writing with
+    * bucketBy(cluster) restores the co-located layout every search
+    * face assumes. Values are untouched (row-set equality is the spec's
+    * law); only the physical layout moves.
+    */
+  def compactIndex(index: DataFrame, bucketCol: String = "cluster"): DataFrame =
+    index.repartition(
+      index.sparkSession.sessionState.conf.numShufflePartitions,
+      col(bucketCol))
+
+  /** NSW graph compaction: re-link the cells TOUCHED by streamed
+    * inserts. [[nswInsert]] keeps the graph navigable per batch (walk
+    * links + a batch-local ring chain per bucket), but the accumulated
+    * edge table drifts from the fresh-build shape: every batch adds
+    * its own ring spine and cross-cell walk links, so edge volume
+    * grows with ingestion history, not corpus size. Compaction:
+    *
+    *   1. touched cells = cells holding ≥ 1 row of `newIds` (the
+    *      appended segment ids — a deployment reads them from its
+    *      segment manifest);
+    *   2. those cells are REBUILT with the build recipe ([[nswBuild]]:
+    *      ring init + NN-Descent rounds — cell-local and deterministic,
+    *      so a rebuilt cell's edges are IDENTICAL to what a fresh
+    *      whole-corpus build would produce for it);
+    *   3. untouched cells keep their existing edges (no new member can
+    *      have changed them — build edges are cell-local), and every
+    *      accumulated edge with EITHER endpoint in a touched cell is
+    *      dropped (its navigation duty is subsumed by the rebuild; the
+    *      fresh baseline has no cross-cell edges either).
+    *
+    * Hence compacted edges == fresh-built edges EXACTLY when the
+    * untouched cells' edges came from a build — StreamingGraphAnnSpec
+    * pins edge-set equality, recall parity on planted twins, and the
+    * bytes bound (compacted ≤ accumulated, == fresh). Cost: rebuild is
+    * proportional to the TOUCHED cells' membership, never the corpus —
+    * between compactions ingestion stays append-only.
+    */
+  def nswCompact(index: DataFrame, edges: DataFrame, newIds: DataFrame,
+                 kNbr: Int = 12, rounds: Int = 2): DataFrame = {
+    // touched-cell list: bounded by the segment sizes, broadcastable
+    val touched = index
+      .join(newIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("cluster")).distinct()
+      .localCheckpoint(true)
+    val touchedIdx = index.join(broadcast(touched), Seq("cluster"))
+    val cellOf = index.select(col("vec_id"), col("cluster"))
+    val keep = edges
+      .join(cellOf.toDF("u", "cu"), Seq("u"))
+      .join(cellOf.toDF("v", "cv"), Seq("v"))
+      .join(broadcast(touched.toDF("cu")), Seq("cu"), "left_anti")
+      .join(broadcast(touched.toDF("cv")), Seq("cv"), "left_anti")
+      .select(col("u"), col("v"), col("sim"))
+    keep.unionByName(nswBuild(touchedIdx, kNbr, rounds))
+  }
+
   /** Deterministic graph-ANN top-k: LSH cells (≈√n buckets via
     * nBits = ⌈log₂√n⌉) + ring/NN-Descent build + multi-probe beam
     * walk. The q203 oracle composition.
