@@ -56,20 +56,25 @@ object Bench {
       // relational floors measured symlinked sf0.1 tables)
       // r16 re-pin (BENCH_LOCAL_r15 / BENCH_LOCAL_sf1_r15 — VERDICT r15
       // item 8): q214 joins the registry (kmeans-NSW, build-inclusive)
+      // r17 re-pin (VERDICT r16 item 9): the four judge-named keys take
+      // their r16 steady-state readings (q203's local floor is the
+      // SOLO-JVM control, 6.32 — the in-sweep 10.4 was session texture,
+      // bytes flat); every other key keeps min(old floor, r16) so the
+      // floor stays the best-known number for this machine.
       if (new java.io.File(sfDir).getName == "sf1") Map(
-        "q142_ivfpq_ann" -> 6.819, "q189_learned_threshold_dedup" -> 7.691,
-        "q191_span_excision" -> 5.601, "q195_tokenized_packing" -> 5.395,
-        "q203_graph_ann" -> 11.324, "q209_corpus_build_v3" -> 12.139,
-        "q211_dedup_roi" -> 7.085, "q214_graph_ann_kmeans" -> 13.389)
+        "q142_ivfpq_ann" -> 6.700, "q189_learned_threshold_dedup" -> 7.691,
+        "q191_span_excision" -> 5.601, "q195_tokenized_packing" -> 5.144,
+        "q203_graph_ann" -> 10.363, "q209_corpus_build_v3" -> 16.439,
+        "q211_dedup_roi" -> 5.608, "q214_graph_ann_kmeans" -> 11.601)
       else Map(
         "q03_tpch_q3" -> 1.375, "q19_correlated_subquery" -> 0.842,
-        "q142_ivfpq_ann" -> 5.313, "q146_bloom_semi_join" -> 0.836,
-        "q155_dedup_threshold_calibration" -> 1.094,
+        "q142_ivfpq_ann" -> 4.711, "q146_bloom_semi_join" -> 0.782,
+        "q155_dedup_threshold_calibration" -> 0.888,
         "q162_winnow_extents" -> 0.347, "q163_sequence_packing" -> 0.247,
-        "q189_learned_threshold_dedup" -> 5.287,
+        "q189_learned_threshold_dedup" -> 4.273,
         "q191_span_excision" -> 2.502, "q195_tokenized_packing" -> 3.766,
-        "q203_graph_ann" -> 6.463, "q209_corpus_build_v3" -> 7.281,
-        "q211_dedup_roi" -> 5.822, "q214_graph_ann_kmeans" -> 6.999)
+        "q203_graph_ann" -> 6.320, "q209_corpus_build_v3" -> 6.997,
+        "q211_dedup_roi" -> 5.822, "q214_graph_ann_kmeans" -> 7.315)
     // stage completions stream in asynchronously; the buffer is cleared
     // per timed run and snapshotted (after a short drain) only when a
     // floor breach makes the detail worth keeping

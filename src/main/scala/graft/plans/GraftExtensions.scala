@@ -625,6 +625,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.operators.Ann.matryoshkaAgreement(corpus, queries,
           dims = num(a, 0, 16, "graft_matryoshka").toInt)
       }
+      // filtered ANN (q222): top-k under a metadata predicate. The
+      // predicate arrives as SQL text resolved against the corpus table
+      // (the graft_clf_fit posture) and prunes CANDIDATES BEFORE
+      // scoring — never a post-filtered k-list. Probes = vec_id <
+      // qid_max (the bounded-broadcast q64 contract).
+      tvf("graft_filtered_knn") { (embs, a) =>
+        graft.operators.Ann.bruteKnnFiltered(embs,
+          embs.filter(col("vec_id") <
+            num(a, 1, 10, "graft_filtered_knn").toLong),
+          k = num(a, 2, 5, "graft_filtered_knn").toInt,
+          pred = expr(reqStr(a, 0, "graft_filtered_knn", "predicate")))
+      }
     }
   }
 }

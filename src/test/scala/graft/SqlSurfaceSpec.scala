@@ -177,6 +177,14 @@ class SqlSurfaceSpec extends SparkSpec {
       graft.operators.Retrieval.hybridSearch(docs, embs,
         Seq("hash", "join", "vector"), embs.filter(col("vec_id") === 1),
         k = 5, depth = 20))
+    // r17: filtered ANN (q222) — the predicate is SQL text pruning
+    // candidates BEFORE scoring (sql_embs drops label, so register the
+    // metadata-carrying view the filtered face needs)
+    val embsMeta = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    embsMeta.createOrReplaceTempView("sql_embs_meta")
+    pin("SELECT * FROM graft_filtered_knn('sql_embs_meta', 'label = 3', 5, 4)",
+      graft.operators.Ann.bruteKnnFiltered(embsMeta,
+        embsMeta.filter(col("vec_id") < 5), k = 4, pred = col("label") === 3))
     // r15: envelope tile cover (q213) and integer RRF (q215) as scalar
     // SQL functions — spot values, not just shape
     val cover = spark.sql(
