@@ -73,6 +73,71 @@ object Retrieval {
     scored
   }
 
+  /** The persisted LEXICAL index build (r17) — the fit/encode half of
+    * the retrieval deployment split the Ann family already has: ONE
+    * corpus scan produces (a) the posting table (term, doc_id, tf) —
+    * bucket BY term at warehouse scale, so a query's probe reads only
+    * its terms' buckets with the term predicate pushed to the scan —
+    * (b) the doc-length table (doc_id, dl) — bucket BY doc_id, making
+    * the score join's exchange free — and (c) the single-row corpus
+    * stats (avgdl, n_docs). [[bm25ScoredFromIndex]] then serves
+    * queries with ZERO scans of the document corpus (AnnIndexSpec
+    * discipline: the plan is asserted scan-free), which is the whole
+    * point at 100 TB: the corpus pays one indexing pass, queries pay
+    * posting-list-sized work forever.
+    */
+  def lexIndex(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id"), Text.words(col("text")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    val dl = base.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+      .localCheckpoint(true)
+    val postings = base
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .repartition(col("term"))
+      .localCheckpoint(true)
+    val stats = dl.agg(avg("dl").as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs")).localCheckpoint(true)
+    base.unpersist(blocking = false)
+    (postings, dl, stats)
+  }
+
+  /** BM25 match scores served from the PERSISTED index — identical
+    * output contract to [[bm25Scored]] (RetrievalSpec pins row-for-row
+    * equality) with no corpus access: probe the postings for the
+    * query's terms (a pushed `array_contains` filter — at warehouse
+    * scale a bucket-pruned read of |terms| buckets), derive each
+    * term's df by COUNTING ITS PROBED POSTINGS (exact — a term's df IS
+    * its posting-list length, so no separate df table can drift out of
+    * sync with the postings), then the same broadcast-stats scoring
+    * aggregation. Every side is posting-list- or single-row-sized.
+    */
+  def bm25ScoredFromIndex(postings: DataFrame, dl: DataFrame,
+                          stats: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "bm25ScoredFromIndex: query terms must be non-empty")
+    val tset = typedlit(terms)
+    val probed = postings.filter(array_contains(tset, col("term")))
+    val dfT = probed.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    probed.join(broadcast(dfT), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(expr(bm25Contrib)), 6).as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+
+  /** BM25 top-k from the persisted index — [[bm25]]'s deployment form
+    * (the q224 face).
+    */
+  def bm25FromIndex(postings: DataFrame, dl: DataFrame, stats: DataFrame,
+                    terms: Seq[String], k: Int = 10): DataFrame =
+    topRanked(bm25ScoredFromIndex(postings, dl, stats, terms), "score", "rank", k)
+      .select(col("doc_id"), col("score"), col("n_terms"), col("rank"))
+      .orderBy("rank")
+
   /** Top-`n` of `scored` by (scoreCol desc, doc_id), ranked 1..n:
     * orderBy+limit FIRST (TakeOrderedAndProject), THEN the row_number
     * window over the ≤n survivors — a rank window over the full match

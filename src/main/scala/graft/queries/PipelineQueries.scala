@@ -2980,6 +2980,46 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
+  // ---- q224: BM25 from the PERSISTED lexical index ------------------------
+  // q140 scores BM25 with one corpus scan per query; the deployment
+  // form pays ONE indexing pass (Retrieval.lexIndex: posting table
+  // bucketed by term + doc-length table + single-row stats) and serves
+  // every query from the index with ZERO document scans — the
+  // fit/encode/search split the Ann family already has, applied to the
+  // lexical side of the RAG stack. df is derived by counting each
+  // term's PROBED postings (a term's df IS its posting-list length —
+  // no separate df table to drift out of sync). Identical output
+  // contract to q140 on different terms; the oracle replays the
+  // posting-table derivation. RetrievalSpec pins index == direct
+  // row-for-row and asserts the search plan never scans documents.
+  val q224 = {
+    val terms = Seq("scan", "merge", "filter")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    Q(
+      "q224_bm25_index",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |post AS (SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(w) AS term FROM d) GROUP BY 1, 2),
+         |probed AS (SELECT * FROM post WHERE term IN ($termList)),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM probed GROUP BY 1),
+         |sc AS (SELECT probed.doc_id, round(sum($contrib), 6) AS score,
+         |         CAST(count(*) AS BIGINT) AS n_terms
+         |       FROM probed JOIN df USING (term) JOIN dl ON probed.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, score, n_terms, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 10
+         |ORDER BY rank""".stripMargin) { (s, d) =>
+      val (post, dl, stats) = graft.operators.Retrieval
+        .lexIndex(Tables.documents(s, d))
+      graft.operators.Retrieval.bm25FromIndex(post, dl, stats, terms, k = 10)
+    }
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -3395,5 +3435,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
 }

@@ -71,6 +71,8 @@ object PlanAudit {
       "lexical rank window runs AFTER limit-first top-k (the q140 idiom): input <= 20 rows; the fused rank window is qid-partitioned over <= 2*depth rows per probe",
     "q223_hybrid_indexed_recall" ->
       "both lexical rank windows run AFTER limit-first top-k (the q140 idiom): input <= 20 rows each; the fused rank windows are qid-partitioned over <= 2*depth rows per probe",
+    "q224_bm25_index" ->
+      "rank window runs AFTER limit-first top-k (the q140 idiom): input <= 10 rows",
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
@@ -126,6 +128,8 @@ object PlanAudit {
       "three bounded sides: single-row corpus stats (the q140 idiom), the 3-probe brute-cosine broadcast (q64's declared posture — any index face substitutes at scale), and the 3-probe-id x 20-row lexical-list fusion spine",
     "q222_filtered_ann" ->
       "DECLARED brute-force baseline of the FILTERED family (bounded 10-query broadcast x the predicate-pruned corpus); scale path = ivfSearchFiltered/pqSearchFiltered/nswSearchLshFiltered over the persisted index",
+    "q224_bm25_index" ->
+      "single-row corpus stats side (the q140 idiom), served from the persisted index's stats face",
     "q223_hybrid_indexed_recall" ->
       "q220's bounded sides twice (grading runs BOTH fusions by definition): single-row corpus stats per ranker, the 3-probe brute baseline broadcast (the graded reference), and the 3-probe-id x 20-row lexical fusion spines",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
