@@ -104,6 +104,30 @@ object Retrieval {
     (postings, dl, stats)
   }
 
+  /** Incremental lexical-index ingestion (r17) — the continuous-
+    * ingestion face ([[Ann.nswInsert]]'s posture for the lexical side):
+    * a batch of NEW documents appends its posting rows and doc lengths
+    * to the persisted faces, and the single-row stats recompute from
+    * the corpus-THIN dl table (one thin-scan aggregation per batch —
+    * storing avgdl directly instead of running sums keeps the stats
+    * face identical to [[lexIndex]]'s). Because tf is per-(term,
+    * doc_id) and a batch's doc_ids are new by ingestion contract, the
+    * append is EXACT: appended faces equal a fresh whole-corpus build
+    * row-for-row (RetrievalSpec pins the law) — no compaction pass is
+    * ever needed for correctness, only the warehouse re-bucketing
+    * ([[graft.operators.Ann.compactIndex]] on the term key) to keep
+    * the probe's bucket pruning effective as segments accumulate.
+    */
+  def lexIndexAppend(batch: DataFrame, postings: DataFrame,
+                     dl: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val (bPost, bDl, _) = lexIndex(batch)
+    val newPost = postings.unionByName(bPost)
+    val newDl = dl.unionByName(bDl)
+    val stats = newDl.agg(avg("dl").as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    (newPost, newDl, stats)
+  }
+
   /** BM25 match scores served from the PERSISTED index — identical
     * output contract to [[bm25Scored]] (RetrievalSpec pins row-for-row
     * equality) with no corpus access: probe the postings for the

@@ -27,6 +27,31 @@ class RetrievalSpec extends SparkSpec {
       s"index face diverged:\n$fromIdx\nvs\n$direct")
   }
 
+  test("lexIndexAppend: two streamed batches equal the fresh whole-corpus build exactly") {
+    // tf is per-(term, doc_id) and batch doc_ids are new by ingestion
+    // contract, so the append is EXACT — postings/dl as sets, stats to
+    // the bit (dl values are integer-valued doubles: their sums are
+    // exact at any accumulation order, so avgdl cannot drift with
+    // partition layout — the ivfFit centroid lesson does not apply)
+    val d0 = docs.filter(col("doc_id") % 3 =!= 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0)
+    val (p0, dl0, _) = Retrieval.lexIndex(d0)
+    val (p1, dl1, _) = Retrieval.lexIndexAppend(b1, p0, dl0)
+    val (p2, dl2, st2) = Retrieval.lexIndexAppend(b2, p1, dl1)
+    val (pf, dlf, stf) = Retrieval.lexIndex(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(p2) == rows(pf), "appended postings != fresh build")
+    assert(rows(dl2) == rows(dlf), "appended dl != fresh build")
+    assert(rows(st2) == rows(stf), s"stats drifted: ${rows(st2)} vs ${rows(stf)}")
+    // and the query face agrees with the direct corpus-scan bm25
+    val viaAppended = Retrieval.bm25FromIndex(p2, dl2, st2, terms, k = 10)
+      .collect().map(_.toSeq).toSeq
+    val direct = Retrieval.bm25(docs, terms, k = 10).collect().map(_.toSeq).toSeq
+    assert(viaAppended == direct)
+  }
+
   test("persisted-index search never scans the document corpus") {
     val dir = {
       val d = java.nio.file.Files.createTempDirectory("lexidx")
