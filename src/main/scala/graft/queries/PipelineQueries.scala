@@ -3020,6 +3020,79 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
+  // ---- q225: FILTERED hybrid retrieval (the full RAG deployment query) ----
+  // "Top-k for these probes, ENGLISH documents only" — q222's filtered
+  // candidate generation composed with q220's fusion: the lexical side
+  // is BM25 over the predicate-pruned corpus (corpus stats, df and the
+  // rank list all computed over allowed docs — a post-filtered global
+  // ranking would mis-weight df and leave rank holes), the vector side
+  // is bruteKnnFiltered with the SAME predicate carried onto the
+  // embedding rows by one thin metadata join, and the RRF fusion is
+  // unchanged (rank-list-sized, face-agnostic). Probes themselves are
+  // unrestricted — a French probe still retrieves English documents,
+  // the cross-lingual-query reality. PURE COMPOSITION: zero new
+  // operator code; every piece carries its own oracle/spec, and this
+  // query pins the composition end to end in DuckDB.
+  val q225 = {
+    val terms = Seq("hash", "join", "vector")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val contrib = "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 " +
+      "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    Q(
+      "q225_filtered_hybrid",
+      s"""WITH d AS (SELECT doc_id, $WORDS AS w FROM documents WHERE lang = 'en'),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM d),
+         |ad AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(w) AS term FROM d),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |       WHERE term IN ($termList) GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, round(sum($contrib), 6) AS score
+         |       FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN ad
+         |       GROUP BY 1),
+         |lex AS (SELECT doc_id,
+         |          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank_lex
+         |        FROM sc QUALIFY rank_lex <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |al AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |vsims AS (SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+         |            round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+         |          FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |          JOIN al ON c.vec_id = al.doc_id
+         |          WHERE q.vec_id < 3),
+         |vec AS (SELECT qid, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY qid
+         |            ORDER BY sim DESC, doc_id) AS INTEGER) AS rank_vec
+         |        FROM vsims QUALIFY rank_vec <= 20),
+         |lq AS (SELECT e.vec_id AS qid, lex.doc_id, lex.rank_lex
+         |       FROM e CROSS JOIN lex WHERE e.vec_id < 3),
+         |f AS (SELECT COALESCE(v.qid, lq.qid) AS qid,
+         |        COALESCE(v.doc_id, lq.doc_id) AS doc_id,
+         |        lq.rank_lex, v.rank_vec,
+         |        CAST(COALESCE(1000000 // (60 + lq.rank_lex), 0)
+         |           + COALESCE(1000000 // (60 + v.rank_vec), 0) AS BIGINT) AS fused
+         |      FROM vec v FULL OUTER JOIN lq
+         |        ON v.qid = lq.qid AND v.doc_id = lq.doc_id)
+         |SELECT qid, doc_id, rank_lex, rank_vec, fused,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY fused DESC, doc_id) AS INTEGER) AS rank
+         |FROM f QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val embs = Tables.embeddings(s, d)
+      val lang = docs.select(col("doc_id").as("vec_id"), col("lang"))
+      val queries = embs.filter(col("vec_id") < 3)
+      val vec = Ann.bruteKnnFiltered(embs.join(lang, Seq("vec_id")), queries,
+          k = 20, pred = col("lang") === "en")
+        .select(col("qid"), col("cid").as("doc_id"), col("rn").as("rank_vec"))
+      graft.operators.Retrieval.hybridSearchRanked(
+        docs.filter(col("lang") === "en"), terms,
+        queries.select(col("vec_id").as("qid")), vec,
+        k = 10, depth = 20, rrfK = 60)
+        .orderBy("qid", "rank")
+    }
+  }
+
   // ---- q204: per-source dedup savings report -----------------------------
   // The go/no-go artifact before paying for a corpus-wide dedup pass:
   // per source, documents in near-dup clusters, documents REMOVED under
@@ -3435,5 +3508,5 @@ object PipelineQueries extends QueryFamily {
     }
   }
 
-  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224)
+  val all: Seq[Q] = Seq(q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q87, q90, q93, q104, q119, q120, q121, q125, q126, q127, q128, q131, q136, q137, q138, q140, q141, q142, q145, q152, q155, q161, q162, q163, q164, q165, q175, q176, q177, q178, q179, q180, q181, q182, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211, q212, q214, q215, q216, q217, q218, q219, q220, q221, q222, q223, q224, q225)
 }

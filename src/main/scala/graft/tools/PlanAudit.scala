@@ -73,6 +73,8 @@ object PlanAudit {
       "both lexical rank windows run AFTER limit-first top-k (the q140 idiom): input <= 20 rows each; the fused rank windows are qid-partitioned over <= 2*depth rows per probe",
     "q224_bm25_index" ->
       "rank window runs AFTER limit-first top-k (the q140 idiom): input <= 10 rows",
+    "q225_filtered_hybrid" ->
+      "lexical rank window runs AFTER limit-first top-k over the predicate-pruned corpus (the q220 idiom): input <= 20 rows; fused rank window qid-partitioned over <= 2*depth rows per probe",
     "q155_dedup_threshold_calibration" ->
       "max(f1) over () on the threshold sweep: input = 13 sweep rows",
     "q163_sequence_packing" ->
@@ -130,6 +132,8 @@ object PlanAudit {
       "DECLARED brute-force baseline of the FILTERED family (bounded 10-query broadcast x the predicate-pruned corpus); scale path = ivfSearchFiltered/pqSearchFiltered/nswSearchLshFiltered over the persisted index",
     "q224_bm25_index" ->
       "single-row corpus stats side (the q140 idiom), served from the persisted index's stats face",
+    "q225_filtered_hybrid" ->
+      "q220's bounded sides over the predicate-pruned corpus: single-row filtered-corpus stats, the 3-probe filtered-brute broadcast (q222's declared baseline — the filtered index faces substitute at scale), and the 3-probe-id x 20-row lexical fusion spine",
     "q223_hybrid_indexed_recall" ->
       "q220's bounded sides twice (grading runs BOTH fusions by definition): single-row corpus stats per ranker, the 3-probe brute baseline broadcast (the graded reference), and the 3-probe-id x 20-row lexical fusion spines",
     "q160_setdigest2" -> "k-sized KMV sketch sides (k = 256 rows)",
@@ -230,6 +234,8 @@ object PlanAudit {
         "corpus role (predicate-pruned at the scan) + bounded probe role drawn from the same table (the q64 contract)",
       "q223_hybrid_indexed_recall" ->
         "embeddings x6: the q216 grading contract (brute baseline + LSH candidate ranker pipelines) composed with the q220 fusion roles (corpus + bounded probe + probe-id spine per ranker) — every extra pass is id-pruned to the 3-probe set",
+      "q225_filtered_hybrid" ->
+        "documents x2 (predicate-pruned lexical corpus role + the thin (doc_id, lang) metadata projection riding the vector side's filter) and embeddings x3 (the q220 corpus/probe/spine roles) — every extra pass is pruned to 2 columns or the probe set",
       "q219_corpus_diff" ->
         "snapshot-diff contract: old-version role + new-version role of the same table (the registered query derives the new snapshot in ONE array-explode pass; real deployments diff two distinct snapshot tables, one scan each)",
       "q210_matryoshka" ->

@@ -63,7 +63,7 @@ KEYS = [
     "q64_embedding_knn_brute", "q136_tfidf", "q140_bm25", "q175_dsir",
     "q210_matryoshka", "q215_hybrid_rrf", "q216_ann_recall",
     "q217_nn_label_agreement", "q220_hybrid_search", "q222_filtered_ann",
-    "q223_hybrid_indexed_recall",
+    "q223_hybrid_indexed_recall", "q224_bm25_index", "q225_filtered_hybrid",
 ]
 
 
