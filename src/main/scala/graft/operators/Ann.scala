@@ -800,7 +800,7 @@ object Ann {
     val initIds = train.select(col("vec_id")).orderBy("vec_id").limit(ksub)
       .as[Long].collect()
     var cents: Seq[(Int, Int, Seq[Double])] = sv
-      .filter(col("vec_id").isin(initIds: _*))
+      .filter(col("vec_id").isin(initIds.toIndexedSeq: _*))
       .as[(Long, Int, Seq[Double])].collect().toSeq
       .groupBy(_._2).toSeq.flatMap { case (sub, rows) =>
         rows.sortBy(_._1).zipWithIndex.map { case ((_, _, v), i) => (sub, i, v) }

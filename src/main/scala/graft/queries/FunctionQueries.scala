@@ -1690,7 +1690,7 @@ object FunctionQueries extends QueryFamily {
 
   /** Spark-side crc32 fold: aggregate over the ASCII byte list. */
   private[graft] def crcSpark(t: String): String = {
-    val tb = crcTbl.map(_ + "L").mkString("array(", ", ", ")")
+    val tb = crcTbl.map(v => s"${v}L").mkString("array(", ", ", ")")
     def step(c: String, b: String) =
       s"(element_at($tb, cast(($c ^ $b) & 15 as int) + 1) ^ shiftright($c, 4))"
     val s1 = step("a", "b")

@@ -327,7 +327,7 @@ object PipelineQueries extends QueryFamily {
   // vectors under one id and corrupt the oracle with no guard firing
   // (r9 ADVICE). One thin max() job, outside the audited query plan.
   private def requirePlantHeadroom(embs: DataFrame, offset: Long): DataFrame = {
-    val top = embs.agg(max(col("vec_id")).cast("long")).head
+    val top = embs.agg(max(col("vec_id")).cast("long")).head()
     require(top.isNullAt(0) || top.getLong(0) < offset,
       s"planted-twin offset $offset collides with the natural vec_id space " +
         s"(max ${top.getLong(0)}) — the hard-coded oracle id arithmetic is no " +

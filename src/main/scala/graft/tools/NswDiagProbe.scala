@@ -24,7 +24,7 @@ object NswDiagProbe {
       s"p50=${sizes.values.toSeq.sorted.apply(sizes.size/2)}")
     for ((q, _, _) <- missed) {
       val anchor = q - 1000000L
-      val acell = index.filter(col("vec_id") === anchor).select("cluster").head.getInt(0)
+      val acell = index.filter(col("vec_id") === anchor).select("cluster").head().getInt(0)
       println(s"[diag] q=$q anchor=$anchor anchorCell=$acell size=${sizes(acell)}")
     }
     spark.stop()
