@@ -193,18 +193,24 @@ object Dedup {
       .filter(col("bucket_n") > maxBucket)
       .select(bucketKeys.map(col): _*)
     val bounded = indexed.join(broadcast(hot), bucketKeys, "left_anti")
+    // score-then-distinct (r17 — the q63 verify-then-distinct reorder
+    // applied here): est_jaccard is functionally determined by the pair
+    // (identical sigs on every colliding band), so scoring + threshold
+    // BEFORE the distinct is output-identical while the dedup exchange
+    // carries 24-byte (doc_a, doc_b, est) rows of SURVIVORS only,
+    // instead of every band collision with two 32-slot signature arrays
+    // (~0.5 KB/row). slotAgree re-evaluates per colliding band (small,
+    // codegen'd) — bytes through the exchange are the scale cost, not
+    // the slot compares (guide §2.3: shuffle fewer bytes).
     val pairs = bounded.as("a")
       .join(bounded.as("b"),
         ("band" +: keyNames).map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
-      .withColumn("est_jaccard",
-        round(graft.plans.NativeFunctions.slotAgree(col("sig_a"), col("sig_b"))
-          / lit(k.toDouble), 6))
+        round(graft.plans.NativeFunctions.slotAgree(col("a.sig"), col("b.sig"))
+          / lit(k.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .distinct()
     materializeAndRelease(pairs, indexed)
   }
 
@@ -265,9 +271,15 @@ object Dedup {
     */
   def sampledCalibration(docs: DataFrame, sampleBuckets: Int = 192)
       : (DataFrame, DataFrame, DataFrame) = {
-    val cands = minhashCandidates(docs, minEstJaccard = 0.25)
-    val truth = jaccardPairs(
-      docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)), threshold = 0.3)
+    // the candidate index and the exact-Jaccard ground truth are
+    // independent eager builds (each materializes its own persisted
+    // table) — overlap them (guide §2.6; Overlap.build) instead of
+    // idling the cluster through two serial chains of small jobs
+    val Seq(cands, truth) = Overlap.build(Seq(
+      () => minhashCandidates(docs, minEstJaccard = 0.25),
+      () => jaccardPairs(
+        docs.filter(inCalibrationSample(col("doc_id"), sampleBuckets)),
+        threshold = 0.3)))
     val sweep = calibrationSweep(truth, cands.filter(
       inCalibrationSample(col("doc_a"), sampleBuckets) &&
         inCalibrationSample(col("doc_b"), sampleBuckets)))
@@ -363,17 +375,16 @@ object Dedup {
                                minEstJaccard: Double = 0.5): DataFrame = {
     val keyNames = (0 until rowsPerBand).map(j => s"k$j")
     val newBands = minhashBands(minhashSignatures(newDocs, k), k, rowsPerBand)
+    // score-then-distinct: same exchange diet as [[minhashCandidates]]
+    // (est is pair-determined; survivors-only 24-byte rows shuffle)
     newBands.as("n")
       .join(index.as("o"),
         ("band" +: keyNames).map(c => col(s"n.$c") === col(s"o.$c")).reduce(_ && _))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"),
-        col("n.sig").as("sig_n"), col("o.sig").as("sig_o"))
-      .distinct()
-      .withColumn("est_jaccard",
-        round(graft.plans.NativeFunctions.slotAgree(col("sig_n"), col("sig_o"))
-          / lit(k.toDouble), 6))
+        round(graft.plans.NativeFunctions.slotAgree(col("n.sig"), col("o.sig"))
+          / lit(k.toDouble), 6).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEstJaccard)
-      .select(col("new_id"), col("old_id"), col("est_jaccard"))
+      .distinct()
   }
 
   /** SimHash near-duplicate candidates: 60-bit md5+affine sketch (SQL-
