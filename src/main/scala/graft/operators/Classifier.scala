@@ -80,9 +80,48 @@ object Classifier {
     * seed split, score the same corpus. The weight table is
     * materialized once (vocab-sized) so the score join never re-runs
     * the fit aggregation.
+    *
+    * SHARED WORDS PASS (r17, guide §1.2 "don't compute things twice"):
+    * fit and score both start from the same alphabet-words explosion of
+    * the same corpus — the serial [[fitOdds]]∘[[scoreAgainst]]
+    * composition ran the text→words explode + a words-shuffle TWICE.
+    * Here the (doc_id, word, cw, is_pos) aggregation is computed once
+    * (map-side combined — its reducer input is distinct-(doc, word)
+    * sized, the same bytes [[scoreAgainst]]'s first aggregation already
+    * shuffles) and persisted; the fit re-aggregates it per word
+    * (cnt_pos = Σ cw·is_pos, cnt_all = Σ cw — exactly [[fitOdds]]'
+    * token counts, since is_pos is constant per document) and the score
+    * join reads it back. One corpus scan and one corpus-sized shuffle
+    * instead of two of each; the scored table is materialized eagerly
+    * and the shared pass released (the Dedup.materializeAndRelease
+    * discipline). Output is row-identical to fitOdds∘scoreAgainst —
+    * ClassifierSpec pins the composition against the oracle arithmetic.
     */
-  def trainScore(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame =
-    scoreAgainst(docs, fitOdds(docs, posPred, minDf).localCheckpoint(true))
+  def trainScore(docs: DataFrame, posPred: Column, minDf: Int = 2): DataFrame = {
+    val dw = graft.functions.Text.alphabetWords(
+        docs, Seq(col("doc_id"), posPred.as("is_pos")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cw"), first(col("is_pos")).as("is_pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // NULL predicate counts NEGATIVE (the fitOdds contract): when(is_pos)
+    // treats NULL as false, matching fitOdds' when(is_pos, 1L) per token
+    val weights = dw.groupBy(col("word"))
+      .agg(sum(when(col("is_pos"), col("cw")).otherwise(0L)).as("cnt_pos"),
+        sum(col("cw")).as("cnt_all"))
+      .filter(col("cnt_all") >= minDf)
+      .select(col("word"), expr(
+        "cast(cast(cnt_pos as decimal(38,0)) * 1000000 div cnt_all as bigint)")
+        .as("weight_ppm"))
+      .localCheckpoint(true)
+    val out = dw.join(weights, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cw")).as("n_scored"),
+        expr("cast(sum(cw * weight_ppm) div sum(cw) as bigint)").as("score_ppm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    dw.unpersist(blocking = true)
+    out
+  }
 
   /** MULTI-CLASS per-word integer odds weights — the reference's
     * `classify(features, model)` contract (presto-ml
@@ -147,11 +186,57 @@ object Classifier {
   /** The one-corpus multi-class train→classify composition (q221's
     * face): fit the dense odds grid on the labeled corpus, predict the
     * same corpus. The grid is materialized once (model-sized).
+    *
+    * SHARED WORDS PASS (r17 — the [[trainScore]] restructure): fit and
+    * classify both explode the same corpus; compute the
+    * (doc_id, word, cw, label) aggregation once, derive the fit's
+    * per-(word, label) counts from it (label is constant per document,
+    * and NULL-labeled docs are excluded from training exactly as
+    * [[fitOddsMulti]]'s filter does), and classify from the same
+    * persisted pass. Row-identical output; one corpus scan + one
+    * corpus-sized shuffle instead of two of each.
     */
   def trainClassify(docs: DataFrame, labelCol: Column,
-                    minDf: Int = 2): DataFrame =
-    classifyAgainst(docs,
-      fitOddsMulti(docs, labelCol, minDf).localCheckpoint(true))
+                    minDf: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dw = graft.functions.Text.alphabetWords(
+        docs, Seq(col("doc_id"), labelCol.as("label")))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cw"), first(col("label")).as("label"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // fitOddsMulti's (word, label) token counts, re-aggregated from the
+    // shared pass: cnt(w, l) = Σ_{docs with label l} cw
+    val wc = dw.filter(col("label").isNotNull)
+      .groupBy(col("word"), col("label"))
+      .agg(sum(col("cw")).as("cnt"))
+      .localCheckpoint(true)
+    val wt = wc.groupBy(col("word")).agg(sum(col("cnt")).as("cnt_all"))
+      .filter(col("cnt_all") >= minDf)
+    val labels = wc.select(col("label")).distinct()
+    val weights = wt.crossJoin(broadcast(labels))
+      .join(wc, Seq("word", "label"), "left")
+      .select(col("word"), col("label"), expr(
+        "cast(cast(coalesce(cnt, 0L) as decimal(38,0)) * 1000000 div cnt_all as bigint)")
+        .as("weight_ppm"))
+      .localCheckpoint(true)
+    val scored = dw.select(col("doc_id"), col("word"), col("cw"))
+      .join(weights, Seq("word"))
+      .groupBy(col("doc_id"), col("label"))
+      .agg(expr(
+        "cast(sum(cast(cw as decimal(38,0)) * weight_ppm) div sum(cw) as bigint)")
+        .as("score_ppm"),
+        sum(col("cw")).as("n_scored"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_ppm").desc, col("label"))
+    val out = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("pred_label"),
+        col("score_ppm"), col("n_scored"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    dw.unpersist(blocking = true)
+    out
+  }
 
   /** Corpus-RELATIVE decile (0–9) attached to each scored document —
     * absolute ppm scores cluster around the seed prior (every doc's

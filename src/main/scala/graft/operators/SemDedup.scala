@@ -173,12 +173,18 @@ object SemDedup {
                             minOverlap: Double, semThreshold: Double,
                             c: Int = 16, iters: Int = 2,
                             trainMod: Int = 1): DataFrame = {
-    val ngram = Dedup.decontaminate(docs, evalDocPred, minOverlap)
-      .select(col("train_id"), col("overlap"), lit(true).as("ngram_hit"))
-    val sem = decontaminate(trainEmbs, evalEmbs, semThreshold, c, iters, trainMod)
-      .groupBy(col("train_id"))
-      .agg(max(col("sim")).as("max_sim"))
-      .withColumn("sem_hit", lit(true))
+    // the two branches are independent eager chains over DIFFERENT
+    // tables (documents vs embeddings: shingle-index persist + probe,
+    // Lloyd fit + IVF-index persist + probe) — overlap them from the
+    // driver (guide §2.6; Overlap.build) instead of idling the cluster
+    // through each branch's small-job tail in turn
+    val Seq(ngram, sem) = graft.operators.Overlap.build(Seq(
+      () => Dedup.decontaminate(docs, evalDocPred, minOverlap)
+        .select(col("train_id"), col("overlap"), lit(true).as("ngram_hit")),
+      () => decontaminate(trainEmbs, evalEmbs, semThreshold, c, iters, trainMod)
+        .groupBy(col("train_id"))
+        .agg(max(col("sim")).as("max_sim"))
+        .withColumn("sem_hit", lit(true))))
     ngram.join(sem, Seq("train_id"), "full_outer")
       .select(col("train_id"),
         coalesce(col("ngram_hit"), lit(false)).as("ngram_flag"),
