@@ -332,13 +332,13 @@ object Ann {
       .orderBy("vec_id").limit(c).as[(Long, Seq[Double])].collect()
       .toSeq.zipWithIndex.map { case ((_, v), i) => (i, v) }
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("cid", "ce"))
-      val assigned = vecs.join(centDf)
-        .withColumn("sim", cosine("ve", "ce"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), col("cid"))).as("best"),
-          first(col("ve")).as("ve")) // ve is constant per vec_id
-        .select(col("best.cid").as("cid"), col("ve"))
+      // join-free assignment (r17 opt): one codegen'd argmax per row
+      // instead of join(broadcast cents) → ×c rows → groupBy(vec_id)
+      // exchange carrying the vector — decision-equivalent by the
+      // NearestCentroidId contract, so the fitted model is bit-identical
+      val assigned = vecs.select(
+        graft.plans.NativeFunctions.nearestCentroid(col("ve"), cents).as("cid"),
+        col("ve"))
       cents = centroidMean(assigned, Seq("cid"))
         .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     }
@@ -384,18 +384,14 @@ object Ann {
     * probes. Encoding is a single broadcast-join pass over the corpus:
     * incremental batches append without touching history.
     */
-  def ivfEncode(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(cents.toDF("cid", "ce"))
+  def ivfEncode(corpus: DataFrame, cents: Seq[(Int, Seq[Double])]): DataFrame =
+    // map-only encode (r17 opt): the join+groupBy assignment paid a
+    // corpus-sized exchange carrying every vector per encode pass; the
+    // inline argmax is decision-equivalent (NearestCentroidId contract)
+    // and leaves encode with ZERO exchanges
     corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
-      .join(centDf)
-      .withColumn("sim", cosine("ve", "ce"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), col("cid"))).as("best"),
-        first(col("ve")).as("ve")) // ve is constant per vec_id
-      .select(col("vec_id"), col("ve"), col("best.cid").as("cluster"))
-  }
+      .withColumn("cluster",
+        graft.plans.NativeFunctions.nearestCentroid(col("ve"), cents))
 
   /** IVF query path — model + index + queries only, no training: rank
     * each query's `nprobe` closest centroids against the broadcast
@@ -515,16 +511,14 @@ object Ann {
     val spark = corpus.sparkSession
     import spark.implicits._
     val superCents = ivfFit(corpus, cSuper, iters, trainMod)
-    val supDf = broadcast(superCents.toDF("scid", "sce"))
-    // parent-tag the training band once; child Lloyd rounds iterate on
-    // this working set, never re-routing through level 1
+    // parent-tag the training band once (join-free inline argmax —
+    // r17 opt, see ivfEncode); child Lloyd rounds iterate on this
+    // working set, never re-routing through level 1
     val assigned = trainSample(corpus, trainMod)
       .select(col("vec_id"), asDouble("embedding").as("ve"))
-      .join(supDf)
-      .withColumn("sim", cosine("ve", "sce"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), col("scid"))).as("best"), first(col("ve")).as("ve"))
-      .select(col("vec_id"), col("ve"), col("best.scid").as("parent"))
+      .withColumn("parent",
+        graft.plans.NativeFunctions.nearestCentroid(col("ve"), superCents))
+      .select(col("vec_id"), col("ve"), col("parent"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic init: the cChild lowest vec_ids within each parent
     var children: Seq[(Int, Int, Seq[Double])] = assigned
@@ -534,13 +528,12 @@ object Ann {
       .select(col("parent"), (col("rn") - 1).cast("int").as("cid"), col("ve"))
       .as[(Int, Int, Seq[Double])].collect().toSeq
     for (_ <- 1 to iters) {
-      val chDf = broadcast(children.toDF("parent", "cid", "ce"))
-      val a2 = assigned.join(chDf, Seq("parent")) // children of OWN parent only
-        .withColumn("sim", cosine("ve", "ce"))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(col("sim"), col("parent"), col("cid"))).as("best"),
-          first(col("ve")).as("ve"))
-        .select(col("best.parent").as("parent"), col("best.cid").as("cid"), col("ve"))
+      // children of OWN parent only: the grouped kernel selects the
+      // parent's codebook per row (join-free — r17 opt, see pqFit)
+      val a2 = assigned.select(col("parent"),
+        graft.plans.NativeFunctions.nearestCentroidBy(
+          col("parent"), col("ve"), children, useCos = true).as("cid"),
+        col("ve"))
       children = centroidMean(a2, Seq("parent", "cid"))
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
@@ -567,25 +560,20 @@ object Ann {
     */
   def ivfEncodeHier(corpus: DataFrame, superCents: Seq[(Int, Seq[Double])],
                     children: Seq[(Int, Int, Seq[Double])],
-                    cChild: Int = 16): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val supDf = broadcast(superCents.toDF("scid", "sce"))
-    val chDf = broadcast(children.toDF("parent", "ccid", "ce"))
+                    cChild: Int = 16): DataFrame =
+    // both routing levels inline (r17 opt — see ivfEncode): the two
+    // broadcast-join + groupBy(vec_id) stages each paid a corpus-sized
+    // vector-carrying exchange; two-level encode is now map-only with
+    // ZERO exchanges. Decision-equivalent per level (the child kernel
+    // sees only the winning parent's codebook, exactly the old
+    // equi-join's candidate set; backfill keeps every parent covered).
     corpus.select(col("vec_id"), asDouble("embedding").as("ve"))
-      .join(supDf)
-      .withColumn("sim", cosine("ve", "sce"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), col("scid"))).as("best"), first(col("ve")).as("ve"))
-      .select(col("vec_id"), col("ve"), col("best.scid").as("parent"))
-      .join(chDf, Seq("parent"))
-      .withColumn("sim", cosine("ve", "ce"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("sim"), col("parent"), col("ccid"))).as("best"),
-        first(col("ve")).as("ve"))
+      .withColumn("parent",
+        graft.plans.NativeFunctions.nearestCentroid(col("ve"), superCents))
+      .withColumn("ccid", graft.plans.NativeFunctions.nearestCentroidBy(
+        col("parent"), col("ve"), children, useCos = true))
       .select(col("vec_id"), col("ve"),
-        (col("best.parent") * cChild + col("best.ccid")).cast("int").as("cluster"))
-  }
+        (col("parent") * cChild + col("ccid")).cast("int").as("cluster"))
 
   /** Two-level query routing: rank super-cells (keep `nprobeSuper`),
     * rank children WITHIN each probed super (keep `nprobePerSuper`
@@ -806,12 +794,13 @@ object Ann {
         rows.sortBy(_._1).zipWithIndex.map { case ((_, _, v), i) => (sub, i, v) }
       }
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
-      val assigned = sv.join(centDf, Seq("sub"))
-        .withColumn("d2", l2sq("sv", "ce"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min(struct(col("d2"), col("cid"), col("sv"))).as("best"))
-        .select(col("sub"), col("best.cid").as("cid"), col("best.sv").as("ve"))
+      // join-free per-subspace assignment (r17 opt — see ivfFit): one
+      // grouped argmin kernel call per (vec, sub) row instead of the
+      // ×ksub join + (vec_id, sub)-keyed exchange carrying subvectors
+      val assigned = sv.select(col("sub"),
+        graft.plans.NativeFunctions.nearestCentroidBy(
+          col("sub"), col("sv"), cents, useCos = false).as("cid"),
+        col("sv").as("ve"))
       cents = centroidMean(assigned, Seq("sub", "cid"))
         .as[(Int, Int, Seq[Double])].collect().toSeq
     }
@@ -836,17 +825,16 @@ object Ann {
     * table BY vec_id.
     */
   def pqEncode(corpus: DataFrame, cents: Seq[(Int, Int, Seq[Double])],
-               m: Int = 4, dim: Int = 64): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centDf = broadcast(cents.toDF("sub", "cid", "ce"))
-    subvecs(corpus, m, dim).join(centDf, Seq("sub"))
-      .withColumn("d2", l2sq("sv", "ce"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("d2"), col("cid"))).as("best"))
-      .select(col("vec_id"), col("sub"), col("best.cid").as("code"))
+               m: Int = 4, dim: Int = 64): DataFrame =
+    // inline per-subspace argmin (r17 opt): encode's only exchange is
+    // now the vec_id co-location repartition the layout REQUIRES (the
+    // ADC combine contract above) — the ×ksub join and the
+    // (vec_id, sub)-keyed reduce exchange drop out
+    subvecs(corpus, m, dim)
+      .select(col("vec_id"), col("sub"),
+        graft.plans.NativeFunctions.nearestCentroidBy(
+          col("sub"), col("sv"), cents, useCos = false).as("code"))
       .repartition(col("vec_id"))
-  }
 
   /** The PQ model as a (sub, cid, ce) DataFrame — the persistence face
     * (write it as parquet; reload with [[pqModelFrom]]).
@@ -928,13 +916,12 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val coarseDf = broadcast(coarse.toDF("cl", "cce"))
+    // inline argmax assignment (r17 opt — see ivfEncode): map-only, no
+    // ×c row blowup, no id-keyed exchange; the broadcast join-back on
+    // the winning cell fetches its centroid for the residual (map-side)
     df.select(col("vec_id").as(idCol), asDouble("embedding").as("ve"))
-      .join(coarseDf)
-      .withColumn("sim", graft.plans.NativeFunctions.cosineSim(col("ve"), col("cce")))
-      .groupBy(col(idCol))
-      .agg(max(struct(col("sim"), col("cl"))).as("best"),
-        first(col("ve")).as("ve")) // ve is constant per id
-      .select(col(idCol), col("ve"), col("best.cl").as("cluster"))
+      .withColumn("cluster",
+        graft.plans.NativeFunctions.nearestCentroid(col("ve"), coarse))
       .join(coarseDf, col("cluster") === col("cl"))
       .select(col(idCol), col("ve"), col("cluster"),
         expr("zip_with(ve, cce, (a, b) -> a - b)").as("resid"))

@@ -714,6 +714,35 @@ object NativeFunctions {
       col2expr(org.apache.spark.sql.functions.lit(
         matrix.map(_.toArray).toArray))))
 
+  /** argbest centroid id against a flat literal codebook — the
+    * join-free k-means assignment (see [[NearestCentroidId]]).
+    * `useCos = true` → argmax cosine with max-id tie (max(struct)
+    * semantics); `false` → argmin l2 with min-id tie (min(struct)).
+    */
+  def nearestCentroid(vec: Column, cents: Seq[(Int, Seq[Double])],
+                      useCos: Boolean = true): Column =
+    nearestCentroidBy(org.apache.spark.sql.functions.lit(0), vec,
+      cents.map { case (cid, ce) => (0, cid, ce) }, useCos)
+
+  /** Grouped form: the codebook is selected per row by `group` (PQ
+    * subspace, hierarchical parent). Entries are laid out in
+    * ascending-id order per group so the kernel's replace-on-tie rule
+    * reproduces the struct-compare tie-breaks exactly.
+    */
+  def nearestCentroidBy(group: Column, vec: Column,
+                        cents: Seq[(Int, Int, Seq[Double])],
+                        useCos: Boolean): Column = {
+    require(cents.nonEmpty, "nearestCentroidBy: empty codebook")
+    val nGroups = cents.map(_._1).max + 1
+    val byGroup = cents.groupBy(_._1)
+    val ids = Array.tabulate(nGroups)(g =>
+      byGroup.getOrElse(g, Nil).map(_._2).sorted.toArray)
+    val tab = Array.tabulate(nGroups) { g =>
+      byGroup.getOrElse(g, Nil).sortBy(_._2).map(_._3.toArray).toArray
+    }
+    Bridge.column(NearestCentroidId(col2expr(group), col2expr(vec), ids, tab, useCos))
+  }
+
   /** Apply a trained BPE merge list (rank order) to a symbol-array
     * column in one codegen'd kernel — see [[BpeEncode]].
     */

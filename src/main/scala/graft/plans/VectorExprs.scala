@@ -770,3 +770,120 @@ object WinnowSelect {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 }
+
+/** argbest centroid id for one vector against a literal codebook — the
+  * k-means assignment step as ONE codegen'd kernel call per row.
+  *
+  * The join-free formulation of
+  * `join(broadcast(cents)) → score → groupBy(id).agg(max/min(struct))`:
+  * that shape multiplies every corpus row by the codebook size and then
+  * pays a corpus-sized EXCHANGE (carrying the vector) to reduce the
+  * copies back — per Lloyd round and per encode pass. Computing the
+  * argbest inline keeps assignment map-only: no row blowup, no exchange,
+  * and the following centroid-mean aggregation combines map-side to
+  * codebook-sized partials (guide §2.3/§2.4 — the shuffle disappears
+  * rather than shrinking).
+  *
+  * Decision-equivalence contract (the models must stay BIT-IDENTICAL to
+  * the join formulation so every fitted-model consumer — recall reports,
+  * SemDeDup clusters, IVF probe sets — replays exactly):
+  *   - scores are computed by the same fused loops as [[CosineSim]] /
+  *     [[L2Sq]] (same operation order, same double arithmetic);
+  *   - comparisons use Spark's double ordering
+  *     (SQLOrderingUtil.compareDoubles: NaN greatest, -0.0 == 0.0);
+  *   - entries are iterated in ascending-id order, replacing on >= for
+  *     cosine (argmax; score ties pick the HIGHEST id — max(struct(sim,
+  *     id)) semantics) and on < for l2 (argmin; ties pick the LOWEST id
+  *     — min(struct(d2, id)) semantics).
+  * `groups` selects a codebook per row (PQ subspace, hierarchical
+  * parent); flat callers pass a constant 0. Missing group or dimension
+  * mismatch throws — both are contract violations upstream, and the old
+  * join would have silently dropped or null-scored the row.
+  */
+case class NearestCentroidId(group: Expression, vec: Expression,
+    ids: Array[Array[Int]], cents: Array[Array[Array[Double]]],
+    useCos: Boolean)
+    extends BinaryExpression {
+  override def left: Expression = group
+  override def right: Expression = vec
+  override def checkInputDataTypes(): TypeCheckResult =
+    (group.dataType, vec.dataType) match {
+      case (IntegerType, ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (g, v) => TypeCheckResult.TypeCheckFailure(
+        s"graft_nearest_centroid requires (int, array<double>), got ($g, $v)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(g: Any, v: Any): Any =
+    NearestCentroidId.compute(ids, cents, g.asInstanceOf[Int],
+      v.asInstanceOf[ArrayData], useCos)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("ncIds", ids, "int[][]")
+    val tabRef = ctx.addReferenceObj("ncCents", cents, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (g, v) => s"""
+      ${ev.value} = graft.plans.NearestCentroidId.compute(
+        $idsRef, $tabRef, $g, $v, $useCos);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidId =
+    copy(group = newLeft, vec = newRight)
+}
+
+object NearestCentroidId {
+  def compute(ids: Array[Array[Int]], tab: Array[Array[Array[Double]]],
+      g: Int, vec: ArrayData, useCos: Boolean): Int = {
+    if (g < 0 || g >= tab.length || tab(g).length == 0)
+      throw new IllegalArgumentException(
+        s"graft_nearest_centroid: no centroids for group $g")
+    val cb = tab(g)
+    val cbIds = ids(g)
+    val n = vec.numElements()
+    var bestId = 0
+    var bestScore = 0.0
+    var first = true
+    var j = 0
+    while (j < cb.length) {
+      val ce = cb(j)
+      if (ce.length != n) throw new IllegalArgumentException(
+        s"graft_nearest_centroid: dim mismatch (vector $n, centroid ${ce.length})")
+      var score = 0.0
+      if (useCos) {
+        // CosineSim.compute's loop verbatim (decision equivalence)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < n) {
+          val x = vec.getDouble(i); val y = ce(i)
+          dot += x * y; na += x * x; nb += y * y
+          i += 1
+        }
+        score = dot / (math.sqrt(na) * math.sqrt(nb))
+      } else {
+        // L2Sq.compute's loop verbatim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val d = vec.getDouble(i) - ce(i)
+          s += d * d
+          i += 1
+        }
+        score = s
+      }
+      if (first) {
+        first = false; bestId = cbIds(j); bestScore = score
+      } else {
+        val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(score, bestScore)
+        if (if (useCos) cmp >= 0 else cmp < 0) {
+          bestId = cbIds(j); bestScore = score
+        }
+      }
+      j += 1
+    }
+    bestId
+  }
+}
