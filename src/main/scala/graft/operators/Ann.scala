@@ -1578,8 +1578,13 @@ object Ann {
     val index = nswLshIndex(corpus, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index.count()
-    val out = nswSearchLsh(nswBuild(index, kNbr, rounds), index,
-      nswEntriesSampled(index), queries, k, bits, beam, hops)
+    // graph build and entry sampling are independent reads of the
+    // persisted index — overlap them (guide §2.6) so the entry window
+    // rides the build's idle tail instead of the walk's critical path
+    val Seq(edges, entries) = Overlap.build(Seq(
+      () => nswBuild(index, kNbr, rounds),
+      () => nswEntriesSampled(index).localCheckpoint(true)))
+    val out = nswSearchLsh(edges, index, entries, queries, k, bits, beam, hops)
     val materialized = out.localCheckpoint()
     index.unpersist(blocking = true)
     materialized
@@ -1601,8 +1606,13 @@ object Ann {
     val index = ivfEncode(corpus, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     index.count()
-    val out = nswSearch(cents, nswBuild(index, kNbr, rounds), index,
-      nswEntriesSampled(index), queries, k, beam, hops, nprobe)
+    // build ∥ entry sampling — independent reads of the persisted
+    // index (see nswKnnLsh)
+    val Seq(edges, entries) = Overlap.build(Seq(
+      () => nswBuild(index, kNbr, rounds),
+      () => nswEntriesSampled(index).localCheckpoint(true)))
+    val out = nswSearch(cents, edges, index,
+      entries, queries, k, beam, hops, nprobe)
     val materialized = out.localCheckpoint()
     index.unpersist(blocking = true)
     materialized

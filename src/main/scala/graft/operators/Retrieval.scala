@@ -222,11 +222,23 @@ object Retrieval {
     */
   def hybridSearchRanked(docs: DataFrame, terms: Seq[String],
                          qids: DataFrame, vecRanks: DataFrame, k: Int = 10,
-                         depth: Int = 20, rrfK: Int = 60): DataFrame = {
+                         depth: Int = 20, rrfK: Int = 60): DataFrame =
+    hybridSearchRankedLex(
+      topRanked(bm25Scored(docs, terms), "score", "rank_lex", depth)
+        .select(col("doc_id"), col("rank_lex")),
+      qids, vecRanks, k, depth, rrfK)
+
+  /** Fusion over a PRECOMPUTED lexical top-list (doc_id, rank_lex ≤
+    * depth) — the shape for callers fusing SEVERAL vector faces against
+    * ONE lexical ranking (q223 grades the indexed fusion against the
+    * brute fusion): the eager BM25 scoring chain runs once, not once
+    * per face. [[hybridSearchRanked]] delegates here.
+    */
+  def hybridSearchRankedLex(lex: DataFrame, qids: DataFrame,
+                            vecRanks: DataFrame, k: Int = 10,
+                            depth: Int = 20, rrfK: Int = 60): DataFrame = {
     require(k >= 1 && depth >= k && rrfK >= 1,
       s"hybridSearch: need 1 <= k <= depth and rrfK >= 1, got k=$k depth=$depth rrfK=$rrfK")
-    val lex = topRanked(bm25Scored(docs, terms), "score", "rank_lex", depth)
-      .select(col("doc_id"), col("rank_lex"))
     val lexPerQ = broadcast(qids.crossJoin(lex))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("fused").desc, col("doc_id"))

@@ -2968,8 +2968,16 @@ object PipelineQueries extends QueryFamily {
       val embs = Tables.embeddings(s, d)
       val queries = embs.filter(col("vec_id") < 3)
       val qids = queries.select(col("vec_id").as("qid"))
+      // ONE lexical ranking serves both fusions (r17 opt): the two
+      // fused() calls previously each ran the full eager BM25 scoring
+      // chain (corpus-pass persist + count + checkpoint, twice) for an
+      // identical 20-row top-list — compute it once and share
+      val lex = graft.operators.Retrieval.topRanked(
+          graft.operators.Retrieval.bm25Scored(docs, terms),
+          "score", "rank_lex", 20)
+        .select(col("doc_id"), col("rank_lex"))
       def fused(vecRanks: DataFrame): DataFrame = graft.operators.Retrieval
-        .hybridSearchRanked(docs, terms, qids, vecRanks,
+        .hybridSearchRankedLex(lex, qids, vecRanks,
           k = 10, depth = 20, rrfK = 60)
         .select(col("qid"), col("doc_id").as("cid"), col("rank").as("rn"))
       val approx = fused(Ann.lshKnn(embs, queries, k = 20, nBits = nBits)
@@ -3274,11 +3282,16 @@ object PipelineQueries extends QueryFamily {
            |FROM x GROUP BY 1, 2
            |ORDER BY bucket, clf_decile""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
-      val ccnet = graft.operators.LmScore.ccnetBuckets(docs, v = V)
-        .select(col("doc_id"), col("n_tokens"), col("bucket"))
-      val clf = graft.operators.Classifier.withDeciles(
-        graft.operators.Classifier.trainScore(docs,
-          col("source").isin(clfSeed: _*), minDf = 2))
+      // the LM branch (CCNet counts fit) and the classifier branch
+      // (trainScore + decile checkpoint) are INDEPENDENT eager chains
+      // over the same corpus — overlap them from the driver pool
+      // (guide §2.6) instead of paying both fit latencies serially
+      val Seq(ccnet, clf) = graft.operators.Overlap.build(Seq(
+        () => graft.operators.LmScore.ccnetBuckets(docs, v = V)
+          .select(col("doc_id"), col("n_tokens"), col("bucket")),
+        () => graft.operators.Classifier.withDeciles(
+          graft.operators.Classifier.trainScore(docs,
+            col("source").isin(clfSeed: _*), minDf = 2))))
       ccnet.join(clf.select(col("doc_id"), col("decile")), Seq("doc_id"), "left")
         .select(col("bucket"),
           coalesce(col("decile"), lit(-1L)).as("clf_decile"),
