@@ -282,10 +282,16 @@ object Bpe {
           selected.tail.takeWhile(s => bound.forall(s._3 > _))
         // one job: every kept merge's non-overlapping fusion count on
         // the round-START vocab (independence keeps each count valid at
-        // its serial application point)
+        // its serial application point). Counted through the NATIVE
+        // single-merge kernel, not the interpreted mergeFoldSql
+        // aggregate() — the fold rebuilds each word as a string via
+        // O(len²) concat per merge per word and was the hottest stage
+        // of every BPE consumer (q195: 97 task-seconds at sf0.1).
+        // BpeSpec pins kernel == fold, so the counts are identical.
         val applyCols: Seq[Column] = kept.toSeq.zipWithIndex.map { case ((pa, pb, _), j) =>
           sum(col("freq") *
-            (size(col("syms")) - size(expr(mergeFoldSql(pa, pb)))).cast("long")).as(s"a$j")
+            (size(col("syms")) - size(graft.plans.NativeFunctions.bpeEncode(
+              col("syms"), Seq((pa, pb))))).cast("long")).as(s"a$j")
         }
         val counts = vocab.agg(applyCols.head, applyCols.tail: _*).collect()(0)
         val next = vocab.select(
