@@ -1129,12 +1129,42 @@ object Ann {
     finally spark.conf.set(key, prev)
   }
 
+  /** SCALE-ADAPTIVE parallelism for the graph-ANN build/walk (guide
+    * §2.2: size partitions from the data, never a constant tuned for
+    * one deployment). The build's working sets are index-row-sized (n
+    * vectors, n·kNbr pair rows) but were always exchanged into
+    * `spark.sql.shuffle.partitions` partitions — at small n that is
+    * dozens of near-empty tasks PER STAGE across ~20 chained stages,
+    * and task dispatch (not data) becomes the wall; at large n the
+    * conf value is the right ceiling. Partition count therefore
+    * derives from the row count: ceil(n / rowsPerPartition), clamped
+    * to [1, spark.sql.shuffle.partitions]. rowsPerPartition is
+    * `spark.graft.ann.rowsPerPartition` (default 4096 ≈ 2 MB of
+    * vectors, kNbr²·rows ≈ 10⁸ flop-scale NN-Descent scoring per
+    * task); the conf ceiling keeps cluster deployments at their tuned
+    * width. Callers that do not know n pass -1 and keep the conf
+    * value — partition count never changes results (AnnSpec pins
+    * layout-independence).
+    */
+  private def annParallelism(spark: org.apache.spark.sql.SparkSession,
+                             n: Long): Int = {
+    val conf = spark.sessionState.conf.numShufflePartitions
+    if (n <= 0) conf
+    else {
+      val target = spark.conf.get("spark.graft.ann.rowsPerPartition", "4096").toLong
+      require(target >= 1, s"spark.graft.ann.rowsPerPartition must be >= 1, got $target")
+      math.max(1L, math.min(conf.toLong, (n + target - 1) / target)).toInt
+    }
+  }
+
   /** The neighbor table (u, v, sim): cluster-local ring init +
     * `rounds` NN-Descent rounds over the [[ivfEncode]] index. Emitted
     * co-located by u — each search hop's expansion join is then
-    * map-side against a bucketed table.
+    * map-side against a bucketed table. `nRows` (index row count, -1 =
+    * unknown) sizes the build's exchanges via [[annParallelism]].
     */
-  def nswBuild(index: DataFrame, kNbr: Int = 8, rounds: Int = 2): DataFrame = {
+  def nswBuild(index: DataFrame, kNbr: Int = 8, rounds: Int = 2,
+               nRows: Long = -1): DataFrame = {
     require(kNbr >= 1 && rounds >= 0, s"kNbr=$kNbr rounds=$rounds")
     // CELL CO-LOCATION (r15 — the r14 PQ vec_id layout rule applied to
     // the graph build): ONE vector-bearing repartition by cluster up
@@ -1166,7 +1196,7 @@ object Ann {
     //     coalescing cannot de-align the two sides of a co-partitioned
     //     join after the fact.
     val spark = index.sparkSession
-    val np = spark.sessionState.conf.numShufflePartitions
+    val np = annParallelism(spark, nRows)
     // captured so their checkpoint blocks can be freed once the helper
     // has checkpointed the RESULT (they feed the final union, so they
     // must outlive the scope but not the call)
@@ -1324,13 +1354,14 @@ object Ann {
                 index: DataFrame, entries: DataFrame, queries: DataFrame,
                 k: Int, beam: Int = 16, hops: Int = 4, nprobe: Int = 4,
                 excludeSelf: Boolean = true,
-                pred: Option[Column] = None): DataFrame = {
+                pred: Option[Column] = None, nRows: Long = -1): DataFrame = {
     // hop 0: centroid-route to nprobe cells, seed at their entries
     val seeds = queryProbes(cents, queries, nprobe)
       .select(col("qid"), col("cluster"))
       .join(broadcast(entries), Seq("cluster"))
       .select(col("qid"), col("vec_id").as("cid")).distinct()
-    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred)
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred,
+      nRows)
   }
 
   /** The walk itself, routing-agnostic: score the seeds, then `hops`
@@ -1351,7 +1382,9 @@ object Ann {
   private def nswWalk(seeds: DataFrame, edges: DataFrame, index: DataFrame,
                       queries: DataFrame, k: Int, beam: Int, hops: Int,
                       excludeSelf: Boolean,
-                      pred: Option[Column] = None): DataFrame = {
+                      pred: Option[Column] = None,
+                      nRows: Long = -1): DataFrame = {
+    val np = annParallelism(index.sparkSession, nRows)
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       asDouble("embedding").as("qe")))
     // vector table CO-LOCATED by cid once (r15, the nswBuild rule on
@@ -1363,8 +1396,7 @@ object Ann {
     // is bucketed by vec_id, making this exchange free forever.
     val thin = index.select(col("vec_id").as("cid"), col("ve"),
         pred.getOrElse(lit(true)).as("ok"))
-      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cid"))
+      .repartition(np, col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def score(cand: DataFrame): DataFrame = cand
       .join(thin, Seq("cid"))
@@ -1396,8 +1428,7 @@ object Ann {
     // scale and this exchange disappears entirely.
     val adj = edges.select(col("u").as("cid"), col("v"))
       .unionByName(edges.select(col("v").as("cid"), col("u").as("v")))
-      .repartition(index.sparkSession.sessionState.conf.numShufflePartitions,
-        col("cid"))
+      .repartition(np, col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to hops) {
       val expand = frontier
@@ -1440,7 +1471,7 @@ object Ann {
   def nswSearchLsh(edges: DataFrame, index: DataFrame, entries: DataFrame,
                    queries: DataFrame, k: Int, nBits: Int, beam: Int = 16,
                    hops: Int = 4, excludeSelf: Boolean = true,
-                   pred: Option[Column] = None): DataFrame = {
+                   pred: Option[Column] = None, nRows: Long = -1): DataFrame = {
     val probes = expr(
       s"array_union(array(bucket), transform(sequence(0, ${nBits - 1}), i -> bucket ^ shiftleft(1L, i)))")
     val seeds = queries
@@ -1451,7 +1482,8 @@ object Ann {
       .select(col("qid"), col("pb").cast("int").as("cluster"))
       .join(broadcast(entries), Seq("cluster"))
       .select(col("qid"), col("vec_id").as("cid")).distinct()
-    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred)
+    nswWalk(seeds, edges, index, queries, k, beam, hops, excludeSelf, pred,
+      nRows)
   }
 
   /** INCREMENTAL graph ingestion — the continuous-ingestion face (the
@@ -1577,14 +1609,15 @@ object Ann {
         math.log(math.sqrt(corpus.count().toDouble)) / math.log(2)).toInt)
     val index = nswLshIndex(corpus, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    index.count()
+    val n = index.count()
     // graph build and entry sampling are independent reads of the
     // persisted index — overlap them (guide §2.6) so the entry window
     // rides the build's idle tail instead of the walk's critical path
     val Seq(edges, entries) = Overlap.build(Seq(
-      () => nswBuild(index, kNbr, rounds),
+      () => nswBuild(index, kNbr, rounds, nRows = n),
       () => nswEntriesSampled(index).localCheckpoint(true)))
-    val out = nswSearchLsh(edges, index, entries, queries, k, bits, beam, hops)
+    val out = nswSearchLsh(edges, index, entries, queries, k, bits, beam, hops,
+      nRows = n)
     val materialized = out.localCheckpoint()
     index.unpersist(blocking = true)
     materialized
@@ -1605,14 +1638,14 @@ object Ann {
     val cents = ivfFit(corpus, cells, iters = 2, trainMod)
     val index = ivfEncode(corpus, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    index.count()
+    val n = index.count()
     // build ∥ entry sampling — independent reads of the persisted
     // index (see nswKnnLsh)
     val Seq(edges, entries) = Overlap.build(Seq(
-      () => nswBuild(index, kNbr, rounds),
+      () => nswBuild(index, kNbr, rounds, nRows = n),
       () => nswEntriesSampled(index).localCheckpoint(true)))
     val out = nswSearch(cents, edges, index,
-      entries, queries, k, beam, hops, nprobe)
+      entries, queries, k, beam, hops, nprobe, nRows = n)
     val materialized = out.localCheckpoint()
     index.unpersist(blocking = true)
     materialized
