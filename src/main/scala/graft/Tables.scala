@@ -50,7 +50,8 @@ object Tables {
     * at warehouse scale (table ≫ one split) this is a no-op.
     */
   private def rebalanced(s: SparkSession, dir: String, name: String,
-                         prefilter: Option[org.apache.spark.sql.Column]): DataFrame = {
+                         prefilter: Option[org.apache.spark.sql.Column],
+                         bytesPerPartition: Long = 0L): DataFrame = {
     val base = load(s, dir, name)
     // filter BELOW the rebalance: the predicate reaches the parquet scan
     // (pushdown) and only the surviving rows pay the round-robin shuffle
@@ -61,8 +62,11 @@ object Tables {
       try path.getFileSystem(s.sparkContext.hadoopConfiguration)
         .getContentSummary(path).getLength
       catch { case _: Throwable => Long.MaxValue }
-    if (bytes < conf.filesMaxPartitionBytes) df.repartition(conf.numShufflePartitions)
-    else df
+    if (bytes >= conf.filesMaxPartitionBytes) df
+    else if (bytesPerPartition <= 0L) df.repartition(conf.numShufflePartitions)
+    else df.repartition(math.max(1L, math.min(
+      s.sessionState.conf.numShufflePartitions.toLong,
+      (bytes + bytesPerPartition - 1) / bytesPerPartition)).toInt)
   }
 
   def documents(s: SparkSession, d: String): DataFrame =
@@ -73,6 +77,19 @@ object Tables {
     */
   def documents(s: SparkSession, d: String, prefilter: org.apache.spark.sql.Column): DataFrame =
     rebalanced(s, d, "documents", Some(prefilter))
+  /** Embeddings rebalance is BYTE-SIZED, not conf-wide (guide §2.2).
+    * The documents table keeps the full session width — its per-row
+    * kernels (shingle hashing, minhash, word pipelines) are
+    * milliseconds per row, so a small corpus still wants every core.
+    * Embedding consumers' per-row kernels are microseconds (a cosine
+    * per candidate); their genuinely CPU-dense passes (NN-Descent
+    * scoring, PQ training) size their own exchanges (Ann.annParallelism)
+    * — so a conf-wide rebalance here only multiplied every downstream
+    * stage's task count by 32 at small scale. ~1 MB per partition
+    * (~2.5k vectors) keeps dozens of tasks off each of the ANN
+    * family's chained stages locally while growing partitions linearly
+    * with the table, conf-clamped at cluster scale.
+    */
   def embeddings(s: SparkSession, d: String): DataFrame =
-    rebalanced(s, d, "embeddings", None)
+    rebalanced(s, d, "embeddings", None, bytesPerPartition = 1L << 20)
 }
