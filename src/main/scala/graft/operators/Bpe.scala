@@ -80,6 +80,31 @@ object Bpe {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("freq"))
 
+  /** (doc_id, word, cw) usage counts — ONE corpus words pass; empty
+    * docs keep a single null-word row (explode_outer), the UNK/empty
+    * contract [[encodeDocCounts]] relies on. The shared input that
+    * lets one BPE consumer pay a single corpus scan for training AND
+    * per-doc encoding (via [[wordFreqFromDocCounts]]) — callers that
+    * read it twice materialize it first.
+    */
+  def docWordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode_outer(filter(graft.functions.Text.words(col("text")),
+          w => w =!= lit(""))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cw"))
+
+  /** [[wordFreq]] derived from a [[docWordCounts]] table instead of a
+    * second corpus scan: same explode + non-empty filter, so per-word
+    * occurrence totals are identical (the null row of an empty doc
+    * carries no word and drops here).
+    */
+  def wordFreqFromDocCounts(dw: DataFrame): DataFrame =
+    dw.filter(col("word").isNotNull)
+      .groupBy(col("word"))
+      .agg(sum(col("cw")).as("freq"))
+
   /** The FULL multi-round Sennrich training loop (q177 is one round's
     * statistics): `rounds` merge rounds, each (1) counting adjacent
     * SYMBOL pairs over the vocab weighted by word frequency
@@ -209,16 +234,27 @@ object Bpe {
     * and cannot enable or disable one another.
     */
   def trainMergesBatched(docs: DataFrame, rounds: Int = 6,
-                         batch: Int = 4): DataFrame = {
+                         batch: Int = 4): DataFrame =
+    trainMergesBatchedWf(wordFreq(docs), rounds, batch)
+
+  /** [[trainMergesBatched]] over a PRECOMPUTED (word, freq) table —
+    * the face a consumer uses to share ONE corpus words pass between
+    * training and its own encode/usage side (q182/q195/q206). An
+    * alphabet-prefiltered wf (e.g. derived from [[usageByLang]]) is
+    * fine: charVocab's own `^[a-z0-9]+$` filter makes the training
+    * vocabulary identical either way.
+    */
+  def trainMergesBatchedWf(wf: DataFrame, rounds: Int = 6,
+                           batch: Int = 4): DataFrame = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
-    val spark = docs.sparkSession
+    val spark = wf.sparkSession
     import spark.implicits._
     // candidate horizon per stats pass: enough rank-ordered candidates
     // to find the batch AND its first conflicting boundary; if the
     // horizon fills without a conflict, the last candidate's count is
     // the (conservative) boundary — anything beyond ranks below it
     val horizon = math.max(batch * 4, 16)
-    var vocab = charVocab(docs)
+    var vocab = charVocabWf(wf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one job: materialize the persisted vocab AND read the starting
     // corpus token count — per-round counts then telescope with no
@@ -354,7 +390,14 @@ object Bpe {
     */
   def encodeTokens(docs: DataFrame, merges: Seq[(String, String)],
                    k: Int = 30): DataFrame =
-    encodeTokenFreq(docs, merges)
+    encodeTokensWf(wordFreq(docs), merges, k)
+
+  /** [[encodeTokens]] over a precomputed (word, freq) table — shares
+    * the corpus words pass with [[trainMergesBatchedWf]] (q182).
+    */
+  def encodeTokensWf(wf: DataFrame, merges: Seq[(String, String)],
+                     k: Int = 30): DataFrame =
+    encodeTokenFreqWf(wf, merges)
       .orderBy(col("freq").desc, col("token"))
       .limit(k)
 
@@ -368,8 +411,12 @@ object Bpe {
     * build, at per-batch vocab-sized cost.
     */
   def encodeTokenFreq(docs: DataFrame,
-                      merges: Seq[(String, String)]): DataFrame = {
-    val vocab = charVocab(docs)
+                      merges: Seq[(String, String)]): DataFrame =
+    encodeTokenFreqWf(wordFreq(docs), merges)
+
+  def encodeTokenFreqWf(wf: DataFrame,
+                        merges: Seq[(String, String)]): DataFrame = {
+    val vocab = charVocabWf(wf)
     val encoded =
       if (merges.isEmpty) vocab
       else vocab.select(
@@ -402,7 +449,10 @@ object Bpe {
     * the table every BPE face starts from.
     */
   private def charVocab(docs: DataFrame): DataFrame =
-    wordFreq(docs)
+    charVocabWf(wordFreq(docs))
+
+  private def charVocabWf(wf: DataFrame): DataFrame =
+    wf
       .filter(col("word").rlike("^[a-z0-9]+$"))
       .select(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"),
@@ -439,19 +489,27 @@ object Bpe {
           .cast("long").as("n_sub"))
 
   def encodeDocCounts(docs: DataFrame,
-                      merges: Seq[(String, String)]): DataFrame = {
+                      merges: Seq[(String, String)]): DataFrame =
+    // ONE corpus words pass (r17 opt): the usage table supplies BOTH
+    // the distinct-word list the merge fold runs over and the per-doc
+    // counts — deriving the vocab from a second wordFreq(docs) scan
+    // paid a duplicate corpus explode for the same word set
+    encodeDocCountsFromWords(docWordCounts(docs).localCheckpoint(true),
+      merges)
+
+  /** [[encodeDocCounts]] over a precomputed (MATERIALIZED — it is read
+    * twice) [[docWordCounts]] table: the face q195 uses to share one
+    * corpus words pass across training and encoding.
+    */
+  def encodeDocCountsFromWords(dw: DataFrame,
+                               merges: Seq[(String, String)]): DataFrame = {
     val wordLen = wordSubwordLengths(
-      wordFreq(docs).filter(col("word").rlike("^[a-z0-9]+$"))
-        .select(col("word")), merges)
+      dw.filter(col("word").isNotNull &&
+          col("word").rlike("^[a-z0-9]+$"))
+        .select(col("word")).distinct(), merges)
       .select(col("word"), col("n_sub"))
-    // explode_outer keeps zero-word docs as one null-word row (counts 1
-    // through the UNK coalesce below — never dropped)
-    val dw = docs
-      .select(col("doc_id"),
-        explode_outer(filter(graft.functions.Text.words(col("text")),
-          w => w =!= lit(""))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cw"))
+    // dw's explode_outer keeps zero-word docs as one null-word row
+    // (counts 1 through the UNK coalesce below — never dropped)
     dw.join(wordLen, Seq("word"), "left")
       .groupBy(col("doc_id"))
       .agg(greatest(sum(col("cw") * coalesce(col("n_sub"), lit(1L))), lit(1L))

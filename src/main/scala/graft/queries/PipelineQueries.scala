@@ -1665,8 +1665,11 @@ object PipelineQueries extends QueryFamily {
          |FROM (SELECT unnest(syms) AS token, freq FROM v$bpeRounds)
          |GROUP BY 1 ORDER BY freq DESC, token LIMIT $bpeTopTokens""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // ONE corpus words pass: training and encoding both read this
+    // materialized (word, freq) table (r17 opt)
+    val wf = graft.operators.Bpe.wordFreq(docs).localCheckpoint(true)
     val merges = graft.operators.Bpe
-      .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
+      .trainMergesBatchedWf(wf, rounds = bpeRounds, batch = 3)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     // the oracle unrolls EXACTLY bpeRounds rounds; a corpus too small
@@ -1676,7 +1679,7 @@ object PipelineQueries extends QueryFamily {
     require(merges.length == bpeRounds,
       s"BPE training exhausted after ${merges.length}/$bpeRounds rounds — " +
         "corpus too small for the unrolled oracle; lower bpeRounds")
-    graft.operators.Bpe.encodeTokens(docs, merges, k = bpeTopTokens)
+    graft.operators.Bpe.encodeTokensWf(wf, merges, k = bpeTopTokens)
       .orderBy(col("freq").desc, col("token"))
   }
 
@@ -2037,8 +2040,14 @@ object PipelineQueries extends QueryFamily {
            |  least(max((gs + n_tokens - 1) // $L), (shard_id + 1) * $BPS - 1) AS last_bin
            |FROM px GROUP BY 1 ORDER BY shard_id""".stripMargin) { (s, d) =>
       val docs = Tables.documents(s, d)
+      // ONE corpus words pass serves training (via the derived word
+      // frequencies) and the per-doc token counts (r17 opt — the three
+      // separate explode+aggregate corpus passes this query paid
+      // collapse into this materialized usage table)
+      val dw = graft.operators.Bpe.docWordCounts(docs).localCheckpoint(true)
       val merges = graft.operators.Bpe
-        .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
+        .trainMergesBatchedWf(graft.operators.Bpe.wordFreqFromDocCounts(dw),
+          rounds = bpeRounds, batch = 3)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       require(merges.length == bpeRounds,
@@ -2047,7 +2056,7 @@ object PipelineQueries extends QueryFamily {
       // corpus-THIN (doc_id, n_tokens): materialized so the prefix
       // sum's two passes read the thin table, never the corpus (the
       // q190 posture)
-      val counted = graft.operators.Bpe.encodeDocCounts(docs, merges)
+      val counted = graft.operators.Bpe.encodeDocCountsFromWords(dw, merges)
         .localCheckpoint()
       graft.operators.Pack
         .shardManifestCounted(counted, seqLen = L, binsPerShard = BPS, seed = SEED)
@@ -3191,14 +3200,21 @@ object PipelineQueries extends QueryFamily {
          | round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
          |FROM f ORDER BY lang""".stripMargin) { (s, d) =>
     val docs = Tables.documents(s, d)
+    // ONE corpus words pass: the per-(lang, word) usage table feeds
+    // training (summed over langs — charVocab's alphabet filter makes
+    // the training vocabulary identical to a wordFreq-derived one) and
+    // the fertility report (r17 opt)
+    val usage = graft.operators.Bpe.usageByLang(docs).localCheckpoint(true)
     val merges = graft.operators.Bpe
-      .trainMergesBatched(docs, rounds = bpeRounds, batch = 3)
+      .trainMergesBatchedWf(
+        usage.groupBy(col("word")).agg(sum(col("cw")).as("freq")),
+        rounds = bpeRounds, batch = 3)
       .orderBy("round").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
     require(merges.length == bpeRounds,
       s"BPE training exhausted after ${merges.length}/$bpeRounds rounds — " +
         "corpus too small for the unrolled oracle; lower bpeRounds")
-    graft.operators.Bpe.fertilityByLang(docs, merges)
+    graft.operators.Bpe.fertilityFromUsage(usage, merges)
       .orderBy("lang")
   }
 
