@@ -25,7 +25,18 @@ object Overlap {
     */
   def build[A](thunks: Seq[() => A], maxConcurrent: Int = 4): Seq[A] = {
     require(maxConcurrent >= 1, s"maxConcurrent=$maxConcurrent")
-    if (thunks.lengthCompare(1) <= 0) thunks.map(_())
+    // DEADLOCK GUARD (r17 opt): Spark's analyzer resolves SQL table
+    // functions while synchronized on the session's SessionCatalog, and
+    // the graft_* TVFs build their results EAGERLY inside that window —
+    // an overlapped build started there deadlocks (worker threads plan
+    // their own queries and need the same monitor, while this thread
+    // holds it and waits on their futures; observed as a SqlSurfaceSpec
+    // hang via graft_ann → nswKnnLsh). When the calling thread holds
+    // the active session's catalog monitor, run the serial loop — the
+    // exact pre-overlap behavior, correct in every context.
+    val underCatalogLock = org.apache.spark.sql.SparkSession.getActiveSession
+      .exists(s => Thread.holdsLock(s.sessionState.catalog))
+    if (thunks.lengthCompare(1) <= 0 || underCatalogLock) thunks.map(_())
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(maxConcurrent, thunks.size),
