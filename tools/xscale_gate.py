@@ -115,6 +115,24 @@ ADJUDICATIONS = {
     "q173_zip_regexp_split": ("rows-transition",
         "FlipProbe r15: same TopKeys.smallest distinct pre-shuffle as "
         "q100 (identical 4,372,417 sf1 rows)"),
+    # --- r17-opt: keys flagged because the SMALL side improved ----------
+    # The r17-opt embeddings rebalance (Tables.scala: byte-sized width)
+    # collapsed these brute-declared faces' sf0.1 exchanges — the
+    # per-qid rank pushdown ships k-sized lists from ONE input
+    # partition instead of per-partition lists from 32. The decade side
+    # is BYTE-FLAT vs the pre-change record, i.e. the ratio moved by
+    # denominator, not by any big-side regression; at the decade the
+    # shuffle is probes x corpus rows — the declared brute posture.
+    "q198_contrastive_mining": ("rows-transition",
+        "r17-opt: sf1 bytes byte-flat vs SHUFFLE_sf1_r17 (7.79->7.78 "
+        "MB), rows 240k ~= 10 anchors x corpus (row-linear, brute "
+        "declared); sf0.1 side collapsed 24k->4k rows under the "
+        "byte-sized rebalance (rank pushdown over 1 input partition)"),
+    "q210_matryoshka": ("rows-transition",
+        "r17-opt: sf1 bytes byte-flat vs SHUFFLE_sf1_r17 (8.53->8.49 "
+        "MB), rows 220k ~= 10 probes x corpus (row-linear, brute "
+        "declared); sf0.1 side collapsed 22k->2k rows under the "
+        "byte-sized rebalance"),
     "q160_setdigest2": ("rows-transition",
         "FlipProbe r15: bhj=1/smj=0 both scales; groupBy(grp, h) KMV "
         "pre-agg where h ~ distinct custkey hashes — keys ~ input "
